@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+import graft.functions.Codec
+
+/**
+ * Driver contract — every operator from SURVEY.md §2 is declared here as a
+ * named query with (where SQL-expressible) a DuckDB oracle equivalent.
+ *
+ * Determinism rules shared by every declared query (SURVEY §7 risks):
+ *  - float measures are cast to DECIMAL before aggregation (exact,
+ *    associative — immune to partition-order nondeterminism), then cast
+ *    back to DOUBLE, a representation both engines agree on bit-for-bit;
+ *  - LIMIT/OFFSET queries order by a unique key (pk or full composite);
+ *  - timestamps are surfaced as formatted strings (UTC session TZ).
+ */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum surfaced as double — see Query.dsum. */
+  private def dsum(c: Column, scale: Int = 2): Column = Query.dsum(c, scale)
+
+  /** Full-column ordering for lineitem, pk-ish columns first — the fixture's
+    * (l_orderkey, l_linenumber) is not unique, so deterministic scans order
+    * by everything (taps' no-pk path, `lib/taps/utils.rb:146-154`). */
+  private val lineitemAllCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Query.starJoin5Way(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2.1 scans / catalog ─────────────────────────────────────────────
+    "count_per_table" -> ((s, dir) =>
+      CatalogOps.countPerTable(s, dir, Tables.names)),
+    "record_count_total" -> ((s, dir) =>
+      CatalogOps.recordCountTotal(CatalogOps.countPerTable(s, dir, Tables.names))),
+    "scan_offset_chunk" -> ((s, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture, so order by
+      // ALL columns for a deterministic chunk — exactly taps' no-pk ordering
+      // (`lib/taps/utils.rb:146-154`).
+      Scan.offsetChunk(t(s, dir, "lineitem"), lineitemAllCols, 50, 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))),
+    "scan_keyset_chunk" -> ((s, dir) =>
+      Scan.keysetChunk(t(s, dir, "orders"), "o_orderkey", 5000L, 200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
+    "agg_max_pk" -> ((s, dir) =>
+      Scan.maxPk(t(s, dir, "orders"), "o_orderkey")),
+
+    // ── §2.2 projections / validation / table filters ────────────────────
+    "project_header_order" -> ((s, dir) =>
+      Validate.headerProject(t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_acctbal"))),
+    "coerce_text_cast" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        decode(encode(col("text"), "UTF-8"), "UTF-8").as("text_str"))),
+    "validate_varchar_len" -> ((s, dir) =>
+      Validate.varcharViolations(t(s, dir, "documents"), "text", 64)
+        .select(col("doc_id"), length(col("text")).as("text_len"))),
+    "validate_int_range" -> ((s, dir) =>
+      // demonstration bound (the production default is ±2^31-1, which the
+      // synthetic keys never violate): quarantine rows with l_partkey > 500
+      Validate.intRangeViolations(t(s, dir, "lineitem"), "l_partkey", -500L, 500L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+    "filter_tables_regex" -> ((s, _) =>
+      CatalogOps.filterRegex(Tables.namesDf(s), "ion")),
+    "filter_tables_exclude" -> ((s, _) =>
+      CatalogOps.excludeTables(s, Tables.namesDf(s),
+        Seq("events", "documents", "embeddings"))),
+    "resume_skip_completed" -> ((s, _) => {
+      import s.implicits._
+      CatalogOps.skipCompleted(Tables.namesDf(s),
+        Seq("region", "nation", "customer").toDF("table_name"))
+    }),
+
+    // ── §2.3 joins ───────────────────────────────────────────────────────
+    "join_orders_customer" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+    "join_broadcast_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+    }),
+    "join_left_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+    "join_semi_customers_with_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "join_anti_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "join_star_5way" -> ((s, dir) => Query.starJoin5Way(s, dir)),
+
+    // ── §2.4 aggregations ────────────────────────────────────────────────
+    "agg_group_returnflag" -> ((s, dir) => Query.aggGroupReturnflag(s, dir)),
+    "agg_sum_by_status" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
+    "agg_distinct_customers" -> ((s, dir) =>
+      t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))),
+    "agg_rollup_nation_region" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ── §2.5 windows ─────────────────────────────────────────────────────
+    "window_row_number_chunk" -> ((s, dir) =>
+      Scan.offsetChunkViaRowNumber(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"), 50, 100)),
+    "window_rank_orders_by_price" -> ((s, dir) =>
+      Query.rankPerGroup(t(s, dir, "orders"), "o_custkey", col("o_totalprice").desc)
+        .select(col("o_orderkey"), col("o_custkey"), col("rnk"))),
+    "window_running_total" -> ((s, dir) =>
+      // order by every column within the partition: duplicate (orderkey,
+      // linenumber) pairs exist, and a tie-free (or tie-identical) order is
+      // the only way a running sum is well-defined across engines
+      Query.runningTotal(t(s, dir, "lineitem"), "l_orderkey", lineitemAllCols.tail,
+        col("l_quantity").cast("decimal(18,2)"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("running").cast("double").as("running"))),
+    "window_lag_events" -> ((s, dir) =>
+      Query.lagDelta(t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev_value"), col("delta"))),
+
+    // ── §2.6 sorts / top-k ───────────────────────────────────────────────
+    "sort_by_pk" -> ((s, dir) =>
+      Query.topK(t(s, dir, "orders"), Seq(col("o_orderkey")), 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "sort_no_pk_all_cols" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.orderBy(li.columns.map(col): _*).limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+    "topk_orders_by_price" -> ((s, dir) =>
+      Query.topK(t(s, dir, "orders"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 20)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ── §2.7 set ops ─────────────────────────────────────────────────────
+    "union_all_line_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_partkey").as("partkey"))
+        .union(t(s, dir, "part").select(col("p_partkey").as("partkey")))),
+    "intersect_custkeys" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))),
+    "except_inactive_customers" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))),
+
+    // ── §2.8 scalar functions ────────────────────────────────────────────
+    "fn_crc32_rows" -> ((s, dir) => // no DuckDB crc32 → rows-only check
+      t(s, dir, "documents").select(col("doc_id"), Codec.crc32Of(col("text")).as("crc"))),
+    "fn_md5_rows" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), md5(col("text").cast("binary")).as("h"))),
+    "fn_base64_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Codec.b64(col("text")).as("b64"),
+        Codec.unb64(Codec.b64(col("text"))).cast("string").as("back"))),
+    "fn_json_extract_props" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        Codec.jsonGet(col("props"), "$.k").as("k"))),
+    "fn_regexp_extract_varchar" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Validate.varcharLen(concat(lit("varchar("), col("p_size").cast("string"), lit(")")))
+          .as("vlen"))),
+    "fn_format_number" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        Codec.formatNumber(col("o_orderkey") * 1000 + 42).as("pretty"))),
+    "fn_date_format_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"))
+        .agg(count(lit(1)).as("n"))),
+    "fn_mask_url" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Codec.maskUrl(concat(lit("mysql://u"), col("doc_id").cast("string"),
+          lit(":secret@host/db"))).as("masked"))),
+
+    // ── §2.9 streaming semantics (batch-mode window over events) ────────
+    "stream_tumbling_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("n"), col("sum_value"))),
+  )
+
+  /** DuckDB-equivalent SQL for each oracle-checkable query above. */
+  def oracleSql: Map[String, String] = Map(
+    "count_per_table" -> Tables.names
+      .map(n => s"SELECT '$n' AS table_name, count(*) AS cnt FROM $n")
+      .mkString(" UNION ALL "),
+    "record_count_total" -> ("SELECT CAST(SUM(cnt) AS BIGINT) AS total_records FROM (" +
+      Tables.names.map(n => s"SELECT count(*) AS cnt FROM $n").mkString(" UNION ALL ") + ")"),
+    "scan_offset_chunk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        | FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        | LIMIT 50 OFFSET 100""".stripMargin,
+    "scan_keyset_chunk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        | FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 200""".stripMargin,
+    "agg_max_pk" -> "SELECT max(o_orderkey) AS max_pk FROM orders",
+
+    "project_header_order" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "coerce_text_cast" -> "SELECT doc_id, decode(encode(text)) AS text_str FROM documents",
+    "validate_varchar_len" ->
+      "SELECT doc_id, length(text) AS text_len FROM documents WHERE length(text) > 64",
+    "validate_int_range" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        | WHERE l_partkey < -500 OR l_partkey > 500""".stripMargin,
+    "filter_tables_regex" -> (tableNamesValues +
+      " SELECT table_name FROM names WHERE regexp_matches(table_name, 'ion')"),
+    "filter_tables_exclude" -> (tableNamesValues +
+      " SELECT table_name FROM names WHERE table_name NOT IN ('events','documents','embeddings')"),
+    "resume_skip_completed" -> (tableNamesValues +
+      " SELECT table_name FROM names WHERE table_name NOT IN ('region','nation','customer')"),
+
+    "join_orders_customer" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        | FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "join_broadcast_nation" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "join_left_orders" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer
+        | LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey""".stripMargin,
+    "join_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_star_5way" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name""".stripMargin,
+
+    "agg_group_returnflag" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_sum_by_status" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_distinct_customers" ->
+      "SELECT count(DISTINCT o_custkey) AS n_cust FROM orders",
+    "agg_rollup_nation_region" ->
+      """SELECT r_name, n_name, count(*) AS n_cust FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "window_row_number_chunk" ->
+      """SELECT l_orderkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn > 100 AND rn <= 150""".stripMargin,
+    "window_rank_orders_by_price" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS rnk
+        | FROM orders""".stripMargin,
+    "window_running_total" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |   l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        | FROM lineitem""".stripMargin,
+    "window_lag_events" ->
+      """SELECT event_id, user_id, value,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        | FROM events""".stripMargin,
+
+    "sort_by_pk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+    "sort_no_pk_all_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        | FROM lineitem
+        | ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        | LIMIT 50""".stripMargin,
+    "topk_orders_by_price" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "union_all_line_parts" ->
+      "SELECT l_partkey AS partkey FROM lineitem UNION ALL SELECT p_partkey AS partkey FROM part",
+    "intersect_custkeys" ->
+      "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey AS custkey FROM orders",
+    "except_inactive_customers" ->
+      "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders",
+
+    "fn_md5_rows" -> "SELECT doc_id, md5(text) AS h FROM documents",
+    "fn_base64_roundtrip" ->
+      """SELECT doc_id, base64(encode(text)) AS b64,
+        | decode(from_base64(base64(encode(text)))) AS back FROM documents""".stripMargin,
+    "fn_json_extract_props" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+    "fn_regexp_extract_varchar" ->
+      """SELECT p_partkey,
+        | CAST(regexp_extract('varchar(' || CAST(p_size AS VARCHAR) || ')',
+        |  'varchar\((\d+)\)', 1) AS INT) AS vlen
+        | FROM part""".stripMargin,
+    "fn_format_number" ->
+      "SELECT o_orderkey, format('{:,}', o_orderkey * 1000 + 42) AS pretty FROM orders",
+    "fn_date_format_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_str, count(*) AS n
+        | FROM events GROUP BY 1""".stripMargin,
+    "fn_mask_url" ->
+      """SELECT doc_id, regexp_replace(
+        |  'mysql://u' || CAST(doc_id AS VARCHAR) || ':secret@host/db',
+        |  '://([^:@/]+):[^@/]+@', '://\1:xxxxx@') AS masked FROM documents""".stripMargin,
+
+    "stream_tumbling_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
+  )
+
+  /** Shared VALUES list of catalog table names for the table-filter oracles. */
+  private def tableNamesValues: String =
+    Tables.names.map(n => s"('$n')")
+      .mkString("WITH names(table_name) AS (VALUES ", ", ", ")")
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/**
+ * General relational query layer (SURVEY §2.3–§2.7) over the catalog.
+ *
+ * The reference has no joins/windows of its own — the north star requires
+ * general query capability over ingested tables, and everything here is a
+ * thin, declarative composition of Spark built-ins so Catalyst owns the
+ * physical strategy (hash vs sort-merge, broadcast, partial aggregation,
+ * AQE re-planning).
+ *
+ * Determinism contract for the DuckDB oracle: every declared query avoids
+ * cross-partition float-summation nondeterminism by casting measures to
+ * DECIMAL before aggregating (exact arithmetic), then back to DOUBLE for a
+ * stable final representation both engines agree on bit-for-bit.
+ */
+object Query {
+
+  /** Exact-then-double aggregation: sum in decimal (associative, exact),
+    * surface as double. Oracle side mirrors with
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact mean: exact decimal sum / count, divided in double — one IEEE
+    * division, bit-stable across engines. */
+  def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)).cast("double")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** J5 + A4 flagship: 5-way star join (lineitem→orders→customer→nation→
+    * region) with revenue per region/nation. The dimension chain
+    * (customer⋈nation⋈region) is tiny relative to the facts at any scale —
+    * broadcast it so the only shuffle is lineitem⋈orders on orderkey. */
+  def starJoin5Way(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o  = t(spark, dir, "orders")
+    val c  = t(spark, dir, "customer")
+    val n  = t(spark, dir, "nation")
+    val r  = t(spark, dir, "region")
+    val dims = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"), n("n_name"), r("r_name"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** A4: TPC-H Q1 shape — grouped sum/avg/count over lineitem. Two-phase
+    * hash aggregation (partial map-side combine) comes free from Catalyst;
+    * the only shuffle moves one row per (returnflag, linestatus) partial. */
+  def aggGroupReturnflag(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** W2: rank within group. Ties in the sort value share a rank, so the
+    * output is deterministic even with duplicate prices. */
+  def rankPerGroup(df: DataFrame, part: String, order: Column, out: String = "rnk"): DataFrame =
+    df.withColumn(out, rank().over(Window.partitionBy(col(part)).orderBy(order)))
+
+  /** W3: running total with an explicit tie-free ordering. Frame is
+    * rows-between(unboundedPreceding, current); the measure must be exact
+    * (integer-valued or decimal) for cross-engine determinism. */
+  def runningTotal(df: DataFrame, part: String, orderCols: Seq[String],
+                   measure: Column, out: String = "running"): DataFrame = {
+    val w = Window.partitionBy(col(part))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, sum(measure).over(w))
+  }
+
+  /** W4: lag/lead deltas per key. */
+  def lagDelta(df: DataFrame, part: String, orderCols: Seq[String],
+               value: String): DataFrame = {
+    val w = Window.partitionBy(col(part)).orderBy(orderCols.map(col): _*)
+    df.withColumn("prev_value", lag(col(value), 1).over(w))
+      .withColumn("delta", col(value) - col("prev_value"))
+  }
+
+  /** O2 top-k: global ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    * each partition keeps a k-row heap, no global sort materialization. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+}
