@@ -210,6 +210,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("n"), col("sum_value"))),
+
+    // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
+    "ext_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        seeds = 16, rowsPerBand = 8)),
+    "ext_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardOnCandidates(docs, "doc_id", "text",
+        Dedup.minhashPairs(docs, "doc_id", "text", 16, 8), 0.95)
+    }),
+    "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ── §2.11 [EXT] similarity search ────────────────────────────────────
+    "ext_cosine_topk" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(v, v.filter(col("vec_id") < 10), k = 5)
+    }),
+    "ext_cosine_topk_lsh" -> ((s, dir) => { // deterministic hyperplanes; no oracle
+      val v = t(s, dir, "embeddings")
+      Similarity.lshBucketTopK(v, v.filter(col("vec_id") < 10), k = 5, bits = 4)
+    }),
+    "ext_embedding_neardup" -> ((s, dir) => // LSH-bucketed pair join; no oracle
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.8, bits = 8)),
+
+    // ── §2.11 [EXT] text analysis ────────────────────────────────────────
+    "ext_text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")),
+    "ext_token_count_per_doc" -> ((s, dir) =>
+      TextAnalysis.tokenCountPerDoc(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_bpeish_token_count" -> ((s, dir) =>
+      TextAnalysis.bpeishTokenCount(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 rolling hash; no oracle
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
   )
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
@@ -362,7 +402,101 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
+
+    "ext_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+        | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+    "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    "ext_dedup_ngram_jaccard" -> (minhashCandidatesCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN tok a ON a.doc_id = p.doc_a
+        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  GROUP BY p.doc_a, p.doc_b)
+        |SELECT i2.doc_a, i2.doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter i2
+        |JOIN sizes sa ON sa.doc_id = i2.doc_a
+        |JOIN sizes sb ON sb.doc_id = i2.doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.95""".stripMargin),
+
+    "ext_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_inner_product(q.e, c.e) /
+        |    (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "ext_text_token_counts" ->
+      """SELECT w AS token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY 1""".stripMargin,
+    "ext_token_count_per_doc" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        | w -> w <> '')) AS INT) AS n_tokens FROM documents""".stripMargin,
+    "ext_bpeish_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        | '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish FROM documents""".stripMargin,
+    "ext_lang_id" ->
+      ("WITH s AS (SELECT doc_id, " + Seq(
+        ("s_en", Seq("the", "a")), ("s_query", Seq("query", "scan", "filter")),
+        ("s_data", Seq("data", "row", "column"))).map { case (name, words) =>
+        words.map(w => occursSql(w)).mkString(" + ") + s" AS $name"
+      }.mkString(", ") +
+        """ FROM documents)
+          |SELECT doc_id, CASE
+          | WHEN s_en >= s_query AND s_en >= s_data THEN 'en'
+          | WHEN s_query >= s_data THEN 'query-ish'
+          | ELSE 'data-ish' END AS pred_lang FROM s""".stripMargin),
+    "ext_quality_score" ->
+      ("""SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_actual,
+        | CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS INT) AS n_tokens,
+        | CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |  CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        | CAST(""".stripMargin + occursSql("the") + " + " + occursSql("a") +
+      """ AS DOUBLE) /
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS DOUBLE) AS stopword_ratio,
+        | CAST(length(text) - len(list_filter(string_split(lower(text), ' '), w -> w <> '')) + 1 AS DOUBLE) /
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS DOUBLE) AS mean_token_len
+        | FROM documents""".stripMargin),
   )
+
+  /** DuckDB CTE producing minhash LSH candidate pairs — mirrors
+    * Dedup.minhashPairs(seeds=16, rowsPerBand=8) exactly. */
+  private def minhashCandidatesCte: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |seeds AS (SELECT unnest(range(16)) AS j),
+      |sig AS (
+      |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || w)) AS sig
+      |  FROM tok, seeds GROUP BY doc_id, j),
+      |band AS (
+      |  SELECT doc_id, j // 8 AS band, string_agg(sig, '' ORDER BY j) AS band_sig
+      |  FROM sig GROUP BY doc_id, j // 8),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b
+      |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Whole-token occurrence count of `w` in `text` via length differencing —
+    * mirrors TextAnalysis.wordOccurrences. */
+  private def occursSql(w: String): String = {
+    val target = s" $w "
+    val n = w.length + 1
+    s"CAST((length(' ' || lower(text) || ' ') - " +
+      s"length(replace(' ' || lower(text) || ' ', '$target', ' '))) / $n AS BIGINT)"
+  }
 
   /** Shared VALUES list of catalog table names for the table-filter oracles. */
   private def tableNamesValues: String =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale text corpora (SURVEY §2.11 [EXT]).
+ *
+ * Four tiers, in increasing fuzziness:
+ *  1. [[exact]] — hash of normalized text, `groupBy` (one shuffle on a
+ *     256-bit key; at 100 TB this is the cheapest possible dedup and the
+ *     shuffle is the theoretical minimum: one row per distinct hash).
+ *  2. [[minhashPairs]] — MinHash + LSH banding: near-dup candidates without
+ *     the O(n²) pair explosion. Shuffles: tokens→(doc,seed) agg, then
+ *     band self-join. Hot bands (boilerplate docs) are the skew risk at
+ *     scale — cap band bucket size or salt before the self-join.
+ *  3. [[simhash]] — 64-bit SimHash per doc; near-dups = small Hamming
+ *     distance. One pass, no self-join; pairs found by matching on rotated
+ *     bit-blocks (not materialized here).
+ *  4. [[jaccardOnCandidates]] — exact token-set Jaccard, computed only on
+ *     LSH candidates (verification step of the standard minhash pipeline).
+ *
+ * All determinstic: hashing is md5/sha2/xxhash64 with fixed seeds — no RNG,
+ * so results are reproducible run-over-run and engine-over-engine.
+ */
+object Dedup {
+
+  /** Tokenize: lowercase, split on spaces, drop empties. DISTINCT per doc —
+    * set semantics, the standard for minhash/jaccard. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+
+  /** X1: exact dedup via sha256 of normalized text. Returns one row per
+    * distinct normalized content: (h, keep_id = min doc id, n_dups). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated corpus itself (keep lowest id per content hash). */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** X2 step 1: minhash signatures. For each of `seeds` hash functions,
+    * sig_j(doc) = min over tokens of md5(j || '|' || token). md5-as-hash
+    * keeps the oracle cross-engine (DuckDB has md5; string min is total
+    * order on hex). Returns (id, j, sig). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        seeds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val seedsDf = spark.range(seeds).toDF("j")
+    tokens(docs, idCol, textCol)
+      .crossJoin(broadcast(seedsDf)) // seeds are tiny — broadcast, no shuffle
+      .groupBy(col(idCol), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("w")))).as("sig"))
+  }
+
+  /** X2 step 2: LSH banding — concat each band's signatures in seed order
+    * into one band key. Returns (id, band, band_sig). */
+  def minhashBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sigs.withColumn("band", expr(s"j div $rowsPerBand"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("j"), col("sig")))),
+          x => x.getField("sig"))).as("band_sig"))
+
+  /** X2 step 3: candidate pairs = docs agreeing on any full band.
+    * The self-join key is (band, band_sig): identical content lands in the
+    * same bucket, everything else almost surely doesn't — this is what keeps
+    * near-dup detection O(n·bands) instead of O(n²) at 100 TB. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs, idCol, textCol, seeds), idCol, rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** X2 verification step: exact token-set Jaccard, computed ONLY on the
+    * LSH candidate pairs (never all-pairs). Output keeps pairs with
+    * jaccard ≥ threshold. The division is one IEEE double op on two exact
+    * integers — bit-stable across engines. */
+  def jaccardOnCandidates(docs: DataFrame, idCol: String, textCol: String,
+                          candidates: DataFrame, threshold: Double): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val ta = tok.select(col(idCol).as("doc_a"), col("w"))
+    val tb = tok.select(col(idCol).as("doc_b"), col("w"))
+    val inter = candidates
+      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** X2-adjacent: 64-bit SimHash per doc. For bit k, sum ±1 over tokens
+    * according to bit k of xxhash64(token); simhash bit k = sign of the sum.
+    * One aggregation pass, no pair join. (No oracle — DuckDB lacks
+    * xxhash64; pinned by unit test instead.) */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until 64).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"b$k")
+    }
+    val votes = tok.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val assemble = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), assemble.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup filtering). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines (SURVEY §2.11 X4):
+ * token statistics, language ID, quality scoring, fingerprinting.
+ *
+ * Everything is a codegen'd Column expression over the corpus — one narrow
+ * pass per doc (plus one shuffle for the global token frequency table).
+ * No UDFs, no collect: all of it scales linearly with corpus size.
+ */
+object TextAnalysis {
+
+  /** Global token frequency (explode + count — the one shuffle here). */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Whitespace token count per document. */
+  def tokenCountPerDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("n_tokens"))
+
+  /** BPE-ish subword count: a regex in the GPT-2 pre-tokenizer family —
+    * letter runs, digit runs, punctuation runs (RE2-compatible: no
+    * lookarounds, so the same pattern runs in the oracle). An approximation
+    * for token budgeting, not an exact tokenizer. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).as("n_bpeish"))
+
+  /** Occurrences of `word` as a whole token in a space-separated text:
+    * count via length differencing on the padded string — pure string ops,
+    * available identically in any SQL engine (for the oracle). */
+  def wordOccurrences(textCol: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    val target = s" $word "
+    // length-differencing with non-overlapping left-to-right replace:
+    // identical semantics in every SQL engine. Caveat: immediately adjacent
+    // repeats ("the the the") undercount because the shared space is
+    // consumed — acceptable for marker scoring, and deterministic.
+    ((length(padded) - length(replace(padded, lit(target), lit(" ")))) /
+      lit(word.length + 1)).cast("long")
+  }
+
+  /** X4 language ID: stopword-marker scoring. A real pipeline uses a
+    * character-n-gram model (e.g. fastText-style); the structure is the
+    * same — per-language marker score, argmax — and this SQL-expressible
+    * version keeps the oracle cross-checkable. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      words.map(w => wordOccurrences(col(textCol), w)).reduce(_ + _)
+    val sEn = score(Seq("the", "a"))
+    val sQuery = score(Seq("query", "scan", "filter"))
+    val sData = score(Seq("data", "row", "column"))
+    // explicit argmax with a fixed tie-break order (en > query-ish > data-ish)
+    docs.select(col(idCol),
+      when(sEn >= sQuery && sEn >= sData, "en")
+        .when(sQuery >= sData, "query-ish")
+        .otherwise("data-ish").as("pred_lang"))
+  }
+
+  /** X4 quality score: length, alpha ratio, stopword ratio, mean token
+    * length — combined into one interpretable [0,1]-ish score. Each ratio
+    * is a single double division of exact ints (bit-stable). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val nTok = size(filter(split(lower(text), " "), w => w =!= ""))
+    val nStop = wordOccurrences(text, "the") + wordOccurrences(text, "a")
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      (nAlpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      ((nChars - nTok + 1).cast("double") / nTok.cast("double")).as("mean_token_len"))
+  }
+
+  /** X4 fingerprint: order-sensitive rolling hash over the token stream
+    * (h = (h*31 + xxhash64(token)) mod 2^57). The modulus keeps every
+    * intermediate below 2^63 so the fold is ANSI-safe (no wrapping overflow,
+    * which Spark 4 rejects); 57 bits is ample for collision resistance at
+    * corpus scale. Distinguishes permutations that set-based hashes
+    * (minhash) collapse. No oracle — DuckDB lacks xxhash64; pinned by unit
+    * test. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val M = 1L << 57
+    docs.select(col(idCol),
+      aggregate(
+        filter(split(lower(col(textCol)), " "), w => w =!= ""),
+        lit(0L),
+        (acc, w) => (acc * lit(31L) + pmod(xxhash64(w), lit(M))) % lit(M))
+        .as("fingerprint"))
+  }
+}

@@ -33,8 +33,11 @@ object Validate {
   /** The varchar(n) extraction taps does with a regex on the db_type string
     * (`lib/taps/utils.rb:48`): "varchar(255)" → 255. Exposed as an expression
     * over a type-name column (F5 shape). */
-  def varcharLen(dbType: Column): Column =
-    regexp_extract(dbType, "varchar\\((\\d+)\\)", 1).cast("int")
+  def varcharLen(dbType: Column): Column = {
+    val m = regexp_extract(dbType, "varchar\\((\\d+)\\)", 1)
+    // non-matching types extract "" — NULL, not an ANSI cast error
+    when(m =!= "", m.cast("int"))
+  }
 
   /** P3 quarantine mode: rows whose string column exceeds the declared
     * varchar length. The predicate is codegen'd and pushed down. */

@@ -47,7 +47,7 @@ final case class ChunkSizer(
   /** Broken-pipe / transport-failure reset: 10 rows, then 1; callers abort
     * after 2 retries (`lib/taps/utils.rb:103-111`). */
   def onFailure: ChunkSizer =
-    copy(chunksize = if (retries <= 1) 10 else 1, retries = retries + 1)
+    copy(chunksize = if (retries == 0) 10 else 1, retries = retries + 1)
 
   def exhausted: Boolean = retries > 2
 

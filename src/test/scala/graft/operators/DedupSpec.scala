@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** X1/X2 dedup semantics on a crafted corpus with known duplicate structure. */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  The Quick Brown Fox "),         // exact dup of 1 after normalize
+      (3L, "the quick brown fox jumps"),      // near-dup of 1
+      (4L, "completely different words entirely unrelated"),
+      (5L, "the quick brown fox"),            // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized content, keeps min id (X1)") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups.contains((1L, 3L))) // docs 1,2,5 collapse; keep 1
+    assert(Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds identical-token-set docs as candidates (X2)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", seeds = 16, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1, 2, 5 have the same token SET → identical signatures → all bands match
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    // doc 4 shares no tokens → must never pair
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verification on candidates (X2 step 2)") {
+    val cands = Dedup.minhashPairs(docs, "doc_id", "text", 16, 8)
+    val verified = Dedup.jaccardOnCandidates(docs, "doc_id", "text", cands, 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    verified.foreach { case (_, _, j) => assert(j >= 0.99 && j <= 1.0) }
+    // identical sets → jaccard exactly 1.0
+    assert(verified.forall(_._3 == 1.0))
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ; deterministic") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(5L)) // same tokens → same simhash
+    assert(h(1L) != h(4L)) // disjoint vocab → different
+    val h2 = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == h2) // run-over-run deterministic (fixed hash, no RNG)
+  }
+
+  test("hamming distance: 0 for equal, counts differing bits") {
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (0L, 7L)).toDF("a", "b")
+    val d = pairs.select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(d.toSeq == Seq(0, 3))
+  }
+
+  test("tokens: lowercased, de-duped per doc, empties dropped") {
+    import spark.implicits._
+    val t = Dedup.tokens(Seq((9L, "A  a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(t == Seq("a", "b"))
+  }
+}

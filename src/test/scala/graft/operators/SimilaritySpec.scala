@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** X3 cosine/LSH similarity on hand-constructed vectors with known geometry. */
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 0 → cos = 1
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0 → cos = 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // antiparallel → cos = -1
+      (4L, Array(1.0f, 1.0f, 0.0f)),   // 45° → cos ≈ 0.707107
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine geometry: parallel=1, orthogonal=0, antiparallel=-1, 45°≈0.707107") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val sims = Similarity.bruteForceTopK(vecs, q, k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(sims(1L) == 1.0)
+    assert(sims(2L) == 0.0)
+    assert(sims(3L) == -1.0)
+    assert(sims(4L) == 0.707107) // round(1/sqrt(2), 6)
+  }
+
+  test("top-k is k rows per query, rank ordered by sim desc then id") {
+    val q = vecs.filter(col("vec_id") < 2)
+    val out = Similarity.bruteForceTopK(vecs, q, k = 3).collect()
+    assert(out.length == 6) // 2 queries × k=3
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      // sims non-increasing with rank
+      assert(ranked.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ==
+        ranked.map(_.getDouble(2)).toSeq)
+    }
+  }
+
+  test("lshBucket is deterministic and colinear vectors share a bucket") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == b2) // hyperplanes are hash-derived, no RNG
+    assert(b(0L) == b(1L)) // scaling never flips a sign projection
+    // antiparallel flips every nonzero projection → different bucket
+    assert(b(0L) != b(3L))
+  }
+
+  test("embeddingNearDups finds the parallel pair and respects threshold") {
+    val dups = Similarity.embeddingNearDups(vecs, 0.99, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dups.exists(d => d._1 == 0L && d._2 == 1L && d._3 == 1.0))
+    dups.foreach { case (a, b, s) => assert(a < b && s >= 0.99) }
+  }
+
+  test("lshBucketTopK finds the exact neighbor when it shares the bucket") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val out = Similarity.lshBucketTopK(vecs, q, k = 2, bits = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.get(1L).contains(1.0)) // colinear neighbor always co-buckets
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** X4 text statistics on crafted documents with hand-computed expectations. */
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "query scan filter query"),
+      (3L, "data row column"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("global token counts (explode + groupBy)") {
+    val counts = TextAnalysis.tokenCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the") == 2L && counts("query") == 2L && counts("cat") == 1L)
+  }
+
+  test("whitespace token count per doc handles runs of spaces") {
+    import spark.implicits._
+    val d = Seq((9L, "a  b   c")).toDF("doc_id", "text")
+    assert(TextAnalysis.tokenCountPerDoc(d, "doc_id", "text")
+      .head().getInt(1) == 3)
+  }
+
+  test("bpe-ish count: letter runs, digit runs, punctuation singles") {
+    import spark.implicits._
+    val d = Seq((9L, "ab12 cd, e!")).toDF("doc_id", "text")
+    // tokens: ab | 12 | cd | , | e | !  → 6
+    assert(TextAnalysis.bpeishTokenCount(d, "doc_id", "text").head().getInt(1) == 6)
+  }
+
+  test("wordOccurrences counts whole tokens only") {
+    import spark.implicits._
+    val d = Seq(Tuple1("the theater loathe the")).toDF("text")
+    // "the" appears as a whole token twice; 'theater'/'loathe' must not count
+    assert(d.select(TextAnalysis.wordOccurrences(col("text"), "the"))
+      .head().getLong(0) == 2L)
+  }
+
+  test("langId argmax with fixed tie-break") {
+    val langs = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs(2L) == "query-ish")
+    assert(langs(3L) == "data-ish")
+  }
+
+  test("qualityScore ratios on a fully hand-checked doc") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(d, "doc_id", "text").head()
+    assert(r.getInt(1) == 11)            // chars
+    assert(r.getInt(2) == 3)             // tokens
+    assert(r.getDouble(3) == 9.0 / 11.0) // alpha ratio (9 letters, 2 spaces)
+    assert(r.getDouble(4) == 1.0 / 3.0)  // stopwords: "the" once, "a" zero
+    assert(r.getDouble(5) == 3.0)        // mean token len (11-3+1)/3
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L)) // same order → same hash
+    assert(fp(1L) != fp(2L)) // permutation → different hash (unlike minhash)
+  }
+}

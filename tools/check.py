@@ -36,7 +36,11 @@ def main(sf_dir, out_dir):
     results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
-        got = con.sql(f"SELECT * FROM read_parquet('{qdir}*.parquet')")
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{qdir}*.parquet')")
+        except Exception as e:
+            results[name] = f"NO_OUTPUT {str(e)[:80]}"
+            continue
         gcols, grows = normalize(got.fetchall(), [d[0] for d in got.description])
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(grows)}"
