@@ -119,6 +119,8 @@ object SparkEntry {
         .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))),
     "agg_distinct_customers" -> ((s, dir) =>
       t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))),
+    "agg_approx_distinct" -> ((s, dir) => // HLL sketch; engine-specific → rows-only
+      t(s, dir, "orders").agg(approx_count_distinct(col("o_custkey"), 0.05).as("n_approx"))),
     "agg_rollup_nation_region" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -203,13 +205,47 @@ object SparkEntry {
         Codec.maskUrl(concat(lit("mysql://u"), col("doc_id").cast("string"),
           lit(":secret@host/db"))).as("masked"))),
 
-    // ── §2.9 streaming semantics (batch-mode window over events) ────────
+    // ── §2.9 streaming semantics (batch-mode windows over events) ───────
     "stream_tumbling_counts" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("n"), col("sum_value"))),
+    "stream_sliding_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("n"))),
+    "stream_session_counts" -> ((s, dir) =>
+      graft.streaming.Streams.sessionCounts(t(s, dir, "events"), "ts", "user_id", "10 minutes")
+        .select(col("user_id"),
+          date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n"))),
+
+    // ── §2.1 schema dump (S6) ────────────────────────────────────────────
+    "schema_dump" -> ((s, dir) => // Spark type names; rows-only check
+      CatalogOps.schemaDump(t(s, dir, "lineitem"))),
+
+    // ── §2.4 cube (A7 companion to rollup) ───────────────────────────────
+    "agg_cube_status_priority" -> ((s, dir) =>
+      t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // ── §2.11 [EXT] multimodal (X5) ──────────────────────────────────────
+    "multimodal_meta_filter" -> ((s, dir) =>
+      Multimodal.filterByMeta(
+        Multimodal.fromDocuments(t(s, dir, "documents")), "image", 100)
+        .select(col("media_id"), col("meta.width").as("width"))),
+    "multimodal_features" -> ((s, dir) => // stub decode; rows-only check
+      Multimodal.extractFeatures(
+        Multimodal.fromDocuments(t(s, dir, "documents")), dims = 8)
+        .select(col("media_id"), col("n_bytes"))),
+    "multimodal_frame_sample" -> ((s, dir) => // binary plumbing; rows-only
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(t(s, dir, "documents")), 32, 4)
+        .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))),
 
     // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
     "ext_dedup_exact" -> ((s, dir) =>
@@ -217,11 +253,8 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         seeds = 16, rowsPerBand = 8)),
-    "ext_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.jaccardOnCandidates(docs, "doc_id", "text",
-        Dedup.minhashPairs(docs, "doc_id", "text", 16, 8), 0.95)
-    }),
+    "ext_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.nearDupsFused(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)),
     "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -236,6 +269,11 @@ object SparkEntry {
     }),
     "ext_embedding_neardup" -> ((s, dir) => // LSH-bucketed pair join; no oracle
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.8, bits = 8)),
+    "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
+      t(s, dir, "embeddings")
+        .groupBy((col("vec_id") % 4).as("bucket"))
+        .agg(graft.functions.Centroid.centroid(col("embedding")).as("centroid"))
+        .select(col("bucket"), size(col("centroid")).as("dims"))),
 
     // ── §2.11 [EXT] text analysis ────────────────────────────────────────
     "ext_text_token_counts" -> ((s, dir) =>
@@ -402,6 +440,37 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
+    // a 10-min window sliding by 5 starts at w ∈ {bucket5(ts)−5min, bucket5(ts)}
+    "stream_sliding_counts" ->
+      """SELECT strftime(w, '%Y-%m-%d %H:%M') AS win_start, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes' FROM events
+        |) GROUP BY 1""".stripMargin,
+    // gaps-and-islands: a new session starts when the gap to the previous
+    // event is >= 10 minutes (Spark merges only strictly-overlapping
+    // [ts, ts+gap) windows)
+    "stream_session_counts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM d)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        | count(*) AS n
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    "agg_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "multimodal_meta_filter" ->
+      """SELECT doc_id AS media_id, CAST(length(text) % 640 AS INT) AS width
+        | FROM documents WHERE length(text) % 640 >= 100""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,

@@ -36,14 +36,18 @@ object CatalogOps {
   def skipCompleted(names: DataFrame, completed: DataFrame): DataFrame =
     names.join(completed, Seq("table_name"), "left_anti")
 
-  /** S2/A1: per-table row counts as one DataFrame. Each count is a separate
-    * Spark job over a count-star-optimized Parquet scan (row-group metadata
-    * only — no data read), so this stays O(metadata) at 100 TB. */
+  /** S2/A1: per-table row counts as one DataFrame. Counts run as CONCURRENT
+    * Spark jobs (driver-side `.par` — the scheduler interleaves them across
+    * executor slots), each a count-star-optimized Parquet scan (row-group
+    * metadata only), so this stays O(metadata) and fully parallel at a
+    * 100k-table metastore. taps counts tables strictly sequentially
+    * (`lib/taps/operation.rb:342-368`) — this is the first free win. */
   def countPerTable(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
     import spark.implicits._
-    tables.map { t =>
+    import scala.collection.parallel.CollectionConverters._
+    tables.par.map { t =>
       (t, graft.Tables.load(spark, dir, t).count())
-    }.toDF("table_name", "cnt")
+    }.toList.sortBy(_._1).toDF("table_name", "cnt")
   }
 
   /** A3: grand total (`inject(0){|a,c| a+=c}`, `lib/taps/operation.rb:334-336`). */

@@ -82,24 +82,57 @@ object Dedup {
       .distinct()
   }
 
+  /** The full near-dup pipeline fused: tokenize ONCE (persisted — the token
+    * table feeds the signature build, both sides of the intersection join,
+    * and the size table; without the persist Catalyst recomputes the
+    * explode+distinct four times), then LSH candidates, then exact-jaccard
+    * verification. This is the entry real pipelines should use. */
+  def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
+                    seeds: Int = 16, rowsPerBand: Int = 8,
+                    threshold: Double = 0.95): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sparkSession
+    val seedsDf = spark.range(seeds).toDF("j")
+    val sigs = tok.crossJoin(broadcast(seedsDf))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("w")))).as("sig"))
+    val bands = minhashBands(sigs, idCol, rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    jaccardOn(tok, idCol, candidates, threshold)
+  }
+
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
     * LSH candidate pairs (never all-pairs). Output keeps pairs with
     * jaccard ≥ threshold. The division is one IEEE double op on two exact
     * integers — bit-stable across engines. */
   def jaccardOnCandidates(docs: DataFrame, idCol: String, textCol: String,
-                          candidates: DataFrame, threshold: Double): DataFrame = {
-    val tok = tokens(docs, idCol, textCol)
-    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val ta = tok.select(col(idCol).as("doc_a"), col("w"))
-    val tb = tok.select(col(idCol).as("doc_b"), col("w"))
+                          candidates: DataFrame, threshold: Double): DataFrame =
+    jaccardOn(tokens(docs, idCol, textCol), idCol, candidates, threshold)
+
+  /** Jaccard over candidate pairs via per-doc token ARRAYS: two joins that
+    * move one ~tokens-sized array per candidate side, then a codegen'd
+    * `array_intersect` per pair. The alternative — explode both sides and
+    * re-group — shuffles |candidates|×|tokens/doc| rows (60M at sf0.1 here);
+    * this shape shuffles only |candidates| rows and is the one that survives
+    * boilerplate-heavy corpora where LSH buckets run hot. */
+  private def jaccardOn(tok: DataFrame, idCol: String,
+                        candidates: DataFrame, threshold: Double): DataFrame = {
+    val arrs = tok.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("w"))).as("toks"))
     val inter = candidates
-      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      .join(arrs.select(col(idCol).as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(arrs.select(col(idCol).as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+        col("i").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -36,8 +36,16 @@ object Similarity {
 
   /** Cosine similarity rounded to `scale` decimals: the rounding absorbs
     * fold-order float noise so ranks (and oracle hashes) are cross-engine
-    * stable. */
+    * stable. Backed by the native codegen'd
+    * [[org.apache.spark.sql.graft.CosineSim]] expression (single fused loop,
+    * no intermediate arrays) — numerically identical to the HOF composition
+    * `dot/(norm*norm)`, pinned by spec. */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(org.apache.spark.sql.graft.CosineSim(a, b), scale)
+
+  /** The built-in-composition form (zip_with + aggregate): kept as the
+    * reference implementation the native expression is verified against. */
+  def cosineHof(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (norm(a) * norm(b)), scale)
 
   /** Exact top-k neighbors for each query vector. Ties broken by candidate

@@ -44,6 +44,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(verified.forall(_._3 == 1.0))
   }
 
+  test("nearDupsFused matches the unfused candidates→jaccard pipeline") {
+    val fused = Dedup.nearDupsFused(docs, "doc_id", "text", 16, 8, 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val unfused = Dedup.jaccardOnCandidates(docs, "doc_id", "text",
+      Dedup.minhashPairs(docs, "doc_id", "text", 16, 8), 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(fused == unfused && fused.nonEmpty)
+  }
+
   test("simhash: identical docs collide, disjoint docs differ; deterministic") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** Structured-Streaming semantics (T7 + the stateful cursor of T1/T2),
+  * driven end-to-end through MemoryStream micro-batches. */
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts over a real stream (watermark bounds state)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = mem.toDF().toDF("ts", "value")
+    val q = Streams.tumblingCounts(events, "ts")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:01:00"), 1.0),
+        (ts("2026-01-01 10:04:00"), 2.0),
+        (ts("2026-01-01 10:12:00"), 4.0))
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT * FROM tumbling ORDER BY win_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+
+  test("batch-mode twin: tumbling/sliding/session windows agree with hand counts") {
+    val sq = spark
+    import sq.implicits._
+    val events = Seq(
+      (ts("2026-01-01 10:00:30"), "u1", 1.0),
+      (ts("2026-01-01 10:05:00"), "u1", 2.0),
+      (ts("2026-01-01 10:30:00"), "u1", 3.0), // >10min gap → new session
+      (ts("2026-01-01 10:06:00"), "u2", 4.0),
+    ).toDF("ts", "user_id", "value")
+
+    val tumb = Streams.tumblingCounts(events, "ts").orderBy("win_start").collect()
+    assert(tumb.map(_.getLong(1)).toSeq == Seq(3, 1))
+
+    val slid = Streams.slidingCounts(events, "ts", "10 minutes", "5 minutes")
+    assert(slid.agg(sum("n")).head().getLong(0) == 8) // each event in 2 slides
+
+    val sess = Streams.sessionCounts(events, "ts", "user_id", "10 minutes")
+      .orderBy("user_id", "sess_start").collect()
+    assert(sess.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+
+  test("trackCursors keeps per-key high-water mark and row count (taps T1/T2)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.trackCursors(mem.toDS(), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("cursors")
+      .outputMode("update").start()
+    try {
+      mem.addData(("orders", 10L), ("orders", 7L), ("lineitem", 3L))
+      q.processAllAvailable()
+      mem.addData(("orders", 22L))
+      q.processAllAvailable()
+      val last = sq.sql(
+        """SELECT key, max(watermark) wm, max(rows) n FROM cursors GROUP BY key""")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(last("orders") == ((22L, 3L)))   // watermark advanced, 3 rows total
+      assert(last("lineitem") == ((3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("fileToFile drains a parquet source exactly-once and stops (T2/T3/T6)") {
+    val sq = spark
+    import sq.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val cp = s"$tmp/cp"
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "v").write.parquet(src)
+    val schemaFrom = sq.read.parquet(src)
+    Streams.fileToFile(sq, src, schemaFrom,
+      df => df.filter(col("pk") > 1), dst, cp).awaitTermination()
+    assert(sq.read.parquet(dst).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // re-run with same checkpoint: nothing new → no duplicates (idempotent resume)
+    Streams.fileToFile(sq, src, schemaFrom,
+      df => df.filter(col("pk") > 1), dst, cp).awaitTermination()
+    assert(sq.read.parquet(dst).count() == 1)
+  }
+}
