@@ -56,6 +56,16 @@ object SparkEntry {
           col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
     "agg_max_pk" -> ((s, dir) =>
       Scan.maxPk(t(s, dir, "orders"), "o_orderkey")),
+    "scan_range_chunks" -> ((s, dir) => {
+      // the 100 TB generalization of keyset pagination: pk domain → 8
+      // disjoint ranges; summarized per chunk so the oracle is compact
+      val o = t(s, dir, "orders")
+      val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      Scan.rangeChunks(o, "o_orderkey", b.getLong(0), b.getLong(1), 8)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+    }),
 
     // ── §2.2 projections / validation / table filters ────────────────────
     "project_header_order" -> ((s, dir) =>
@@ -257,6 +267,9 @@ object SparkEntry {
       Dedup.nearDupsFused(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)),
     "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_dedup_drop_neardups" -> ((s, dir) =>
+      Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
+        .select(col("doc_id"))),
 
     // ── §2.11 [EXT] similarity search ────────────────────────────────────
     "ext_cosine_topk" -> ((s, dir) => {
@@ -309,6 +322,12 @@ object SparkEntry {
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date
         | FROM orders WHERE o_orderkey > 5000 ORDER BY o_orderkey LIMIT 200""".stripMargin,
     "agg_max_pk" -> "SELECT max(o_orderkey) AS max_pk FROM orders",
+    "scan_range_chunks" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
+        |s AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b)
+        |SELECT CAST(least((o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
+        | count(*) AS n, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        | FROM orders, s GROUP BY 1""".stripMargin,
 
     "project_header_order" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "coerce_text_cast" -> "SELECT doc_id, decode(encode(text)) AS text_str FROM documents",
@@ -476,6 +495,18 @@ object SparkEntry {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    "ext_dedup_drop_neardups" -> (minhashCandidatesCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |verified AS (
+        |  SELECT p.doc_b FROM pairs p
+        |  JOIN tok a ON a.doc_id = p.doc_a
+        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |  GROUP BY p.doc_a, p.doc_b, sa.n, sb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.n + sb.n - count(*) AS DOUBLE) >= 0.95)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM verified)""".stripMargin),
     "ext_dedup_ngram_jaccard" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |inter AS (

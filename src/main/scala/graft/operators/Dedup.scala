@@ -107,6 +107,20 @@ object Dedup {
     jaccardOn(tok, idCol, candidates, threshold)
   }
 
+  /** The deduplicated corpus under near-dup semantics: drop every doc that
+    * is a verified near-dup of a LOWER-id doc (single pass over the verified
+    * pairs — the "keep canonical representative" policy real pipelines use;
+    * full connected-components clustering is a strictly stronger dedup and
+    * an iterative job, not needed for the keep-lowest policy). */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+                   seeds: Int = 16, rowsPerBand: Int = 8,
+                   threshold: Double = 0.95): DataFrame = {
+    val dupOfSmaller = nearDupsFused(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+      .select(col("doc_b").as(idCol)) // doc_b > doc_a by construction
+      .distinct()
+    docs.join(dupOfSmaller, Seq(idCol), "left_anti")
+  }
+
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
     * LSH candidate pairs (never all-pairs). Output keeps pairs with
     * jaccard ≥ threshold. The division is one IEEE double op on two exact

@@ -66,8 +66,10 @@ object Scan {
     * idempotently per range (resume = skip completed chunk_ids). */
   def rangeChunks(df: DataFrame, pk: String, lower: Long, upper: Long, parts: Int): DataFrame = {
     val span = math.max(1L, (upper - lower + parts) / parts)
+    // integer division, not floor(double/) — exact past 2^53 and identical
+    // in every SQL engine
     df.withColumn("chunk_id",
-      least(floor((col(pk) - lit(lower)) / lit(span)), lit(parts - 1L)).cast("int"))
+      least(expr(s"(`$pk` - ${lower}L) div ${span}L"), lit(parts - 1L)).cast("int"))
   }
 
   /** Access-path selection, mirroring `DataStream.factory`

@@ -53,6 +53,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fused == unfused && fused.nonEmpty)
   }
 
+  test("dropNearDups keeps the lowest-id representative of each near-dup set") {
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", 16, 8, 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,5 are identical-token-set near-dups → keep 1 only; 3 and 4 survive
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("simhash: identical docs collide, disjoint docs differ; deterministic") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
