@@ -122,6 +122,35 @@ object SparkEntry {
     }),
     "join_star_5way" -> ((s, dir) => Query.starJoin5Way(s, dir)),
 
+    // ── SQL-text entry points (same engine, spark.sql surface) ───────────
+    "sql_q3_shipping_priority" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    }),
+    "sql_q5_local_supplier" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY n_name""")
+    }),
+
     // ── §2.4 aggregations ────────────────────────────────────────────────
     "agg_group_returnflag" -> ((s, dir) => Query.aggGroupReturnflag(s, dir)),
     "agg_sum_by_status" -> ((s, dir) =>
@@ -369,6 +398,26 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY r_name, n_name""".stripMargin,
+
+    "sql_q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        | GROUP BY l_orderkey, o_orderdate
+        | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "sql_q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM customer
+        | JOIN orders   ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        | GROUP BY n_name""".stripMargin,
 
     "agg_group_returnflag" ->
       """SELECT l_returnflag, l_linestatus,
