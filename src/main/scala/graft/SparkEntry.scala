@@ -311,6 +311,11 @@ object SparkEntry {
     }),
     "ext_embedding_neardup" -> ((s, dir) => // LSH-bucketed pair join; no oracle
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.8, bits = 8)),
+    "ext_cosine_topk_ivf" -> ((s, dir) => { // trained index; rows-only check
+      val v = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(v, k = 8, iters = 2)
+      Similarity.ivfTopK(v, v.filter(col("vec_id") < 10), k = 5, cents, nprobe = 2)
+    }),
     "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
       t(s, dir, "embeddings")
         .groupBy((col("vec_id") % 4).as("bucket"))

@@ -82,6 +82,20 @@ object Transfer {
     done ++ moved
   }
 
+  /** Bucketed landing for join-heavy destinations: co-partition a table on
+    * its join key at WRITE time so every later equi-join on that key is
+    * shuffle-free (bucket-to-bucket, no Exchange on either side when bucket
+    * counts match). This is the Spark-native replacement for the secondary
+    * indexes taps replays (S8): you don't index the destination, you LAYOUT
+    * the destination. Requires a table catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Post-transfer verification, the moral of taps' `verify_stream`
     * (`lib/taps/data_stream.rb:329-340`): source and destination agree on
     * row count and pk high-water mark for every table. */

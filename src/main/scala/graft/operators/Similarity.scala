@@ -101,6 +101,68 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn").as("rank"))
   }
 
+  // ── IVF (inverted-file) ANN — the second scale path besides sign-LSH ──
+
+  /** Distributed spherical k-means training: assignment is a codegen'd
+    * argmax of [[cosine]] against k constant centroids; the update step is
+    * the [[graft.functions.Centroid]] partial-merge aggregator — so each
+    * iteration moves exactly k×dims doubles to the driver, never vectors.
+    * Init = first k vectors in id order (deterministic, no RNG). */
+  def trainCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Seq[Float]] = {
+    var cents: Array[Seq[Float]] = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    for (_ <- 1 to iters) {
+      val updated = vecs
+        .withColumn("b", nearestCentroid(col(vecCol), cents))
+        .groupBy(col("b"))
+        .agg(graft.functions.Centroid.centroid(col(vecCol)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Index of the centroid with max cosine similarity (ties → lowest index,
+    * deterministic). */
+  def nearestCentroid(vec: Column, cents: Array[Seq[Float]]): Column = {
+    val sims = array(cents.map(c => cosine(vec, lit(c.toArray), 9)): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** The query side's probe list: indices of the `nprobe` most-similar
+    * centroids (sorted by descending sim, then index). */
+  def probeCentroids(vec: Column, cents: Array[Seq[Float]], nprobe: Int): Column = {
+    val ranked = (0 until cents.length).map { i =>
+      struct((-cosine(vec, lit(cents(i).toArray), 9)).as("negSim"), lit(i).as("idx"))
+    }
+    transform(slice(array_sort(array(ranked: _*)), 1, nprobe), s => s.getField("idx"))
+  }
+
+  /** IVF approximate top-k: candidates partitioned into centroid buckets
+    * (the "inverted file"); each query probes only its `nprobe` nearest
+    * buckets, then exact cosine re-ranks within them. Recall/speed tunes
+    * with (k centroids, nprobe) — candidates scanned ≈ nprobe/k of the
+    * corpus. The bucket join is a plain equi-join Catalyst shuffles on the
+    * bucket id, so at 100 TB the inverted file lives partitioned on disk
+    * and queries touch only their probed partitions. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              cents: Array[Seq[Float]], nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCentroid(col(vecCol), cents).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCentroids(col(vecCol), cents, nprobe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn").as("rank"))
+  }
+
   /** X2-adjacent near-dup by embedding: pairs with cosine ≥ threshold,
     * bucketed by LSH so the pair join never goes all-pairs. */
   def embeddingNearDups(vecs: DataFrame, threshold: Double, bits: Int = 8,
