@@ -67,13 +67,29 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("j"), col("sig")))),
           x => x.getField("sig"))).as("band_sig"))
 
-  /** X2 step 3: candidate pairs = docs agreeing on any full band.
-    * The self-join key is (band, band_sig): identical content lands in the
-    * same bucket, everything else almost surely doesn't — this is what keeps
-    * near-dup detection O(n·bands) instead of O(n²) at 100 TB. */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs, idCol, textCol, seeds), idCol, rowsPerBand)
+  /** All bands in ONE aggregation pass: the `seeds` per-doc signature mins
+    * compute as a single wide groupBy (16 min-aggs over one shuffle of the
+    * token table) instead of the crossJoin(seeds) 16× row blowup, then each
+    * band key is a seed-order concat of its signature columns. Identical
+    * output to signatures→bands (same mins, same concat order) — pinned by
+    * the fused-vs-unfused spec — at 1/seeds the shuffled rows. */
+  private def bandsWide(tok: DataFrame, idCol: String,
+                        seeds: Int, rowsPerBand: Int): DataFrame = {
+    val sigCols = (0 until seeds).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("w")))).as(s"__sig$j"))
+    val wide = tok.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = math.max(1, seeds / rowsPerBand)
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand))
+        .map(j => col(s"__sig$j"))
+      struct(lit(b.toLong).as("band"), concat(cols: _*).as("band_sig"))
+    }
+    wide.select(col(idCol), explode(array(bandStructs: _*)).as("__bs"))
+      .select(col(idCol), col("__bs.band").as("band"), col("__bs.band_sig").as("band_sig"))
+  }
+
+  /** Candidate pairs from precomputed band keys (self-join on the bucket). */
+  private def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
@@ -81,6 +97,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** X2 step 3: candidate pairs = docs agreeing on any full band.
+    * The self-join key is (band, band_sig): identical content lands in the
+    * same bucket, everything else almost surely doesn't — this is what keeps
+    * near-dup detection O(n·bands) instead of O(n²) at 100 TB. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
+    pairsFromBands(bandsWide(tokens(docs, idCol, textCol), idCol, seeds, rowsPerBand), idCol)
 
   /** The full near-dup pipeline fused: tokenize ONCE (persisted — the token
     * table feeds the signature build, both sides of the intersection join,
@@ -92,18 +116,7 @@ object Dedup {
                     threshold: Double = 0.95): DataFrame = {
     val tok = tokens(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = docs.sparkSession
-    val seedsDf = spark.range(seeds).toDF("j")
-    val sigs = tok.crossJoin(broadcast(seedsDf))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("w")))).as("sig"))
-    val bands = minhashBands(sigs, idCol, rowsPerBand)
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
-    val candidates = a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val candidates = pairsFromBands(bandsWide(tok, idCol, seeds, rowsPerBand), idCol)
     jaccardOn(tok, idCol, candidates, threshold)
   }
 
