@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Executable whole-database pull — the `taps pull` CLI face
+ * (reference `bin/taps`, `lib/taps/cli.rb:120-173`) over [[Transfer]].
+ *
+ * Usage:
+ *   sbt "runMain graft.Pull <srcDir> <dstDir> <manifestPath> \
+ *        [--filter <regex>] [--exclude a,b] [--tables a,b]"
+ *
+ * `--tables` is the reference's sugar for an exact-name alternation regex
+ * (`lib/taps/cli.rb:137-141`); resume comes free from the manifest: re-run
+ * the same command after a crash and completed tables are skipped (P8),
+ * while interrupted ones re-run idempotently (T3).
+ */
+object Pull {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Pull <srcDir> <dstDir> <manifestPath> [--filter re] [--exclude a,b] [--tables a,b]")
+    val Array(src, dst, manifest) = args.take(3)
+    def opt(flag: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    val filter = opt("--tables")
+      .map(ts => operators.CatalogOps.tablesToRegex(ts.split(",").toSeq))
+      .orElse(opt("--filter"))
+    val exclude = opt("--exclude").map(_.split(",").toSeq).getOrElse(Nil)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val results = Transfer.pull(spark, src, dst, manifest,
+      filterRegex = filter, exclude = exclude)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val moved = results.filterNot(_.skipped)
+    val rows = moved.map(_.rows).sum
+    results.sortBy(_.table).foreach { r =>
+      val status = if (r.skipped) "skipped" else f"${r.rows}%d rows"
+      println(f"[pull] ${r.table}%-12s $status${r.watermark.map(w => s"  watermark=$w").getOrElse("")}")
+    }
+    println(f"[pull] ${moved.size} tables, $rows%d rows in $secs%.1fs " +
+      f"(${rows / math.max(secs, 0.001)}%.0f rows/s)")
+    spark.stop()
+  }
+}
