@@ -310,7 +310,9 @@ object SparkEntry {
       Similarity.lshBucketTopK(v, v.filter(col("vec_id") < 10), k = 5, bits = 4)
     }),
     "ext_embedding_neardup" -> ((s, dir) => // LSH-bucketed pair join; no oracle
-      Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.8, bits = 8)),
+      // threshold calibrated to the synthetic embeddings (random directions:
+      // cosine ⪅ 0.5), so the check exercises real pair output, not an empty set
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.25, bits = 6)),
     "ext_cosine_topk_ivf" -> ((s, dir) => { // trained index; rows-only check
       val v = t(s, dir, "embeddings")
       val cents = Similarity.trainCentroids(v, k = 8, iters = 2)
