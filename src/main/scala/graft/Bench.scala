@@ -32,6 +32,10 @@ object Bench {
       Tables.load(spark, sfDir, "documents").limit(64), "doc_id", "text", 16, 8)
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // queries are measured independently: drop any persisted data a
+      // previous query left behind (cache residue both distorts timings and
+      // pressures the 4-thread executor into GC stalls)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

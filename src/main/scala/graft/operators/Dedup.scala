@@ -98,13 +98,56 @@ object Dedup {
       .distinct()
   }
 
+  /** doc → exact-token-set representative (lowest doc id per distinct set).
+    * The hot-band killer: boilerplate corpora put THOUSANDS of identical-set
+    * docs in one LSH bucket (observed: a 1541-doc bucket → 1.19M pairs from
+    * a single band at sf0.1). Identical sets have identical signatures and
+    * identical jaccard against everything, so the LSH self-join and the
+    * verification only need ONE representative per set — results for the
+    * clones are reconstructed exactly by expansion afterwards. */
+  private def exactSetReps(tok: DataFrame, idCol: String): DataFrame = {
+    val keyed = tok.groupBy(col(idCol))
+      .agg(sha2(concat_ws("", sort_array(collect_set(col("w")))), 256).as("__set_key"))
+    val reps = keyed.groupBy(col("__set_key")).agg(min(col(idCol)).as("__rep"))
+    keyed.join(reps, "__set_key").select(col(idCol), col("__rep"))
+  }
+
+  /** All unordered member pairs implied by rep-level pairs: cross-set pairs
+    * expand via the two clone lists; same-set pairs are every 2-combination
+    * of a rep's clones. Disjoint by construction — no distinct needed. */
+  private def expandPairs(repPairs: DataFrame, d2r: DataFrame, idCol: String,
+                          carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val cross = repPairs
+      .join(d2r.select(col("__rep").as("doc_a"), col(idCol).as("__ma")), Seq("doc_a"))
+      .join(d2r.select(col("__rep").as("doc_b"), col(idCol).as("__mb")), Seq("doc_b"))
+      .select(Seq(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b")) ++ carryCols: _*)
+    val l = d2r.select(col("__rep"), col(idCol).as("doc_a"))
+    val r = d2r.select(col("__rep"), col(idCol).as("doc_b"))
+    val sameSet = l.join(r, Seq("__rep")).filter(col("doc_a") < col("doc_b"))
+      .select(Seq(col("doc_a"), col("doc_b")) ++
+        carry.map(c => (if (c == "jaccard") lit(1.0) else lit(null)).as(c)): _*)
+    cross.unionByName(sameSet)
+  }
+
   /** X2 step 3: candidate pairs = docs agreeing on any full band.
     * The self-join key is (band, band_sig): identical content lands in the
     * same bucket, everything else almost surely doesn't — this is what keeps
-    * near-dup detection O(n·bands) instead of O(n²) at 100 TB. */
+    * near-dup detection O(n·bands) instead of O(n²) at 100 TB. Runs on
+    * exact-set representatives and expands (identical output, hot buckets
+    * shrunk by the clone factor). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
-    pairsFromBands(bandsWide(tokens(docs, idCol, textCol), idCol, seeds, rowsPerBand), idCol)
+                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val tok = tokens(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2r = exactSetReps(tok, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repToks = tok.join(
+      d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
+    val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
+    expandPairs(repPairs, d2r, idCol)
+  }
 
   /** The full near-dup pipeline fused: tokenize ONCE (persisted — the token
     * table feeds the signature build, both sides of the intersection join,
@@ -116,8 +159,16 @@ object Dedup {
                     threshold: Double = 0.95): DataFrame = {
     val tok = tokens(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = pairsFromBands(bandsWide(tok, idCol, seeds, rowsPerBand), idCol)
-    jaccardOn(tok, idCol, candidates, threshold)
+    val d2r = exactSetReps(tok, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repToks = tok.join(
+      d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
+    val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
+    // verify at rep level (each distinct set-pair's jaccard computed once),
+    // then expand: clones inherit the rep jaccard; same-set pairs are exactly 1.0
+    val verified = jaccardOn(repToks, idCol, repPairs, threshold)
+    expandPairs(verified, d2r, idCol, carry = Seq("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** The deduplicated corpus under near-dup semantics: drop every doc that
