@@ -33,9 +33,11 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
-      // previous query left behind (cache residue both distorts timings and
-      // pressures the 4-thread executor into GC stalls)
+      // previous query left behind, and force a GC so the ContextCleaner
+      // reclaims stale broadcasts/shuffles NOW instead of mid-measurement
+      // (cleanup is weak-reference driven; an idle 8g heap never triggers it)
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

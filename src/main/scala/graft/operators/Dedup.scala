@@ -154,9 +154,10 @@ object Dedup {
     * and the size table; without the persist Catalyst recomputes the
     * explode+distinct four times), then LSH candidates, then exact-jaccard
     * verification. This is the entry real pipelines should use. */
-  def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
-                    seeds: Int = 16, rowsPerBand: Int = 8,
-                    threshold: Double = 0.95): DataFrame = {
+  /** Shared rep-level pipeline: (doc→rep map, verified rep pairs). */
+  private def verifiedRepPairs(docs: DataFrame, idCol: String, textCol: String,
+                               seeds: Int, rowsPerBand: Int,
+                               threshold: Double): (DataFrame, DataFrame) = {
     val tok = tokens(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d2r = exactSetReps(tok, idCol)
@@ -164,25 +165,38 @@ object Dedup {
     val repToks = tok.join(
       d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
     val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
+    (d2r, jaccardOn(repToks, idCol, repPairs, threshold))
+  }
+
+  def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
+                    seeds: Int = 16, rowsPerBand: Int = 8,
+                    threshold: Double = 0.95): DataFrame = {
     // verify at rep level (each distinct set-pair's jaccard computed once),
     // then expand: clones inherit the rep jaccard; same-set pairs are exactly 1.0
-    val verified = jaccardOn(repToks, idCol, repPairs, threshold)
+    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
     expandPairs(verified, d2r, idCol, carry = Seq("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** The deduplicated corpus under near-dup semantics: drop every doc that
-    * is a verified near-dup of a LOWER-id doc (single pass over the verified
-    * pairs — the "keep canonical representative" policy real pipelines use;
-    * full connected-components clustering is a strictly stronger dedup and
-    * an iterative job, not needed for the keep-lowest policy). */
+    * is a verified near-dup of a LOWER-id doc (the "keep canonical
+    * representative" policy real pipelines use; full connected-components
+    * clustering is a strictly stronger dedup and an iterative job, not
+    * needed for the keep-lowest policy).
+    *
+    * Decided entirely at rep level — no pair expansion: a doc is kept iff
+    * it IS its set's representative (clones always have the rep as a
+    * smaller jaccard-1.0 partner) AND its rep is never the larger side of a
+    * verified rep pair (rep(T) < rep(S) ⟺ some member of T is smaller than
+    * rep(S), and members inherit the rep's similarities exactly). */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.95): DataFrame = {
-    val dupOfSmaller = nearDupsFused(docs, idCol, textCol, seeds, rowsPerBand, threshold)
-      .select(col("doc_b").as(idCol)) // doc_b > doc_a by construction
-      .distinct()
-    docs.join(dupOfSmaller, Seq(idCol), "left_anti")
+    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+    val dominated = verified.select(col("doc_b").as(idCol)).distinct()
+    val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
+      .join(dominated, Seq(idCol), "left_anti")
+    docs.join(keptReps, Seq(idCol), "left_semi")
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
