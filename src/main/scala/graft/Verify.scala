@@ -17,6 +17,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // independent queries: clear persisted residue and let the cleaner
+      // reclaim stale broadcasts so late queries aren't slowed by early ones
+      spark.catalog.clearCache()
+      System.gc()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
