@@ -188,6 +188,19 @@ object SparkEntry {
       Query.lagDelta(t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
           col("prev_value"), col("delta"))),
+    "window_ntile_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))),
+    "window_first_last_price" -> ((s, dir) => {
+      // first/last order value per customer over a full unbounded frame —
+      // tie-free ordering (o_orderkey unique) keeps it deterministic
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+    }),
 
     // ── §2.6 sorts / top-k ───────────────────────────────────────────────
     "sort_by_pk" -> ((s, dir) =>
@@ -271,6 +284,33 @@ object SparkEntry {
     "agg_cube_status_priority" -> ((s, dir) =>
       t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+    "sql_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+    "agg_median_price" -> ((s, dir) =>
+      // exact interpolated median — both engines define percentile 0.5 as
+      // linear interpolation between the two middle values
+      t(s, dir, "orders").agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"))),
+    "agg_stddev_price" -> ((s, dir) => {
+      // partition-order-safe stddev: exact decimal sums of x and x², one
+      // double sqrt at the end — bit-stable across engines and partitionings
+      // (built-in stddev merges float partials in partition order: not
+      // reproducible run-to-run at scale, so the engine offers this form)
+      val x = col("o_totalprice")
+      // final round(4): the 20+-digit exact decimal sums exceed double's
+      // 53-bit exact range, so the decimal→double conversion itself can
+      // differ by an ulp between engines
+      t(s, dir, "orders").agg(
+        round(sqrt((sum((x * x).cast("decimal(28,6)")).cast("double") -
+          sum(x.cast("decimal(18,2)")).cast("double") *
+            sum(x.cast("decimal(18,2)")).cast("double") / count(lit(1))) /
+          (count(lit(1)) - 1)), 4).as("stddev_price"))
+    }),
 
     // ── §2.11 [EXT] multimodal (X5) ──────────────────────────────────────
     "multimodal_meta_filter" -> ((s, dir) =>
@@ -468,6 +508,17 @@ object SparkEntry {
         | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         | value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
         | FROM events""".stripMargin,
+    "window_ntile_orders" ->
+      """SELECT o_orderkey,
+        | CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS quartile
+        | FROM orders""".stripMargin,
+    "window_first_last_price" ->
+      """SELECT o_orderkey, o_custkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "sort_by_pk" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
@@ -542,6 +593,16 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "agg_median_price" ->
+      "SELECT quantile_cont(o_totalprice, 0.5) AS median_price FROM orders",
+    "agg_stddev_price" ->
+      """SELECT round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) -
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) *
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) /
+        |  (count(*) - 1)), 4) AS stddev_price FROM orders""".stripMargin,
 
     "multimodal_meta_filter" ->
       """SELECT doc_id AS media_id, CAST(length(text) % 640 AS INT) AS width
