@@ -85,6 +85,26 @@ object Streams {
       }
   }
 
+  /** flatMapGroupsWithState variant: emits a [[CursorUpdate]] only when the
+    * watermark actually ADVANCED (0 or 1 outputs per key per batch — the
+    * delta stream a downstream checkpoint consumer wants, vs
+    * [[trackCursors]]' echo of every touched key). Append-mode compatible. */
+  def trackCursorDeltas(input: Dataset[(String, Long)])
+                       (implicit enc1: org.apache.spark.sql.Encoder[CursorState],
+                        enc2: org.apache.spark.sql.Encoder[CursorUpdate]): Dataset[CursorUpdate] =
+    input.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[CursorState, CursorUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[CursorState]) =>
+          val prev = state.getOption.getOrElse(CursorState(Long.MinValue, 0L))
+          var wm = prev.watermark; var n = prev.rows
+          rows.foreach { case (_, pk) => if (pk > wm) wm = pk; n += 1 }
+          val next = CursorState(wm, n)
+          state.update(next)
+          if (wm > prev.watermark) Iterator.single(CursorUpdate(key, wm, n))
+          else Iterator.empty
+      }
+
   /** readStream → transform → writeStream harness over a Parquet directory
     * source — the file-native analogue of taps' chunked pull. Exactly-once:
     * the file sink commits atomically per batch, checkpoint carries offsets

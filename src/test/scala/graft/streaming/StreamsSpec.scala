@@ -77,6 +77,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trackCursorDeltas emits only when the watermark advances (append mode)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.trackCursorDeltas(mem.toDS())
+      .writeStream.format("memory").queryName("deltas")
+      .outputMode("append").start()
+    try {
+      mem.addData(("orders", 10L))
+      q.processAllAvailable()
+      mem.addData(("orders", 7L)) // behind the watermark → no emission
+      q.processAllAvailable()
+      mem.addData(("orders", 15L)) // advance → one emission
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT watermark, rows FROM deltas ORDER BY watermark")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((10L, 1L), (15L, 3L))) // the 7 was absorbed silently
+    } finally q.stop()
+  }
+
   test("fileToFile drains a parquet source exactly-once and stops (T2/T3/T6)") {
     val sq = spark
     import sq.implicits._
