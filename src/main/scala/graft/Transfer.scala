@@ -57,10 +57,10 @@ object Transfer {
     // manifest writes are serialized; table jobs run concurrently
     val lock = new Object
     var manifest = m0
+    val pool = new java.util.concurrent.ForkJoinPool(parallelism)
     val par = todo.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(parallelism))
-    val moved = par.map { table =>
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    val moved = try par.map { table =>
       val df = Tables.load(spark, srcDir, table)
       df.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
       val written = spark.read.parquet(s"$dstDir/$table.parquet")
@@ -79,6 +79,7 @@ object Transfer {
       }
       Result(table, rows, wm, skipped = false)
     }.toList
+    finally pool.shutdown()
     done ++ moved
   }
 

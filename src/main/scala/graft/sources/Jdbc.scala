@@ -70,6 +70,52 @@ object Jdbc {
   def write(df: DataFrame, opts: Map[String, String], mode: SaveMode = SaveMode.Append): Unit =
     df.write.format("jdbc").options(opts).mode(mode).save()
 
+  /** taps' hot loop, generalized: drive a sequence of batched writes with
+    * the AIMD [[graft.streaming.ChunkSizer]] — each batch's observed wall
+    * time retunes the next batch size toward the ~1 s/batch operating point
+    * (`lib/taps/operation.rb:480-548`). `write` receives (batch, batchSize);
+    * a thrown exception is taps' broken pipe: the controller resets 10→1 and
+    * the batch retries, aborting after the controller is exhausted.
+    * Returns (rows written, final controller state). Pure orchestration —
+    * inject `write` (a JDBC executor in production, a probe in tests) and
+    * `clock` (nanoTime in production, synthetic in tests). */
+  def adaptiveWriteLoop[T](rows: Iterator[T],
+                           write: (Seq[T], Int) => Unit,
+                           sizer0: graft.streaming.ChunkSizer = graft.streaming.ChunkSizer(),
+                           clock: () => Long = System.nanoTime): (Long, graft.streaming.ChunkSizer) = {
+    var sizer = sizer0
+    var written = 0L
+    var pending: Vector[T] = Vector.empty // failed batch awaiting retry
+    def nextBatch(): Vector[T] =
+      if (pending.nonEmpty) {
+        // re-chunk the failed rows at the reduced size (taps re-sends the
+        // stream from the watermark with the reset chunksize)
+        val (b, rest) = pending.splitAt(sizer.chunksize)
+        pending = rest
+        b
+      } else {
+        val b = Vector.newBuilder[T]
+        var i = 0
+        while (i < sizer.chunksize && rows.hasNext) { b += rows.next(); i += 1 }
+        b.result()
+      }
+    var batch = nextBatch()
+    while (batch.nonEmpty && !sizer.exhausted) {
+      val t0 = clock()
+      try {
+        write(batch, sizer.chunksize)
+        written += batch.size
+        sizer = sizer.observe((clock() - t0) / 1e9)
+      } catch {
+        case _: Exception =>
+          sizer = sizer.onFailure   // 10 → 1 → exhausted, like taps
+          pending = batch ++ pending // the same rows retry, re-chunked smaller
+      }
+      batch = nextBatch()
+    }
+    (written, sizer)
+  }
+
   /** S6/S7 schema replay: CREATE TABLE DDL from the DataFrame schema —
     * `Schema.dump_table`'s Spark face (`lib/taps/schema.rb:15-30`). */
   def createTableDdl(df: DataFrame, table: String, primaryKey: Seq[String]): String = {

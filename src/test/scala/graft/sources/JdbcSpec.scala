@@ -36,6 +36,51 @@ class JdbcSpec extends AnyFunSuite {
     assert(o("batchsize") == "2000" && o("dbtable") == "orders")
   }
 
+  test("adaptiveWriteLoop: fast writes ramp the batch size up, all rows land") {
+    var t = 0L
+    val clock = () => t
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    val written = scala.collection.mutable.ArrayBuffer[Int]()
+    val (n, sizer) = Jdbc.adaptiveWriteLoop[Int](
+      (1 to 10000).iterator,
+      (batch, size) => { sizes += size; written ++= batch; t += 100000000L }, // 0.1s/batch
+      graft.streaming.ChunkSizer(100), clock)
+    assert(n == 10000 && written.toSeq == (1 to 10000))
+    assert(sizes.toSeq.take(4) == Seq(100, 200, 400, 800)) // fast ramp ×2
+    assert(!sizer.exhausted)
+  }
+
+  test("adaptiveWriteLoop: slow writes back off toward the 1s operating point") {
+    var t = 0L
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    val (n, _) = Jdbc.adaptiveWriteLoop[Int](
+      (1 to 3000).iterator,
+      (batch, size) => { sizes += size; t += 4000000000L }, // 4s/batch: severe
+      graft.streaming.ChunkSizer(900), () => t)
+    assert(n == 3000)
+    assert(sizes.toSeq.startsWith(Seq(900, 300, 100))) // ÷3 each time
+  }
+
+  test("adaptiveWriteLoop: failures reset 10→1 and retry the same rows; exhaustion stops") {
+    // two failures then success: no row lost, no row duplicated
+    var failures = 2
+    val written = scala.collection.mutable.ArrayBuffer[Int]()
+    val (n, sizer) = Jdbc.adaptiveWriteLoop[Int](
+      (1 to 50).iterator,
+      (batch, _) => {
+        if (failures > 0) { failures -= 1; throw new RuntimeException("broken pipe") }
+        written ++= batch
+      },
+      graft.streaming.ChunkSizer(40), () => { 0L })
+    assert(n == 50 && written.toSeq.sorted == (1 to 50))
+    // always-failing sink: aborts after the controller is exhausted
+    val (n2, s2) = Jdbc.adaptiveWriteLoop[Int](
+      (1 to 50).iterator,
+      (_, _) => throw new RuntimeException("down"),
+      graft.streaming.ChunkSizer(40), () => 0L)
+    assert(n2 == 0 && s2.exhausted)
+  }
+
   test("DDL replay: CREATE TABLE with pk, index, sequence reset (S6-S9)") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
