@@ -140,9 +140,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val tok = tokens(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val d2r = exactSetReps(tok, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val repToks = tok.join(
       d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
     val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
@@ -159,9 +159,9 @@ object Dedup {
                                seeds: Int, rowsPerBand: Int,
                                threshold: Double): (DataFrame, DataFrame) = {
     val tok = tokens(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val d2r = exactSetReps(tok, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val repToks = tok.join(
       d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
     val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
