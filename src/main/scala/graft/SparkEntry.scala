@@ -377,6 +377,18 @@ object SparkEntry {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
     "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 rolling hash; no oracle
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    "ext_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm"))),
+    "ext_pii_mask" -> ((s, dir) =>
+      // plant a synthetic email + long number per doc, then scrub — the
+      // fixture corpus itself carries no PII, so the op must prove it
+      // redacts what IS there
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.maskPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 55512345"), col("doc_id").cast("string")))
+          .as("scrubbed"))),
   )
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
@@ -652,6 +664,16 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
 
+    "ext_text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |  '\s+', ' ', 'g')) AS norm FROM documents""".stripMargin,
+    "ext_pii_mask" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |   '@example.com or call 55512345' || CAST(doc_id AS VARCHAR),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\d{7,}', '<NUM>', 'g') AS scrubbed FROM documents""".stripMargin,
     "ext_text_token_counts" ->
       """SELECT w AS token, count(*) AS n FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)

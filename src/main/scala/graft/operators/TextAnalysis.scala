@@ -83,6 +83,25 @@ object TextAnalysis {
       ((nChars - nTok + 1).cast("double") / nTok.cast("double")).as("mean_token_len"))
   }
 
+  /** X4 normalization: the canonical pre-dedup cleanup pass — lowercase,
+    * collapse whitespace runs, strip non-alphanumeric-non-space. Order of
+    * ops matters (strip before collapse, or stripped chars leave double
+    * spaces) and is mirrored exactly in the oracle. */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** X4 PII scrub: redact email addresses and long digit runs (phone/SSN/
+    * card shapes) before a corpus ships to training. Regex-only — the
+    * production-shaped first pass; entity-model scrubbing would layer on
+    * the same column contract. */
+  def maskPii(textCol: Column): Column = {
+    val emails = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(emails, "\\d{7,}", "<NUM>")
+  }
+
   /** X4 fingerprint: order-sensitive rolling hash over the token stream
     * (h = (h*31 + xxhash64(token)) mod 2^57). The modulus keeps every
     * intermediate below 2^63 so the fold is ANSI-safe (no wrapping overflow,

@@ -63,6 +63,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(5) == 3.0)        // mean token len (11-3+1)/3
   }
 
+  test("normalize: lowercase, strip punctuation, collapse whitespace") {
+    import spark.implicits._
+    val d = Seq(Tuple1("  Hello,  WORLD!  it's 42. ")).toDF("text")
+    assert(d.select(TextAnalysis.normalize(col("text"))).head().getString(0)
+      == "hello world its 42")
+  }
+
+  test("maskPii redacts emails and long digit runs, leaves short numbers") {
+    import spark.implicits._
+    val d = Seq(Tuple1("mail a.b+c@x-corp.io or 5551234567, room 42")).toDF("text")
+    assert(d.select(TextAnalysis.maskPii(col("text"))).head().getString(0)
+      == "mail <EMAIL> or <NUM>, room 42")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
