@@ -78,7 +78,10 @@ object Dedup {
     val sigCols = (0 until seeds).map(j =>
       min(md5(concat(lit(j.toString), lit("|"), col("w")))).as(s"__sig$j"))
     val wide = tok.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
-    val nBands = math.max(1, seeds / rowsPerBand)
+    // ceil division: a trailing partial band must be emitted, exactly as
+    // minhashBands does (band = j div rowsPerBand), or the fused and
+    // unfused paths diverge for seeds % rowsPerBand != 0
+    val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
     val bandStructs = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand))
         .map(j => col(s"__sig$j"))
@@ -196,7 +199,12 @@ object Dedup {
     val dominated = verified.select(col("doc_b").as(idCol)).distinct()
     val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
       .join(dominated, Seq(idCol), "left_anti")
-    docs.join(keptReps, Seq(idCol), "left_semi")
+    // docs that tokenize to nothing (empty/whitespace-only text) never enter
+    // the token table or the doc→rep map; they are not near-dups of anything
+    // and must be RETAINED, not silently dropped
+    val tokenless = docs.select(col(idCol))
+      .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
+    docs.join(keptReps.unionByName(tokenless), Seq(idCol), "left_semi")
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the

@@ -42,6 +42,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // the scheme (big side salted once, small side replicated per salt) is
+    // only correct when unmatched SMALL-side rows are never emitted: a
+    // right/full outer join would emit each unmatched small row `salts` times
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType " +
+        "(right/full outer would duplicate unmatched small-side rows per salt)")
     val spark = big.sparkSession
     val saltsDf = spark.range(salts).select(col("id").cast("int").as("__salt"))
     val bigS = big.withColumn("__salt", rowSalt(big, salts))

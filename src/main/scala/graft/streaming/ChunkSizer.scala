@@ -13,8 +13,10 @@ package graft.streaming
  *  - floor 1; while retrying, size is frozen
  *  - connection failure resets to 10, then 1 (≤ 2 retries —
  *    `lib/taps/chunksize.rb:17-19`, `lib/taps/utils.rb:97-115`)
- *  - the first 20 observations train a running-average ceiling applied
- *    thereafter (`lib/taps/data_stream.rb:89-106`)
+ *  - the first 20 observations train a running-average FLOOR applied
+ *    thereafter: `fetch_chunksize` returns max(avg, chunksize)
+ *    (`lib/taps/data_stream.rb:93-99`), so post-training sizes never fall
+ *    below the early mean (and the floor is skipped while in error state)
  *
  * In the Spark engine Catalyst/AQE already adapts partition sizes for
  * shuffles; this controller is for the edges AQE can't see — JDBC sink
@@ -38,7 +40,7 @@ final case class ChunkSizer(
       else if (diff < 0.8) chunksize * 2
       else chunksize + 100
     val floored = math.max(1, next)
-    copy(chunksize = applyTrainingCeiling(floored),
+    copy(chunksize = if (retries > 0) floored else applyTrainingFloor(floored),
       retries = 0,
       trainedCount = math.min(ChunkSizer.TrainingWindow, trainedCount + 1),
       trainedTotal = if (trainedCount < ChunkSizer.TrainingWindow) trainedTotal + floored else trainedTotal)
@@ -51,12 +53,14 @@ final case class ChunkSizer(
 
   def exhausted: Boolean = retries > 2
 
-  /** taps caps post-training chunk sizes at the first-20-chunks mean
-    * (`lib/taps/data_stream.rb:93-106`). */
-  private def applyTrainingCeiling(size: Int): Int =
-    if (trainedCount >= ChunkSizer.TrainingWindow && trainedCount > 0) {
+  /** taps FLOORS post-training chunk sizes at the first-20-chunks mean:
+    * `avg_chunksize > chunksize ? avg_chunksize : chunksize`
+    * (`lib/taps/data_stream.rb:93-99`) — the early average is treated as a
+    * proven-safe lower bound, so later back-offs can't sink below it. */
+  private def applyTrainingFloor(size: Int): Int =
+    if (trainedCount >= ChunkSizer.TrainingWindow && trainedTotal > 0) {
       val avg = (trainedTotal / trainedCount).toInt
-      math.min(size, math.max(1, avg))
+      math.max(size, avg)
     } else size
 }
 

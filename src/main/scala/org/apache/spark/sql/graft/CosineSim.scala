@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
  * Numerics match the HOF composition bit-for-bit: elements promote
  * float→double, products accumulate left-to-right, result =
  * dot / (sqrt(norm_a) * sqrt(norm_b)) — so oracle-checked results are
- * unchanged when swapped in.
+ * unchanged when swapped in. Unequal-length inputs yield NULL, again
+ * matching the HOF form (zip_with null-pads the shorter array and the
+ * aggregate sum absorbs the null).
  */
 @ExpressionDescription(
   usage = "cosine_sim(a, b) - cosine similarity of two float vectors (double).")
@@ -40,10 +42,14 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even when both children are non-null: unequal lengths → NULL
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -65,14 +71,18 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

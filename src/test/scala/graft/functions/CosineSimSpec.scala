@@ -35,6 +35,17 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     assert(df.select(CosineSim(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("unequal-length vectors yield null, matching the HOF composition") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    // zip_with null-pads the shorter array → aggregate sum absorbs the null
+    val r = df.select(
+      CosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b"), 9).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("registered as a SQL function via GraftExtensions' injection") {
     // same registration path SparkSessionExtensions uses, applied to the
     // already-running test session's registry

@@ -60,6 +60,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("dropNearDups retains token-less docs (empty / whitespace-only text)") {
+    import spark.implicits._
+    val withEmpty = docs.unionByName(
+      Seq((6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+    val kept = Dedup.dropNearDups(withEmpty, "doc_id", "text", 16, 8, 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 6 and 7 tokenize to nothing: not near-dups of anything → retained
+    assert(kept == Set(1L, 3L, 4L, 6L, 7L))
+  }
+
+  test("fused bands emit a trailing partial band (seeds not divisible by rowsPerBand)") {
+    // seeds=10, rowsPerBand=4 → bands of 4,4,2; the fused wide-agg path must
+    // produce the same candidate pairs as the unfused signatures→bands path
+    val fusedPairs = Dedup.minhashPairs(docs, "doc_id", "text", seeds = 10, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = Dedup.minhashBands(
+      Dedup.minhashSignatures(docs, "doc_id", "text", seeds = 10), "doc_id", rowsPerBand = 4)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    val unfusedPairs = a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fusedPairs == unfusedPairs && fusedPairs.nonEmpty)
+  }
+
   test("simhash: identical docs collide, disjoint docs differ; deterministic") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -40,6 +40,30 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(h.head.getInt(0) == 1 && h.head.getLong(1) == 914)
   }
 
+  test("saltedJoin == plain join (left_outer and left_anti)") {
+    val bigPlus = big.unionByName(
+      spark.createDataFrame(Seq((99, "orphan"))).toDF("k", "payload"))
+    val plainOuter = bigPlus.join(small, Seq("k"), "left_outer")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val saltedOuter = Skew.saltedJoin(bigPlus, small, "k", 8, "left_outer")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(saltedOuter == plainOuter)
+    val plainAnti = bigPlus.join(small, Seq("k"), "left_anti")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val saltedAnti = Skew.saltedJoin(bigPlus, small, "k", 8, "left_anti")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(saltedAnti == plainAnti && plainAnti.nonEmpty)
+  }
+
+  test("saltedJoin rejects join types that would duplicate small-side rows") {
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, "k", 8, jt)
+      }
+      assert(e.getMessage.contains("saltedJoin"), jt)
+    }
+  }
+
   test("salted plan spreads the hot key over multiple partitions") {
     val parts = Skew.saltedJoin(big, small, "k", salts = 8)
       .filter(col("k") === 1)

@@ -47,13 +47,25 @@ class ChunkSizerSpec extends AnyFunSuite {
     assert(retrying.observe(0.1).chunksize == 10) // not doubled
   }
 
-  test("training window: first-20 mean caps later growth (data_stream.rb:89-106)") {
-    // 20 fast observations from 1: sizes 2,4,...  mean is well below 2^21
+  test("training window: first-20 mean floors later back-off (data_stream.rb:93-99)") {
+    // 20 fast observations from 1: sizes 2,4,... 2^20; running mean ≈ 104857
     var s = ChunkSizer(1)
     (1 to 20).foreach(_ => s = s.observe(0.1))
-    val trainedAvg = s.chunksize
-    val after = s.observe(0.1)
-    assert(after.chunksize <= trainedAvg) // capped at the trained mean
+    val avg = (s.trainedTotal / s.trainedCount).toInt
+    // severe back-off would divide by 3, but the trained mean is a FLOOR
+    val after = s.observe(10.0)
+    assert(after.chunksize == math.max(avg, math.ceil(s.chunksize / 3.0).toInt))
+    assert(after.chunksize >= avg)
+    // growth above the floor is NOT capped (taps returns max(avg, size))
+    val grown = s.observe(0.1)
+    assert(grown.chunksize == math.max(avg, s.chunksize * 2))
+  }
+
+  test("training floor not applied while in retry state (fetch_chunksize error guard)") {
+    var s = ChunkSizer(1)
+    (1 to 20).foreach(_ => s = s.observe(0.1)) // trained; avg >> 10
+    val retrying = s.onFailure // chunksize 10, retries 1
+    assert(retrying.observe(0.1).chunksize == 10) // frozen, no floor boost
   }
 
   test("property: chunksize never drops below 1 (sweep)") {
