@@ -47,7 +47,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the one-line JSON above is long enough that line-based log capture has
+    // truncated it (losing the leading "total" field); also persist it to a
+    // file and echo the headline on its own short line
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

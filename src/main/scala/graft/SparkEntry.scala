@@ -189,8 +189,10 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("prev_value"), col("delta"))),
     "window_ntile_orders" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"),
-        ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))),
+      // two-phase global ntile — NOT ntile().over(Window.orderBy(...)),
+      // whose Exchange SinglePartition funnels every order through one task
+      Query.ntileDistributed(t(s, dir, "orders").select(col("o_orderkey")),
+        4, Seq("o_orderkey"), out = "quartile")),
     "window_first_last_price" -> ((s, dir) => {
       // first/last order value per customer over a full unbounded frame —
       // tie-free ordering (o_orderkey unique) keeps it deterministic

@@ -99,4 +99,50 @@ object Query {
     * each partition keeps a k-row heap, no global sort materialization. */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Distributed `ntile(n) OVER (ORDER BY …)`: the naive form moves EVERY
+    * row through one task (`Window ← Sort ← Exchange SinglePartition` — the
+    * plan shape that kills a 100 TB job). This two-phase formulation keeps
+    * the data fully parallel:
+    *
+    *  1. range-repartition + per-partition sort on the order key (one
+    *     shuffle — same cost a global sort would pay anyway);
+    *  2. local ranks from `monotonically_increasing_id()` (documented
+    *     layout: record number in the low 33 bits, assigned in row order
+    *     after the sort — zero extra shuffle, zero window exchange);
+    *  3. per-partition row counts — ≤ `shuffle.partitions` rows — come back
+    *     to the driver (bounded by cluster width, NOT by data, like the
+    *     IVF centroid collect), prefix-summed into partition offsets;
+    *  4. global rank = offset(pid) + local rank, and the tile is pure
+    *     arithmetic on the rank (first `N mod n` buckets get one extra row,
+    *     exactly the built-in's contract).
+    *
+    * Ties on the order key stay in one range partition, but rank order among
+    * ties is partition-internal — pass a tie-free key (same caveat as the
+    * built-in). Output matches `ntile(n)` bit-for-bit, pinned by spec. */
+  def ntileDistributed(df: DataFrame, n: Int, orderCols: Seq[String],
+                       out: String = "tile"): DataFrame = {
+    require(n > 0, "ntile bucket count must be positive")
+    val order = orderCols.map(col)
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val withId = sorted.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+    // tiny: one row per shuffle partition
+    val counts = withId.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val base = total / n
+    val rem = total % n
+    val cut = rem * (base + 1) // ranks ≤ cut fall in the first `rem` (fat) buckets
+    // first `rem` buckets hold base+1 rows, the rest hold base (ntile contract);
+    // when base == 0 every rank is ≤ cut so the thin branch never divides by 0
+    val fat = expr(s"CAST((__grank - 1) DIV ${base + 1} + 1 AS INT)")
+    val thin = expr(s"CAST($rem + (__grank - $cut - 1) DIV ${math.max(base, 1L)} + 1 AS INT)")
+    withId
+      .withColumn("__grank", element_at(typedLit(offsets), col("__pid")) + col("__lrn"))
+      .withColumn(out, when(col("__grank") <= lit(cut), fat).otherwise(thin))
+      .drop("__mid", "__pid", "__lrn", "__grank")
+  }
 }

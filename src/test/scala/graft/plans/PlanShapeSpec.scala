@@ -48,6 +48,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be a heap merge:\n$p")
   }
 
+  test("distributed ntile matches the built-in and avoids the single-partition window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.Tables.load(spark, sf, "orders").select(col("o_orderkey"))
+    val builtin = orders.select(col("o_orderkey"),
+      ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val twoPhase = SparkEntry.queries("window_ntile_orders")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(twoPhase == builtin && twoPhase.nonEmpty)
+    val p = planOf("window_ntile_orders")
+    assert(!p.contains("SinglePartition"), s"ntile must not funnel to one task:\n$p")
+    assert(!p.contains("Window"), s"two-phase ntile needs no window exec:\n$p")
+  }
+
+  test("distributed ntile: uneven buckets match the built-in (N % n != 0)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sq = spark
+    import sq.implicits._
+    // 10 rows into 4 buckets → sizes 3,3,2,2; also exercises n=3 (10%3=1)
+    val df = (1 to 10).map(_.toLong).toDF("k").repartition(4)
+    for (n <- Seq(3, 4, 7, 10, 12)) {
+      val builtin = df.select(col("k"), ntile(n).over(Window.orderBy(col("k"))).as("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val twoPhase = graft.operators.Query.ntileDistributed(df, n, Seq("k"), "t")
+        .select(col("k"), col("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(twoPhase == builtin, s"n=$n")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val p = SparkEntry.queries("agg_group_returnflag")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
