@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 import graft.streaming.Manifest
 
 /**
@@ -30,6 +32,50 @@ object Transfer {
   /** One table's outcome. */
   final case class Result(table: String, rows: Long, watermark: Option[Long], skipped: Boolean)
 
+  // distinguishes repeated transfers of the same table within one session —
+  // observed-metric names must be globally unique or a listener would hand
+  // back a previous run's row
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Collects `df.observe(...)` metrics from write-command executions.
+    * `ExecutionListenerBus` delivers asynchronously, so readers poll
+    * [[await]]; metric names are unique per table/chunk so concurrent
+    * transfers never collide. */
+  private final class MetricsCollector extends QueryExecutionListener {
+    private val metrics = new java.util.concurrent.ConcurrentHashMap[String, Row]()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (k, v) => metrics.put(k, v) }
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    def await(name: String, timeoutMs: Long = 120000): Row = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!metrics.containsKey(name)) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(s"observed metric '$name' never arrived")
+        Thread.sleep(10)
+      }
+      metrics.get(name)
+    }
+  }
+
+  /** Count + pk-watermark aggregates attached to the WRITE pass itself via
+    * `df.observe` — the destination is never read back. (The previous shape
+    * re-read every written table in full for its count and max(pk): a second
+    * complete scan of the destination, which at 100 TB doubles read I/O.) */
+  private def observedWrite(df: DataFrame, meta: Tables.TableMeta,
+                            metricName: String, collector: MetricsCollector)
+                           (write: DataFrame => Unit): (Long, Option[Long]) = {
+    val wmAgg =
+      if (meta.singleIntPk) max(col(meta.primaryKey.head)).cast("long").as("wm")
+      else lit(null).cast("long").as("wm")
+    val observed = df.observe(metricName, count(lit(1)).as("rows"), wmAgg)
+    write(observed)
+    val row = collector.await(metricName)
+    val rows = row.getLong(row.fieldIndex("rows"))
+    val wm = if (row.isNullAt(row.fieldIndex("wm"))) None
+             else Some(row.getLong(row.fieldIndex("wm")))
+    (rows, wm)
+  }
+
   /** Build the table plan exactly as taps does: all tables, minus the
     * regex filter (P6), minus excludes (P7), minus already-completed (P8). */
   def plan(tables: Seq[String], filterRegex: Option[String], exclude: Seq[String],
@@ -43,8 +89,8 @@ object Transfer {
     * here; swap the read/write for `sources.Jdbc` at the DB edge). Validation
     * runs in quarantine mode: violating rows are diverted, not fatal, unless
     * `strict`. Returns per-table results; the manifest at `manifestPath` is
-    * updated after EVERY table (taps persists per chunk; per table is enough
-    * because our writes are idempotent). */
+    * updated after EVERY table (for taps' finer per-chunk checkpoint
+    * granularity, see [[pullChunked]]). */
   def pull(spark: SparkSession, srcDir: String, dstDir: String, manifestPath: String,
            tables: Seq[String] = Tables.names,
            filterRegex: Option[String] = None,
@@ -60,27 +106,90 @@ object Transfer {
     val pool = new java.util.concurrent.ForkJoinPool(parallelism)
     val par = todo.par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    val collector = new MetricsCollector
+    spark.listenerManager.register(collector)
     val moved = try par.map { table =>
       val df = Tables.load(spark, srcDir, table)
-      df.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
-      val written = spark.read.parquet(s"$dstDir/$table.parquet")
-      val rows = written.count()
-      val meta = Tables.metaOf(table)
-      val wm: Option[Long] =
-        if (meta.singleIntPk)
-          written.agg(max(col(meta.primaryKey.head)).cast("long")).head() match {
-            case r if !r.isNullAt(0) => Some(r.getLong(0))
-            case _ => None
-          }
-        else None
+      val (rows, wm) = observedWrite(df, Tables.metaOf(table),
+        s"graft_pull_${table}_${metricSeq.incrementAndGet()}", collector) {
+        _.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+      }
       lock.synchronized {
         manifest = manifest.complete(table, wm.getOrElse(rows))
         manifest.save(manifestPath)
       }
       Result(table, rows, wm, skipped = false)
     }.toList
-    finally pool.shutdown()
+    finally {
+      pool.shutdown()
+      spark.listenerManager.unregister(collector)
+    }
     done ++ moved
+  }
+
+  /** Chunk-grained pull of ONE table — taps' per-chunk checkpoint semantics
+    * (`lib/taps/operation.rb:312`, `lib/taps/data_stream.rb:47-49`: state is
+    * saved after every chunk, so a crash loses at most one chunk, never the
+    * table). The pk domain is split into `chunks` disjoint ranges
+    * ([[operators.Scan.rangeChunks]]); each range lands as one Hive-style
+    * partition (`chunk_id=N`) under dynamic partition-overwrite, and the
+    * manifest records `table/chunk_id` after each range commits. Resume
+    * anti-joins the chunk plan against the manifest: completed ranges are
+    * never re-read and never re-written — a crash at 99% of a 10 TB table
+    * restarts the last range, not the table.
+    *
+    * The pk range predicate is pushed into the Parquet scan (PushedFilters),
+    * so each chunk reads ~1/chunks of the source row groups — the whole loop
+    * costs one full source scan, same as the unchunked path.
+    *
+    * `maxChunks` bounds how many ranges ONE invocation commits (the graceful
+    * drain / time-budget control, T6). Returns one Result per range this
+    * call moved, keyed `table/chunk_id`. */
+  def pullChunked(spark: SparkSession, srcDir: String, dstDir: String,
+                  manifestPath: String, table: String,
+                  chunks: Int = 16, maxChunks: Int = Int.MaxValue): Seq[Result] = {
+    val meta = Tables.metaOf(table)
+    require(meta.singleIntPk,
+      s"chunked pull needs a single integer pk (keyset access path); $table has ${meta.primaryKey}")
+    val pk = meta.primaryKey.head
+    val df = Tables.load(spark, srcDir, table)
+    val bounds = df.agg(min(col(pk)).cast("long"), max(col(pk)).cast("long")).head()
+    if (bounds.isNullAt(0)) return Nil // empty table: nothing to move
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val ranges = operators.Scan.rangeBounds(lo, hi + 1, chunks)
+    var manifest = Manifest.load(manifestPath)
+    val pending = (0 until chunks)
+      .filterNot(id => manifest.isCompleted(s"$table/$id"))
+      .take(maxChunks)
+    val collector = new MetricsCollector
+    spark.listenerManager.register(collector)
+    val dest = s"$dstDir/$table.parquet"
+    val results = try pending.map { id =>
+      val key = s"$table/$id"
+      val (rLo, rHi) = ranges(id)
+      // explicit pk range (not a filter on the computed chunk_id) so the
+      // predicate lands in PushedFilters and prunes source row groups
+      val slice = df.filter(col(pk) >= lit(rLo) && col(pk) < lit(rHi))
+        .withColumn("chunk_id", lit(id))
+      val (rows, wm) = observedWrite(slice, meta,
+        s"graft_pullchunk_${key}_${metricSeq.incrementAndGet()}", collector) {
+        _.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("chunk_id")
+          .parquet(dest)
+      }
+      manifest = manifest.complete(key, wm.getOrElse(rows))
+      manifest.save(manifestPath)
+      Result(key, rows, wm, skipped = false)
+    } finally spark.listenerManager.unregister(collector)
+    if ((0 until chunks).forall(id => manifest.isCompleted(s"$table/$id"))) {
+      // whole table landed: record the table-level watermark so plan()/P8
+      // and the unchunked resume path see it as complete
+      val allWms = (0 until chunks).flatMap(id => manifest.watermark(s"$table/$id"))
+      manifest = manifest.complete(table, if (allWms.nonEmpty) allWms.max else 0L)
+      manifest.save(manifestPath)
+    }
+    results
   }
 
   /** Bucketed landing for join-heavy destinations: co-partition a table on

@@ -72,6 +72,21 @@ object Scan {
       least(expr(s"(`$pk` - ${lower}L) div ${span}L"), lit(parts - 1L)).cast("int"))
   }
 
+  /** The [lo, hi) pk interval of each [[rangeChunks]] chunk id — same span
+    * arithmetic, driver-side. Callers that move one chunk at a time filter
+    * on `pk >= lo AND pk < hi` so the predicate reaches the Parquet scan as
+    * PushedFilters (a filter on the computed chunk_id column cannot push
+    * down; an explicit pk range prunes row groups). Pinned equivalent to
+    * rangeChunks' assignment by ScanSpec. */
+  def rangeBounds(lower: Long, upper: Long, parts: Int): Seq[(Long, Long)] = {
+    val span = math.max(1L, (upper - lower + parts) / parts)
+    (0 until parts).map { id =>
+      val lo = lower + id * span
+      val hi = if (id == parts - 1) Long.MaxValue else lower + (id + 1) * span
+      (lo, hi) // last chunk absorbs the remainder, like least(..., parts-1)
+    }
+  }
+
   /** Access-path selection, mirroring `DataStream.factory`
     * (`lib/taps/data_stream.rb:228-242`): keyset iff single integer pk. */
   def chooseAccessPath(meta: graft.Tables.TableMeta): String =

@@ -10,16 +10,15 @@ import scala.jdk.CollectionConverters._
  * `lib/taps/cli.rb:175-193`).
  *
  * taps checkpoints a per-table cursor (offset or last-pk watermark) after
- * every chunk because its writes are not idempotent. Our writes are
- * (overwrite-by-partition Parquet), so the manifest only needs per-table
- * granularity: a table is either completed (with the watermark it finished
- * at) or it re-runs idempotently. Atomic replace (write temp + move) gives
- * the same crash safety as taps' rewrite-whole-file.
- *
- * At scale this is the "completed partitions" manifest: keys become
- * `table/chunk_id` from [[graft.operators.Scan.rangeChunks]] and a
- * 1000-executor job resumes by anti-joining the plan against it
- * (P8 / `resume_skip_completed`).
+ * every chunk because its writes are not idempotent. Ours are
+ * (overwrite-by-partition Parquet), so keys come at two granularities:
+ * per-table (`table`, [[graft.Transfer.pull]] — a table either completed or
+ * re-runs idempotently) and per-chunk (`table/chunk_id` from
+ * [[graft.operators.Scan.rangeBounds]], [[graft.Transfer.pullChunked]] — a
+ * crash mid-table loses one range, matching taps' after-every-chunk save).
+ * Atomic replace (write temp + move) gives the same crash safety as taps'
+ * rewrite-whole-file. At 1000 executors resume is the same anti-join of the
+ * plan against the completed set (P8 / `resume_skip_completed`).
  */
 final case class Manifest(completed: Map[String, Long]) {
 

@@ -33,6 +33,74 @@ class TransferSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$tmp/db/customer.parquet").count() > 0)
   }
 
+  test("pull never reads the destination back (metrics ride the write pass)") {
+    val tmp = Files.createTempDirectory("xfer").toString
+    val dst = s"$tmp/db"
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val results = try {
+      val r = Transfer.pull(spark, src, dst, s"$tmp/manifest.json",
+        tables = Seq("region", "nation", "orders"))
+      // ExecutionListenerBus is async — wait for the three write executions
+      val deadline = System.currentTimeMillis() + 30000
+      while (plans.size() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      r
+    } finally spark.listenerManager.unregister(listener)
+    assert(results.forall(!_.skipped))
+    // counts and watermarks still produced (now from df.observe, not a re-read)
+    val orders = results.find(_.table == "orders").get
+    assert(orders.rows == 1500 && orders.watermark.exists(_ > 0))
+    // no execution may SCAN the destination; the write commands mention the
+    // dest path as their output, so look specifically for file scans of it
+    import scala.jdk.CollectionConverters._
+    val destScans = plans.asScala.filter(_.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains(dst)))
+    assert(destScans.isEmpty, s"destination was read back:\n${destScans.mkString("\n---\n")}")
+  }
+
+  test("chunked pull: killed mid-table, resume never rewrites completed ranges") {
+    val tmp = Files.createTempDirectory("xfer").toString
+    val dst = s"$tmp/db"
+    val mpath = s"$tmp/manifest.json"
+    // move only 2 of 4 ranges — the moral equivalent of a crash mid-table
+    val first = Transfer.pullChunked(spark, src, dst, mpath, "orders",
+      chunks = 4, maxChunks = 2)
+    assert(first.size == 2 && first.map(_.table) == Seq("orders/0", "orders/1"))
+    val m1 = streaming.Manifest.load(mpath)
+    assert(m1.isCompleted("orders/0") && m1.isCompleted("orders/1")
+      && !m1.isCompleted("orders/2") && !m1.isCompleted("orders"))
+    val chunk0 = java.nio.file.Paths.get(s"$dst/orders.parquet/chunk_id=0")
+    def fileTimes(p: java.nio.file.Path): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }
+    val before = fileTimes(chunk0)
+    assert(before.nonEmpty)
+    // resume: finishes ranges 2..3 only
+    val second = Transfer.pullChunked(spark, src, dst, mpath, "orders", chunks = 4)
+    assert(second.map(_.table) == Seq("orders/2", "orders/3"))
+    assert(fileTimes(chunk0) == before, "completed range was rewritten on resume")
+    // table now complete: content matches the source, table-level key present
+    val m2 = streaming.Manifest.load(mpath)
+    assert(m2.isCompleted("orders") && m2.watermark("orders").exists(_ > 0))
+    val moved = spark.read.parquet(s"$dst/orders.parquet")
+    val srcOrders = Tables.load(spark, src, "orders")
+    assert(moved.count() == srcOrders.count())
+    assert(moved.select("o_orderkey").except(srcOrders.select("o_orderkey")).count() == 0)
+    // a third invocation has nothing to do
+    assert(Transfer.pullChunked(spark, src, dst, mpath, "orders", chunks = 4).isEmpty)
+  }
+
   test("plan subtracts regex filter, excludes, and completed set like taps") {
     val m = streaming.Manifest.empty.complete("nation", 25L)
     val p = Transfer.plan(Tables.names, Some("ion"), Seq("region"), m)

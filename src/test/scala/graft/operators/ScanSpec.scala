@@ -60,6 +60,21 @@ class ScanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rangeBounds assigns every pk to the same chunk as rangeChunks") {
+    import org.apache.spark.sql.functions.col
+    for ((lo, hi, parts) <- Seq((0L, 1000L, 8), (7L, 1003L, 7), (5L, 6L, 4))) {
+      val bounds = Scan.rangeBounds(lo, hi, parts)
+      assert(bounds.size == parts)
+      val df = ids((hi - lo).toInt).select((col("pk") + lo).as("pk"))
+      val byChunkId = Scan.rangeChunks(df, "pk", lo, hi, parts)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byBounds = df.collect().map(_.getLong(0)).map { pk =>
+        pk -> bounds.indexWhere { case (l, h) => pk >= l && pk < h }
+      }.toMap
+      assert(byBounds == byChunkId, s"lo=$lo hi=$hi parts=$parts")
+    }
+  }
+
   test("access path selection mirrors DataStream.factory") {
     assert(Scan.chooseAccessPath(graft.Tables.metaOf("orders")) == "keyset")
     assert(Scan.chooseAccessPath(graft.Tables.metaOf("lineitem")) == "offset")
