@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
  * (reference `bin/taps`, `lib/taps/cli.rb:120-173`) over [[Transfer]].
  *
  * Usage:
- *   sbt "runMain graft.Pull <srcDir> <dstDir> <manifestPath> \
- *        [--filter <regex>] [--exclude a,b] [--tables a,b]"
+ *   sbt "runMain graft.Pull <srcDir> <dst> <manifestPath> \
+ *        [--filter <regex>] [--exclude a,b] [--tables a,b] [--indexes-first]"
+ *
+ * `dst` is a directory (Parquet landing) or a `jdbc:` URL — the latter runs
+ * the live taps sequence per table: schema, data, indexes, sequences
+ * ([[Transfer.pullToJdbc]]); `--indexes-first` replays indexes BEFORE the
+ * data (`lib/taps/cli.rb:133`, `lib/taps/operation.rb:249-254`).
  *
  * `--tables` is the reference's sugar for an exact-name alternation regex
  * (`lib/taps/cli.rb:137-141`); resume comes free from the manifest: re-run
@@ -36,8 +41,14 @@ object Pull {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val results = Transfer.pull(spark, src, dst, manifest,
-      filterRegex = filter, exclude = exclude)
+    val results =
+      if (dst.startsWith("jdbc:")) {
+        val m0 = streaming.Manifest.load(manifest)
+        val todo = Transfer.plan(Tables.names, filter, exclude, m0)
+        Transfer.pullToJdbc(spark, src, dst, todo,
+          indexesFirst = args.contains("--indexes-first"))
+      } else Transfer.pull(spark, src, dst, manifest,
+        filterRegex = filter, exclude = exclude)
     val secs = (System.nanoTime() - t0) / 1e9
     val moved = results.filterNot(_.skipped)
     val rows = moved.map(_.rows).sum

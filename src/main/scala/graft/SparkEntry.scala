@@ -282,6 +282,30 @@ object SparkEntry {
     "schema_dump" -> ((s, dir) => // Spark type names; rows-only check
       CatalogOps.schemaDump(t(s, dir, "lineitem"))),
 
+    // ── §2.7 LIVE JDBC round-trip (S5/S7/S8/S9) ──────────────────────────
+    // The taps production sequence against a real embedded database (Derby,
+    // in-process): CREATE TABLE DDL executed, data bulk-loaded over JDBC,
+    // index replayed, identity restarted — then the table is read BACK via
+    // a partitioned JDBC scan. The oracle compares that read-back against
+    // the original parquet: a hash match proves the whole round trip is
+    // lossless.
+    "jdbc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Jdbc
+      val url = "jdbc:derby:memory:graft_q;create=true"
+      val table = "nation_rt"
+      val src = t(s, dir, "nation")
+      Jdbc.dropTableIfExists(url, table)
+      Jdbc.execute(url, Jdbc.createTableDdl(src, table, Seq("n_nationkey"), Some(url)))
+      Jdbc.write(src, Jdbc.writeOptions(url, table))
+      Jdbc.execute(url, Jdbc.createIndexDdl(table, "idx_rt_region", Seq("n_regionkey")))
+      val bounds = src.agg(min(col("n_nationkey")).cast("long"),
+        max(col("n_nationkey")).cast("long")).head()
+      val plan = Jdbc.readPlan(url, Tables.TableMeta(table, Seq("n_nationkey")),
+        Some((bounds.getLong(0), bounds.getLong(1))), numPartitions = 4)
+      Jdbc.read(s, plan)
+        .select(src.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }),
+
     // ── §2.4 cube (A7 companion to rollup) ───────────────────────────────
     "agg_cube_status_priority" -> ((s, dir) =>
       t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -621,6 +645,10 @@ object SparkEntry {
     "multimodal_meta_filter" ->
       """SELECT doc_id AS media_id, CAST(length(text) % 640 AS INT) AS width
         | FROM documents WHERE length(text) % 640 >= 100""".stripMargin,
+
+    // read-back through a live Derby database must equal the source table
+    "jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "ext_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,

@@ -192,6 +192,52 @@ object Transfer {
     results
   }
 
+  /** Pull planned tables from Parquet into a LIVE JDBC database — the full
+    * taps pull sequence per table: schema, data, indexes, sequences
+    * (`lib/taps/operation.rb:245-257`, `lib/taps/schema.rb:60-80`).
+    * `indexesFirst` flips index replay ahead of the data load
+    * (`--indexes-first`, `lib/taps/cli.rb:133`). Single integer pks are
+    * created `GENERATED BY DEFAULT AS IDENTITY` and their counter is
+    * restarted past the loaded watermark (S9), so post-transfer inserts
+    * without an explicit pk continue from max(pk)+1 exactly as after taps'
+    * sequence reset.
+    *
+    * Row counts and watermarks come from destination-side aggregates over
+    * the freshly indexed table (taps' verify_stream probes,
+    * `lib/taps/data_stream.rb:329-336`) — never from a second Spark scan.
+    * The data load itself is Spark's distributed JDBC writer: each source
+    * partition opens its own connection and writes `batchsize`-row batches,
+    * so a 1000-executor cluster drives the destination at whatever
+    * parallelism the source layout gives it. */
+  def pullToJdbc(spark: SparkSession, srcDir: String, url: String,
+                 tables: Seq[String],
+                 indexes: Map[String, Seq[sources.Jdbc.IndexDef]] = Map.empty,
+                 indexesFirst: Boolean = false,
+                 batchSize: Int = 1000): Seq[Result] = {
+    import sources.Jdbc
+    tables.map { table =>
+      val meta = Tables.metaOf(table)
+      val df = Tables.load(spark, srcDir, table)
+      val tableIndexes = indexes.getOrElse(table, Nil)
+      val (pre, post) = Jdbc.ddlPlan(df, table, meta, url,
+        tableIndexes, indexesFirst, identityPk = true,
+        typeOverrides = Jdbc.indexedVarcharOverrides(df, tableIndexes))
+      Jdbc.dropTableIfExists(url, table)
+      pre.foreach(Jdbc.execute(url, _))
+      Jdbc.write(df, Jdbc.writeOptions(url, table, batchSize))
+      post.foreach(Jdbc.execute(url, _))
+      val rows = Jdbc.queryLong(url, s"SELECT count(*) FROM $table").getOrElse(0L)
+      val wm =
+        if (meta.singleIntPk)
+          Jdbc.queryLong(url, s"SELECT max(${meta.primaryKey.head}) FROM $table")
+        else None
+      wm.foreach { w =>
+        Jdbc.execute(url, Jdbc.restartIdentitySql(table, meta.primaryKey.head, w + 1))
+      }
+      Result(table, rows, wm, skipped = false)
+    }
+  }
+
   /** Bucketed landing for join-heavy destinations: co-partition a table on
     * its join key at WRITE time so every later equi-join on that key is
     * shuffle-free (bucket-to-bucket, no Exchange on either side when bucket

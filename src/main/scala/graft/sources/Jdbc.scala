@@ -1,6 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.jdbc.JdbcDialects
+import org.apache.spark.sql.types._
 import graft.Tables.TableMeta
 
 /**
@@ -117,12 +121,55 @@ object Jdbc {
   }
 
   /** S6/S7 schema replay: CREATE TABLE DDL from the DataFrame schema —
-    * `Schema.dump_table`'s Spark face (`lib/taps/schema.rb:15-30`). */
-  def createTableDdl(df: DataFrame, table: String, primaryKey: Seq[String]): String = {
-    val cols = df.schema.toDDL
+    * `Schema.dump_table`'s Spark face (`lib/taps/schema.rb:15-30`).
+    *
+    * With a `url`, column types come from the target's `JdbcDialect` (what
+    * Sequel's schema translation does for taps), so the statement actually
+    * executes on that database; without one, Spark's own DDL types are
+    * emitted (a dump for humans, not for a specific engine). `identityPk`
+    * marks a single integer pk `GENERATED BY DEFAULT AS IDENTITY` — the
+    * auto-increment behavior whose counter S9's sequence reset re-syncs
+    * after a bulk load of explicit pk values. */
+  def createTableDdl(df: DataFrame, table: String, primaryKey: Seq[String],
+                     url: Option[String] = None, identityPk: Boolean = false,
+                     typeOverrides: Map[String, String] = Map.empty): String = {
+    val cols = url match {
+      case None => df.schema.toDDL
+      case Some(u) =>
+        df.schema.fields.map { f =>
+          val isPk = primaryKey.contains(f.name)
+          val identity = if (identityPk && isPk && primaryKey.size == 1)
+            " GENERATED BY DEFAULT AS IDENTITY" else ""
+          val notNull = if (isPk || !f.nullable) " NOT NULL" else ""
+          val tpe = typeOverrides.getOrElse(f.name, sqlTypeFor(u, f.dataType))
+          s"${f.name} $tpe$identity$notNull"
+        }.mkString(", ")
+    }
     val pk = if (primaryKey.nonEmpty) s", PRIMARY KEY (${primaryKey.mkString(", ")})" else ""
     s"CREATE TABLE $table ($cols$pk)"
   }
+
+  /** Target-dialect SQL type for a Spark type: the registered `JdbcDialect`
+    * decides first (Derby says CLOB for strings, Postgres says TEXT), with
+    * the standard JDBC mapping as fallback. Complex types (arrays, structs)
+    * have no relational shape and fail loudly — a JDBC destination is not
+    * where embeddings go. */
+  def sqlTypeFor(url: String, dt: DataType): String =
+    JdbcDialects.get(url).getJDBCType(dt).map(_.databaseTypeDefinition).getOrElse(dt match {
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case ShortType | ByteType => "SMALLINT"
+      case BooleanType => "BOOLEAN"
+      case StringType => "TEXT"
+      case BinaryType => "BLOB"
+      case TimestampType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"no JDBC type for Spark type ${other.sql} (url=$url)")
+    })
 
   /** S8 index pass-through: executed against the target AFTER the data load
     * (taps' deferred-index optimization, `lib/taps/operation.rb:249-254`;
@@ -138,4 +185,108 @@ object Jdbc {
   def resetSequenceSql(table: String, pk: String): String =
     s"SELECT setval(pg_get_serial_sequence('$table', '$pk'), " +
       s"coalesce((SELECT max($pk) FROM $table), 0) + 1, false)"
+
+  /** S9, identity-column dialects (Derby/DB2 family): restart the pk's
+    * identity counter past the bulk-loaded maximum — same effect as
+    * Postgres' setval, different spelling. */
+  def restartIdentitySql(table: String, pk: String, next: Long): String =
+    s"ALTER TABLE $table ALTER COLUMN $pk RESTART WITH $next"
+
+  // ---------------------------------------------------------------------
+  // Live execution — the statements above, actually run over java.sql.
+  // taps opens a fresh connection per request (`lib/taps/db_session.rb:13-17`);
+  // each helper here does the same: connect, execute, close.
+  // ---------------------------------------------------------------------
+
+  // Derby (the embedded engine used for integration tests) writes derby.log
+  // to derby.system.home — point it at tmp once, before the first connection
+  private lazy val derbyHome: Unit = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir", "/tmp"))
+  }
+
+  /** Per-request connection, like taps' `Sequel.connect` block. */
+  def withConnection[T](url: String)(f: Connection => T): T = {
+    derbyHome
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Execute one DDL/DML statement against the target. */
+  def execute(url: String, sql: String): Unit =
+    withConnection(url)(_.createStatement().execute(sql))
+
+  /** DROP TABLE that tolerates absence (Derby has no IF EXISTS). */
+  def dropTableIfExists(url: String, table: String): Unit =
+    try execute(url, s"DROP TABLE $table")
+    catch { case _: java.sql.SQLException => () }
+
+  /** Single-value query helper (counts, max(pk) watermarks) — the
+    * destination-side probes taps' verify_stream makes
+    * (`lib/taps/data_stream.rb:329-336`). */
+  def queryLong(url: String, sql: String): Option[Long] =
+    withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery(sql)
+      if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1)) else None
+    }
+
+  /** A secondary index to replay on the destination (S8) —
+    * `Schema.indexes_individual`'s row shape (`lib/taps/schema.rb:42-52`). */
+  final case class IndexDef(name: String, columns: Seq[String], unique: Boolean = false)
+
+  /** The ordered DDL around one table's data load, as (before-data,
+    * after-data) statement lists. Default order is taps' pull sequence —
+    * schema, data, indexes, sequences (`lib/taps/operation.rb:245-257`);
+    * `indexesFirst` replays indexes BEFORE the data (`--indexes-first`,
+    * `lib/taps/cli.rb:133`, `lib/taps/operation.rb:249-254`) for engines
+    * whose bulk loaders backfill indexes cheaply. Pure — unit-testable
+    * without a database; the sequence-reset statement is appended by the
+    * caller once the loaded watermark is known. */
+  def ddlPlan(df: DataFrame, table: String, meta: TableMeta, url: String,
+              indexes: Seq[IndexDef], indexesFirst: Boolean,
+              identityPk: Boolean,
+              typeOverrides: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
+    val create = createTableDdl(df, table, meta.primaryKey, Some(url),
+      identityPk = identityPk && meta.singleIntPk, typeOverrides = typeOverrides)
+    val idx = indexes.map(i => createIndexDdl(table, i.name, i.columns, i.unique))
+    if (indexesFirst) (create +: idx, Nil) else (Seq(create), idx)
+  }
+
+  /** Indexed string columns can't be the dialect's LOB default (Derby: "CLOB
+    * may not be used in CREATE INDEX") — they need a bounded VARCHAR. taps
+    * gets the length from the source schema dump (`lib/taps/schema.rb:15-30`);
+    * Parquet carries no length, so we probe max(length) in ONE aggregate over
+    * the columns that need it and size with 2× headroom (min 256). */
+  def indexedVarcharOverrides(df: DataFrame, indexes: Seq[IndexDef]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, max}
+    val stringCols = indexes.flatMap(_.columns).distinct
+      .filter(c => df.schema.fields.exists(f => f.name == c && f.dataType == StringType))
+    if (stringCols.isEmpty) Map.empty
+    else {
+      val probes = stringCols.map(c => coalesce(max(length(col(c))), lit(0)).as(c))
+      val row = df.agg(probes.head, probes.tail: _*).head()
+      stringCols.zipWithIndex.map { case (c, i) =>
+        c -> s"VARCHAR(${math.max(256, 2 * row.getInt(i))})"
+      }.toMap
+    }
+  }
+
+  /** Batched INSERT executor over a fresh per-call connection — the live
+    * sink for [[adaptiveWriteLoop]] (each batch ≙ one taps POST; the
+    * controller sizes the next one from the observed wall time). */
+  def batchInserter(url: String, table: String, schema: StructType): (Seq[Row], Int) => Unit = {
+    val placeholders = schema.fields.map(_ => "?").mkString(", ")
+    val insert = s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) VALUES ($placeholders)"
+    (batch: Seq[Row], _: Int) =>
+      withConnection(url) { conn =>
+        val ps = conn.prepareStatement(insert)
+        batch.foreach { row =>
+          schema.fields.zipWithIndex.foreach { case (_, i) =>
+            ps.setObject(i + 1, row.get(i))
+          }
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      }
+  }
 }
