@@ -343,10 +343,14 @@ object SparkEntry {
       Multimodal.filterByMeta(
         Multimodal.fromDocuments(t(s, dir, "documents")), "image", 100)
         .select(col("media_id"), col("meta.width").as("width"))),
-    "multimodal_features" -> ((s, dir) => // stub decode; rows-only check
-      Multimodal.extractFeatures(
-        Multimodal.fromDocuments(t(s, dir, "documents")), dims = 8)
-        .select(col("media_id"), col("n_bytes"))),
+    // REAL decode: payloads are genuine PNGs (javax.imageio); the oracle
+    // predicts the dimensions and per-channel pixel means a real decoder
+    // must recover from the bytes.
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.pngFixture(t(s, dir, "documents")), dims = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
     "multimodal_frame_sample" -> ((s, dir) => // binary plumbing; rows-only
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 32, 4)
@@ -362,6 +366,9 @@ object SparkEntry {
       Dedup.nearDupsFused(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)),
     "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+    // md5-hash twin: same vote/assemble circuit, oracle-verified
+    "ext_dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text")),
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
@@ -403,6 +410,9 @@ object SparkEntry {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
     "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 rolling hash; no oracle
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    // md5-hash twin: same rolling 31x fold, oracle-verified
+    "ext_doc_fingerprint_md5" -> ((s, dir) =>
+      TextAnalysis.fingerprintMd5(t(s, dir, "documents"), "doc_id", "text")),
     "ext_text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm"))),
@@ -646,6 +656,17 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(length(text) % 640 AS INT) AS width
         | FROM documents WHERE length(text) % 640 >= 100""".stripMargin,
 
+    // what a REAL decoder must find in the generated PNGs: dimensions and
+    // constant-fill channel means, all pure functions of the generator input
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(4 + doc_id % 13 AS INT) AS width,
+        |  CAST(3 + doc_id % 11 AS INT) AS height,
+        |  CAST(doc_id % 256 AS INT) AS mean_r,
+        |  CAST(length(text) % 256 AS INT) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS INT) AS mean_b
+        | FROM documents""".stripMargin,
+
     // read-back through a live Derby database must equal the source table
     "jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -654,6 +675,8 @@ object SparkEntry {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
+    "ext_doc_fingerprint_md5" -> fingerprintMd5OracleSql,
     "ext_dedup_drop_neardups" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |verified AS (
@@ -757,6 +780,44 @@ object SparkEntry {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM band a JOIN band b
       |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB hex-digit decode: value of the leading `digits` hex chars of
+    * md5(w) as a BIGINT (DuckDB has no conv(); sum per-digit strpos values
+    * instead). Mirrors `conv(substring(md5(w),1,digits),16,10)` in Spark. */
+  private def md5PrefixValueSql(digits: Int): String =
+    (0 until digits).map { i =>
+      val place = BigInt(16).pow(digits - 1 - i)
+      s"(strpos('0123456789abcdef', substr(md5(w),${i + 1},1))-1)*$place"
+    }.mkString(" + ")
+
+  /** DuckDB twin of Dedup.simhashMd5(bits=16): same distinct-token stream,
+    * same per-bit ±1 votes, same sign-assembled hash. */
+  private def simhashMd5OracleSql: String = {
+    val votes = (0 until 16).map(k =>
+      s"SUM(CASE WHEN (v >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
+    val assemble = (0 until 16).map(k =>
+      s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |hv AS (SELECT doc_id, ${md5PrefixValueSql(4)} AS v FROM tok),
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.fingerprintMd5: the ordered rolling fold
+    * h = (h*31 + md5_prefix56(token)) mod 2^57 via list_reduce (initial 0
+    * supplied by list_prepend — list_reduce seeds from the first element). */
+  private def fingerprintMd5OracleSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        list_filter(string_split(lower(text), ' '), w -> w <> ''),
+       |        w -> CAST(${md5PrefixValueSql(14)} AS BIGINT))),
+       |    (acc, x) -> (acc*31 + x) % ${1L << 57}) AS fingerprint
+       |FROM documents""".stripMargin
 
   /** Whole-token occurrence count of `w` in `text` via length differencing —
     * mirrors TextAnalysis.wordOccurrences. */

@@ -237,21 +237,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** X2-adjacent: 64-bit SimHash per doc. For bit k, sum ±1 over tokens
-    * according to bit k of xxhash64(token); simhash bit k = sign of the sum.
-    * One aggregation pass, no pair join. (No oracle — DuckDB lacks
-    * xxhash64; pinned by unit test instead.) */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = tokens(docs, idCol, textCol)
-      .withColumn("h", xxhash64(col("w")))
-    val bitVotes = (0 until 64).map { k =>
+  /** The SimHash bit-vote circuit: `tok` carries (idCol, h); for bit k,
+    * sum ±1 over tokens according to bit k of h; simhash bit k = sign of
+    * the sum. One aggregation pass, no pair join. */
+  private def voteAssemble(tok: DataFrame, idCol: String, bits: Int): DataFrame = {
+    val bitVotes = (0 until bits).map { k =>
       sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"b$k")
     }
     val votes = tok.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val assemble = (0 until 64).map { k =>
+    val assemble = (0 until bits).map { k =>
       when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     votes.select(col(idCol), assemble.as("simhash"))
+  }
+
+  /** X2-adjacent: 64-bit SimHash per doc over xxhash64(token) — the fast
+    * path (xxhash64 is codegen'd and 64-bit wide). No oracle — DuckDB lacks
+    * xxhash64; the circuit itself is oracle-verified via [[simhashMd5]]. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    voteAssemble(
+      tokens(docs, idCol, textCol).withColumn("h", xxhash64(col("w"))),
+      idCol, 64)
+
+  /** Cross-engine twin of [[simhash]]: the token hash is the leading
+    * `ceil(bits/4)` hex digits of md5(token) (DuckDB has md5), so the SAME
+    * vote/assemble circuit gets hash-verified against the oracle. Narrower
+    * than the xxhash64 form by construction — a witness query, not the
+    * production path. */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String,
+                 bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+    val hexDigits = (bits + 3) / 4
+    voteAssemble(
+      tokens(docs, idCol, textCol).withColumn("h",
+        conv(substring(md5(col("w")), 1, hexDigits), 16, 10).cast("long")),
+      idCol, bits)
   }
 
   /** Hamming distance between two simhash values (for near-dup filtering). */

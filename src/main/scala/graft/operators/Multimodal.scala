@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,10 +20,12 @@ import org.apache.spark.sql.types._
  *  - decode runs **per-partition, batch-at-a-time** (`mapPartitions` over an
  *    iterator — the Scala analogue of `mapInPandas`: same batch shape, same
  *    "library runs once per partition, not once per row" economics);
- *  - the decode itself is STUBBED deterministically ([[stubDecode]]) — real
- *    codecs (JPEG/ffmpeg) aren't in this container; the contract
- *    (schema in/out, batching, partitioning) is real and tested, and a real
- *    decoder drops in by replacing one pure function.
+ *  - the image decode is REAL: [[pngFixture]] encodes genuine PNGs with
+ *    `javax.imageio` (ships in the JDK) and [[decodeFeatures]] reads the
+ *    pixels back out — dimensions and channel statistics are verified
+ *    against an oracle that predicts them from the generator inputs.
+ *    Audio/video framing stays a byte-plumbing stand-in ([[sampleFrames]])
+ *    since no media codecs beyond ImageIO exist in this container.
  */
 object Multimodal {
 
@@ -61,34 +67,97 @@ object Multimodal {
   def filterByMeta(df: DataFrame, modality: String, minWidth: Int): DataFrame =
     df.filter(col("meta.modality") === modality && col("meta.width") >= minWidth)
 
-  /** Feature row produced by the (stubbed) decoder. */
+  /** Real-PNG fixture: each document becomes a small genuine PNG whose
+    * dimensions and constant RGB fill are pure functions of
+    * `(doc_id, length(text))`, encoded with `javax.imageio`. Because the
+    * generator inputs are SQL-expressible, a cross-engine oracle can
+    * predict exactly what a real decoder must find in the pixel data —
+    * dimensions AND per-channel means. Encoding runs per-partition
+    * (encoder/stream allocated inside the task, nothing on the driver). */
+  def pngFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), length(col("text")).as("len"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(1)
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 11).toInt
+          val rgb = ((id % 256).toInt << 16) | ((len % 256) << 8) | ((id * 7) % 256).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image", "png", w, h, null))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Feature row produced by the decoder. Decode-stat columns are nullable:
+    * a payload ImageIO can't parse yields nulls instead of failing the job —
+    * at 100 TB corrupt media is routine, and `width IS NULL` is the
+    * quarantine predicate (same raise/quarantine split as Validate). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_r", IntegerType, nullable = true),
+    StructField("mean_g", IntegerType, nullable = true),
+    StructField("mean_b", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true),
   ))
 
-  /** STUB decode/feature-extract: a real implementation decodes the payload
-    * with an image/audio library and emits an embedding; this deterministic
-    * fake folds payload bytes into a fixed-width feature vector. The
-    * *plumbing* — partition-batched iteration, schema contract, no
-    * driver-side collect — is the production shape. */
-  def stubDecode(payload: Array[Byte], dims: Int = 8): Array[Float] = {
-    val acc = new Array[Float](dims)
-    var i = 0
-    while (i < payload.length) { acc(i % dims) += (payload(i) & 0xff) / 255.0f; i += 1 }
-    acc
-  }
-
-  /** Batched feature extraction over partitions (mapInPandas-shaped). */
-  def extractFeatures(df: DataFrame, dims: Int = 8): DataFrame = {
+  /** REAL image decode + feature extraction, batched over partitions
+    * (mapInPandas-shaped): `ImageIO.read` parses the actual PNG bytes and
+    * the pixel loop computes per-channel means (rounded — exact for the
+    * constant-fill fixture) plus a `dims`-bucket luminance histogram as the
+    * feature vector. Per-partition setup (decoder plugin scan) happens once
+    * per task, not once per row; nothing is collected to the driver. */
+  def decodeFeatures(df: DataFrame, dims: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
-      // per-partition setup happens HERE (decoder init, model load) — once
-      // per task, not once per row
+      // ImageIO's plugin registry initializes HERE — once per task
+      ImageIO.setUseCache(false)
       rows.map { r =>
+        val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), payload.length, stubDecode(payload, dims).toSeq)
+        val img = try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, payload.length, null, null, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Float](dims)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val cr = (p >> 16) & 0xff; val cg = (p >> 8) & 0xff; val cb = p & 0xff
+              sr += cr; sg += cg; sb += cb
+              val lum = (cr * 299 + cg * 587 + cb * 114) / 1000
+              hist(math.min(dims - 1, lum * dims / 256)) += 1.0f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toFloat
+          var i = 0
+          while (i < dims) { hist(i) /= n; i += 1 }
+          Row(id, payload.length, w, h,
+            math.round(sr.toDouble / (w * h)).toInt,
+            math.round(sg.toDouble / (w * h)).toInt,
+            math.round(sb.toDouble / (w * h)).toInt,
+            hist.toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, featureSchema)

@@ -109,13 +109,27 @@ object TextAnalysis {
     * corpus scale. Distinguishes permutations that set-based hashes
     * (minhash) collapse. No oracle — DuckDB lacks xxhash64; pinned by unit
     * test. */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val M = 1L << 57
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintWith(docs, idCol, textCol, w => pmod(xxhash64(w), lit(FingerprintMod)))
+
+  /** Cross-engine twin of [[fingerprint]]: the per-token hash is the first
+    * 14 hex digits of md5(token) (< 2^56, so no pmod needed), which DuckDB
+    * can reproduce — the rolling 31x fold itself gets hash-verified against
+    * the oracle. The xxhash64 form stays the production path. */
+  def fingerprintMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintWith(docs, idCol, textCol,
+      w => conv(substring(md5(w), 1, 14), 16, 10).cast("long"))
+
+  /** 2^57: keeps every fold intermediate below 2^63 (ANSI-safe — Spark 4
+    * rejects wrapping overflow) while leaving ample collision resistance. */
+  val FingerprintMod: Long = 1L << 57
+
+  private def fingerprintWith(docs: DataFrame, idCol: String, textCol: String,
+                              tokenHash: Column => Column): DataFrame =
     docs.select(col(idCol),
       aggregate(
         filter(split(lower(col(textCol)), " "), w => w =!= ""),
         lit(0L),
-        (acc, w) => (acc * lit(31L) + pmod(xxhash64(w), lit(M))) % lit(M))
+        (acc, w) => (acc * lit(31L) + tokenHash(w)) % lit(FingerprintMod))
         .as("fingerprint"))
-  }
 }

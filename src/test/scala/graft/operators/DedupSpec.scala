@@ -95,6 +95,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(h == h2) // run-over-run deterministic (fixed hash, no RNG)
   }
 
+  test("simhashMd5 twin: same collision behavior, hash fits the bit width") {
+    val h = Dedup.simhashMd5(docs, "doc_id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(5L)) // same tokens → same simhash
+    assert(h(1L) != h(4L)) // disjoint vocab → different
+    assert(h.values.forall(v => v >= 0L && v < (1L << 16)))
+  }
+
   test("hamming distance: 0 for equal, counts differing bits") {
     import spark.implicits._
     val pairs = Seq((5L, 5L), (0L, 7L)).toDF("a", "b")

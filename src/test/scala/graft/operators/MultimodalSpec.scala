@@ -28,20 +28,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("payload"), s"payload must be pruned out:\n$plan")
   }
 
-  test("stubDecode is deterministic and shape-stable") {
-    val f1 = Multimodal.stubDecode("hello world".getBytes, 8)
-    val f2 = Multimodal.stubDecode("hello world".getBytes, 8)
-    assert(f1.toSeq == f2.toSeq && f1.length == 8)
-    assert(Multimodal.stubDecode(Array.emptyByteArray, 8).toSeq == Seq.fill(8)(0.0f))
+  test("pngFixture emits genuine PNGs; decodeFeatures recovers dims and pixel means") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, "a much longer document body here"),
+      (260L, "x" * 300)).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.pngFixture(docs), dims = 4)
+      .orderBy("media_id").collect()
+    assert(feats.length == 3)
+    // doc 260: w = 4 + 260%13 = 4, h = 3 + 260%11 = 10, r = 260%256 = 4,
+    // g = 300%256 = 44, b = (260*7)%256 = 28 — all read back from real pixels
+    val d = feats(2)
+    assert(d.getInt(2) == 4 && d.getInt(3) == 10)
+    assert(d.getInt(4) == 4 && d.getInt(5) == 44 && d.getInt(6) == 28)
+    // payload really is a PNG (magic bytes), not a repackaged string
+    val payload = Multimodal.pngFixture(docs).filter(col("media_id") === 260L)
+      .head().getAs[Array[Byte]]("payload")
+    assert(payload.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // constant-fill image → luminance histogram has all mass in one bucket
+    assert(d.getSeq[Float](7).sum == 1.0f && d.getSeq[Float](7).max == 1.0f)
   }
 
-  test("extractFeatures: distributed, schema'd, one feature row per media row") {
-    val feats = Multimodal.extractFeatures(media, dims = 4)
-    assert(feats.schema.fieldNames.toSeq == Seq("media_id", "n_bytes", "feature"))
-    val rows = feats.orderBy("media_id").collect()
-    assert(rows.length == 3)
-    assert(rows(0).getInt(1) == 4) // "tiny" = 4 bytes
-    assert(rows.forall(_.getSeq[Float](2).length == 4))
+  test("decodeFeatures quarantines undecodable payloads as nulls, not failures") {
+    import spark.implicits._
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Array[Byte](1, 2, 3),
+        org.apache.spark.sql.Row("image", "png", null, null, null)))
+    val corrupt = spark.createDataFrame(rows, Multimodal.schema)
+    val out = Multimodal.decodeFeatures(corrupt).head()
+    assert(out.getLong(0) == 1L && out.getInt(1) == 3)
+    assert(out.isNullAt(2) && out.isNullAt(7)) // width .. feature all null
   }
 
   test("sampleFrames emits strided fixed-size windows of the payload") {

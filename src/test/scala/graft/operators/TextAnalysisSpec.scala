@@ -86,4 +86,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp(1L) == fp(3L)) // same order → same hash
     assert(fp(1L) != fp(2L)) // permutation → different hash (unlike minhash)
   }
+
+  test("fingerprintMd5 twin: order-sensitive, bounded by the modulus, 0 for no tokens") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprintMd5(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L))
+    assert(fp(3L) == 0L) // token-less doc folds nothing — matches the oracle
+    assert(fp.values.forall(v => v >= 0L && v < TextAnalysis.FingerprintMod))
+  }
 }
