@@ -36,18 +36,41 @@ object CatalogOps {
   def skipCompleted(names: DataFrame, completed: DataFrame): DataFrame =
     names.join(completed, Seq("table_name"), "left_anti")
 
-  /** S2/A1: per-table row counts as one DataFrame. Counts run as CONCURRENT
-    * Spark jobs (driver-side `.par` — the scheduler interleaves them across
-    * executor slots), each a count-star-optimized Parquet scan (row-group
-    * metadata only), so this stays O(metadata) and fully parallel at a
-    * 100k-table metastore. taps counts tables strictly sequentially
-    * (`lib/taps/operation.rb:342-368`) — this is the first free win. */
+  /** S2/A1: per-table row counts from Parquet FOOTER metadata, as ONE
+    * distributed job: table names are parallelized to executors and each
+    * task lists its table's files and sums the row-group counts recorded in
+    * the footers. No row data is read, and the driver schedules exactly one
+    * job no matter how many tables there are — that is what survives a
+    * 100k-table metastore (the earlier shape, one count() job per table
+    * driven from a driver-side `.par` loop, bottlenecks on the driver's
+    * scheduler long before that). taps counts tables strictly sequentially
+    * with SELECT count(*) (`lib/taps/operation.rb:342-368`). */
   def countPerTable(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
     import spark.implicits._
-    import scala.collection.parallel.CollectionConverters._
-    tables.par.map { t =>
-      (t, graft.Tables.load(spark, dir, t).count())
-    }.toList.sortBy(_._1).toDF("table_name", "cnt")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(tables.size, spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(tables, slices).map { t =>
+      (t, parquetRowCount(new org.apache.hadoop.fs.Path(s"$dir/$t.parquet"), hconf.value))
+    }.toDF("table_name", "cnt")
+  }
+
+  /** Footer row count of one table path (a single parquet file or a
+    * directory of part files) — metadata I/O only. */
+  private def parquetRowCount(path: org.apache.hadoop.fs.Path,
+                              conf: org.apache.hadoop.conf.Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val fs = path.getFileSystem(conf)
+    val root = fs.getFileStatus(path)
+    val files =
+      if (root.isDirectory)
+        fs.listStatus(path).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** A3: grand total (`inject(0){|a,c| a+=c}`, `lib/taps/operation.rb:334-336`). */
