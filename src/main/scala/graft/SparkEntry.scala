@@ -372,6 +372,11 @@ object SparkEntry {
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
+    // transitive clustering: connected components over the verified-pair
+    // graph, keep the minimum id per component (oracle = recursive CTE)
+    "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
+      Dedup.dropNearDupsCC(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
+        .select(col("doc_id"))),
 
     // ── §2.11 [EXT] similarity search ────────────────────────────────────
     "ext_cosine_topk" -> ((s, dir) => {
@@ -396,6 +401,19 @@ object SparkEntry {
         .groupBy((col("vec_id") % 4).as("bucket"))
         .agg(graft.functions.Centroid.centroid(col("embedding")).as("centroid"))
         .select(col("bucket"), size(col("centroid")).as("dims"))),
+    // exact twin: fixed-point per-dimension sums. float→double and ×2^20
+    // are EXACT (exponent shift, no rounding), floor is exact, integer sums
+    // are associative — so the distributed centroid arithmetic hash-matches
+    // any engine bit-for-bit (the Centroid Aggregator keeps the float fast
+    // path + unit tests; decimal casts are NOT portable — engines round
+    // float→decimal differently)
+    "ext_embedding_centroid_exact" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 4).as("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long")).as("s"),
+          count(lit(1)).as("n"))),
 
     // ── §2.11 [EXT] text analysis ────────────────────────────────────────
     "ext_text_token_counts" -> ((s, dir) =>
@@ -676,6 +694,16 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
+    "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
+    // zipped unnests align value and position; ×2^20 fixed-point is exact
+    // in IEEE arithmetic, so summation order and engine cannot matter
+    "ext_embedding_centroid_exact" ->
+      """SELECT vec_id % 4 AS bucket, pos,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+        |  COUNT(*) AS n
+        |FROM (SELECT vec_id, unnest(embedding) AS v,
+        |      unnest(range(len(embedding))) AS pos FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "ext_doc_fingerprint_md5" -> fingerprintMd5OracleSql,
     "ext_dedup_drop_neardups" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -818,6 +846,33 @@ object SparkEntry {
        |        w -> CAST(${md5PrefixValueSql(14)} AS BIGINT))),
        |    (acc, x) -> (acc*31 + x) % ${1L << 57}) AS fingerprint
        |FROM documents""".stripMargin
+
+  /** DuckDB twin of Dedup.dropNearDupsCC: verified doc-level pairs →
+    * symmetric edges → transitive closure by recursive CTE → component =
+    * min reachable id → keep a doc iff it IS its component's minimum (docs
+    * outside the graph are kept). The closure is O(Σ component²) rows —
+    * fine for an oracle, which is exactly why the engine side uses
+    * iterative hash-min label propagation instead. */
+  private def dropNearDupsCcOracleSql: String =
+    minhashCandidatesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |verified AS (
+        |  SELECT p.doc_a, p.doc_b FROM pairs p
+        |  JOIN tok a ON a.doc_id = p.doc_a
+        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |  GROUP BY p.doc_a, p.doc_b, sa.n, sb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.n + sb.n - count(*) AS DOUBLE) >= 0.95),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |          UNION SELECT doc_b, doc_a FROM verified),
+        |reach(s, t) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t),
+        |comp AS (SELECT s AS node, min(t) AS component FROM reach GROUP BY s)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin
 
   /** Whole-token occurrence count of `w` in `text` via length differencing —
     * mirrors TextAnalysis.wordOccurrences. */

@@ -207,6 +207,83 @@ object Dedup {
     docs.join(keptReps.unionByName(tokenless), Seq(idCol), "left_semi")
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) edge list by
+    * iterative min-label propagation ("hash-min"): every node starts as its
+    * own label; each round a node takes the min of its own and its
+    * neighbors' labels; fixpoint = every node carries its component's
+    * minimum id. Returns (node, component).
+    *
+    * Scale shape: each round is ONE shuffle (edge⋈label join + groupBy min)
+    * over |edges| rows, and the round count is the graph DIAMETER — for
+    * near-dup graphs (dense clique-ish clusters from shared LSH buckets)
+    * that is small and bounded. `localCheckpoint` truncates the growing
+    * lineage each round (on a cluster, checkpoint to reliable storage
+    * instead). For adversarially long path graphs the alternating
+    * large-star/small-star algorithm (O(log n) rounds) is the upgrade path;
+    * the contract here is the same either way. Converges-or-throws: a
+    * non-converged label map is never returned. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    // seed with round 1 for free: label₀ = min(node, direct neighbors) is
+    // one groupBy over the edge list, no join — saves a full join round
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("node"), least(col("src"), col("__m")).as("component"))
+      .localCheckpoint()
+    // convergence test: labels only ever DECREASE, so the label sum is a
+    // strictly-monotone progress measure — one cheap agg over the freshly
+    // checkpointed round result instead of a join against the previous round
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels.select(col("node").as("dst"), col("component")), "dst")
+        .groupBy(col("src")).agg(min(col("component")).as("__nbr"))
+        .select(col("src").as("node"), col("__nbr"))
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = updated
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** The deduplicated corpus under TRANSITIVE near-dup semantics: cluster
+    * the verified-pair graph into connected components and keep exactly one
+    * doc (the minimum id) per component — strictly stronger than
+    * [[dropNearDups]], which only drops docs directly dominated by a lower
+    * id (A≈C and B≈C with A<B<C keeps A and B there, but only A here).
+    * This is the policy web-scale corpus dedup uses (cluster, keep one).
+    *
+    * Runs CC at rep level — the graph has one node per distinct token SET,
+    * not per doc, so boilerplate clone clusters cost one node. Component
+    * labels are true document minima because each rep is already the min id
+    * of its clone set. Token-less docs are retained (not near-dups of
+    * anything). */
+  def dropNearDupsCC(docs: DataFrame, idCol: String, textCol: String,
+                     seeds: Int = 16, rowsPerBand: Int = 8,
+                     threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
+    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+    val comp = connectedComponents(verified.select(col("doc_a"), col("doc_b")), maxIter)
+    val dropped = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
+      .join(dropped, Seq(idCol), "left_anti")
+    val tokenless = docs.select(col(idCol))
+      .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
+    docs.join(keptReps.unionByName(tokenless), Seq(idCol), "left_semi")
+  }
+
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
     * LSH candidate pairs (never all-pairs). Output keeps pairs with
     * jaccard ≥ threshold. The division is one IEEE double op on two exact

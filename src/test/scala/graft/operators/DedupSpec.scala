@@ -95,6 +95,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(h == h2) // run-over-run deterministic (fixed hash, no RNG)
   }
 
+  test("connectedComponents: min-label propagation across chains, singletons stay") {
+    import spark.implicits._
+    // two components: {1,2,3} (a chain — 1 and 3 not directly joined) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDupsCC collapses transitive near-dups that keep-lowest retains") {
+    import spark.implicits._
+    // c = 40 tokens; a and b each swap ONE different token of c:
+    // jaccard(a,c) = jaccard(b,c) = 39/41 ≈ 0.951, jaccard(a,b) = 38/42 ≈ 0.905
+    val base = (1 to 40).map(i => s"tok$i")
+    val cT = base.mkString(" ")
+    val aT = ("uniqA" +: base.tail).mkString(" ")
+    val bT = (base.init :+ "uniqB").mkString(" ")
+    val docs = Seq((1L, aT), (2L, bT), (3L, cT)).toDF("doc_id", "text")
+    // rowsPerBand=1: every seed its own band — maximal LSH recall so the
+    // candidate set surely contains all three pairs; threshold picks edges
+    val keepLowest = Dedup.dropNearDups(docs, "doc_id", "text", 16, 1, 0.93)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup.dropNearDupsCC(docs, "doc_id", "text", 16, 1, 0.93)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepLowest == Set(1L, 2L)) // 3 dominated by both; 1,2 not adjacent
+    assert(cc == Set(1L))             // one survivor per connected component
+  }
+
   test("simhashMd5 twin: same collision behavior, hash fits the bit width") {
     val h = Dedup.simhashMd5(docs, "doc_id", "text", bits = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
