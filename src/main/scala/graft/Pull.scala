@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
  *
  * Usage:
  *   sbt "runMain graft.Pull <srcDir> <dst> <manifestPath> \
- *        [--filter <regex>] [--exclude a,b] [--tables a,b] [--indexes-first]"
+ *        [--filter <regex>] [--exclude a,b] [--tables a,b] [--indexes-first]
+ *        [--codec zstd|snappy|gzip|lz4|none]"
  *
  * `dst` is a directory (Parquet landing) or a `jdbc:` URL — the latter runs
  * the live taps sequence per table: schema, data, indexes, sequences
@@ -48,7 +49,8 @@ object Pull {
         Transfer.pullToJdbc(spark, src, dst, todo,
           indexesFirst = args.contains("--indexes-first"))
       } else Transfer.pull(spark, src, dst, manifest,
-        filterRegex = filter, exclude = exclude)
+        filterRegex = filter, exclude = exclude,
+        codec = opt("--codec").getOrElse("zstd"))
     val secs = (System.nanoTime() - t0) / 1e9
     val moved = results.filterNot(_.skipped)
     val rows = moved.map(_.rows).sum

@@ -260,6 +260,12 @@ object SparkEntry {
           lit(":secret@host/db"))).as("masked"))),
 
     // ── §2.9 streaming semantics (batch-mode windows over events) ───────
+    // batch twin of Streams.dedupStream: the Deduplicate operator over the
+    // dedup key (key-only projection keeps the surviving-row choice moot)
+    "stream_dedup_keys" -> ((s, dir) =>
+      t(s, dir, "events")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))),
     "stream_tumbling_counts" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes"))
@@ -627,6 +633,8 @@ object SparkEntry {
         |  'mysql://u' || CAST(doc_id AS VARCHAR) || ':secret@host/db',
         |  '://([^:@/]+):[^@/]+@', '://\1:xxxxx@') AS masked FROM documents""".stripMargin,
 
+    "stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "stream_tumbling_counts" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
         | count(*) AS n,

@@ -86,7 +86,11 @@ object Transfer {
         .filterNot(exclude.contains))
 
   /** Pull every planned table from `srcDir` into `dstDir` (Parquet→Parquet
-    * here; swap the read/write for `sources.Jdbc` at the DB edge). Validation
+    * here; swap the read/write for `sources.Jdbc` at the DB edge). `codec`
+    * is taps' compression negotiation (`lib/taps/operation.rb:165-173`)
+    * surfaced where it lives in a Spark pipeline: the landing files ARE the
+    * transport, so the Parquet codec (zstd default — gzip-class ratio at
+    * several times the speed) is the wire compression. Validation
     * runs in quarantine mode: violating rows are diverted, not fatal, unless
     * `strict`. Returns per-table results; the manifest at `manifestPath` is
     * updated after EVERY table (for taps' finer per-chunk checkpoint
@@ -95,7 +99,8 @@ object Transfer {
            tables: Seq[String] = Tables.names,
            filterRegex: Option[String] = None,
            exclude: Seq[String] = Nil,
-           parallelism: Int = 4): Seq[Result] = {
+           parallelism: Int = 4,
+           codec: String = "zstd"): Seq[Result] = {
     import scala.collection.parallel.CollectionConverters._
     val m0 = Manifest.load(manifestPath)
     val todo = plan(tables, filterRegex, exclude, m0)
@@ -112,7 +117,8 @@ object Transfer {
       val df = Tables.load(spark, srcDir, table)
       val (rows, wm) = observedWrite(df, Tables.metaOf(table),
         s"graft_pull_${table}_${metricSeq.incrementAndGet()}", collector) {
-        _.write.mode("overwrite").parquet(s"$dstDir/$table.parquet")
+        _.write.mode("overwrite").option("compression", codec)
+          .parquet(s"$dstDir/$table.parquet")
       }
       lock.synchronized {
         manifest = manifest.complete(table, wm.getOrElse(rows))

@@ -48,6 +48,19 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("session_window.start").as("sess_start"), col("n"))
 
+  /** Streaming exact dedup — X1's unbounded form: drop rows whose dedup key
+    * was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). State is BOUNDED: a key's entry
+    * evicts once event time passes the lateness bound, which is the only
+    * way exact dedup runs forever on an unbounded stream; duplicates that
+    * recur across horizons are the residual a periodic batch pass
+    * ([[graft.operators.Dedup.exact]]) cleans. Batch twin:
+    * `dropDuplicates(keyCols)` (the `stream_dedup_keys` query). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** The streaming form of taps' per-key cursor state (T1/T2): tracks, per
     * key, the high-water mark and row count seen so far — exactly what
     * `DataStreamKeyed` keeps in `state[:filter]`/`state[:offset]`

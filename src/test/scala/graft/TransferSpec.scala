@@ -20,6 +20,25 @@ class TransferSpec extends AnyFunSuite with SparkSpec {
     assert(orders.watermark.isDefined && orders.watermark.get > 0)
   }
 
+  test("pull codec lands in the parquet footers (compression negotiation)") {
+    val tmp = Files.createTempDirectory("xfer_codec").toString
+    Transfer.pull(spark, src, s"$tmp/db", s"$tmp/manifest.json",
+      tables = Seq("nation"), codec = "gzip")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$tmp/db/nation.parquet")
+    val part = p.getFileSystem(conf).listStatus(p)
+      .filter(s => s.getPath.getName.endsWith(".parquet")).head
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(part, conf))
+    try {
+      val codecs = r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+      assert(codecs == Set("GZIP"), s"expected GZIP everywhere, saw $codecs")
+    } finally r.close()
+  }
+
   test("resume skips completed tables (P8) and re-runs converge (T3 idempotence)") {
     val tmp = Files.createTempDirectory("xfer").toString
     val first = Transfer.pull(spark, src, s"$tmp/db", s"$tmp/manifest.json",

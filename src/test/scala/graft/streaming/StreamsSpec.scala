@@ -34,6 +34,28 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-horizon duplicates over a real stream") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.dedupStream(events, "ts", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "click"),
+        (ts("2026-01-01 10:01:00"), 1L, "click"), // dup within horizon → dropped
+        (ts("2026-01-01 10:02:00"), 1L, "view"),
+        (ts("2026-01-01 10:03:00"), 2L, "click"))
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT user_id, event_type FROM dedup ORDER BY user_id, event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("batch-mode twin: tumbling/sliding/session windows agree with hand counts") {
     val sq = spark
     import sq.implicits._
