@@ -361,6 +361,11 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 32, 4)
         .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))),
+    // REAL frame decode: multi-frame GIFs (javax.imageio), every 2nd frame
+    // decoded; the oracle predicts frame count, dims and per-frame gray
+    "multimodal_frame_decode" -> ((s, dir) =>
+      Multimodal.sampleDecodedFrames(
+        Multimodal.gifFixture(t(s, dir, "documents")), stride = 2)),
 
     // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
     "ext_dedup_exact" -> ((s, dir) =>
@@ -440,6 +445,10 @@ object SparkEntry {
     "ext_text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm"))),
+    // the composed pipeline: scrub → normalize → quality gate → exact dedup,
+    // one fused projection + one shuffle; oracle replays every stage
+    "ext_corpus_clean" -> ((s, dir) =>
+      operators.Pipeline.cleanCorpus(t(s, dir, "documents"), "doc_id", "text")),
     "ext_pii_mask" -> ((s, dir) =>
       // plant a synthetic email + long number per doc, then scrub — the
       // fixture corpus itself carries no PII, so the op must prove it
@@ -682,6 +691,16 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(length(text) % 640 AS INT) AS width
         | FROM documents WHERE length(text) % 640 >= 100""".stripMargin,
 
+    // what REAL frame decoding must recover from the generated GIFs: every
+    // 2nd frame of 2+doc_id%5, its dimensions, and its constant gray fill
+    "multimodal_frame_decode" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(3 + doc_id % 5 AS INT) AS width,
+        |  CAST(2 + doc_id % 4 AS INT) AS height,
+        |  CAST((doc_id * 31 + f * 17) % 256 AS INT) AS mean_gray
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 5, 2)) AS f
+        |      FROM documents)""".stripMargin,
+
     // what a REAL decoder must find in the generated PNGs: dimensions and
     // constant-fill channel means, all pure functions of the generator input
     "multimodal_features" ->
@@ -757,6 +776,26 @@ object SparkEntry {
       """SELECT doc_id, trim(regexp_replace(
         |  regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
         |  '\s+', ' ', 'g')) AS norm FROM documents""".stripMargin,
+    // every pipeline stage replayed: scrub regexes, normalize order
+    // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
+    "ext_corpus_clean" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(
+        |      regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\d{7,}', '<NUM>', 'g')),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |q AS (SELECT doc_id, clean_text FROM staged
+        |      WHERE length(clean_text) >= 50 AND alpha >= 0.5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY clean_text)
+        |SELECT q.doc_id, q.clean_text,
+        |  CAST(len(list_filter(string_split(clean_text, ' '), w -> w <> '')) AS INT) AS n_tokens
+        |FROM q JOIN keep USING (doc_id)""".stripMargin,
+
     "ext_pii_mask" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||

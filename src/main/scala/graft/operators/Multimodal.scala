@@ -163,6 +163,97 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Multi-frame (animated GIF) fixture — the closest thing to video the
+    * JDK can encode: each document becomes a `2 + doc_id % 5`-frame GIF
+    * whose frame dimensions and per-frame constant gray fill are pure
+    * functions of (doc_id, frame index), so a cross-engine oracle predicts
+    * what real frame decoding must recover. Encoded per-partition with the
+    * ImageIO sequence writer. */
+  def gifFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 3 + (id % 5).toInt
+        val h = 2 + (id % 4).toInt
+        val nFrames = 2 + (id % 5).toInt
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until nFrames).foreach { i =>
+          val g = ((id * 31 + i * 17) % 256).toInt
+          val rgb = (g << 16) | (g << 8) | g
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row(id, bos.toByteArray, Row("video", "gif", w, h, nFrames * 40L))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Schema of a decoded, sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_gray", IntegerType, nullable = false),
+  ))
+
+  /** REAL frame sampling: parse the multi-frame container with an ImageIO
+    * sequence reader, decode every `stride`-th frame, and emit its
+    * dimensions and mean gray level — per-partition batched, reader
+    * allocated once per payload, nothing on the driver. Undecodable
+    * payloads contribute no frames (same quarantine stance as
+    * [[decodeFeatures]]; count them via an anti-join on media_id). */
+  def sampleDecodedFrames(df: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).iterator.map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              var s = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { s += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+                y += 1
+              }
+              Row(id, i, w, h, math.round(s.toDouble / (w * h)).toInt)
+            }.toVector
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Frame sampling plumbing for video-like payloads: emit every `stride`-th
     * fixed-size window of the payload as a "frame" (a real impl samples
     * decoded frames; the partitioning/explode shape is identical). */

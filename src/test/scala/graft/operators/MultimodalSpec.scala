@@ -59,6 +59,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.isNullAt(2) && out.isNullAt(7)) // width .. feature all null
   }
 
+  test("gifFixture + sampleDecodedFrames: real multi-frame decode, strided") {
+    import spark.implicits._
+    // doc 7: w = 3+7%5 = 5, h = 2+7%4 = 5, frames = 2+7%5 = 4 → stride 2
+    // samples frames 0 and 2; gray(i) = (7*31 + i*17) % 256 = 217, 251
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleDecodedFrames(Multimodal.gifFixture(docs), stride = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((0, 5, 5, 217), (2, 5, 5, 251)))
+    // the payload really is a GIF container
+    val payload = Multimodal.gifFixture(docs).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(6), "US-ASCII").startsWith("GIF8"))
+  }
+
   test("sampleFrames emits strided fixed-size windows of the payload") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       frameBytes = 8, stride = 2)
