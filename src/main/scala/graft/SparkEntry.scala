@@ -407,6 +407,13 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(v, k = 8, iters = 2)
       Similarity.ivfTopK(v, v.filter(col("vec_id") < 10), k = 5, cents, nprobe = 2)
     }),
+    // int8 scalar quantization: calibration stats (driver-bounded by dims)
+    // then a shuffle-free encode pass; codes hash-verified cross-engine
+    "ext_embedding_quantize" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val (mn, mx) = Similarity.dimStats(v)
+      Similarity.quantizeInt8(v, mn, mx)
+    }),
     "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
       t(s, dir, "embeddings")
         .groupBy((col("vec_id") % 4).as("bucket"))
@@ -722,6 +729,16 @@ object SparkEntry {
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
     "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
+    // identical affine-code arithmetic, replayed in the same IEEE op order
+    "ext_embedding_quantize" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        |       FROM ex GROUP BY pos)
+        |SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+        |  CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) END AS code
+        |FROM ex JOIN st ON ex.pos = st.pos""".stripMargin,
+
     // zipped unnests align value and position; ×2^20 fixed-point is exact
     // in IEEE arithmetic, so summation order and engine cannot matter
     "ext_embedding_centroid_exact" ->

@@ -216,13 +216,23 @@ object Dedup {
     * Scale shape: each round is ONE shuffle (edge⋈label join + groupBy min)
     * over |edges| rows, and the round count is the graph DIAMETER — for
     * near-dup graphs (dense clique-ish clusters from shared LSH buckets)
-    * that is small and bounded. `localCheckpoint` truncates the growing
-    * lineage each round (on a cluster, checkpoint to reliable storage
-    * instead). For adversarially long path graphs the alternating
-    * large-star/small-star algorithm (O(log n) rounds) is the upgrade path;
-    * the contract here is the same either way. Converges-or-throws: a
-    * non-converged label map is never returned. */
+    * that is small and bounded. Each round is `localCheckpoint`ed — rounds
+    * execute against materialized blocks with truncated lineage (persist
+    * alone re-optimizes an ever-deeper plan and measured 10× slower) — and
+    * every intermediate's checkpoint RDD is explicitly unpersisted before
+    * returning: checkpoint blocks are invisible to
+    * `spark.catalog.clearCache()`, and leaking them measurably starves
+    * whatever memory-hungry job runs next in the session. For adversarially
+    * long path graphs the alternating large-star/small-star algorithm
+    * (O(log n) rounds) is the upgrade path; the contract here is the same
+    * either way. Converges-or-throws: a non-converged label map is never
+    * returned. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // the RDD materialized by a localCheckpoint — so its blocks can be
+    // freed deterministically instead of waiting on the ContextCleaner
+    def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -251,9 +261,11 @@ object Dedup {
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      checkpointRdds(labels).foreach(_.unpersist(blocking = false))
       labels = updated
       iter += 1
     }
+    checkpointRdds(sym).foreach(_.unpersist(blocking = false))
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

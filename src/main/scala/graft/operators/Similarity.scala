@@ -165,6 +165,47 @@ object Similarity {
 
   /** X2-adjacent near-dup by embedding: pairs with cosine ≥ threshold,
     * bucketed by LSH so the pair join never goes all-pairs. */
+  /** Per-dimension (min, max) over the corpus — the calibration pass for
+    * [[quantizeInt8]]. One explode+groupBy job; only `dims` pairs of doubles
+    * reach the driver (bounded by dimensionality, like the IVF centroids —
+    * NOT by data size). */
+  def dimStats(vecs: DataFrame, vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = vecs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** X3-adjacent: int8 scalar quantization — the standard 4× memory cut for
+    * billion-vector ANN serving. Each dimension maps affinely onto [0,255]:
+    * `code = floor((v − min) · 255 / (max − min) + 0.5)` (constant dims map
+    * to 0). Calibration stats broadcast as array literals; the encode pass
+    * is one codegen'd projection, no shuffle. Exploded (id, pos, code)
+    * output keeps every arithmetic step in exact-replayable IEEE doubles,
+    * so a cross-engine oracle hash-verifies the codes. */
+  def quantizeInt8(vecs: DataFrame, mins: Array[Double], maxs: Array[Double],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    vecs.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos"), {
+        val mn = element_at(mnLit, col("pos") + 1)
+        val mx = element_at(mxLit, col("pos") + 1)
+        when(mx === mn, lit(0))
+          .otherwise(floor((col("v").cast("double") - mn) * lit(255.0) / (mx - mn) + lit(0.5))
+            .cast("int"))
+          .as("code")
+      })
+  }
+
+  /** Dequantize a code back to the bucket midpoint-ish value — the decode
+    * side of [[quantizeInt8]]; max absolute error is (max−min)/255/2 per
+    * dimension (pinned by SimilaritySpec). */
+  def dequantize(code: Column, mn: Column, mx: Column): Column =
+    mn + code.cast("double") * (mx - mn) / lit(255.0)
+
   def embeddingNearDups(vecs: DataFrame, threshold: Double, bits: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = vecs.select(col(idCol), col(vecCol),

@@ -67,4 +67,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(out.get(1L).contains(1.0)) // colinear neighbor always co-buckets
   }
+
+  test("int8 quantization: codes in [0,255], constant dims → 0, roundtrip error bounded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f, -2.0f)),
+      (2L, Seq(1.0f, 5.0f, 2.0f)),
+      (3L, Seq(0.5f, 5.0f, 0.1f)),
+    ).toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.dimStats(vecs)
+    assert(mn.toSeq == Seq(0.0, 5.0, -2.0) && mx.toSeq == Seq(1.0, 5.0, 2.0))
+    val codes = Similarity.quantizeInt8(vecs, mn, mx).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.values.forall(c => c >= 0 && c <= 255))
+    assert(codes((1L, 0)) == 0 && codes((2L, 0)) == 255) // range endpoints
+    assert(codes.filter(_._1._2 == 1).values.forall(_ == 0)) // constant dim
+    // dequantized values stay within half a bucket of the original
+    (0 until 3).foreach { d =>
+      val width = mx(d) - mn(d)
+      vecs.collect().foreach { r =>
+        val v = r.getSeq[Float](1)(d).toDouble
+        val c = codes((r.getLong(0), d))
+        val back = mn(d) + c * width / 255.0
+        assert(math.abs(back - v) <= width / 255.0 / 2 + 1e-9,
+          s"dim $d: $v -> code $c -> $back")
+      }
+    }
+  }
 }
