@@ -270,6 +270,66 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (the MapReduce
+    * CC algorithm of Kiveris et al.) — O(log n) rounds regardless of graph
+    * DIAMETER, where [[connectedComponents]]' hash-min needs O(diameter)
+    * rounds. Near-dup graphs are clique-ish (small diameter), so hash-min
+    * is the default; this is the variant for adversarial long-path graphs.
+    * Same contract: (node, component) with component = min id reachable;
+    * converges-or-throws.
+    *
+    * Each round: LARGE-STAR hangs every neighbor v > u under u's
+    * neighborhood-min, SMALL-STAR re-hangs the v ≤ u side; the edge list
+    * contracts toward a star per component whose center is the minimum.
+    * Convergence = edge multiset stable (count + order-independent hash
+    * signature — one cheap agg per round on the fresh checkpoint). */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 35): DataFrame = {
+    def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = edges
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v ∈ N(u), v > u
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("__nm"))
+        .select(col("u"), least(col("u"), col("__nm")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: canonicalize u > v; m(u) = min(N(u) ∪ {u}) = min(N(u));
+      // emit (x, m) for x ∈ N(u) ∪ {u}, x ≠ m
+      val canon = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val ssMin = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = canon.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      checkpointRdds(e).foreach(_.unpersist(blocking = false))
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint is a star per component: every non-root points at its root
+    e.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
   /** The deduplicated corpus under TRANSITIVE near-dup semantics: cluster
     * the verified-pair graph into connected components and keep exactly one
     * doc (the minimum id) per component — strictly stronger than

@@ -104,6 +104,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star CC equals hash-min CC on seeded random graphs, and on a long path") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 40-node path — diameter 39, the hash-min worst case (still < maxIter)
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starPath = labelsOf(Dedup.connectedComponentsStar(path))
+    assert(starPath.size == 40 && starPath.values.forall(_ == 0L))
+    // seeded random graphs: same components from both algorithms
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = es.toDF("doc_a", "doc_b")
+      val hm = labelsOf(Dedup.connectedComponents(edges))
+      val st = labelsOf(Dedup.connectedComponentsStar(edges))
+      assert(st == hm, s"seed=$seed: star=$st hashmin=$hm")
+    }
+  }
+
   test("dropNearDupsCC collapses transitive near-dups that keep-lowest retains") {
     import spark.implicits._
     // c = 40 tokens; a and b each swap ONE different token of c:
