@@ -26,11 +26,18 @@ object Bench {
     // absorbs its cold-read + JIT cost (~8s observed on the doc corpus)
     Tables.names.foreach(t =>
       Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
-    // …and the hash/tokenize codegen paths (md5/xxhash/explode JIT costs ~8s
-    // the first time they run; charge it to warmup, not the first dedup query)
-    graft.operators.Dedup.minhashPairs(
-      Tables.load(spark, sfDir, "documents").limit(64), "doc_id", "text", 16, 8)
-      .write.format("noop").mode("overwrite").save()
+    // …and the hash/tokenize codegen paths: generated code is cached by
+    // source text, so running the dedup pipelines once over a 64-doc sample
+    // pre-compiles (Janino) and pre-JITs the same classes the measured
+    // queries use — cold-vs-warm deltas of 6–9 s/query charged to warmup,
+    // not to the first dedup query that happens to run
+    val warmDocs = Tables.load(spark, sfDir, "documents").limit(64)
+    Seq(
+      graft.operators.Dedup.nearDupsFused(warmDocs, "doc_id", "text", 16, 8, 0.5),
+      graft.operators.Dedup.dropNearDupsCC(warmDocs, "doc_id", "text", 16, 8, 0.5),
+      graft.operators.Dedup.simhash(warmDocs, "doc_id", "text"),
+    ).foreach(_.write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
       // previous query left behind, and force a GC so the ContextCleaner
@@ -44,20 +51,23 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the full-JSON line compact (≈3 KB for ~90
+    // queries) so tail-limited line capture can still parse it whole
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // the one-line JSON above is long enough that line-based log capture has
-    // truncated it (losing the leading "total" field); also persist it to a
-    // file and echo the headline on its own short line
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's capture: a short headline line, the
+    // full JSON persisted to a file, AND the full JSON as the LAST stdout
+    // line (tail-limited capture keeps the end of the stream)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec"}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+    println(json)
     spark.stop()
   }
 }

@@ -1,20 +1,66 @@
 package graft
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Profile one declared query cold+warm, mirroring Bench's session config
+  * (SPARK_GRAFT_CPUS, default 4; SPARK_GRAFT_SF_DIR, default sf0.1).
+  * Prints job/stage/task-time counters per run — separates fixed
+  * scheduling/planning overhead (many stages, little task time) from real
+  * compute (task time ≈ wall × cores). */
 object BenchOne {
+
+  private class Counters extends SparkListener {
+    val jobs = new AtomicInteger; val stages = new AtomicInteger
+    val tasks = new AtomicInteger; val taskMillis = new AtomicLong
+    val perStage = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]
+    override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.incrementAndGet()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(e.stageInfo.numTasks)
+      taskMillis.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+      perStage.add((e.stageInfo.name.take(90), e.stageInfo.numTasks,
+        e.stageInfo.taskMetrics.executorRunTime))
+    }
+    def topStages(n: Int): String = {
+      import scala.jdk.CollectionConverters._
+      perStage.asScala.toSeq.sortBy(-_._3).take(n)
+        .map { case (nm, t, ms) => f"\n    ${ms / 1e3}%7.1fs $t%4d tasks  $nm" }.mkString
+    }
+    def snap(): String =
+      f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMillis.get / 1e3}%.1fs"
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMillis.set(0); perStage.clear() }
+  }
+
   def main(args: Array[String]): Unit = {
-    val q = args(0); val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val q = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counters = new Counters
+    spark.sparkContext.addSparkListener(counters)
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
-    val t0 = System.nanoTime()
-    SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    println(f"[bench-one] $q ${(System.nanoTime()-t0)/1e9}%.2f s")
-    val t1 = System.nanoTime()
-    SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    println(f"[bench-one] $q warm ${(System.nanoTime()-t1)/1e9}%.2f s")
+    args.drop(1).foreach { prewarm => // optional: queries to run untimed first
+      SparkEntry.queries(prewarm)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    def timed(label: String): Unit = {
+      counters.reset()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[bench-one] $q $label ${(System.nanoTime() - t0) / 1e9}%.2f s  (${counters.snap()})")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    timed("cold")
+    timed("warm")
     spark.stop()
   }
 }

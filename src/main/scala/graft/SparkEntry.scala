@@ -750,11 +750,11 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "ext_doc_fingerprint_md5" -> fingerprintMd5OracleSql,
     "ext_dedup_drop_neardups" -> (minhashCandidatesCte +
-      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |verified AS (
         |  SELECT p.doc_b FROM pairs p
-        |  JOIN tok a ON a.doc_id = p.doc_a
-        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  JOIN hv a ON a.doc_id = p.doc_a
+        |  JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h
         |  JOIN sizes sa ON sa.doc_id = p.doc_a
         |  JOIN sizes sb ON sb.doc_id = p.doc_b
         |  GROUP BY p.doc_a, p.doc_b, sa.n, sb.n
@@ -762,12 +762,12 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM verified)""".stripMargin),
     "ext_dedup_ngram_jaccard" -> (minhashCandidatesCte +
-      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |inter AS (
         |  SELECT p.doc_a, p.doc_b, count(*) AS i
         |  FROM pairs p
-        |  JOIN tok a ON a.doc_id = p.doc_a
-        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  JOIN hv a ON a.doc_id = p.doc_a
+        |  JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h
         |  GROUP BY p.doc_a, p.doc_b)
         |SELECT i2.doc_a, i2.doc_b,
         |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
@@ -855,23 +855,32 @@ object SparkEntry {
   )
 
   /** DuckDB CTE producing minhash LSH candidate pairs — mirrors
-    * Dedup.minhashPairs(seeds=16, rowsPerBand=8) exactly. */
-  private def minhashCandidatesCte: String =
-    """WITH tok AS (
-      |  SELECT DISTINCT doc_id, w FROM (
-      |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
-      |  WHERE w <> ''),
-      |seeds AS (SELECT unnest(range(16)) AS j),
-      |sig AS (
-      |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || w)) AS sig
-      |  FROM tok, seeds GROUP BY doc_id, j),
-      |band AS (
-      |  SELECT doc_id, j // 8 AS band, string_agg(sig, '' ORDER BY j) AS band_sig
-      |  FROM sig GROUP BY doc_id, j // 8),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM band a JOIN band b
-      |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+    * Dedup.minhashPairs(seeds=16, rowsPerBand=8) exactly: one md5 per
+    * token (40-bit prefix value), then the affine 2-universal family
+    * sig_j = min((a_j·h + b_j) mod 2^57) with the identical (a_j, b_j)
+    * literals Dedup.sigAffine generates, '_'-joined per band of 8. */
+  private def minhashCandidatesCte: String = {
+    val seedRows = (0 until 16).map { j =>
+      val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |hv AS (SELECT DISTINCT doc_id, CAST(${md5PrefixValueSql(10)} AS BIGINT) AS h FROM tok),
+       |seeds(j, a, b) AS (VALUES $seedRows),
+       |sig AS (
+       |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
+       |  FROM hv, seeds GROUP BY doc_id, j),
+       |band AS (
+       |  SELECT doc_id, j // 8 AS band,
+       |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+       |  FROM sig GROUP BY doc_id, j // 8),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b
+       |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB hex-digit decode: value of the leading `digits` hex chars of
     * md5(w) as a BIGINT (DuckDB has no conv(); sum per-digit strpos values
@@ -919,11 +928,11 @@ object SparkEntry {
     * iterative hash-min label propagation instead. */
   private def dropNearDupsCcOracleSql: String =
     minhashCandidatesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |verified AS (
         |  SELECT p.doc_a, p.doc_b FROM pairs p
-        |  JOIN tok a ON a.doc_id = p.doc_a
-        |  JOIN tok b ON b.doc_id = p.doc_b AND b.w = a.w
+        |  JOIN hv a ON a.doc_id = p.doc_a
+        |  JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h
         |  JOIN sizes sa ON sa.doc_id = p.doc_a
         |  JOIN sizes sb ON sb.doc_id = p.doc_b
         |  GROUP BY p.doc_a, p.doc_b, sa.n, sb.n

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
  *     256-bit key; at 100 TB this is the cheapest possible dedup and the
  *     shuffle is the theoretical minimum: one row per distinct hash).
  *  2. [[minhashPairs]] — MinHash + LSH banding: near-dup candidates without
- *     the O(n²) pair explosion. Shuffles: tokens→(doc,seed) agg, then
- *     band self-join. Hot bands (boilerplate docs) are the skew risk at
- *     scale — cap band bucket size or salt before the self-join.
+ *     the O(n²) pair explosion. Shuffles: ONE distinct-set aggregation of
+ *     doc-level array rows, then the band self-join — token-level rows
+ *     never cross the wire. Hot bands (boilerplate docs) are the skew risk
+ *     at scale — exact-clone collapse shrinks them by the clone factor.
  *  3. [[simhash]] — 64-bit SimHash per doc; near-dups = small Hamming
  *     distance. One pass, no self-join; pairs found by matching on rotated
  *     bit-blocks (not materialized here).
@@ -26,11 +27,55 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Tokenize: lowercase, split on spaces, drop empties. DISTINCT per doc —
-    * set semantics, the standard for minhash/jaccard. */
+    * set semantics, the standard for minhash/jaccard. The de-dup happens
+    * INSIDE the row (`array_distinct` before the explode), so this is a pure
+    * map — no `.distinct()` shuffle of token-level rows, and the explode
+    * feeds straight into whatever partial aggregation consumes it within
+    * one whole-stage-codegen span. Output is identical to the exploded
+    * global-distinct form: tokens are per-doc distinct either way. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .distinct()
+    docs.select(col(idCol),
+      explode(array_distinct(
+        filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("w"))
+
+  /** Per-doc token SET as one narrow row: sorted distinct token array, the
+    * 40-bit md5-prefix hash of each token, and a set-identity key. This is
+    * the backbone of the minhash pipeline — everything token-heavy happens
+    * HERE, inside whole-stage codegen, with NO token-level shuffle: the
+    * exploded alternative shuffles |docs|×|tokens/doc| rows (≈6M at sf0.1,
+    * 6G at sf100) three times (set-key agg, signature agg, jaccard re-agg),
+    * while this shape shuffles only doc-level rows. The set key joins tokens
+    * with a SPACE (tokens cannot contain one, so the encoding is injective —
+    * concat without a separator would collide e.g. ["ab","c"] with
+    * ["a","bc"]). Docs that tokenize to nothing are excluded (callers retain
+    * them explicitly — they are never near-dups of anything). */
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        array_sort(array_distinct(
+          filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        array_distinct(transform(col("toks"),
+          w => conv(substring(md5(w), 1, 10), 16, 10).cast("long"))).as("__harr"),
+        sha2(concat_ws(" ", col("toks")), 256).as("__set_key"))
+
+  /** 2^57 modulus for the affine signature hashes: intermediates stay below
+    * 2^61 (ANSI-safe) with 40-bit token hashes and 20-bit multipliers. */
+  val SigMod: Long = 1L << 57
+
+  /** The j-th affine hash (a, b) for minhash signatures: sig_j(token) =
+    * (a_j * h40(token) + b_j) mod 2^57 where h40 = first 10 hex digits of
+    * md5(token). One md5 per token total — the per-seed work is two integer
+    * ops, not a fresh digest (the previous scheme computed `seeds` md5s per
+    * token: 16× the hashing for no recall gain). The (a·h+b) mod m family is
+    * the standard 2-universal construction; a_j odd keeps it injective on
+    * the 40-bit domain. Both constants are plain literals so the DuckDB
+    * oracle replays the identical arithmetic. */
+  private[graft] def sigAffine(j: Int): (Long, Long) = {
+    val a = ((2654435761L * (2L * j + 1L)) & 0xFFFFFL) | 1L
+    val b = (BigInt(1442695040888963407L) * (j + 1) % BigInt(SigMod)).toLong
+    (a, b)
+  }
 
   /** X1: exact dedup via sha256 of normalized text. Returns one row per
     * distinct normalized content: (h, keep_id = min doc id, n_dups). */
@@ -44,51 +89,62 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** X2 step 1: minhash signatures. For each of `seeds` hash functions,
-    * sig_j(doc) = min over tokens of md5(j || '|' || token). md5-as-hash
-    * keeps the oracle cross-engine (DuckDB has md5; string min is total
-    * order on hex). Returns (id, j, sig). */
+  /** The j-th affine signature over a token-hash column: (a_j·h + b_j) mod
+    * 2^57 — see [[sigAffine]]. */
+  private def affine(j: Int, h: Column): Column = {
+    val (a, b) = sigAffine(j)
+    (lit(a) * h + lit(b)) % lit(SigMod)
+  }
+
+  /** X2 step 1 (unfused reference path): minhash signatures as (id, j, sig)
+    * rows. sig_j(doc) = min over tokens of the j-th affine hash of the
+    * token's 40-bit md5 prefix — ONE digest per token regardless of seed
+    * count (the old md5-per-seed family recomputed `seeds` digests per
+    * token for no recall gain). Exists for the fused-vs-unfused equivalence
+    * spec; production uses the fused array form in [[minhashPairs]]. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         seeds: Int): DataFrame = {
     val spark = docs.sparkSession
-    val seedsDf = spark.range(seeds).toDF("j")
+    import spark.implicits._
+    val seedsDf = (0 until seeds).map { j =>
+      val (a, b) = sigAffine(j); (j.toLong, a, b)
+    }.toDF("j", "a", "b")
     tokens(docs, idCol, textCol)
+      .withColumn("h", conv(substring(md5(col("w")), 1, 10), 16, 10).cast("long"))
       .crossJoin(broadcast(seedsDf)) // seeds are tiny — broadcast, no shuffle
       .groupBy(col(idCol), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("w")))).as("sig"))
+      .agg(min((col("a") * col("h") + col("b")) % lit(SigMod)).as("sig"))
   }
 
-  /** X2 step 2: LSH banding — concat each band's signatures in seed order
-    * into one band key. Returns (id, band, band_sig). */
+  /** X2 step 2 (unfused reference path): LSH banding — join each band's
+    * signatures in seed order with '_' (signatures are decimal numbers now,
+    * so an unseparated concat would not be injective). Returns
+    * (id, band, band_sig). */
   def minhashBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
     sigs.withColumn("band", expr(s"j div $rowsPerBand"))
       .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("",
+      .agg(array_join(
         transform(array_sort(collect_list(struct(col("j"), col("sig")))),
-          x => x.getField("sig"))).as("band_sig"))
+          x => x.getField("sig").cast("string")), "_").as("band_sig"))
 
-  /** All bands in ONE aggregation pass: the `seeds` per-doc signature mins
-    * compute as a single wide groupBy (16 min-aggs over one shuffle of the
-    * token table) instead of the crossJoin(seeds) 16× row blowup, then each
-    * band key is a seed-order concat of its signature columns. Identical
-    * output to signatures→bands (same mins, same concat order) — pinned by
-    * the fused-vs-unfused spec — at 1/seeds the shuffled rows. */
-  private def bandsWide(tok: DataFrame, idCol: String,
-                        seeds: Int, rowsPerBand: Int): DataFrame = {
-    val sigCols = (0 until seeds).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("w")))).as(s"__sig$j"))
-    val wide = tok.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
-    // ceil division: a trailing partial band must be emitted, exactly as
-    // minhashBands does (band = j div rowsPerBand), or the fused and
-    // unfused paths diverge for seeds % rowsPerBand != 0
+  /** All bands fused into per-set array expressions: each sig_j is an
+    * `array_min(transform(harr, affine_j))` over the set's token-hash array
+    * — NO shuffle at all (the only exchange left in candidate generation is
+    * the band self-join). Identical output to signatures→bands (same mins,
+    * same '_'-joined seed order, ceil-division trailing partial band) —
+    * pinned by the fused-vs-unfused spec. */
+  private def bandsOfSets(sets: DataFrame, idCol: String,
+                          seeds: Int, rowsPerBand: Int): DataFrame = {
     val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
     val bandStructs = (0 until nBands).map { b =>
-      val cols = (b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand))
-        .map(j => col(s"__sig$j"))
-      struct(lit(b.toLong).as("band"), concat(cols: _*).as("band_sig"))
+      val sigs = (b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand))
+        .map(j => array_min(transform(col("__harr"), h => affine(j, h))).cast("string"))
+      struct(lit(b.toLong).as("band"), concat_ws("_", sigs: _*).as("band_sig"))
     }
-    wide.select(col(idCol), explode(array(bandStructs: _*)).as("__bs"))
-      .select(col(idCol), col("__bs.band").as("band"), col("__bs.band_sig").as("band_sig"))
+    sets.select(col(idCol), size(col("__harr")).as("__n"),
+        explode(array(bandStructs: _*)).as("__bs"))
+      .select(col(idCol), col("__n"),
+        col("__bs.band").as("band"), col("__bs.band_sig").as("band_sig"))
   }
 
   /** Candidate pairs from precomputed band keys (self-join on the bucket). */
@@ -101,19 +157,53 @@ object Dedup {
       .distinct()
   }
 
-  /** doc → exact-token-set representative (lowest doc id per distinct set).
-    * The hot-band killer: boilerplate corpora put THOUSANDS of identical-set
-    * docs in one LSH bucket (observed: a 1541-doc bucket → 1.19M pairs from
-    * a single band at sf0.1). Identical sets have identical signatures and
-    * identical jaccard against everything, so the LSH self-join and the
-    * verification only need ONE representative per set — results for the
-    * clones are reconstructed exactly by expansion afterwards. */
-  private def exactSetReps(tok: DataFrame, idCol: String): DataFrame = {
-    val keyed = tok.groupBy(col(idCol))
-      .agg(sha2(concat_ws("", sort_array(collect_set(col("w")))), 256).as("__set_key"))
-    val reps = keyed.groupBy(col("__set_key")).agg(min(col(idCol)).as("__rep"))
-    keyed.join(reps, "__set_key").select(col(idCol), col("__rep"))
+  /** Size-filtered candidate pairs for a verification threshold t: jaccard
+    * ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (i ≤ min and i ≥ t(na+nb−i)),
+    * so pairs failing the size ratio can be dropped BEFORE the distinct
+    * exchange and the intersection join — provably lossless for the
+    * verified output. On a hot ~0.9-similar boilerplate cluster this cuts
+    * the candidate stream 2×+ for the cost of a long comparison. Carries
+    * (doc_a, doc_b, na, nb) so verification reuses the sizes. */
+  private def pairsFromBandsSized(bands: DataFrame, idCol: String,
+                                  threshold: Double): DataFrame = {
+    val a = bands.select(col(idCol).as("doc_a"), col("__n").as("na"),
+      col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("__n").as("nb"),
+      col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .distinct()
   }
+
+  /** One row per DISTINCT token set: (__set_key, __rep = min doc id, toks,
+    * __harr). The hot-band killer: boilerplate corpora put THOUSANDS of
+    * identical-set docs in one LSH bucket (observed: a 1541-doc bucket →
+    * 1.19M pairs from a single band at sf0.1). Identical sets have identical
+    * signatures and identical jaccard against everything, so the LSH
+    * self-join and the verification only need ONE representative per set —
+    * results for the clones are reconstructed exactly by expansion
+    * afterwards. The `first(...)` aggs are deterministic (toks/harr are pure
+    * functions of the grouping key), and partial aggregation collapses
+    * clones MAP-SIDE: the shuffle carries one array per distinct set per
+    * input partition, not one per doc. */
+  private def repSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSets(docs, idCol, textCol)
+      .groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
+
+  /** (doc → rep) map: join each doc's set key against the rep table. The
+    * second tokenization pass is NARROW — column pruning eliminates the
+    * md5-transform (`__harr`) from this branch, so it costs split+sort+sha2
+    * only, cheaper than caching the full array table and competing for
+    * executor memory. */
+  private def docToRep(docs: DataFrame, idCol: String, textCol: String,
+                       reps: DataFrame): DataFrame =
+    tokenSets(docs, idCol, textCol).select(col(idCol), col("__set_key"))
+      .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
+      .select(col(idCol), col("__rep"))
 
   /** All unordered member pairs implied by rep-level pairs: cross-set pairs
     * expand via the two clone lists; same-set pairs are every 2-combination
@@ -142,33 +232,58 @@ object Dedup {
     * shrunk by the clone factor). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val tok = tokens(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val d2r = exactSetReps(tok, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val repToks = tok.join(
-      d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
-    val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
+    val (_, d2r, repPairs) = repPipeline(docs, idCol, textCol, seeds, rowsPerBand)
     expandPairs(repPairs, d2r, idCol)
   }
 
-  /** The full near-dup pipeline fused: tokenize ONCE (persisted — the token
-    * table feeds the signature build, both sides of the intersection join,
-    * and the size table; without the persist Catalyst recomputes the
-    * explode+distinct four times), then LSH candidates, then exact-jaccard
-    * verification. This is the entry real pipelines should use. */
-  /** Shared rep-level pipeline: (doc→rep map, verified rep pairs). */
+  /** Shared rep-level pipeline: the distinct-set table (persisted —
+    * MEMORY_AND_DISK, so memory pressure spills instead of silently
+    * recomputing the whole tokenize+hash chain per consumer), the doc→rep
+    * map, and the LSH candidate pairs between representatives. Every
+    * downstream consumer (candidate expansion, jaccard verification,
+    * keep/drop policies, connected components) works off these three. */
+  private def repPipeline(docs: DataFrame, idCol: String, textCol: String,
+                          seeds: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val reps = repSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // d2r fans out to as many as four consumers (pair expansion joins it
+    // twice, keep/drop policies and token-less retention once each) —
+    // persist the narrow (id, rep) rows or each consumer re-tokenizes
+    val d2r = docToRep(docs, idCol, textCol, reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = pairsFromBands(bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep")
+    (reps, d2r, repPairs)
+  }
+
+  /** Shared rep-level pipeline + verification: (doc→rep map, verified rep
+    * pairs). Verification joins the candidate pairs back to the persisted
+    * set table's token arrays — no re-tokenization, no token-level rows. */
   private def verifiedRepPairs(docs: DataFrame, idCol: String, textCol: String,
                                seeds: Int, rowsPerBand: Int,
                                threshold: Double): (DataFrame, DataFrame) = {
-    val tok = tokens(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val d2r = exactSetReps(tok, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val repToks = tok.join(
-      d2r.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol), "left_semi")
-    val repPairs = pairsFromBands(bandsWide(repToks, idCol, seeds, rowsPerBand), idCol)
-    (d2r, jaccardOn(repToks, idCol, repPairs, threshold))
+    val reps = repSets(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2r = docToRep(docs, idCol, textCol, reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = pairsFromBandsSized(
+      bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep", threshold)
+    // verify on the 40-bit token-hash SETS: long-vs-long intersection is
+    // ~2× cheaper than string arrays and the sizes ride along from the
+    // band join. Jaccard over hash sets equals token jaccard unless two
+    // distinct tokens of one doc collide in 40 bits (~1e-7 per pair) —
+    // and the oracle replays the identical hash-set arithmetic.
+    val arrs = reps.select(col("__rep"), col("__harr"))
+    val verified = sized
+      .join(arrs.select(col("__rep").as("doc_a"), col("__harr").as("ha")), Seq("doc_a"))
+      .join(arrs.select(col("__rep").as("doc_b"), col("__harr").as("hb")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (d2r, verified)
   }
 
   def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
@@ -213,6 +328,13 @@ object Dedup {
     * neighbors' labels; fixpoint = every node carries its component's
     * minimum id. Returns (node, component).
     *
+    * Size-adaptive: below `localThreshold` edges the component solve runs
+    * as a single-pass union-find on the driver (bounded collect, like the
+    * k×dims bound on IVF centroids) — near-dup CC graphs are rep-level and
+    * post-verification, typically thousands of edges even when the corpus
+    * is huge. Above the threshold the distributed hash-min loop below
+    * owns it, so driver memory never scales with data.
+    *
     * Scale shape: each round is ONE shuffle (edge⋈label join + groupBy min)
     * over |edges| rows, and the round count is the graph DIAMETER — for
     * near-dup graphs (dense clique-ish clusters from shared LSH buckets)
@@ -227,7 +349,8 @@ object Dedup {
     * (O(log n) rounds) is the upgrade path; the contract here is the same
     * either way. Converges-or-throws: a non-converged label map is never
     * returned. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          localThreshold: Long = 2L * 1000 * 1000): DataFrame = {
     // the RDD materialized by a localCheckpoint — so its blocks can be
     // freed deterministically instead of waiting on the ContextCleaner
     def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
@@ -236,6 +359,39 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // Near-dup graphs shrink brutally by the time they reach CC (verified
+    // rep-level pairs): when the SYMMETRIZED edge list fits the bounded
+    // driver budget (2·localThreshold longs ≈ 32 MB at the default), a
+    // single-pass union-find beats diameter× distributed rounds, each of
+    // which costs a join + agg + checkpoint barrier. The collect is bounded
+    // by the threshold — big graphs take the distributed loop below, so
+    // driver traffic never scales with data. localThreshold = 0 forces the
+    // distributed path (used by tests; also the right setting when the
+    // driver is memory-starved).
+    if (sym.count() <= 2 * localThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (u, v) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          // union by MIN: the root is always the smallest id seen, so the
+          // final find(x) IS the component minimum — no second pass
+          if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+        }
+      checkpointRdds(sym).foreach(_.unpersist(blocking = false))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.map(n => (n, find(n)))
+        .toDF("node", "component")
+    }
     // seed with round 1 for free: label₀ = min(node, direct neighbors) is
     // one groupBy over the edge list, no join — saves a full join round
     var labels = sym.groupBy(col("src"))
@@ -364,16 +520,23 @@ object Dedup {
                           candidates: DataFrame, threshold: Double): DataFrame =
     jaccardOn(tokens(docs, idCol, textCol), idCol, candidates, threshold)
 
+  /** Adapter for token-level input: aggregate to per-doc arrays once, then
+    * verify via [[jaccardOnArrays]]. */
+  private def jaccardOn(tok: DataFrame, idCol: String,
+                        candidates: DataFrame, threshold: Double): DataFrame = {
+    val arrs = tok.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("w"))).as("toks"))
+    jaccardOnArrays(arrs, idCol, candidates, threshold)
+  }
+
   /** Jaccard over candidate pairs via per-doc token ARRAYS: two joins that
     * move one ~tokens-sized array per candidate side, then a codegen'd
     * `array_intersect` per pair. The alternative — explode both sides and
     * re-group — shuffles |candidates|×|tokens/doc| rows (60M at sf0.1 here);
     * this shape shuffles only |candidates| rows and is the one that survives
     * boilerplate-heavy corpora where LSH buckets run hot. */
-  private def jaccardOn(tok: DataFrame, idCol: String,
-                        candidates: DataFrame, threshold: Double): DataFrame = {
-    val arrs = tok.groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("w"))).as("toks"))
+  private def jaccardOnArrays(arrs: DataFrame, idCol: String,
+                              candidates: DataFrame, threshold: Double): DataFrame = {
     val inter = candidates
       .join(arrs.select(col(idCol).as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(arrs.select(col(idCol).as("doc_b"), col("toks").as("tb")), Seq("doc_b"))

@@ -99,9 +99,15 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // two components: {1,2,3} (a chain — 1 and 3 not directly joined) and {10,11}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // local union-find path (small graph, default threshold)...
+    val local = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(local == expected)
+    // ...and the distributed hash-min loop, forced via localThreshold = 0
+    val dist = Dedup.connectedComponents(edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("star CC equals hash-min CC on seeded random graphs, and on a long path") {
@@ -112,15 +118,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val path = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val starPath = labelsOf(Dedup.connectedComponentsStar(path))
     assert(starPath.size == 40 && starPath.values.forall(_ == 0L))
+    // distributed hash-min walks the full 39-round diameter
+    val hmPath = labelsOf(Dedup.connectedComponents(path, maxIter = 45, localThreshold = 0))
+    assert(hmPath.size == 40 && hmPath.values.forall(_ == 0L))
     // seeded random graphs: same components from both algorithms
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val es = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter { case (a, b) => a != b }
       val edges = es.toDF("doc_a", "doc_b")
-      val hm = labelsOf(Dedup.connectedComponents(edges))
+      val hm = labelsOf(Dedup.connectedComponents(edges, localThreshold = 0))
+      val lo = labelsOf(Dedup.connectedComponents(edges))
       val st = labelsOf(Dedup.connectedComponentsStar(edges))
       assert(st == hm, s"seed=$seed: star=$st hashmin=$hm")
+      assert(lo == hm, s"seed=$seed: local=$lo hashmin=$hm")
     }
   }
 
