@@ -121,6 +121,36 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
     "join_star_5way" -> ((s, dir) => Query.starJoin5Way(s, dir)),
+    // as-of join: each view event picks up the latest purchase value at or
+    // before it for the same user (union + one window pass — shuffle volume
+    // |probe|+|build|, never an inequality nested loop)
+    "join_asof_purchase" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val probe = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // build must be unique per (user, ts): aggregate ties deterministically
+      val build = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      Temporal.asofJoin(probe, build, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("purchase_value"))
+    }),
+    // interval range join: clicks within one hour after a purchase by the
+    // same user (bin-quantized equi-join — no BroadcastNestedLoopJoin)
+    "join_range_purchase_clicks" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hourUs = 3600L * 1000 * 1000
+      val pts = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      val iv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + lit(hourUs)).as("hi"))
+      Temporal.rangeJoinBinned(pts, iv, Seq("user_id"), "t", "lo", "hi", hourUs)
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    }),
 
     // ── SQL-text entry points (same engine, spark.sql surface) ───────────
     "sql_q3_shipping_priority" -> ((s, dir) => {
@@ -388,6 +418,26 @@ object SparkEntry {
     "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
       Dedup.dropNearDupsCC(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
+
+    // ── §2.11 [EXT] sampling / split / curation ──────────────────────────
+    // deterministic hash split: zero-shuffle map, stable under corpus growth
+    "ext_train_test_split" -> ((s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 90)
+        .select(col("doc_id"), col("split"))),
+    // exact stratified sample: ceil(frac*n) per stratum in id-hash order
+    "ext_stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(t(s, dir, "documents"), "source", "doc_id", 0.2)
+        .select(col("doc_id"), col("source"))),
+    // per-domain cap: at most 10 docs per source, lowest ids win
+    "ext_domain_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"))),
+    // Gopher-style repetition quality signal: duplicated-3-gram fraction
+    "ext_ngram_repetition" -> ((s, dir) =>
+      TextAnalysis.ngramRepetition(t(s, dir, "documents"), "doc_id", "text", 3)),
+    // context-window packing: 64-token chunks, ragged tail
+    "ext_doc_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 64)),
 
     // ── §2.11 [EXT] similarity search ────────────────────────────────────
     "ext_cosine_topk" -> ((s, dir) => {
@@ -723,6 +773,69 @@ object SparkEntry {
     "jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
+    // as-of: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union+window formulation (>= because non-strict)
+    "join_asof_purchase" ->
+      """WITH probe AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |              FROM events WHERE event_type = 'view'),
+        |build AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                 max(value) AS purchase_value
+        |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, b.purchase_value
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+    // range join: the plain inequality formulation (fine at oracle scale;
+    // the engine side uses bin quantization precisely because this shape
+    // is O(n*m) per user)
+    "join_range_purchase_clicks" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
+        |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) <
+        |      epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""".stripMargin,
+
+    "ext_train_test_split" ->
+      s"""SELECT doc_id, CASE WHEN (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100 < 90
+         | THEN 'train' ELSE 'test' END AS split FROM documents""".stripMargin,
+    "ext_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 65536 AS hk FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= ceil(0.2 * n)""".stripMargin,
+    "ext_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "ext_ngram_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |  THEN list_transform(range(1, len(tk) - 1),
+        |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |  ELSE [] END AS gr FROM t)
+        |SELECT doc_id, CAST(len(gr) AS INT) AS n_ngrams,
+        |  CAST(len(list_distinct(gr)) AS INT) AS n_distinct,
+        |  CASE WHEN len(gr) > 0
+        |    THEN CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE) / CAST(len(gr) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM g""".stripMargin,
+    "ext_doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |  unnest(range(0, CAST(ceil(len(tk) / 64.0) AS BIGINT))) AS chunk_no
+        |  FROM t WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |  array_to_string(list_slice(tk, chunk_no*64 + 1, chunk_no*64 + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(tk, chunk_no*64 + 1, chunk_no*64 + 64)) AS INT) AS n_tokens
+        |FROM c""".stripMargin,
+
     "ext_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
@@ -883,12 +996,13 @@ object SparkEntry {
   }
 
   /** DuckDB hex-digit decode: value of the leading `digits` hex chars of
-    * md5(w) as a BIGINT (DuckDB has no conv(); sum per-digit strpos values
-    * instead). Mirrors `conv(substring(md5(w),1,digits),16,10)` in Spark. */
-  private def md5PrefixValueSql(digits: Int): String =
+    * md5(`of`) as a BIGINT (DuckDB has no conv(); sum per-digit strpos
+    * values instead). Mirrors `conv(substring(md5(of),1,digits),16,10)`
+    * in Spark. */
+  private def md5PrefixValueSql(digits: Int, of: String = "w"): String =
     (0 until digits).map { i =>
       val place = BigInt(16).pow(digits - 1 - i)
-      s"(strpos('0123456789abcdef', substr(md5(w),${i + 1},1))-1)*$place"
+      s"(strpos('0123456789abcdef', substr(md5($of),${i + 1},1))-1)*$place"
     }.mkString(" + ")
 
   /** DuckDB twin of Dedup.simhashMd5(bits=16): same distinct-token stream,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators the reference (and Spark) lack as built-ins but
+ * every time-series / feature-engineering pipeline needs: the as-of join
+ * (latest build row at or before each probe time) and the interval range
+ * join (points falling inside keyed time windows).
+ *
+ * Both are built so the plan NEVER degenerates into a
+ * BroadcastNestedLoopJoin or a cartesian product — the failure mode of
+ * writing these as raw inequality joins. At 100 TB an inequality-only join
+ * is O(n·m) per key; these formulations are one hash shuffle each:
+ *
+ *  - [[asofJoin]] — union both sides, one window pass per key
+ *    (sort-merge within partitions), emit the carried build values at probe
+ *    rows. Shuffle volume = |probe| + |build|, the theoretical minimum.
+ *  - [[rangeJoinBinned]] — quantize intervals to covering bins, equi-join
+ *    points on (key, bin), post-filter the bounds. Shuffle volume =
+ *    |points| + |intervals|·bins-per-interval; bin width tunes the
+ *    replication-vs-selectivity trade exactly like Flink/Trino interval
+ *    joins and the published DBMS range-join literature.
+ */
+object Temporal {
+
+  /** As-of join: for every probe row, attach `valueCols` from the LATEST
+    * build row with the same `keys` and build time ≤ probe time (or < when
+    * `strict`); probe rows with no earlier build row keep NULLs (left
+    * semantics).
+    *
+    * Single-shuffle formulation: tag and union both sides, then one window
+    * over (keys) ordered by (time, side) computes `last(value, ignoreNulls)`
+    * up to the current row — at a probe row that IS the as-of build value.
+    * Non-strict orders build before probe at equal times (visible); strict
+    * orders it after (invisible).
+    *
+    * `build` must be unique per (keys, time) — aggregate it first (the ties
+    * would otherwise resolve by partition order, which is not
+    * deterministic). Probe columns pass through unchanged; `valueCols` must
+    * not collide with them. */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+               timeCol: String, valueCols: Seq[String],
+               strict: Boolean = false): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(valueCols.intersect(probeCols).isEmpty,
+      s"valueCols ${valueCols.intersect(probeCols)} collide with probe columns")
+    val buildSide = if (strict) 1 else 0 // equal-time build rows visible iff non-strict
+    val probeSide = 1 - buildSide
+    val p = probe.select(probeCols.map(col) ++
+      Seq(lit(probeSide).as("__side")) ++
+      valueCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
+    val b = build.select(
+      probeCols.map(c =>
+        if (keys.contains(c) || c == timeCol) col(c)
+        else lit(null).cast(probe.schema(c).dataType).as(c)) ++
+      Seq(lit(buildSide).as("__side")) ++ valueCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = p.unionByName(b)
+      .select(probeCols.map(col) ++ Seq(col("__side")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("__side") === probeSide).drop("__side")
+  }
+
+  /** Interval range join: rows of `points` paired with every row of
+    * `intervals` sharing `keys` whose [loCol, hiCol) window contains
+    * pointCol (inclusive lo, exclusive hi). All columns are non-negative
+    * longs in the same unit (e.g. epoch microseconds).
+    *
+    * The equi-join key is (keys, bin = value div binWidth): each interval
+    * explodes to the bins it covers, each point maps to exactly one bin, so
+    * a qualifying pair meets in exactly one bucket — no distinct needed —
+    * and Catalyst plans a plain hash shuffle join, never a nested loop.
+    * Pick binWidth ≈ typical interval length: shorter replicates intervals
+    * across more bins, longer packs more non-matches into a bucket for the
+    * post-filter to discard. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // hi is exclusive: an interval ending exactly on a bin boundary does
+    // not reach into that bin, hence (hi - 1) div width for the last bin
+    val iv = intervals
+      .withColumn("__bin", explode(sequence(
+        expr(s"$loCol div $binWidth"),
+        expr(s"greatest($loCol, $hiCol - 1) div $binWidth"))))
+    val pts = points.withColumn("__bin", expr(s"$pointCol div $binWidth"))
+    pts.join(iv, keys :+ "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -132,4 +132,58 @@ object TextAnalysis {
         lit(0L),
         (acc, w) => (acc * lit(31L) + tokenHash(w)) % lit(FingerprintMod))
         .as("fingerprint"))
+
+  /** Ordered (non-distinct) token stream — word order matters here, unlike
+    * the set view dedup uses. */
+  private def tokenStream(textCol: Column): Column =
+    filter(split(lower(textCol), " "), w => w =!= "")
+
+  /** X4 repetition filter (the Gopher/Rae-et-al. quality heuristic):
+    * fraction of duplicated n-grams per document. Boilerplate and
+    * degenerate generations repeat phrases; natural prose mostly doesn't.
+    * Returns (id, n_ngrams, n_distinct, dup_ratio) — callers threshold
+    * dup_ratio. Pure per-row array expressions, zero shuffle; the ratio is
+    * one IEEE double division of exact ints (bit-stable for the oracle). */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokenStream(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).as("n_ngrams"),
+        size(array_distinct(col("__g"))).as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - col("n_distinct")).cast("double") /
+            col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** X4 context-window chunking: split each document's token stream into
+    * consecutive chunks of `chunkSize` tokens (last chunk ragged) — the
+    * packing step before sequence construction in a training pipeline.
+    * One explode per doc, no shuffle; chunk text reassembles with single
+    * spaces (the tokenizer's inverse up to whitespace runs). Token-less
+    * docs produce no chunks. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val toks = tokenStream(col(textCol))
+    docs.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L),
+          floor((size(col("__t")) - lit(1)).cast("double") / lit(chunkSize.toDouble))
+            .cast("long")))
+          .as("chunk_no"))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        array_join(slice(col("__t"),
+          (col("chunk_no") * chunkSize + 1).cast("int"), lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("__t"),
+          (col("chunk_no") * chunkSize + 1).cast("int"), lit(chunkSize))).as("n_tokens"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Deterministic sampling/split semantics. */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (1L to 400L).map(i => (i, s"grp${i % 4}")).toDF("id", "grp")
+  }
+
+  test("hashSplit is deterministic, covers every row, and lands near the target") {
+    val s1 = Sampling.hashSplit(docs, "id", 90)
+    val s2 = Sampling.hashSplit(docs, "id", 90)
+    assert(s1.collect().toSeq.sortBy(_.getLong(0)) ==
+      s2.collect().toSeq.sortBy(_.getLong(0)))
+    val n = s1.count()
+    val train = s1.filter(col("split") === "train").count()
+    assert(n == 400)
+    assert(train > 320 && train < 400) // 90% ± hash noise on 400 rows
+  }
+
+  test("hashSplit assignment is stable under corpus growth (no leakage flips)") {
+    val small = Sampling.hashSplit(docs.filter(col("id") <= 100), "id", 90)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val big = Sampling.hashSplit(docs, "id", 90)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    small.foreach { case (id, split) => assert(big(id) == split) }
+  }
+
+  test("stratified keeps exactly ceil(frac*n) rows per stratum, deterministically") {
+    val out = Sampling.stratified(docs, "grp", "id", 0.2)
+    val perGroup = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100 rows per group -> exactly 20 kept
+    assert(perGroup.values.toSet == Set(20L) && perGroup.size == 4)
+    assert(out.collect().toSeq.sortBy(_.getLong(0)) ==
+      Sampling.stratified(docs, "grp", "id", 0.2).collect().toSeq.sortBy(_.getLong(0)))
+  }
+
+  test("stratified frac=1 keeps everything; frac=0 keeps nothing") {
+    assert(Sampling.stratified(docs, "grp", "id", 1.0).count() == 400)
+    assert(Sampling.stratified(docs, "grp", "id", 0.0).count() == 0)
+  }
+
+  test("capPerGroup keeps at most n rows per group, lowest order first") {
+    val out = Sampling.capPerGroup(docs, "grp", "id", 5)
+    val byGroup = out.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byGroup.values.forall(_.size == 5))
+    // grp0 holds ids 4,8,12,... -> lowest five
+    assert(byGroup("grp0") == Seq(4L, 8L, 12L, 16L, 20L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** As-of and binned range join semantics on crafted timelines. */
+class TemporalSpec extends AnyFunSuite with SparkSpec {
+
+  test("asofJoin picks the latest build row at or before each probe time") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 10L), (2L, 1L, 25L), (3L, 2L, 5L))
+      .toDF("event_id", "k", "t")
+    val build = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 50L, "z"))
+      .toDF("k", "t", "v")
+    val out = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    // probe@10 sees build@10 (non-strict equality visible); probe@25 sees
+    // build@20; probe(k=2)@5 has no earlier build -> null
+    assert(out == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+  }
+
+  test("asofJoin strict excludes the equal-time build row") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 10L)).toDF("event_id", "k", "t")
+    val build = Seq((1L, 10L, "same"), (1L, 7L, "earlier")).toDF("k", "t", "v")
+    val strict = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v"), strict = true)
+      .collect().map(_.getString(3))
+    assert(strict.toSeq == Seq("earlier"))
+  }
+
+  test("rangeJoinBinned: inclusive lo, exclusive hi, multi-bin spans, no dup pairs") {
+    import spark.implicits._
+    val pts = Seq((10L, 1L, 100L), (11L, 1L, 150L), (12L, 1L, 199L),
+      (13L, 1L, 200L), (14L, 2L, 150L)).toDF("pid", "k", "t")
+    // interval [100, 200) for k=1 spans bins 1..3 at width 64
+    val iv = Seq((90L, 1L, 100L, 200L)).toDF("iid", "k", "lo", "hi")
+    val out = Temporal.rangeJoinBinned(pts, iv, Seq("k"), "t", "lo", "hi", 64L)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    // 100 in (lo inclusive), 199 in, 200 out (hi exclusive), k=2 out
+    assert(out == Seq(10L, 11L, 12L))
+  }
+
+  test("rangeJoinBinned plans a hash join, not a nested loop") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L, 5L)).toDF("pid", "k", "t")
+    val iv = Seq((2L, 1L, 0L, 10L)).toDF("iid", "k", "lo", "hi")
+    val plan = Temporal.rangeJoinBinned(pts, iv, Seq("k"), "t", "lo", "hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"inequality join degenerated to a nested loop:\n$plan")
+  }
+
+  test("asofJoin matches a per-row subquery oracle on a seeded random timeline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val probe = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val build = (1 to 100).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      // unique per (k, t): keep max v
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    val out = Temporal.asofJoin(
+      probe.toDF("event_id", "k", "t"), build.toDF("k", "t", "v"),
+      Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val expected = probe.map { case (id, k, t) =>
+      val cands = build.filter(b => b._1 == k && b._2 <= t)
+      id -> (if (cands.isEmpty) -1L else cands.maxBy(_._2)._3)
+    }.toMap
+    assert(out == expected)
+  }
+}

@@ -97,4 +97,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(fp(3L) == 0L) // token-less doc folds nothing — matches the oracle
     assert(fp.values.forall(v => v >= 0L && v < TextAnalysis.FingerprintMod))
   }
+
+  test("ngramRepetition: repeated phrases raise dup_ratio; short docs are 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"),      // 7 grams, 3 distinct -> 4/7 dup
+      (2L, "one two three four"),     // 2 grams, all distinct -> 0.0
+      (3L, "x y"),                    // under 3 tokens -> no grams, 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((7, 3, 4.0 / 7.0)))
+    assert(out(2L) == ((2, 2, 0.0)))
+    assert(out(3L) == ((0, 0, 0.0)))
+  }
+
+  test("chunkTokens: ragged tail, order preserved, token-less docs dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "only"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.filter(_._1 == 1L).sortBy(_._2).toSeq == Seq(
+      (1L, 0, "t1 t2", 2), (1L, 1, "t3 t4", 2), (1L, 2, "t5", 1)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "only", 1)))
+    assert(!out.exists(_._1 == 3L))
+  }
 }
