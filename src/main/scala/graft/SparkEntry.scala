@@ -346,6 +346,23 @@ object SparkEntry {
     "agg_cube_status_priority" -> ((s, dir) =>
       t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))),
+    // pivot: status columns per priority (explicit value list — no extra
+    // distinct-scan job; fixed column order for the oracle)
+    "agg_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          col("F").as("sum_f"), col("O").as("sum_o"), col("P").as("sum_p"))),
+    // unpivot (melt): wide metric columns to (orderkey, metric, value) rows
+    "agg_unpivot_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")), "metric", "value")),
     "sql_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""
@@ -438,6 +455,15 @@ object SparkEntry {
     // context-window packing: 64-token chunks, ragged tail
     "ext_doc_chunk" -> ((s, dir) =>
       TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 64)),
+    // concatenate-and-chop packing of those chunks into 256-token context
+    // windows, parallel per source domain
+    "ext_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 64)
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id"),
+        "source", Seq("doc_id", "chunk_no"), "n_tokens", 256)
+        .select(col("source"), col("doc_id"), col("chunk_no"),
+          col("start_offset"), col("window_id"))),
 
     // ── §2.11 [EXT] similarity search ────────────────────────────────────
     "ext_cosine_topk" -> ((s, dir) => {
@@ -795,6 +821,37 @@ object SparkEntry {
         |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) <
         |      epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""".stripMargin,
 
+    // pivot via portable conditional aggregation (same decimal-sum trick
+    // as the other double sums)
+    "agg_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_unpivot_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey <= 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
+    "ext_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tk,
+        |  unnest(range(0, CAST(ceil(len(tk) / 64.0) AS BIGINT))) AS chunk_no
+        |  FROM t WHERE len(tk) > 0),
+        |ch AS (SELECT doc_id, source, CAST(chunk_no AS INT) AS chunk_no,
+        |  CAST(len(list_slice(tk, chunk_no*64 + 1, chunk_no*64 + 64)) AS INT) AS n_tokens
+        |  FROM c),
+        |acc AS (SELECT source, doc_id, chunk_no, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e FROM ch)
+        |SELECT source, doc_id, chunk_no,
+        |  CAST(e - n_tokens AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(e - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS window_id
+        |FROM acc""".stripMargin,
     "ext_train_test_split" ->
       s"""SELECT doc_id, CASE WHEN (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100 < 90
          | THEN 'train' ELSE 'test' END AS split FROM documents""".stripMargin,

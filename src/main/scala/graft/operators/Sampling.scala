@@ -55,6 +55,30 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Concatenate-and-chop sequence packing, per group: order each group's
+    * chunks by `orderCols`, accumulate token counts, and assign every chunk
+    * to context window floor(start_offset / capacity) — the standard LLM
+    * pre-training packing step (documents are concatenated into a token
+    * stream and sliced at the context boundary; a chunk straddling the
+    * boundary belongs to the window its first token lands in). Partitioned
+    * by `groupCol`, so the window pass parallelizes across groups instead
+    * of collapsing to a single global sort (domains/shards are the natural
+    * packing unit at corpus scale). Emits (group, window_id, start_offset)
+    * per input row. */
+  def packSequences(chunks: DataFrame, groupCol: String, orderCols: Seq[String],
+                    tokenCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__end", sum(col(tokenCol)).over(w))
+      .withColumn("start_offset", (col("__end") - col(tokenCol)).cast("long"))
+      .withColumn("window_id",
+        floor(col("start_offset").cast("double") / lit(capacity.toDouble)).cast("long"))
+      .drop("__end")
+  }
+
   /** Per-group cap: keep at most `n` rows per group, lowest `orderCol`
     * first (corpus curation: "at most N documents per domain"). One window
     * shuffle; Spark inserts WindowGroupLimit so per-partition top-n prunes

@@ -118,6 +118,25 @@ object Streams {
           else Iterator.empty
       }
 
+  /** Stream-stream interval join (the unbounded form of
+    * [[graft.operators.Temporal.rangeJoinBinned]]'s fixture query): left
+    * rows pair with right rows of the same key whose event time falls in
+    * [left.ts, left.ts + window). Both sides carry watermarks, and the
+    * time-bound join condition is what lets Spark EVICT buffered state —
+    * an unbounded stream-stream join without a time bound grows state
+    * forever. Batch twin: `join_range_purchase_clicks` (oracle-checked);
+    * in batch mode the same plan is an ordinary range join. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, window: String,
+                         lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness).alias("l")
+    val r = right.withWatermark(tsCol, lateness).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") < col(s"l.$tsCol") + expr(s"INTERVAL $window"))
+  }
+
   /** readStream → transform → writeStream harness over a Parquet directory
     * source — the file-native analogue of taps' chunked pull. Exactly-once:
     * the file sink commits atomically per batch, checkpoint carries offsets

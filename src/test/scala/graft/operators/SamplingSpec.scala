@@ -54,4 +54,20 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // grp0 holds ids 4,8,12,... -> lowest five
     assert(byGroup("grp0") == Seq(4L, 8L, 12L, 16L, 20L))
   }
+
+  test("packSequences: offsets accumulate per group; window = start div capacity") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("s1", 1L, 0, 64), ("s1", 1L, 1, 64), ("s1", 2L, 0, 64),
+      ("s1", 2L, 1, 10), ("s1", 3L, 0, 64), ("s2", 9L, 0, 5),
+    ).toDF("source", "doc_id", "chunk_no", "n_tokens")
+    val out = Sampling.packSequences(chunks, "source", Seq("doc_id", "chunk_no"),
+        "n_tokens", 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(4), r.getLong(5))).sortBy(x => (x._1, x._4))
+    // s1 stream offsets: 0,64,128,192,202 -> windows 0,0,1,1,1; s2 restarts at 0
+    assert(out.toSeq == Seq(
+      ("s1", 1L, 0, 0L, 0L), ("s1", 1L, 1, 64L, 0L), ("s1", 2L, 0, 128L, 1L),
+      ("s1", 2L, 1, 192L, 1L), ("s1", 3L, 0, 202L, 1L), ("s2", 9L, 0, 0L, 0L)))
+  }
 }

@@ -56,6 +56,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream pairs right rows inside the left row's window, over a real stream") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val lm = MemoryStream[(Timestamp, Long, Long)]
+    val rm = MemoryStream[(Timestamp, Long, Long)]
+    val left = lm.toDF().toDF("ts", "user_id", "purchase_id")
+    val right = rm.toDF().toDF("ts", "user_id", "click_id")
+    val q = Streams.intervalJoinStream(left, right, "user_id", "ts", "1 HOUR")
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      lm.addData((ts("2026-01-01 10:00:00"), 1L, 100L))
+      rm.addData(
+        (ts("2026-01-01 10:00:00"), 1L, 200L), // boundary: inclusive lo
+        (ts("2026-01-01 10:59:00"), 1L, 201L), // inside
+        (ts("2026-01-01 11:00:00"), 1L, 202L), // boundary: exclusive hi
+        (ts("2026-01-01 10:30:00"), 2L, 203L)) // other user
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT purchase_id, click_id FROM ivjoin ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((100L, 200L), (100L, 201L)))
+    } finally q.stop()
+  }
+
   test("batch-mode twin: tumbling/sliding/session windows agree with hand counts") {
     val sq = spark
     import sq.implicits._
