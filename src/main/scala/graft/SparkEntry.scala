@@ -408,6 +408,11 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 32, 4)
         .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))),
+    // REAL audio decode: genuine PCM WAVs (javax.sound.sampled) parsed
+    // back to integer-exact amplitude statistics the oracle predicts
+    "multimodal_audio_features" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.wavFixture(t(s, dir, "documents")))),
     // REAL frame decode: multi-frame GIFs (javax.imageio), every 2nd frame
     // decoded; the oracle predicts frame count, dims and per-frame gray
     "multimodal_frame_decode" -> ((s, dir) =>
@@ -852,6 +857,19 @@ object SparkEntry {
         |  CAST(e - n_tokens AS BIGINT) AS start_offset,
         |  CAST(floor(CAST(e - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS window_id
         |FROM acc""".stripMargin,
+    // what a real WAV decoder must recover from the generated payloads:
+    // sample_i = (id*31 + i*7) % 2001 - 1000, n = 50 + id % 100, 8 kHz
+    "multimodal_audio_features" ->
+      """WITH d AS (SELECT doc_id AS media_id, CAST(50 + doc_id % 100 AS INT) AS n
+        |           FROM documents),
+        |s AS (SELECT media_id, n,
+        |  list_transform(range(0, n),
+        |    i -> abs((media_id*31 + i*7) % 2001 - 1000)) AS a FROM d)
+        |SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_max(a) AS INT) AS max_abs,
+        |  CAST(list_sum(a) AS BIGINT) AS sum_abs
+        |FROM s""".stripMargin,
     "ext_train_test_split" ->
       s"""SELECT doc_id, CASE WHEN (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100 < 90
          | THEN 'train' ELSE 'test' END AS split FROM documents""".stripMargin,

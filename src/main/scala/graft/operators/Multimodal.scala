@@ -24,8 +24,13 @@ import org.apache.spark.sql.types._
  *    `javax.imageio` (ships in the JDK) and [[decodeFeatures]] reads the
  *    pixels back out — dimensions and channel statistics are verified
  *    against an oracle that predicts them from the generator inputs.
- *    Audio/video framing stays a byte-plumbing stand-in ([[sampleFrames]])
- *    since no media codecs beyond ImageIO exist in this container.
+ *    the audio decode is REAL too: [[wavFixture]] encodes genuine 16-bit
+ *    PCM WAVs with `javax.sound.sampled` and [[decodeAudioFeatures]] parses
+ *    them back (container + sample statistics, oracle-predicted);
+ *    compressed-video framing stays a byte-plumbing stand-in
+ *    ([[sampleFrames]]) since no video codecs exist in this container —
+ *    the decoded-frame path is exercised for real on animated GIFs
+ *    ([[sampleDecodedFrames]]).
  */
 object Multimodal {
 
@@ -252,6 +257,92 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Real-WAV fixture: each document becomes a genuine 16-bit PCM mono WAV
+    * (8 kHz) whose sample values are a pure integer function of
+    * (doc_id, sample index) — sample_i = (id·31 + i·7) mod 2001 − 1000 —
+    * encoded with `javax.sound.sampled` (ships in the JDK). As with
+    * [[pngFixture]], SQL-expressible generator inputs mean a cross-engine
+    * oracle can predict exactly what a real audio decoder must recover:
+    * sample count, duration, and integer amplitude statistics. */
+  def wavFixture(docs: DataFrame): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 50 + (id % 100).toInt
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val sample = (((id * 31 + i * 7) % 2001) - 1000).toShort
+          data(2 * i) = (sample & 0xff).toByte
+          data(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM signed LE
+        val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, Row("audio", "wav", null, null, n * 1000L / 8000))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Schema of decoded audio features. Integer-exact on purpose: sum/max of
+    * absolute amplitudes instead of a floating RMS, so the oracle comparison
+    * has no rounding seam. Nullable stats = quarantine for undecodable
+    * payloads, as in [[decodeFeatures]]. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("max_abs", IntegerType, nullable = true),
+    StructField("sum_abs", LongType, nullable = true),
+  ))
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the WAV
+    * container (format chunk, sample rate, encoding), then the 16-bit LE
+    * PCM frames are folded into amplitude statistics — per-partition
+    * batched like every decoder here, nothing on the driver. Undecodable
+    * payloads yield null stats (quarantine predicate: `n_samples IS
+    * NULL`). */
+  def decodeAudioFeatures(df: DataFrame): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val spark = df.sparkSession
+    val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val rate = fmt.getSampleRate.toInt
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          var sumAbs = 0L
+          var maxAbs = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // sign-extends: high byte carries sign
+            val sample = (hi << 8) | lo
+            val a = math.abs(sample)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(id, rate, n, n * 1000L / rate, maxAbs, sumAbs)
+        } catch {
+          case _: Exception => Row(id, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Frame sampling plumbing for video-like payloads: emit every `stride`-th

@@ -88,4 +88,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .select(length(col("payload"))).collect().map(_.getInt(0))
     assert(out.forall(_ == 16))
   }
+
+  test("wavFixture emits genuine WAVs; decodeAudioFeatures recovers the signal stats") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (12L, "y")).toDF("doc_id", "text")
+    val wavs = graft.operators.Multimodal.wavFixture(docs)
+    // RIFF/WAVE magic — these are real containers, not tagged bytes
+    val head = wavs.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    head.foreach { case (_, b) =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val feats = graft.operators.Multimodal.decodeAudioFeatures(wavs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    def expect(id: Long) = {
+      val n = 50 + (id % 100).toInt
+      val amps = (0 until n).map(i => math.abs((id * 31 + i * 7) % 2001 - 1000))
+      (8000, n, n * 1000L / 8000, amps.max.toInt, amps.sum)
+    }
+    assert(feats(5L) == expect(5L))
+    assert(feats(12L) == expect(12L))
+  }
+
+  test("decodeAudioFeatures quarantines undecodable payloads as nulls") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3), "x")).toDF("media_id", "payload", "pad")
+    val out = graft.operators.Multimodal.decodeAudioFeatures(junk).collect()
+    assert(out.length == 1 && out(0).isNullAt(2))
+  }
 }
