@@ -375,6 +375,12 @@ object SparkEntry {
       // linear interpolation between the two middle values
       t(s, dir, "orders").agg(
         expr("percentile(o_totalprice, 0.5)").as("median_price"))),
+    // per-group exact percentiles (the grouped form of the median proof)
+    "agg_percentile_by_status" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))),
     "agg_stddev_price" -> ((s, dir) => {
       // partition-order-safe stddev: exact decimal sums of x and x², one
       // double sqrt at the end — bit-stable across engines and partitionings
@@ -769,6 +775,11 @@ object SparkEntry {
         | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "agg_median_price" ->
       "SELECT quantile_cont(o_totalprice, 0.5) AS median_price FROM orders",
+    "agg_percentile_by_status" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.25) AS p25,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.75) AS p75
+        | FROM orders GROUP BY 1""".stripMargin,
     "agg_stddev_price" ->
       """SELECT round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) -
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) *
