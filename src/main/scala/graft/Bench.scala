@@ -53,7 +53,8 @@ object Bench {
     }
     // 3-decimal seconds keep the full-JSON line compact (≈3 KB for ~90
     // queries) so tail-limited line capture can still parse it whole
-    def s3(v: Double): String = f"$v%.3f"
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,6 +1,5 @@
 package graft
-import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
@@ -54,7 +53,9 @@ object BenchOne {
       counters.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[bench-one] $q $label ${(System.nanoTime() - t0) / 1e9}%.2f s  (${counters.snap()})")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus is async — let the tail events drain
+      println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
       spark.catalog.clearCache()
       System.gc()

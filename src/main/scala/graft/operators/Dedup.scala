@@ -262,10 +262,9 @@ object Dedup {
   private def verifiedRepPairs(docs: DataFrame, idCol: String, textCol: String,
                                seeds: Int, rowsPerBand: Int,
                                threshold: Double): (DataFrame, DataFrame) = {
-    val reps = repSets(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d2r = docToRep(docs, idCol, textCol, reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reuse the shared pipeline's persist wiring; its unfiltered repPairs is
+    // lazy and never executed here — the size-filtered build below replaces it
+    val (reps, d2r, _) = repPipeline(docs, idCol, textCol, seeds, rowsPerBand)
     val sized = pairsFromBandsSized(
       bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep", threshold)
     // verify on the 40-bit token-hash SETS: long-vs-long intersection is
@@ -368,7 +367,13 @@ object Dedup {
     // driver traffic never scales with data. localThreshold = 0 forces the
     // distributed path (used by tests; also the right setting when the
     // driver is memory-starved).
-    if (sym.count() <= 2 * localThreshold) {
+    val idType = edges.schema("doc_a").dataType
+    val integralIds = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false // string/decimal ids take the distributed loop (min/least handles any ordered type)
+    }
+    if (integralIds && sym.count() <= 2 * localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -389,8 +394,12 @@ object Dedup {
       checkpointRdds(sym).foreach(_.unpersist(blocking = false))
       val spark = edges.sparkSession
       import spark.implicits._
+      // cast back so the output schema matches the distributed path (the
+      // input id type), whatever the graph size was
       return parent.keys.toSeq.map(n => (n, find(n)))
         .toDF("node", "component")
+        .select(col("node").cast(idType).as("node"),
+          col("component").cast(idType).as("component"))
     }
     // seed with round 1 for free: label₀ = min(node, direct neighbors) is
     // one groupBy over the edge list, no join — saves a full join round

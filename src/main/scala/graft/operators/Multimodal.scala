@@ -320,6 +320,12 @@ object Multimodal {
         try {
           val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
           val fmt = ais.getFormat
+          // the sample loop below assumes 16-bit signed mono little-endian
+          // PCM; anything else (8-bit, stereo, u-law, big-endian) parses
+          // fine but would decode to garbage — quarantine it instead
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"unsupported WAV format: $fmt")
           val rate = fmt.getSampleRate.toInt
           val bytes = ais.readAllBytes()
           ais.close()

@@ -31,11 +31,16 @@ object Temporal {
     * `strict`); probe rows with no earlier build row keep NULLs (left
     * semantics).
     *
-    * Single-shuffle formulation: tag and union both sides, then one window
-    * over (keys) ordered by (time, side) computes `last(value, ignoreNulls)`
-    * up to the current row — at a probe row that IS the as-of build value.
-    * Non-strict orders build before probe at equal times (visible); strict
-    * orders it after (invisible).
+    * Single-shuffle formulation: tag and union both sides; build rows wrap
+    * ALL their `valueCols` in one non-null struct, and one window over
+    * (keys) ordered by (time, side) computes `last(struct, ignoreNulls)` up
+    * to the current row — at a probe row that IS the as-of build ROW. The
+    * struct wrapper matters twice: a build value that is itself NULL still
+    * wins (the match is the row, not the value — exactly DuckDB ASOF
+    * semantics), and multiple valueCols always come from the SAME build row
+    * rather than each carrying its own latest-non-null. Non-strict orders
+    * build before probe at equal times (visible); strict orders it after
+    * (invisible).
     *
     * `build` must be unique per (keys, time) — aggregate it first (the ties
     * would otherwise resolve by partition order, which is not
@@ -49,21 +54,26 @@ object Temporal {
       s"valueCols ${valueCols.intersect(probeCols)} collide with probe columns")
     val buildSide = if (strict) 1 else 0 // equal-time build rows visible iff non-strict
     val probeSide = 1 - buildSide
+    val bvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, build.schema(c).dataType, nullable = true)))
     val p = probe.select(probeCols.map(col) ++
-      Seq(lit(probeSide).as("__side")) ++
-      valueCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
+      Seq(lit(probeSide).as("__side"), lit(null).cast(bvType).as("__bv")): _*)
     val b = build.select(
       probeCols.map(c =>
         if (keys.contains(c) || c == timeCol) col(c)
         else lit(null).cast(probe.schema(c).dataType).as(c)) ++
-      Seq(lit(buildSide).as("__side")) ++ valueCols.map(col): _*)
+      Seq(lit(buildSide).as("__side"),
+        struct(valueCols.map(col): _*).as("__bv")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = p.unionByName(b)
-      .select(probeCols.map(col) ++ Seq(col("__side")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("__side") === probeSide).drop("__side")
+      .select(probeCols.map(col) ++ Seq(col("__side"),
+        last(col("__bv"), ignoreNulls = true).over(w).as("__bv")): _*)
+    carried.filter(col("__side") === probeSide)
+      .select(probeCols.map(col) ++
+        valueCols.map(c => col(s"__bv.$c").as(c)): _*)
   }
 
   /** Interval range join: rows of `points` paired with every row of

@@ -181,9 +181,10 @@ object TextAnalysis {
             .cast("long")))
           .as("chunk_no"))
       .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
-        array_join(slice(col("__t"),
-          (col("chunk_no") * chunkSize + 1).cast("int"), lit(chunkSize)), " ").as("chunk_text"),
-        size(slice(col("__t"),
-          (col("chunk_no") * chunkSize + 1).cast("int"), lit(chunkSize))).as("n_tokens"))
+        slice(col("__t"),
+          (col("chunk_no") * chunkSize + 1).cast("int"), lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_no"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).as("n_tokens"))
   }
 }

@@ -29,6 +29,16 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(strict.toSeq == Seq("earlier"))
   }
 
+  test("asofJoin matches the ROW, not the latest non-null value (ASOF semantics)") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 25L)).toDF("event_id", "k", "t")
+    // latest build row at t=20 carries a NULL value: the as-of result IS
+    // that row's null — an older non-null must NOT leak through
+    val build = Seq((1L, 10L, Some("old")), (1L, 20L, None)).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v")).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
   test("rangeJoinBinned: inclusive lo, exclusive hi, multi-bin spans, no dup pairs") {
     import spark.implicits._
     val pts = Seq((10L, 1L, 100L), (11L, 1L, 150L), (12L, 1L, 199L),
