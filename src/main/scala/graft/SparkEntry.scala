@@ -552,6 +552,116 @@ object SparkEntry {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or call 55512345"), col("doc_id").cast("string")))
           .as("scrubbed"))),
+
+    // ── §2.11 [EXT] curation: decontamination, privacy, salient terms ────
+    // benchmark decontamination: hash-held-out "benchmark" docs (doc_id %
+    // 13 == 0) vs the training rest; per-doc distinct-3-gram overlap count
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    // k-anonymity suppression over the (nation, segment) quasi-identifier
+    "ext_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymize(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+    // top-5 salient terms per doc; integer-exact linear-idf scoring
+    "ext_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
+    // ── §2.9 batch sessionization (the batch twin of session windows,
+    //    with per-session stats the streaming form can't backfill) ────────
+    "ext_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(t(s, dir, "events"), "user_id", "ts",
+        Seq("event_id"), gapUs = 600L * 1000 * 1000)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"),
+          min(col("ts")).as("__start"), max(col("ts")).as("__end"))
+        .select(col("user_id"), col("sess_no"),
+          date_format(col("__start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n_events"), col("sum_value"),
+          expr("(unix_micros(`__end`) - unix_micros(`__start`)) div 1000000")
+            .as("duration_s"))),
+
+    // ── reconciliation: snapshot diff + per-chunk checksums ──────────────
+    // storage-derived CDC: a second snapshot is derived deterministically
+    // (delete %7, restatus %5, insert shifted %11), then classified by one
+    // full-outer pk join
+    "snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val newSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L)))
+      Reconcile.snapshotDiff(o, newSnap, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .filter(col("change_type") =!= "same")
+    }),
+    // taps' per-chunk verify loop as ONE distributed aggregation: count +
+    // sum/xor of a 48-bit row hash per pk-range chunk
+    "chunk_checksum" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val b = o.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).head()
+      val repr = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      Reconcile.chunkChecksums(o, "o_orderkey", b.getLong(0), b.getLong(1),
+        parts = 8, rowRepr = repr)
+    }),
+
+    // ── §2.1 file-format edges: CSV / JSON-lines round-trips ─────────────
+    // write → read back through the distributed CSV writer/reader (RFC-4180
+    // quoting); the oracle compares against the original table, so a hash
+    // match proves the interchange is lossless including free text
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_csv_roundtrip"
+      sources.Files.writeCsv(src, path)
+      sources.Files.readCsv(s, path, src.schema)
+    }),
+    "source_json_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_json_roundtrip"
+      sources.Files.writeJson(src, path)
+      sources.Files.readJson(s, path, src.schema)
+    }),
+
+    // ── §2.5 distribution windows ────────────────────────────────────────
+    "window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }),
+
+    // ── SQL surface: correlated EXISTS, scalar subquery, Q10 composite ───
+    "sql_exists_returned" -> ((s, dir) => {
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+    }),
+    "sql_scalar_above_avg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      // above-mean predicate in exact decimal cross-multiplication:
+      // price·N > Σprice avoids the double division a naive avg() compares
+      s.sql(sqlScalarAboveAvg)
+    }),
+    "sql_q10_returned_items" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ10ReturnedItems)
+    }),
   )
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
@@ -1051,7 +1161,135 @@ object SparkEntry {
         | CAST(length(text) - len(list_filter(string_split(lower(text), ' '), w -> w <> '')) + 1 AS DOUBLE) /
         |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS DOUBLE) AS mean_token_len
         | FROM documents""".stripMargin),
+
+    // distinct 3-grams per doc, hashed like the engine (md5 prefix), train
+    // side (%13 != 0) counted against the benchmark side's (%13 == 0) set
+    "ext_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+         |  FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+         |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+         |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |  ELSE [] END AS gr FROM tk),
+         |eg AS (SELECT DISTINCT CAST(${md5PrefixValueSql(10, "g2")} AS BIGINT) AS gh
+         |       FROM (SELECT unnest(gr) AS g2 FROM g WHERE doc_id % 13 = 0)),
+         |tg AS (SELECT doc_id, CAST(${md5PrefixValueSql(10, "g2")} AS BIGINT) AS gh
+         |       FROM (SELECT doc_id, unnest(gr) AS g2 FROM g WHERE doc_id % 13 <> 0)),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (gh)
+         |       GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(len(gr) AS INT) AS n_grams_distinct,
+         |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin,
+    "ext_k_anonymity" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment FROM (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+        |  FROM customer) WHERE n >= 12""".stripMargin,
+    "ext_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS token
+        |  FROM documents),
+        |tfx AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT token, count(*) AS df FROM tfx GROUP BY 1),
+        |s AS (SELECT doc_id, token, tf, df, tf * 1048576 // df AS score
+        |      FROM tfx JOIN dfx USING (token)),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s)
+        |SELECT doc_id, token, tf, df, score, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // same gaps-and-islands break rule as stream_session_counts, plus
+    // per-session stats (count, exact decimal value sum, integer duration)
+    "ext_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |d AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, value,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS sess_no
+        |  FROM d)
+        |SELECT user_id, sess_no,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+        |FROM g GROUP BY user_id, sess_no""".stripMargin,
+    "snapshot_diff" ->
+      """WITH oldt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |              FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+        |       ELSE 'same' END AS change_type
+        |  FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM j WHERE change_type <> 'same'""".stripMargin,
+    // same span arithmetic as scan_range_chunks; same 48-bit md5-prefix row
+    // hash as the engine (concat_ws over portable casts)
+    "chunk_checksum" ->
+      s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
+         |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
+         |h AS (SELECT CAST(least((o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
+         |  CAST(${md5PrefixValueSql(12, "concat_ws('|', o_orderkey, o_custkey, " +
+             "o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), " +
+             "strftime(o_orderdate, '%Y-%m-%d'))")} AS BIGINT) AS h
+         |  FROM orders, sp)
+         |SELECT chunk_id, count(*) AS n, CAST(SUM(h) AS BIGINT) AS sum_h,
+         |  bit_xor(h) AS xor_h
+         |FROM h GROUP BY 1""".stripMargin,
+    "source_csv_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "source_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)""".stripMargin,
+    "sql_exists_returned" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_scalar_above_avg" -> sqlScalarAboveAvg,
+    "sql_q10_returned_items" -> sqlQ10ReturnedItems,
   )
+
+  /** Shared verbatim by the Spark surface and the DuckDB oracle: the
+    * above-mean filter via exact decimal cross-multiplication
+    * (price·N > Σprice — no double division, no ulp seam). */
+  private val sqlScalarAboveAvg: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders) >
+      |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |       FROM orders)""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting), shared verbatim by both
+    * engines: who returned the most revenue, 4-way join + group + top-20. */
+  private val sqlQ10ReturnedItems: String =
+    """SELECT c_custkey, c_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
   /** DuckDB CTE producing minhash LSH candidate pairs — mirrors
     * Dedup.minhashPairs(seeds=16, rowsPerBand=8) exactly: one md5 per

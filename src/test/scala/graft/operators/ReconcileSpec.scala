@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot-diff classification and chunk-checksum corruption localization. */
+class ReconcileSpec extends AnyFunSuite with SparkSpec {
+
+  test("snapshotDiff classifies insert/delete/update/same with null-safe compare") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String]), (4L, Option("d"))
+    ).toDF("pk", "v")
+    val newDf = Seq(
+      (1L, Option("a")),          // same
+      (2L, Option("B")),          // update
+      (3L, Option.empty[String]), // same: null <=> null must NOT read as change
+      (5L, Option("e"))           // insert; pk 4 deleted
+    ).toDF("pk", "v")
+    val out = Reconcile.snapshotDiff(oldDf, newDf, Seq("pk"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "same", 2L -> "update", 3L -> "same",
+      4L -> "delete", 5L -> "insert"))
+  }
+
+  test("null-to-value and value-to-null transitions classify as update") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("pk", "v")
+    val newDf = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("pk", "v")
+    val out = Reconcile.snapshotDiff(oldDf, newDf, Seq("pk"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "update", 2L -> "update"))
+  }
+
+  test("chunkChecksums + verifyChunks localize a corrupted row to its one chunk") {
+    import spark.implicits._
+    val src = (0L until 64L).map(i => (i, s"row$i")).toDF("pk", "v")
+    val corrupt = (0L until 64L).map(i => (i, if (i == 37L) "XXX" else s"row$i"))
+      .toDF("pk", "v")
+    val repr = concat_ws("|", col("pk"), col("v"))
+    val a = Reconcile.chunkChecksums(src, "pk", 0L, 63L, 8, repr)
+    val b = Reconcile.chunkChecksums(corrupt, "pk", 0L, 63L, 8, repr)
+    val bad = Reconcile.verifyChunks(a, b).select("chunk_id").as[Int].collect().toSeq
+    assert(bad == Seq(4)) // span 8 -> pk 37 lives in chunk 4; only it differs
+    // identical content (re-computed) verifies clean
+    val a2 = Reconcile.chunkChecksums(src, "pk", 0L, 63L, 8, repr)
+    assert(Reconcile.verifyChunks(a, a2).isEmpty)
+  }
+
+  test("chunkChecksums are row-order insensitive within a chunk") {
+    import spark.implicits._
+    val fwd = (0L until 16L).map(i => (i, s"r$i")).toDF("pk", "v")
+    val rev = (0L until 16L).reverse.map(i => (i, s"r$i")).toDF("pk", "v")
+    val repr = concat_ws("|", col("pk"), col("v"))
+    val a = Reconcile.chunkChecksums(fwd, "pk", 0L, 15L, 4, repr)
+    val b = Reconcile.chunkChecksums(rev, "pk", 0L, 15L, 4, repr)
+    assert(Reconcile.verifyChunks(a, b).isEmpty)
+  }
+}

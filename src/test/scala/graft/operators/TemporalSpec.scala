@@ -80,4 +80,20 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }.toMap
     assert(out == expected)
   }
+
+  test("sessionize: gap >= threshold starts a new session, smaller gaps and ties do not") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, 0L), (2L, 1L, 5L), (3L, 1L, 10L), // gaps 5s,5s < 10s -> one session
+      (4L, 1L, 20L),                             // gap exactly 10s -> NEW session
+      (5L, 2L, 0L), (6L, 2L, 0L)                 // equal timestamps share a session
+    ).map { case (id, k, sec) => (id, k, new java.sql.Timestamp(sec * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = Temporal.sessionize(e, "user_id", "ts", Seq("event_id"),
+        gapUs = 10L * 1000 * 1000)
+      .select("event_id", "sess_no").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0)
+    assert(out(4L) == 1)
+    assert(out(5L) == 0 && out(6L) == 0)
+  }
 }

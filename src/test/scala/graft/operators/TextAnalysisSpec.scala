@@ -123,4 +123,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "only", 1)))
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("tfidfTopK ranks by integer tf/df score with term tie-break, capped at k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._3).map(_._2).toSeq }
+    // doc1: apple tf=2 df=1 dominates; banana (1/2) beats common (1/3)
+    assert(out(1L) == Seq("apple", "banana"))
+    // doc2: common tf=2 df=3 (~0.67) beats banana tf=1 df=2 (0.5)
+    assert(out(2L) == Seq("common", "banana"))
+    assert(out(3L) == Seq("common"))
+  }
 }
