@@ -49,23 +49,29 @@ object Curation {
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val benchGrams = bench
+    val benchGrams = Query.ensureParallelism(bench)
       .select(explode(gramArray(col(textCol), n)).as("__g"))
       .select(gramHash(col("__g")).as("__gh"))
       .distinct()
-    val trainGrams = train
-      .select(col(idCol), explode(gramArray(col(textCol), n)).as("__g"))
-      .select(col(idCol), gramHash(col("__g")).as("__gh"))
-    val overlap = trainGrams.join(broadcast(benchGrams), "__gh")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-    train.select(col(idCol),
-        size(gramArray(col(textCol), n)).as("n_grams_distinct"))
-      .join(overlap, Seq(idCol), "left")
+    // ONE gram pass over the corpus: the per-doc distinct-gram count and
+    // the exploded gram stream derive from the SAME projected array
+    // (building the grams twice — once for the count, once for the join —
+    // doubled the dominant cost, the gram construction itself).
+    // explode_outer keeps gram-less docs as a single null-gram row, which
+    // can never match, so they surface with n_overlap = 0 without a second
+    // pass over `train`. The per-doc overlap count partially aggregates
+    // map-side, so the one exchange carries |docs| rows, not |grams|.
+    Query.ensureParallelism(train)
+      .select(col(idCol), gramArray(col(textCol), n).as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("n_grams_distinct"),
+        explode_outer(col("__grams")).as("__g"))
       .select(col(idCol), col("n_grams_distinct"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1).otherwise(0)
-          .as("contaminated"))
+        gramHash(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("__gh"), "left")
+      .groupBy(col(idCol), col("n_grams_distinct"))
+      .agg(count(col("__hit")).as("n_overlap"))
+      .select(col(idCol), col("n_grams_distinct"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
   /** k-anonymity suppression: keep only rows whose quasi-identifier

@@ -50,7 +50,10 @@ object Dedup {
     * ["a","bc"]). Docs that tokenize to nothing are excluded (callers retain
     * them explicitly — they are never near-dups of anything). */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
+    // tokenize+md5 is the compute-heavy map stage of the whole family; a
+    // one-row-group input would otherwise pin it to a single task
+    // (no-op when the scan already splits — see Query.ensureParallelism)
+    Query.ensureParallelism(docs).select(col(idCol),
         array_sort(array_distinct(
           filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("toks"))
       .filter(size(col("toks")) > 0)

@@ -145,4 +145,17 @@ object Query {
       .withColumn(out, when(col("__grank") <= lit(cut), fat).otherwise(thin))
       .drop("__mid", "__pid", "__lrn", "__grank")
   }
+
+  /** Give a compute-bound map stage at least the cluster's default
+    * parallelism. A small input (one Parquet row group) plans as ONE scan
+    * partition, which pins every downstream per-row expression — md5 over
+    * exploded n-grams, image decode — to a single task regardless of
+    * cluster width. When that happens, one cheap exchange of the narrow
+    * input unlocks full-width compute; when the scan already splits (the
+    * 100 TB case: thousands of row groups ≫ cores), this is a NO-OP — no
+    * exchange is ever added to a well-partitioned plan. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
 }

@@ -153,7 +153,7 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), grams.as("__g"))
+    Query.ensureParallelism(docs).select(col(idCol), grams.as("__g"))
       .select(col(idCol),
         size(col("__g")).as("n_ngrams"),
         size(array_distinct(col("__g"))).as("n_distinct"))
@@ -181,7 +181,7 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val tf = docs
+    val tf = Query.ensureParallelism(docs)
       .select(col(idCol), explode(tokenStream(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
