@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rangeJoin.binWidth", "3600000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -8,7 +8,9 @@ import org.apache.spark.sql.graft.CosineSim
 /**
  * SparkSessionExtensions entry point: registers graft's native expressions
  * into the session's FunctionRegistry so they're callable from SQL
- * (`SELECT cosine_sim(a.embedding, b.embedding) FROM ...`).
+ * (`SELECT cosine_sim(a.embedding, b.embedding) FROM ...`), and graft's
+ * optimizer rules (the range-join rewrite — armed per session by
+ * `spark.graft.rangeJoin.binWidth`, inert otherwise).
  *
  * Wire up with:
  *   SparkSession.builder().withExtensions(new GraftExtensions) — in code, or
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -662,6 +662,21 @@ object SparkEntry {
         t(s, dir, n).createOrReplaceTempView(n))
       s.sql(sqlQ10ReturnedItems)
     }),
+    // the RAW inequality SQL a user would write — planned through
+    // plans.RangeJoinRule (armed via spark.graft.rangeJoin.binWidth in the
+    // session conf), which rewrites it to the binned equi-join: same rows
+    // as join_range_purchase_clicks, but no hand-binning in the query text
+    "join_range_sql_rewrite" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+        FROM (SELECT event_id, user_id, unix_micros(ts) AS t
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT event_id, user_id, unix_micros(ts) AS lo,
+                     unix_micros(ts) + 3600000000 AS hi
+              FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.t >= p.lo AND c.t < p.hi""")
+    }),
   )
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
@@ -939,13 +954,10 @@ object SparkEntry {
     // range join: the plain inequality formulation (fine at oracle scale;
     // the engine side uses bin quantization precisely because this shape
     // is O(n*m) per user)
-    "join_range_purchase_clicks" ->
-      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
-        |FROM events p JOIN events c ON c.user_id = p.user_id
-        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
-        |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) <
-        |      epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""".stripMargin,
+    "join_range_purchase_clicks" -> rangeJoinOracle,
+    // identical semantics, but the Spark side is RAW SQL rewritten by the
+    // RangeJoinRule optimizer rule — the oracle is the same inequality join
+    "join_range_sql_rewrite" -> rangeJoinOracle,
 
     // pivot via portable conditional aggregation (same decimal-sum trick
     // as the other double sums)
@@ -1268,6 +1280,17 @@ object SparkEntry {
     "sql_scalar_above_avg" -> sqlScalarAboveAvg,
     "sql_q10_returned_items" -> sqlQ10ReturnedItems,
   )
+
+  /** DuckDB inequality range join — the oracle for BOTH the hand-binned
+    * operator query and the optimizer-rewritten raw-SQL query (identical
+    * semantics by construction). */
+  private val rangeJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+      |FROM events p JOIN events c ON c.user_id = p.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) <
+      |      epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""".stripMargin
 
   /** Shared verbatim by the Spark surface and the DuckDB oracle: the
     * above-mean filter via exact decimal cross-multiplication
