@@ -61,16 +61,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces for the driver's capture: a short headline line, the
-    // full JSON persisted to a file, AND the full JSON as the LAST stdout
-    // line (tail-limited capture keeps the end of the stream)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec"}""")
+    // belt and braces for the driver's capture: the full JSON persisted to
+    // a file, the full JSON on stdout, and a COMPACT line (total + slowest
+    // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only
+    // a ~2.5 KB stdout tail, which truncates the ~3 KB full line mid-stream
+    // and loses anything printed before it; the compact line is the one
+    // guaranteed to survive whole inside the tail window
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(json)
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1184,9 +1184,9 @@ object SparkEntry {
          |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
          |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
          |  ELSE [] END AS gr FROM tk),
-         |eg AS (SELECT DISTINCT CAST(${md5PrefixValueSql(10, "g2")} AS BIGINT) AS gh
+         |eg AS (SELECT DISTINCT CAST(${md5PrefixValueSql(15, "g2")} AS BIGINT) AS gh
          |       FROM (SELECT unnest(gr) AS g2 FROM g WHERE doc_id % 13 = 0)),
-         |tg AS (SELECT doc_id, CAST(${md5PrefixValueSql(10, "g2")} AS BIGINT) AS gh
+         |tg AS (SELECT doc_id, CAST(${md5PrefixValueSql(15, "g2")} AS BIGINT) AS gh
          |       FROM (SELECT doc_id, unnest(gr) AS g2 FROM g WHERE doc_id % 13 <> 0)),
          |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (gh)
          |       GROUP BY doc_id)

@@ -331,8 +331,9 @@ object Dedup {
     * minimum id. Returns (node, component).
     *
     * Size-adaptive: below `localThreshold` edges the component solve runs
-    * as a single-pass union-find on the driver (bounded collect, like the
-    * k×dims bound on IVF centroids) — near-dup CC graphs are rep-level and
+    * as a single-pass union-find on the driver (bounded, partition-streamed
+    * via toLocalIterator, like the k×dims bound on IVF centroids) —
+    * near-dup CC graphs are rep-level and
     * post-verification, typically thousands of edges even when the corpus
     * is huge. Above the threshold the distributed hash-min loop below
     * owns it, so driver memory never scales with data.
@@ -352,7 +353,7 @@ object Dedup {
     * either way. Converges-or-throws: a non-converged label map is never
     * returned. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          localThreshold: Long = 2L * 1000 * 1000): DataFrame = {
+                          localThreshold: Long = 500L * 1000): DataFrame = {
     // the RDD materialized by a localCheckpoint — so its blocks can be
     // freed deterministically instead of waiting on the ContextCleaner
     def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
@@ -362,14 +363,17 @@ object Dedup {
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     // Near-dup graphs shrink brutally by the time they reach CC (verified
-    // rep-level pairs): when the SYMMETRIZED edge list fits the bounded
-    // driver budget (2·localThreshold longs ≈ 32 MB at the default), a
-    // single-pass union-find beats diameter× distributed rounds, each of
-    // which costs a join + agg + checkpoint barrier. The collect is bounded
-    // by the threshold — big graphs take the distributed loop below, so
-    // driver traffic never scales with data. localThreshold = 0 forces the
-    // distributed path (used by tests; also the right setting when the
-    // driver is memory-starved).
+    // rep-level pairs): below the threshold a single-pass union-find beats
+    // diameter× distributed rounds, each of which costs a join + agg +
+    // checkpoint barrier. Realistic driver budget at the 500k-edge default:
+    // the parent map holds ≤ 2·edges = 1M nodes of boxed HashMap entries
+    // (~64 B each ≈ 64 MB), and the edge list streams through
+    // `toLocalIterator` one partition at a time rather than being collected
+    // whole — peak transient footprint is one partition of (Long, Long)
+    // pairs, not the full graph. Big graphs take the distributed loop
+    // below, so driver traffic never scales with data. localThreshold = 0
+    // forces the distributed path (used by tests; also the right setting
+    // when the driver is memory-starved).
     val idType = edges.schema("doc_a").dataType
     val integralIds = idType match {
       case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
@@ -385,15 +389,19 @@ object Dedup {
         while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().foreach { row =>
-          val (u, v) = (row.getLong(0), row.getLong(1))
-          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-          val (ru, rv) = (find(u), find(v))
-          // union by MIN: the root is always the smallest id seen, so the
-          // final find(x) IS the component minimum — no second pass
-          if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
-        }
+      val edgeIt = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toLocalIterator()
+      while (edgeIt.hasNext) {
+        val (u, v) = edgeIt.next()
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN: the root is always the smallest id seen, so the
+        // final find(x) IS the component minimum — no second pass
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
       checkpointRdds(sym).foreach(_.unpersist(blocking = false))
       val spark = edges.sparkSession
       import spark.implicits._

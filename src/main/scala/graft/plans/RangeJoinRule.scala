@@ -72,9 +72,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** One bound conjunct: the original expression, the point side's
-    * expression and the other side's bound expression. */
-  private case class Bound(original: Expression, point: Expression, bound: Expression)
+  /** One inequality conjunct normalized to `small (< | <=) large`. A bare
+    * comparison can't tell us which operand is the probe point — `p <= hi`
+    * and `lo <= p` are the same expression class — so classification into
+    * lower/upper bounds happens at PAIRING time: the point is whatever
+    * expression appears as `large` in one conjunct and `small` in another. */
+  private case class Cmp(original: Expression, small: Expression,
+                         large: Expression, strict: Boolean)
 
   private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
     val left = j.left; val right = j.right
@@ -86,23 +90,18 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
 
     val equis = Seq.newBuilder[EqualTo]
-    val lowers = Seq.newBuilder[Bound] // point >= bound
-    val uppers = Seq.newBuilder[Bound] // point <  bound  (or <=)
+    val cmps = Seq.newBuilder[Cmp]
     var unsupported = false
     conjuncts(j.condition.get).foreach {
       case eq @ EqualTo(a, b) if sided(a, b) => equis += eq
-      case c @ GreaterThanOrEqual(p, lo) if sided(p, lo) && integral(p) && integral(lo) =>
-        lowers += Bound(c, p, lo)
-      case c @ LessThanOrEqual(lo, p) if sided(lo, p) && integral(p) && integral(lo) =>
-        lowers += Bound(c, p, lo)
-      case c @ GreaterThan(p, lo) if sided(p, lo) && integral(p) && integral(lo) =>
-        lowers += Bound(c, p, lo) // strict lower still bounds the bin range
-      case c @ LessThan(p, hi) if sided(p, hi) && integral(p) && integral(hi) =>
-        uppers += Bound(c, p, hi)
-      case c @ LessThanOrEqual(p, hi) if sided(p, hi) && integral(p) && integral(hi) =>
-        uppers += Bound(c, p, hi)
-      case c @ GreaterThan(hi, p) if sided(hi, p) && integral(p) && integral(hi) =>
-        uppers += Bound(c, p, hi)
+      case c @ GreaterThanOrEqual(a, b) if sided(a, b) && integral(a) && integral(b) =>
+        cmps += Cmp(c, b, a, strict = false)
+      case c @ GreaterThan(a, b) if sided(a, b) && integral(a) && integral(b) =>
+        cmps += Cmp(c, b, a, strict = true)
+      case c @ LessThanOrEqual(a, b) if sided(a, b) && integral(a) && integral(b) =>
+        cmps += Cmp(c, a, b, strict = false)
+      case c @ LessThan(a, b) if sided(a, b) && integral(a) && integral(b) =>
+        cmps += Cmp(c, a, b, strict = true)
       case _ => unsupported = true
     }
     if (unsupported) return None
@@ -111,27 +110,29 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     if (equis.result().exists(_.references.exists(a => GuardNames(a.name))))
       return None
 
-    // pick a (lower, upper) pair over the SAME point expression
+    // pick a (lower, upper) pair over the SAME point expression: the point
+    // is `large` of the lower-bound conjunct and `small` of the upper-bound
+    // one (lo <= p AND p <= hi), regardless of how each was spelled
+    val all = cmps.result()
     val pair = (for {
-      l <- lowers.result(); u <- uppers.result()
-      if l.point.semanticEquals(u.point)
+      l <- all; u <- all
+      if (l ne u) && l.large.semanticEquals(u.small)
     } yield (l, u)).headOption
     pair.flatMap { case (l, u) =>
-      val p = l.point
+      val p = l.large
       val pointOnLeft = fromLeft(p)
-      if (pointOnLeft != fromLeft(l.bound) && pointOnLeft != fromLeft(u.bound)) {
+      if (pointOnLeft != fromLeft(l.small) && pointOnLeft != fromLeft(u.large)) {
         val (pointSide, ivSide) = if (pointOnLeft) (left, right) else (right, left)
         val wLit = Literal(w)
         val pBin = Alias(new IntegralDivide(asLong(p), wLit), BinName)()
         val pointPlan = Project(pointSide.output :+ pBin, pointSide)
-        // upper bound is exclusive for LessThan; for <= the end point itself
+        // upper bound is exclusive when strict; for <= the end point itself
         // is in range, so use hi rather than hi-1 (one extra bin at worst)
-        val hiEnd = u.original match {
-          case _: LessThan | _: GreaterThan => Subtract(asLong(u.bound), Literal(1L))
-          case _ => asLong(u.bound)
-        }
-        val start = new IntegralDivide(asLong(l.bound), wLit)
-        val stop = new IntegralDivide(Greatest(Seq(asLong(l.bound), hiEnd)), wLit)
+        val hiEnd =
+          if (u.strict) Subtract(asLong(u.large), Literal(1L))
+          else asLong(u.large)
+        val start = new IntegralDivide(asLong(l.small), wLit)
+        val stop = new IntegralDivide(Greatest(Seq(asLong(l.small), hiEnd)), wLit)
         val binAttr = AttributeReference(BinName, LongType, nullable = false)()
         // Sequence is TimeZoneAwareExpression: the analyzer's ResolveTimeZone
         // normally fills timeZoneId, but optimizer-constructed expressions
@@ -146,8 +147,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         val joinCond = (equis.result() :+ EqualTo(pBin.toAttribute, binAttr))
           .reduce[Expression](And)
         val rebuilt = Join(newLeft, newRight, Inner, Some(joinCond), j.hint)
-        val bounds = (lowers.result() ++ uppers.result()).map(_.original)
-          .reduce[Expression](And)
+        val bounds = all.map(_.original).reduce[Expression](And)
         Some(Project(j.output, Filter(bounds, rebuilt)))
       } else None
     }

@@ -96,12 +96,31 @@ class RangeJoinRuleSpec extends AnyFunSuite with SparkSpec {
     val (sBase, iBase) = (strict.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
       inclusive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
     val (sRew, iRew) = withRule(4L) {
+      // the rewrite must actually FIRE for both bound spellings — without
+      // these the result equalities would pass vacuously on a no-op rule
+      assert(strict.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(inclusive.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
       (strict.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
         inclusive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
     }
     assert(sBase == Seq((2L, 10L), (3L, 11L), (4L, 11L)))
     assert(iBase == (sBase :+ (3L -> 10L) :+ (5L -> 11L)).sorted) // endpoints join
     assert(sRew == sBase && iRew == iBase)
+  }
+
+  test("reversed-operand spellings (lo <= t AND hi > t) rewrite and stay exact") {
+    import spark.implicits._
+    val pts = Seq((1L, -15L), (2L, -5L), (3L, 0L), (4L, 7L), (5L, 8L))
+      .toDF("pid", "t")
+    val iv = Seq((10L, -10L, 0L), (11L, 0L, 8L)).toDF("iid", "lo", "hi")
+    def q = pts.join(iv, iv("lo") <= pts("t") && iv("hi") > pts("t"))
+      .select("pid", "iid")
+    val base = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rew = withRule(4L) {
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(base == Seq((2L, 10L), (3L, 11L), (4L, 11L)) && rew == base)
   }
 
   test("guard: the manual binned operator's plan is not re-rewritten") {
