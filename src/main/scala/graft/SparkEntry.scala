@@ -25,6 +25,24 @@ object SparkEntry {
   /** Exact decimal sum surfaced as double — see Query.dsum. */
   private def dsum(c: Column, scale: Int = 2): Column = Query.dsum(c, scale)
 
+  /** Deterministic CDC fixture over orders (shared by ext_cdc_apply /
+    * ext_scd2_history): inserts for keys the snapshot lacks (%7=0, seq 1),
+    * updates for %3=0 (seq 2), deletes for %6=0 (seq 3). Distinct seq per
+    * op keeps every key's change order total — the precondition every CDC
+    * consumer requires. */
+  private def cdcChangeLog(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"))
+    base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("NW"))
+      .withColumn("seq", lit(1)).withColumn("op", lit("I"))
+      .unionByName(base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("seq", lit(2)).withColumn("op", lit("U")))
+      .unionByName(base.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("seq", lit(3)).withColumn("op", lit("D")))
+  }
+
   /** Full-column ordering for lineitem, pk-ish columns first — the fixture's
     * (l_orderkey, l_linenumber) is not unique, so deterministic scans order
     * by everything (taps' no-pk path, `lib/taps/utils.rb:146-154`). */
@@ -615,6 +633,59 @@ object SparkEntry {
         parts = 8, rowRepr = repr)
     }),
 
+    // ── §2.9 CDC apply + SCD2 history: fold a change log into a snapshot
+    //    (the incremental form of taps' replay, lib/taps/operation.rb's
+    //    pull loop re-run since a watermark). Change log is derived
+    //    deterministically from orders: I for keys the snapshot lacks
+    //    (%7=0, seq 1), U for %3=0 (seq 2), D for %6=0 (seq 3) — distinct
+    //    seq per op, so every key's order is total ──────────────────────
+    "ext_cdc_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val snap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Cdc.applyChanges(snap, cdcChangeLog(o), Seq("o_orderkey"), "seq", "op")
+    }),
+    "ext_scd2_history" -> ((s, dir) =>
+      Cdc.scd2History(cdcChangeLog(t(s, dir, "orders")), Seq("o_orderkey"), "seq")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("op"), col("seq"), col("valid_from"), col("valid_to"),
+          col("is_current"))),
+
+    // ── incremental aggregate maintenance: partial states per split,
+    //    merged — provably equal to the full recompute the oracle runs ───
+    "ext_incremental_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val base = Reconcile.aggState(
+        l.filter(col("l_orderkey") % 10 =!= 0), Seq("l_returnflag"), q)
+      val delta = Reconcile.aggState(
+        l.filter(col("l_orderkey") % 10 === 0), Seq("l_returnflag"), q)
+      Reconcile.mergeAggStates(base, delta)
+        .select(col("l_returnflag"),
+          col("sum_v").cast("double").as("sum_v"), col("n_v"))
+    }),
+
+    // ── data layout: z-order clustering key (multi-dim min/max pruning);
+    //    the layout write itself is pinned by LayoutSpec, the oracle
+    //    checks the interleave arithmetic cross-engine ────────────────────
+    "ext_zorder_cluster" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def x = col("o_custkey") % 1024
+      def y = col("o_orderkey") % 1024
+      o.select(col("o_orderkey"), x.as("x"), y.as("y"),
+        Layout.zValue(Seq(x, y), 10).as("zval"))
+    }),
+
+    // ── bloom-pruned selective join: filter bytes built distributed, fact
+    //    side pruned BEFORE the join shuffle; FP-only so the plain join
+    //    (the oracle) is the exact result ─────────────────────────────────
+    "join_bloom_pruned" -> ((s, dir) =>
+      Prune.bloomPrunedJoin(t(s, dir, "lineitem"),
+          t(s, dir, "supplier").filter(col("s_nationkey") === 5),
+          "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("s_name"))),
+
     // ── §2.1 file-format edges: CSV / JSON-lines round-trips ─────────────
     // write → read back through the distributed CSV writer/reader (RFC-4180
     // quoting); the oracle compares against the original table, so a hash
@@ -632,6 +703,14 @@ object SparkEntry {
       val path = System.getProperty("java.io.tmpdir") + "/graft_json_roundtrip"
       sources.Files.writeJson(src, path)
       sources.Files.readJson(s, path, src.schema)
+    }),
+    // columnar interchange: ORC keeps doubles/nulls binary-exact, so the
+    // oracle (the original parquet table) must hash-match with no text seam
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_orc_roundtrip"
+      sources.Files.writeOrc(src, path)
+      sources.Files.readOrc(s, path, src.schema)
     }),
 
     // ── §2.5 distribution windows ────────────────────────────────────────
@@ -1263,10 +1342,48 @@ object SparkEntry {
          |SELECT chunk_id, count(*) AS n, CAST(SUM(h) AS BIGINT) AS sum_h,
          |  bit_xor(h) AS xor_h
          |FROM h GROUP BY 1""".stripMargin,
+    "ext_cdc_apply" ->
+      s"""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus
+         |             FROM orders WHERE o_orderkey % 7 <> 0),
+         |ch AS ($cdcChangeLogSql),
+         |latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+         |  WHERE rn = 1)
+         |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus FROM snap s
+         |WHERE NOT EXISTS (SELECT 1 FROM latest l
+         |                  WHERE l.o_orderkey = s.o_orderkey)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest
+         |WHERE op <> 'D'""".stripMargin,
+    "ext_scd2_history" ->
+      s"""WITH ch AS ($cdcChangeLogSql)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, op, seq,
+         |  seq AS valid_from,
+         |  lead(seq) OVER w AS valid_to,
+         |  CASE WHEN lead(seq) OVER w IS NULL AND op <> 'D'
+         |       THEN 1 ELSE 0 END AS is_current
+         |FROM ch WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)""".stripMargin,
+    // the full recompute the merged partial states must equal exactly
+    "ext_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  COUNT(l_quantity) AS n_v
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ext_zorder_cluster" ->
+      s"""SELECT o_orderkey, o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
+         |  CAST(${zValueSql("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)} AS BIGINT) AS zval
+         |FROM orders""".stripMargin,
+    // bloom pruning is FP-only, so the PLAIN join is the exact oracle
+    "join_bloom_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 5""".stripMargin,
     "source_csv_roundtrip" -> "SELECT doc_id, text FROM documents",
     "source_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders""".stripMargin,
+    "source_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "window_percent_rank" ->
       """SELECT o_orderkey, o_custkey,
         | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
@@ -1346,6 +1463,23 @@ object SparkEntry {
     * md5(`of`) as a BIGINT (DuckDB has no conv(); sum per-digit strpos
     * values instead). Mirrors `conv(substring(md5(of),1,digits),16,10)`
     * in Spark. */
+  /** DuckDB twin of the cdcChangeLog fixture (I %7 seq1, U %3 seq2,
+    * D %6 seq3 — distinct seq per op). */
+  private val cdcChangeLogSql: String =
+    """SELECT o_orderkey, o_custkey, 'NW' AS o_orderstatus, 1 AS seq, 'I' AS op
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL SELECT o_orderkey, o_custkey, 'U1', 2, 'U'
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, 3, 'D'
+      |  FROM orders WHERE o_orderkey % 6 = 0""".stripMargin
+
+  /** DuckDB twin of Layout.zValue for two dimensions: bit b of x lands at
+    * 2b, of y at 2b+1 — the same dimension-alternating interleave. */
+  private def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+
   private def md5PrefixValueSql(digits: Int, of: String = "w"): String =
     (0 until digits).map { i =>
       val place = BigInt(16).pow(digits - 1 - i)

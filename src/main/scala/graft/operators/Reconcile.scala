@@ -71,6 +71,29 @@ object Reconcile {
         sum(col("__h")).as("sum_h"),
         expr("bit_xor(__h)").as("xor_h"))
 
+  /** Partial aggregates of `valueCol` per `groupCols`: (group, sum, count)
+    * — the algebraic state from which sum/count/avg are exactly
+    * recoverable. The building block of [[mergeAggStates]]. */
+  def aggState(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(valueCol).as("sum_v"), count(valueCol).as("n_v"))
+
+  /** Incremental aggregate maintenance: merge stored partial-aggregate
+    * states with a new delta's states instead of rescanning history.
+    * sum/count are algebraic — merged state = element-wise (+, +) per
+    * group — so `mergeAggStates(aggState(base), aggState(delta))` EQUALS
+    * `aggState(base ∪ delta)` exactly, and a 100 TB history is aggregated
+    * once, then maintained at delta cost forever (the nightly-rollup
+    * pattern; avg derives as sum/count at read time). One shuffle of
+    * |groups| rows, never of data. */
+  def mergeAggStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    val groupCols = states.head.columns.filterNot(Set("sum_v", "n_v")).toSeq
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("sum_v")).as("sum_v"), sum(col("n_v")).as("n_v"))
+  }
+
   /** Compare source vs destination per-chunk checksums: returns the chunks
     * that disagree (missing on either side counts as disagreement). Empty
     * result = transfer verified at chunk granularity. */

@@ -44,4 +44,18 @@ object Files {
     * identical IEEE value. */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Columnar interchange the text formats can't give: ORC keeps types,
+    * nulls and binary exactly (it is the other lakehouse-native columnar
+    * format besides parquet), with min/max stride statistics the reader
+    * uses for predicate pushdown just like parquet footers. Splittable,
+    * compressed, zero text-serialization seams. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC read. The schema rides in the file metadata; passing the expected
+    * schema pins column order and surfaces drift as an analysis error
+    * instead of silent reordering. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -58,4 +58,23 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     val b = Reconcile.chunkChecksums(rev, "pk", 0L, 15L, 4, repr)
     assert(Reconcile.verifyChunks(a, b).isEmpty)
   }
+
+  test("mergeAggStates over any split equals the full recompute exactly") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"g${i % 7}", i.toDouble / 4))
+    val df = rows.toDF("g", "v")
+    val v = col("v").cast("decimal(18,2)")
+    def fetch(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("g"), col("sum_v").cast("double"), col("n_v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val full = fetch(Reconcile.aggState(df, Seq("g"), v))
+    // three-way split, including an empty slice
+    val parts = Seq(
+      df.filter(col("v") < 20), df.filter(col("v") >= 20),
+      df.where(lit(false)))
+    val merged = fetch(Reconcile.mergeAggStates(
+      parts.map(Reconcile.aggState(_, Seq("g"), v)): _*))
+    assert(merged == full && full.map(_._3).sum == 300L)
+  }
 }
