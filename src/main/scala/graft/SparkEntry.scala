@@ -478,6 +478,18 @@ object SparkEntry {
     "ext_domain_cap" -> ((s, dir) =>
       Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
         .select(col("doc_id"), col("source"))),
+    // domain mixing: per-source keep rates (10/35/60/85%, derived
+    // deterministically from the source id) — pure map, no shuffle
+    "ext_mix_sources" -> ((s, dir) => {
+      val rate = lit(10) + lit(25) *
+        (col("source").substr(lit(4), lit(8)).cast("int") % 4)
+      Sampling.weightedMix(t(s, dir, "documents"), "doc_id", rate)
+        .select(col("doc_id"), col("source"))
+    }),
+    // pre-transfer data-quality preflight: nulls/ndv/min/max per column
+    "ext_profile_columns" -> ((s, dir) =>
+      CatalogOps.profileColumns(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // Gopher-style repetition quality signal: duplicated-3-gram fraction
     "ext_ngram_repetition" -> ((s, dir) =>
       TextAnalysis.ngramRepetition(t(s, dir, "documents"), "doc_id", "text", 3)),
@@ -1097,6 +1109,18 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "ext_mix_sources" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100
+         |      < 10 + 25 * (CAST(substr(source, 4, 8) AS INT) % 4)""".stripMargin,
+    "ext_profile_columns" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "ext_ngram_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk

@@ -89,4 +89,34 @@ object CatalogOps {
 
   /** S7: the executable DDL string (`CREATE TABLE` body) for schema replay. */
   def schemaDdl(df: DataFrame): String = df.schema.toDDL
+
+  /** Pre-transfer column profiling: one row per requested column with row
+    * count, null count, exact distinct count, and min/max (surfaced as
+    * strings so the report schema is column-type-independent). This is the
+    * data-quality preflight a migration runs before moving a table — the
+    * quantitative extension of taps' schema dump
+    * (`lib/taps/schema.rb:37-49`).
+    *
+    * Scale shape: ONE aggregation pass over the table. The k exact
+    * distinct counts plan as a single Expand (k× the input rows map-side,
+    * standard multi-distinct strategy) — exact because reconciliation
+    * wants exact; swap `countDistinct` for `approx_count_distinct` when
+    * profiling very wide tables where ±2% suffices. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val entries = cols.map { c => struct(
+      lit(c).as("column_name"),
+      col("__total").as("n_rows"),
+      (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+      col(s"__ndv_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value")) }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
 }

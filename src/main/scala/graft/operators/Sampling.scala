@@ -39,6 +39,16 @@ object Sampling {
       when(hashBucket(col(idCol), 100) < trainPct, "train").otherwise("test"))
   }
 
+  /** Deterministic source mixing: keep each row with a per-stratum
+    * percentage — the domain-reweighting step of a training-data pipeline
+    * ("90% of wiki, 10% of crawl"). Pure map like [[hashSplit]]: no
+    * shuffle, membership a function of (id, rate) alone, so it is stable
+    * under corpus growth and reproducible across engines. `ratePct` is an
+    * integer Column in [0,100], typically derived from the stratum column
+    * (a literal lookup or join against a mixing-weights table). */
+  def weightedMix(df: DataFrame, idCol: String, ratePct: Column): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < ratePct)
+
   /** Exact stratified sample: per stratum, keep ceil(frac·n) rows chosen in
     * id-hash order (deterministic pseudo-random, ties broken by id). Exact
     * counts per group — unlike `df.sampleBy`, which is Bernoulli and only

@@ -43,4 +43,18 @@ class CatalogOpsSpec extends AnyFunSuite with SparkSpec {
     val got = CatalogOps.countPerTable(spark, tmp, Seq("customer")).head()
     assert(got.getLong(1) == df.count())
   }
+
+  test("profileColumns counts nulls, distincts and min/max per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("k", "v")
+    val out = CatalogOps.profileColumns(df, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("k", 4L, 1L, 2L, "1", "3"),
+      ("v", 4L, 1L, 2L, "a", "b")))
+  }
 }

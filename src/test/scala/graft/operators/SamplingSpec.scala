@@ -70,4 +70,26 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       ("s1", 1L, 0, 0L, 0L), ("s1", 1L, 1, 64L, 0L), ("s1", 2L, 0, 128L, 1L),
       ("s1", 2L, 1, 192L, 1L), ("s1", 3L, 0, 202L, 1L), ("s2", 9L, 0, 0L, 0L)))
   }
+
+  test("weightedMix: rate 0 drops all, 100 keeps all, mid-rates track") {
+    def kept(rate: Int): Long =
+      Sampling.weightedMix(docs, "id", lit(rate)).count()
+    assert(kept(0) == 0L && kept(100) == 400L)
+    val mid = kept(50)
+    assert(mid > 120 && mid < 280, s"rate 50 kept $mid of 400")
+    // membership is NESTED: raising the rate only ever adds rows
+    import spark.implicits._
+    val at30 = Sampling.weightedMix(docs, "id", lit(30))
+      .select("id").as[Long].collect().toSet
+    val at70 = Sampling.weightedMix(docs, "id", lit(70))
+      .select("id").as[Long].collect().toSet
+    assert(at30.subsetOf(at70))
+  }
+
+  test("weightedMix applies per-stratum rates from a column") {
+    val rate = when(col("grp") === "grp0", 100).otherwise(0)
+    val out = Sampling.weightedMix(docs, "id", rate)
+    assert(out.count() == 100L)
+    assert(out.filter(col("grp") =!= "grp0").count() == 0L)
+  }
 }
