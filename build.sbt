@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench harness parses the LAST stdout line as JSON. Two sbt
+// behaviors break that: forked-run output is re-logged with an "[info] "
+// prefix, and sbt prints "[success] Total time: ..." AFTER the program's
+// output. Inherit stdout directly (no prefix) and suppress the epilogue so
+// graft.Bench's compact JSON line is the final line on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// consumed by sbt's command layer, not by tasks — exclude from unused lint
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
