@@ -333,7 +333,7 @@ object SparkEntry {
           col("n"))),
 
     // ── §2.1 schema dump (S6) ────────────────────────────────────────────
-    "schema_dump" -> ((s, dir) => // Spark type names; rows-only check
+    "schema_dump" -> ((s, dir) => // oracle: DuckDB DESCRIBE, names mapped
       CatalogOps.schemaDump(t(s, dir, "lineitem"))),
 
     // ── §2.7 LIVE JDBC round-trip (S5/S7/S8/S9) ──────────────────────────
@@ -428,7 +428,7 @@ object SparkEntry {
         Multimodal.pngFixture(t(s, dir, "documents")), dims = 8)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
-    "multimodal_frame_sample" -> ((s, dir) => // binary plumbing; rows-only
+    "multimodal_frame_sample" -> ((s, dir) => // oracle: byte-window arithmetic
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 32, 4)
         .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))),
@@ -486,10 +486,13 @@ object SparkEntry {
       Sampling.weightedMix(t(s, dir, "documents"), "doc_id", rate)
         .select(col("doc_id"), col("source"))
     }),
-    // pre-transfer data-quality preflight: nulls/ndv/min/max per column
+    // pre-transfer data-quality preflight: nulls/ndv/min/max per column —
+    // reconciliation-grade exact ndv (the approx default has no cross-engine
+    // oracle); one union-of-branches job, no Expand (pinned by PlanShapeSpec)
     "ext_profile_columns" -> ((s, dir) =>
       CatalogOps.profileColumns(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        exactNdv = true)),
     // Gopher-style repetition quality signal: duplicated-3-gram fraction
     "ext_ngram_repetition" -> ((s, dir) =>
       TextAnalysis.ngramRepetition(t(s, dir, "documents"), "doc_id", "text", 3)),
@@ -656,6 +659,25 @@ object SparkEntry {
       val snap = o.filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       Cdc.applyChanges(snap, cdcChangeLog(o), Seq("o_orderkey"), "seq", "op")
+    }),
+    // the same fold as a PRUNED WRITE: snapshot landed in pk-range
+    // partitions, only change-touched partitions rewritten (untouched files
+    // pass through byte-identical — pinned by CdcSpec); reading the layout
+    // back must equal the query-form apply exactly, so the oracle is shared
+    "ext_cdc_apply_pruned" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val snap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val b = snap.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1)) // inclusive, as rangeChunks expects
+      val dir0 = System.getProperty("java.io.tmpdir") + "/graft_cdc_pruned_q"
+      Scan.rangeChunks(snap, "o_orderkey", lo, hi, 8)
+        .write.mode("overwrite").partitionBy("chunk_id").parquet(dir0)
+      Cdc.applyChangesPruned(dir0, cdcChangeLog(o), "o_orderkey", "seq",
+        lo, hi, 8, "op")
+      s.read.parquet(dir0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
     "ext_scd2_history" -> ((s, dir) =>
       Cdc.scd2History(cdcChangeLog(t(s, dir, "orders")), Seq("o_orderkey"), "seq")
@@ -1363,22 +1385,13 @@ object SparkEntry {
              "o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), " +
              "strftime(o_orderdate, '%Y-%m-%d'))")} AS BIGINT) AS h
          |  FROM orders, sp)
-         |SELECT chunk_id, count(*) AS n, CAST(SUM(h) AS BIGINT) AS sum_h,
+         |SELECT chunk_id, count(*) AS n, CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h,
          |  bit_xor(h) AS xor_h
          |FROM h GROUP BY 1""".stripMargin,
-    "ext_cdc_apply" ->
-      s"""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus
-         |             FROM orders WHERE o_orderkey % 7 <> 0),
-         |ch AS ($cdcChangeLogSql),
-         |latest AS (SELECT * FROM (SELECT *, row_number() OVER (
-         |  PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
-         |  WHERE rn = 1)
-         |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus FROM snap s
-         |WHERE NOT EXISTS (SELECT 1 FROM latest l
-         |                  WHERE l.o_orderkey = s.o_orderkey)
-         |UNION ALL
-         |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest
-         |WHERE op <> 'D'""".stripMargin,
+    "ext_cdc_apply" -> cdcApplyOracleSql,
+    // the pruned write is provably the same fold — untouched partitions pass
+    // through, touched ones are rewritten by the identical applyChanges plan
+    "ext_cdc_apply_pruned" -> cdcApplyOracleSql,
     "ext_scd2_history" ->
       s"""WITH ch AS ($cdcChangeLogSql)
          |SELECT o_orderkey, o_custkey, o_orderstatus, op, seq,
@@ -1397,6 +1410,27 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey % 1024 AS x, o_orderkey % 1024 AS y,
          |  CAST(${zValueSql("(o_custkey % 1024)", "(o_orderkey % 1024)", 10)} AS BIGINT) AS zval
          |FROM orders""".stripMargin,
+    // schema dump: DuckDB's DESCRIBE over the same parquet, with the
+    // engine-name differences mapped (INTEGER→INT, VARCHAR→STRING,
+    // BLOB→BINARY; the fixture's timestamps are not UTC-adjusted, which
+    // Spark reads as TIMESTAMP_NTZ) — the dump must agree column-for-column
+    "schema_dump" ->
+      """SELECT column_name AS col_name,
+        |  CASE column_type WHEN 'INTEGER' THEN 'INT' WHEN 'VARCHAR' THEN 'STRING'
+        |    WHEN 'BLOB' THEN 'BINARY' WHEN 'TIMESTAMP' THEN 'TIMESTAMP_NTZ'
+        |    ELSE column_type END AS data_type,
+        |  "null" = 'YES' AS nullable
+        |FROM (DESCRIBE SELECT * FROM lineitem)""".stripMargin,
+    // frame sampling is byte-window arithmetic over the payload: frame i
+    // starts at i*frameBytes*stride and carries min(frameBytes, len-start)
+    // bytes — the oracle predicts every frame's size from octet_length alone
+    "multimodal_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+        |  unnest(range(0, greatest(CAST(ceil(octet_length(encode(text))/128.0) AS BIGINT), 1))) AS frame_no
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        |  CAST(greatest(0, least(32, len - frame_no*128)) AS INT) AS frame_bytes
+        |FROM f""".stripMargin,
     // bloom pruning is FP-only, so the PLAIN join is the exact oracle
     "join_bloom_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
@@ -1496,6 +1530,25 @@ object SparkEntry {
       |  FROM orders WHERE o_orderkey % 3 = 0
       |UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, 3, 'D'
       |  FROM orders WHERE o_orderkey % 6 = 0""".stripMargin
+
+  /** The CDC fold both apply forms must produce: untouched snapshot rows
+    * pass through, the latest non-delete change per key replaces-or-inserts.
+    * Shared by `ext_cdc_apply` (query form) and `ext_cdc_apply_pruned`
+    * (partition-pruned write form) — equality of the two against ONE oracle
+    * is the proof the pruned write loses nothing. */
+  private lazy val cdcApplyOracleSql: String =
+    s"""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus
+       |             FROM orders WHERE o_orderkey % 7 <> 0),
+       |ch AS ($cdcChangeLogSql),
+       |latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |  PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+       |  WHERE rn = 1)
+       |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus FROM snap s
+       |WHERE NOT EXISTS (SELECT 1 FROM latest l
+       |                  WHERE l.o_orderkey = s.o_orderkey)
+       |UNION ALL
+       |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest
+       |WHERE op <> 'D'""".stripMargin
 
   /** DuckDB twin of Layout.zValue for two dimensions: bit b of x lands at
     * 2b, of y at 2b+1 — the same dimension-alternating interleave. */

@@ -37,6 +37,11 @@ object Transfer {
   // back a previous run's row
   private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test seam: invoked with the table name as each per-table task STARTS.
+    * TransferSpec points it at a barrier to prove tables genuinely overlap
+    * (a sequential loop deadlocks the barrier; the pool does not). */
+  @volatile private[graft] var tableStartHook: String => Unit = _ => ()
+
   /** Collects `df.observe(...)` metrics from write-command executions.
     * `ExecutionListenerBus` delivers asynchronously, so readers poll
     * [[await]]; metric names are unique per table/chunk so concurrent
@@ -114,6 +119,7 @@ object Transfer {
     val collector = new MetricsCollector
     spark.listenerManager.register(collector)
     val moved = try par.map { table =>
+      tableStartHook(table)
       val df = Tables.load(spark, srcDir, table)
       val (rows, wm) = observedWrite(df, Tables.metaOf(table),
         s"graft_pull_${table}_${metricSeq.incrementAndGet()}", collector) {
@@ -214,14 +220,28 @@ object Transfer {
     * The data load itself is Spark's distributed JDBC writer: each source
     * partition opens its own connection and writes `batchsize`-row batches,
     * so a 1000-executor cluster drives the destination at whatever
-    * parallelism the source layout gives it. */
+    * parallelism the source layout gives it.
+    *
+    * Tables load CONCURRENTLY on a bounded pool (like [[pull]]; SURVEY §4's
+    * headroom over taps' strictly sequential table loop,
+    * `lib/taps/operation.rb:300-323`): each table's DDL→data→index→sequence
+    * pipeline is independent, so a 1000-small-table database keeps both the
+    * cluster and the destination busy instead of idling between tables. All
+    * JDBC statements already run on per-call connections, and Spark's
+    * scheduler interleaves the concurrent write jobs natively. */
   def pullToJdbc(spark: SparkSession, srcDir: String, url: String,
                  tables: Seq[String],
                  indexes: Map[String, Seq[sources.Jdbc.IndexDef]] = Map.empty,
                  indexesFirst: Boolean = false,
-                 batchSize: Int = 1000): Seq[Result] = {
+                 batchSize: Int = 1000,
+                 parallelism: Int = 4): Seq[Result] = {
     import sources.Jdbc
-    tables.map { table =>
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(math.max(1, parallelism))
+    val par = tables.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    try par.map { table =>
+      tableStartHook(table)
       val meta = Tables.metaOf(table)
       val df = Tables.load(spark, srcDir, table)
       val tableIndexes = indexes.getOrElse(table, Nil)
@@ -241,7 +261,8 @@ object Transfer {
         Jdbc.execute(url, Jdbc.restartIdentitySql(table, meta.primaryKey.head, w + 1))
       }
       Result(table, rows, wm, skipped = false)
-    }
+    }.toList
+    finally pool.shutdown()
   }
 
   /** Bucketed landing for join-heavy destinations: co-partition a table on

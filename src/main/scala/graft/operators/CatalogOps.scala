@@ -91,32 +91,41 @@ object CatalogOps {
   def schemaDdl(df: DataFrame): String = df.schema.toDDL
 
   /** Pre-transfer column profiling: one row per requested column with row
-    * count, null count, exact distinct count, and min/max (surfaced as
-    * strings so the report schema is column-type-independent). This is the
-    * data-quality preflight a migration runs before moving a table — the
-    * quantitative extension of taps' schema dump
-    * (`lib/taps/schema.rb:37-49`).
+    * count, null count, distinct count, and min/max (surfaced as strings so
+    * the report schema is column-type-independent). This is the data-quality
+    * preflight a migration runs before moving a table — the quantitative
+    * extension of taps' schema dump (`lib/taps/schema.rb:37-49`).
     *
-    * Scale shape: ONE aggregation pass over the table. The k exact
-    * distinct counts plan as a single Expand (k× the input rows map-side,
-    * standard multi-distinct strategy) — exact because reconciliation
-    * wants exact; swap `countDistinct` for `approx_count_distinct` when
-    * profiling very wide tables where ±2% suffices. */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * Scale shape: a UNION of per-column aggregates — ONE Spark job with k
+    * independent branches, each scanning ONLY its own column (Parquet
+    * column pruning: total read I/O ≈ one full-width scan, split across
+    * parallel branches) and each planning as a plain two-phase hash
+    * aggregate. The earlier one-agg form put all k `countDistinct`s in a
+    * single Aggregate, which Catalyst plans via Expand: every input row is
+    * multiplied k× map-side — a 100× scan blow-up on a 100-column table.
+    * The union form has NO Expand anywhere and each branch's shuffle is
+    * bounded by that column's distinct values.
+    *
+    * `exactNdv = false` (default) counts distinct with HLL
+    * (`approx_count_distinct`, ±2%): constant-size aggregation buffers, no
+    * per-value shuffle — the right default for very wide 100 TB tables.
+    * Reconciliation-grade profiling passes `exactNdv = true`. */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exactNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"__cnt_$c"),
-      countDistinct(col(c)).as(s"__ndv_$c"),
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")) }
-    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    val entries = cols.map { c => struct(
-      lit(c).as("column_name"),
-      col("__total").as("n_rows"),
-      (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
-      col(s"__ndv_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_value"),
-      col(s"__max_$c").as("max_value")) }
-    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    cols.map { c =>
+      val ndv = if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
+      df.select(col(c))
+        .agg(count(lit(1)).as("__total"), count(col(c)).as("__cnt"),
+          ndv.as("__ndv"),
+          min(col(c)).cast("string").as("__min"),
+          max(col(c)).cast("string").as("__max"))
+        .select(lit(c).as("column_name"),
+          col("__total").as("n_rows"),
+          (col("__total") - col("__cnt")).as("n_nulls"),
+          col("__ndv").as("n_distinct"),
+          col("__min").as("min_value"),
+          col("__max").as("max_value"))
+    }.reduce(_ unionByName _)
   }
 }

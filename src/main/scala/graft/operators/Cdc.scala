@@ -51,6 +51,68 @@ object Cdc {
     untouched.unionByName(upserts)
   }
 
+  /** Partition-pruned CDC apply — [[applyChanges]] as a WRITE that touches
+    * only the partitions the change log hits. `applyChanges` is scale-safe
+    * as a QUERY (the snapshot sees one anti-join), but materializing its
+    * result rewrites every row: 100 TB of write amplification for a 1 GB
+    * change log. This variant works against a snapshot laid out in
+    * `chunk_id=N` hive partitions over the pk domain (the layout
+    * [[graft.Transfer.pullChunked]] writes, same [[Scan.rangeChunks]] span
+    * arithmetic — taps' chunked landing):
+    *
+    *  1. bin the day's change KEYS into chunk ids (driver list bounded by
+    *     `parts`, never by data);
+    *  2. read ONLY the touched partitions (partition pruning — untouched
+    *     files are never opened);
+    *  3. fold the changes into that subset and rewrite it under dynamic
+    *     partition overwrite — untouched partition files are never written;
+    *  4. drop any touched partition whose rows were all deleted (dynamic
+    *     overwrite can't emit an empty partition).
+    *
+    * Change keys must be ≥ the layout's `lower`; keys past `upper` land in
+    * the last chunk, exactly as [[Scan.rangeChunks]] assigns them. Returns
+    * the touched chunk ids. */
+  def applyChangesPruned(snapshotDir: String, changes: DataFrame,
+                         pkCol: String, seqCol: String,
+                         lower: Long, upper: Long, parts: Int,
+                         opCol: String = "op"): Seq[Int] = {
+    val spark = changes.sparkSession
+    val span = math.max(1L, (upper - lower + parts) / parts)
+    def chunkOf(c: Column): Column = least(
+      org.apache.spark.sql.graft.Internals.intDiv(c - lit(lower), lit(span)),
+      lit(parts - 1L)).cast("int")
+    val latest = latestPerKey(changes, Seq(pkCol), seqCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = latest.select(chunkOf(col(pkCol)).as("chunk_id"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq // ≤ `parts` rows
+      if (touched.isEmpty) return Nil
+      val snap = spark.read.parquet(snapshotDir)
+        .filter(col("chunk_id").isin(touched.map(Integer.valueOf): _*))
+        .drop("chunk_id")
+      // localCheckpoint breaks the read→overwrite cycle (Spark refuses to
+      // overwrite a path its plan still reads); it materializes ONLY the
+      // touched partitions' result, which is delta-sized by construction
+      val out = applyChanges(snap, latest, Seq(pkCol), seqCol, opCol)
+        .withColumn("chunk_id", chunkOf(col(pkCol)))
+        .localCheckpoint()
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk_id")
+        .parquet(snapshotDir)
+      // a chunk whose every row was deleted emits no partition under dynamic
+      // overwrite — remove its stale directory explicitly
+      val stillThere = out.select(col("chunk_id")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- stillThere).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/chunk_id=$id"), true)
+      }
+      touched
+    } finally latest.unpersist()
+  }
+
   /** SCD-type-2 history from a change log: every change becomes a
     * versioned row with [valid_from, valid_to) effectivity — valid_to is
     * the NEXT change's seq (null while current) — plus is_current

@@ -92,13 +92,6 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** The j-th affine signature over a token-hash column: (a_j·h + b_j) mod
-    * 2^57 — see [[sigAffine]]. */
-  private def affine(j: Int, h: Column): Column = {
-    val (a, b) = sigAffine(j)
-    (lit(a) * h + lit(b)) % lit(SigMod)
-  }
-
   /** X2 step 1 (unfused reference path): minhash signatures as (id, j, sig)
     * rows. sig_j(doc) = min over tokens of the j-th affine hash of the
     * token's 40-bit md5 prefix — ONE digest per token regardless of seed
@@ -130,22 +123,28 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("j"), col("sig")))),
           x => x.getField("sig").cast("string")), "_").as("band_sig"))
 
-  /** All bands fused into per-set array expressions: each sig_j is an
-    * `array_min(transform(harr, affine_j))` over the set's token-hash array
-    * — NO shuffle at all (the only exchange left in candidate generation is
-    * the band self-join). Identical output to signatures→bands (same mins,
-    * same '_'-joined seed order, ceil-division trailing partial band) —
-    * pinned by the fused-vs-unfused spec. */
+  /** All bands fused into per-set array expressions: every sig_j minimum is
+    * computed by ONE native-expression traversal of the set's token-hash
+    * array ([[org.apache.spark.sql.graft.MinHashSigs]] — codegen'd fused
+    * loop; the earlier `seeds` × `array_min(transform(...))` form allocated
+    * `seeds` intermediate arrays per row and dispatched a CodegenFallback
+    * lambda per element). NO shuffle at all — the only exchange left in
+    * candidate generation is the band self-join. Identical output to
+    * signatures→bands (same mins, same '_'-joined seed order, ceil-division
+    * trailing partial band) — pinned by the fused-vs-unfused spec. */
   private def bandsOfSets(sets: DataFrame, idCol: String,
                           seeds: Int, rowsPerBand: Int): DataFrame = {
     val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
+    val (as, bs) = (0 until seeds).map(sigAffine).unzip
+    val sigs = org.apache.spark.sql.graft.MinHashSigs.of(col("__harr"), as, bs, SigMod)
     val bandStructs = (0 until nBands).map { b =>
-      val sigs = (b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand))
-        .map(j => array_min(transform(col("__harr"), h => affine(j, h))).cast("string"))
-      struct(lit(b.toLong).as("band"), concat_ws("_", sigs: _*).as("band_sig"))
+      val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
+      struct(lit(b.toLong).as("band"),
+        concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
+          .as("band_sig"))
     }
-    sets.select(col(idCol), size(col("__harr")).as("__n"),
-        explode(array(bandStructs: _*)).as("__bs"))
+    sets.select(col(idCol), size(col("__harr")).as("__n"), sigs.as("__sigs"))
+      .select(col(idCol), col("__n"), explode(array(bandStructs: _*)).as("__bs"))
       .select(col(idCol), col("__n"),
         col("__bs.band").as("band"), col("__bs.band_sig").as("band_sig"))
   }

@@ -56,11 +56,12 @@ object Reconcile {
     * The checksum is order-insensitive (sum and xor are commutative), so no
     * per-chunk sort is needed and partial aggregation runs map-side — the
     * whole pass is one scan plus one tiny shuffle of `parts` rows. The sum
-    * is of 48-bit values: 2^15 rows/chunk of headroom before overflow at
-    * this fixture's chunking; real deployments size `parts` so a chunk is
-    * re-transferable anyway (≪ 2^15 rows would be too coarse only past
-    * ~10^18 total rows). `rowRepr` must be engine-portable — cast doubles
-    * through DECIMAL, format dates — so the oracle reproduces it. */
+    * accumulates in DECIMAL(38,0): 48-bit hash values overflow a BIGINT sum
+    * past ~2^15 rows/chunk, which a deployment that passes a small `parts`
+    * over a big table silently hits — the decimal sum is exact to 10^38
+    * (~10^23 rows/chunk), far past any physical chunk. `rowRepr` must be
+    * engine-portable — cast doubles through DECIMAL, format dates — so the
+    * oracle reproduces it. */
   def chunkChecksums(df: DataFrame, pk: String, lower: Long, upper: Long,
                      parts: Int, rowRepr: Column): DataFrame =
     Scan.rangeChunks(df, pk, lower, upper, parts)
@@ -68,7 +69,7 @@ object Reconcile {
         conv(substring(md5(rowRepr), 1, 12), 16, 10).cast("long").as("__h"))
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__h")).as("sum_h"),
+        sum(col("__h").cast("decimal(38,0)")).as("sum_h"),
         expr("bit_xor(__h)").as("xor_h"))
 
   /** Partial aggregates of `valueCol` per `groupCols`: (group, sum, count)

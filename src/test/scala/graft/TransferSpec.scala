@@ -120,6 +120,30 @@ class TransferSpec extends AnyFunSuite with SparkSpec {
     assert(Transfer.pullChunked(spark, src, dst, mpath, "orders", chunks = 4).isEmpty)
   }
 
+  test("pull runs tables concurrently; pullToJdbc does too (SURVEY §4 headroom)") {
+    // barrier proof: every per-table task must be IN FLIGHT at once for the
+    // barrier to release — a sequential loop parks the first task until the
+    // 30 s timeout breaks the barrier and fails the transfer
+    import java.util.concurrent.{CyclicBarrier, TimeUnit}
+    val tables = Seq("region", "nation", "supplier")
+    def withBarrier[A](body: => A): A = {
+      val barrier = new CyclicBarrier(tables.size)
+      Transfer.tableStartHook = _ => barrier.await(30, TimeUnit.SECONDS)
+      try body finally Transfer.tableStartHook = _ => ()
+    }
+    val tmp = Files.createTempDirectory("xfer_par").toString
+    val pulled = withBarrier {
+      Transfer.pull(spark, src, s"$tmp/db", s"$tmp/manifest.json",
+        tables = tables, parallelism = tables.size)
+    }
+    assert(pulled.map(_.table).toSet == tables.toSet && pulled.forall(!_.skipped))
+    val loaded = withBarrier {
+      Transfer.pullToJdbc(spark, src, "jdbc:derby:memory:graft_par;create=true",
+        tables, parallelism = tables.size)
+    }
+    assert(loaded.map(_.table).toSet == tables.toSet && loaded.forall(_.rows > 0))
+  }
+
   test("plan subtracts regex filter, excludes, and completed set like taps") {
     val m = streaming.Manifest.empty.complete("nation", 25L)
     val p = Transfer.plan(Tables.names, Some("ion"), Seq("region"), m)

@@ -37,6 +37,57 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("applyChangesPruned: only touched partitions rewritten, untouched files byte-identical") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_cdc_pruned").toString
+    // 64 keys with inclusive pk domain [0, 63] over 8 chunks of span 8
+    val snap0 = (0L until 64L).map(k => (k, s"v$k")).toDF("id", "v")
+    Scan.rangeChunks(snap0, "id", 0L, 63L, 8)
+      .write.mode("overwrite").partitionBy("chunk_id").parquet(dir)
+    // changes touch ONLY chunks 1 (ids 8..15) and 3 (ids 24..31):
+    // update key 9, update key 12, delete key 25
+    val changes = Seq(
+      (9L, "v9'", 1, "U"), (25L, "x", 1, "D"), (12L, "v12'", 1, "U")
+    ).toDF("id", "v", "seq", "op")
+    def fileState(chunks: Seq[Int]): Map[String, (Long, Int)] =
+      chunks.flatMap { c =>
+        val p = Paths.get(dir, s"chunk_id=$c")
+        Files.list(p).iterator().asScala.filter(_.toString.endsWith(".parquet")).map { f =>
+          f.toString -> (Files.size(f), java.util.Arrays.hashCode(Files.readAllBytes(f)))
+        }
+      }.toMap
+    val untouchedBefore = fileState(Seq(0, 2, 4, 5, 6, 7))
+    val touched = Cdc.applyChangesPruned(dir, changes, "id", "seq", 0L, 63L, 8)
+    assert(touched == Seq(1, 3), s"change keys 9,12,25 live in chunks 1 and 3: $touched")
+    // untouched partition files: same paths, same bytes
+    assert(fileState(Seq(0, 2, 4, 5, 6, 7)) == untouchedBefore,
+      "untouched partitions must pass through byte-identical")
+    // the landed layout equals the query-form fold of the same log
+    val expect = Cdc.applyChanges(snap0, changes, Seq("id"), "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val got = spark.read.parquet(dir).select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == expect && got.size == 63) // 64 - 1 delete
+  }
+
+  test("applyChangesPruned: a fully-deleted chunk's partition directory is removed") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_cdc_prune_del").toString
+    val snap0 = (0L until 16L).map(k => (k, s"v$k")).toDF("id", "v")
+    Scan.rangeChunks(snap0, "id", 0L, 15L, 4)
+      .write.mode("overwrite").partitionBy("chunk_id").parquet(dir)
+    // delete every key of chunk 2 (ids 8..11)
+    val changes = (8L to 11L).map(k => (k, "x", 1, "D")).toDF("id", "v", "seq", "op")
+    val touched = Cdc.applyChangesPruned(dir, changes, "id", "seq", 0L, 15L, 4)
+    assert(touched == Seq(2))
+    assert(!Files.exists(Paths.get(dir, "chunk_id=2")),
+      "an emptied chunk must not leave stale files behind")
+    assert(spark.read.parquet(dir).count() == 12)
+  }
+
   test("scd2History: [valid_from, valid_to) chains, is_current on live tail") {
     val out = Cdc.scd2History(changes, Seq("id"), "seq")
       .select(col("id"), col("seq"), col("valid_from"), col("valid_to"),

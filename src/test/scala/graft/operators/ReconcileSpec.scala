@@ -49,6 +49,26 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     assert(Reconcile.verifyChunks(a, a2).isEmpty)
   }
 
+  test("chunkChecksums sum does not overflow past ~2^15 rows per chunk") {
+    // 200k rows of ~2^47-mean 48-bit hashes in ONE chunk sums to ~2^64.6 —
+    // past Long.MaxValue. The decimal(38,0) accumulator must return the
+    // exact BigInt sum where a BIGINT sum would wrap silently negative.
+    import spark.implicits._
+    val n = 200000L
+    val df = spark.range(n).select(col("id").as("pk"))
+    val repr = concat_ws("|", col("pk"))
+    val out = Reconcile.chunkChecksums(df, "pk", 0L, n - 1, 1, repr).head()
+    assert(out.getLong(out.fieldIndex("n")) == n)
+    val sumH = BigInt(out.getDecimal(out.fieldIndex("sum_h")).toBigInteger)
+    // recompute the per-row hashes independently and sum exactly
+    val expected = df
+      .select(conv(substring(md5(repr), 1, 12), 16, 10).cast("long").as("h"))
+      .as[Long].collect().foldLeft(BigInt(0))(_ + _)
+    assert(sumH == expected, s"decimal sum must be exact: $sumH vs $expected")
+    assert(expected > BigInt(Long.MaxValue),
+      "fixture must actually exceed the BIGINT range for this test to prove anything")
+  }
+
   test("chunkChecksums are row-order insensitive within a chunk") {
     import spark.implicits._
     val fwd = (0L until 16L).map(i => (i, s"r$i")).toDF("pk", "v")

@@ -85,4 +85,85 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(p.contains("WholeStageCodegen"), s"expect WholeStageCodegen subtrees:\n${p.take(800)}")
   }
+
+  test("column profiling plans WITHOUT Expand (no k-times row multiplication)") {
+    // the multi-distinct Aggregate form Expands every input row k× map-side —
+    // a 100× scan blow-up on a 100-column table; the union-of-branches form
+    // must plan k plain two-phase aggregates instead
+    val p = planOf("ext_profile_columns")
+    assert(!p.contains("Expand"), s"profiling must not Expand the scan:\n$p")
+    assert(p.contains("Union"), s"expect one union-of-branches job:\n$p")
+    // each branch's scan reads ONLY its own column
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .count(r.contains) == 1),
+      s"every branch must prune to a single profiled column:\n${reads.mkString("\n")}")
+  }
+
+  test("bloom-pruned join applies might_contain BELOW the join exchange") {
+    // the whole point of the bloom prune is shrinking the fact side BEFORE
+    // the shuffle: force the shuffle join (nothing auto-broadcasts at real
+    // scale) and pin Exchange → Filter(might_contain) → lineitem scan order
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      // sf0.001 has no nationkey-5 supplier (the declared query's filter
+      // would fold the whole plan to empty here); pin the shape on a
+      // non-empty dim side instead
+      val p = graft.operators.Prune.bloomPrunedJoin(
+          graft.Tables.load(spark, sf, "lineitem"),
+          graft.Tables.load(spark, sf, "supplier").filter(col("s_nationkey") === 3),
+          "l_suppkey", "s_suppkey")
+        .queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toSeq
+      val ex = lines.indexWhere(l => l.contains("Exchange hashpartitioning")
+        && l.contains("l_suppkey"))
+      val bf = lines.indexWhere(_.contains("might_contain"))
+      val scan = lines.indexWhere(l => l.contains("Scan parquet") && l.contains("lineitem"))
+      assert(ex >= 0 && bf > ex && scan > bf,
+        s"want fact exchange above might_contain above the scan (ex=$ex bf=$bf scan=$scan):\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("z-order clustering plans exactly ONE range exchange and no global sort") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.load(spark, sf, "orders")
+    val p = graft.operators.Layout.clusterByZ(orders,
+      Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024), 10, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"exactly one range exchange:\n$p")
+    assert(!p.contains("Sort [__z") || !p.contains("global=true"),
+      s"sort must stay within partitions:\n$p")
+  }
+
+  test("CDC apply windows only the change log and anti-joins the snapshot once") {
+    val p = planOf("ext_cdc_apply")
+    assert(p.contains("LeftAnti"), s"snapshot must pass through one anti-join:\n$p")
+    // the latest-per-key window subtree feeds two consumers (upserts + the
+    // anti-join keyset) so it may print twice — but every Window must ride
+    // the CHANGE LOG (its seq ordinal), never the full snapshot
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("seq")),
+      s"every window must be over the change log (seq-ordered):\n${windows.mkString("\n")}\n$p")
+  }
+
+  test("fused minhash signatures stay inside whole-stage codegen") {
+    // the native MinHashSigs expression must not fall back to interpreted
+    // evaluation. doGenCode registers its seed tables via
+    // addReferenceObj("minhashA", ...), and generated sources annotate every
+    // reference slot with its name — so the name appearing in the codegen
+    // dump proves the fused loop was actually compiled into the span.
+    import org.apache.spark.sql.functions._
+    // a literal local relation would constant-fold at optimization time —
+    // range() forces a real codegen'd Project
+    val df = spark.range(64).select(array(col("id"), col("id") + 1).as("__harr"))
+    val (as, bs) = (0 until 16).map(graft.operators.Dedup.sigAffine).unzip
+    val p = df.select(org.apache.spark.sql.graft.MinHashSigs
+        .of(col("__harr"), as, bs, graft.operators.Dedup.SigMod).as("sigs"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), s"expect a codegen span:\n${p.take(800)}")
+    assert(p.contains("minhashA"), s"fused minhash loop must be IN the generated code:\n${p.take(1200)}")
+  }
 }
