@@ -661,9 +661,11 @@ object SparkEntry {
       Cdc.applyChanges(snap, cdcChangeLog(o), Seq("o_orderkey"), "seq", "op")
     }),
     // the same fold as a PRUNED WRITE: snapshot landed in pk-range
-    // partitions, only change-touched partitions rewritten (untouched files
-    // pass through byte-identical — pinned by CdcSpec); reading the layout
-    // back must equal the query-form apply exactly, so the oracle is shared
+    // partitions, the day's changes restricted to the FIRST FIFTH of the key
+    // domain (an incremental log is localized — that is the entire premise
+    // of pruning), so only ~2 of 8 partitions are rewritten and the rest
+    // pass through byte-identical (pinned by CdcSpec). Reading the layout
+    // back must equal the query-form fold of the same restricted log.
     "ext_cdc_apply_pruned" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val snap = o.filter(col("o_orderkey") % 7 =!= 0)
@@ -671,11 +673,13 @@ object SparkEntry {
       val b = snap.agg(min(col("o_orderkey")).cast("long"),
         max(col("o_orderkey")).cast("long")).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1)) // inclusive, as rangeChunks expects
+      val cut = lo + (hi - lo) / 5
       val dir0 = System.getProperty("java.io.tmpdir") + "/graft_cdc_pruned_q"
       Scan.rangeChunks(snap, "o_orderkey", lo, hi, 8)
         .write.mode("overwrite").partitionBy("chunk_id").parquet(dir0)
-      Cdc.applyChangesPruned(dir0, cdcChangeLog(o), "o_orderkey", "seq",
-        lo, hi, 8, "op")
+      Cdc.applyChangesPruned(dir0,
+        cdcChangeLog(o).filter(col("o_orderkey") <= lit(cut)),
+        "o_orderkey", "seq", lo, hi, 8, "op")
       s.read.parquet(dir0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
@@ -1389,9 +1393,24 @@ object SparkEntry {
          |  bit_xor(h) AS xor_h
          |FROM h GROUP BY 1""".stripMargin,
     "ext_cdc_apply" -> cdcApplyOracleSql,
-    // the pruned write is provably the same fold — untouched partitions pass
+    // same fold, change log restricted to the first fifth of the key domain
+    // (the pruned write's localized-log premise); untouched partitions pass
     // through, touched ones are rewritten by the identical applyChanges plan
-    "ext_cdc_apply_pruned" -> cdcApplyOracleSql,
+    "ext_cdc_apply_pruned" ->
+      s"""WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus
+         |             FROM orders WHERE o_orderkey % 7 <> 0),
+         |bnd AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 5 AS cut
+         |        FROM snap),
+         |ch AS (SELECT c.* FROM ($cdcChangeLogSql) c, bnd WHERE c.o_orderkey <= bnd.cut),
+         |latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+         |  WHERE rn = 1)
+         |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus FROM snap s
+         |WHERE NOT EXISTS (SELECT 1 FROM latest l
+         |                  WHERE l.o_orderkey = s.o_orderkey)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest
+         |WHERE op <> 'D'""".stripMargin,
     "ext_scd2_history" ->
       s"""WITH ch AS ($cdcChangeLogSql)
          |SELECT o_orderkey, o_custkey, o_orderstatus, op, seq,

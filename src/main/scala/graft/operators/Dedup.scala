@@ -180,32 +180,9 @@ object Dedup {
       .distinct()
   }
 
-  /** One row per DISTINCT token set: (__set_key, __rep = min doc id, toks,
-    * __harr). The hot-band killer: boilerplate corpora put THOUSANDS of
-    * identical-set docs in one LSH bucket (observed: a 1541-doc bucket →
-    * 1.19M pairs from a single band at sf0.1). Identical sets have identical
-    * signatures and identical jaccard against everything, so the LSH
-    * self-join and the verification only need ONE representative per set —
-    * results for the clones are reconstructed exactly by expansion
-    * afterwards. The `first(...)` aggs are deterministic (toks/harr are pure
-    * functions of the grouping key), and partial aggregation collapses
-    * clones MAP-SIDE: the shuffle carries one array per distinct set per
-    * input partition, not one per doc. */
-  private def repSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenSets(docs, idCol, textCol)
-      .groupBy(col("__set_key"))
-      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
-
-  /** (doc → rep) map: join each doc's set key against the rep table. The
-    * second tokenization pass is NARROW — column pruning eliminates the
-    * md5-transform (`__harr`) from this branch, so it costs split+sort+sha2
-    * only, cheaper than caching the full array table and competing for
-    * executor memory. */
-  private def docToRep(docs: DataFrame, idCol: String, textCol: String,
-                       reps: DataFrame): DataFrame =
-    tokenSets(docs, idCol, textCol).select(col(idCol), col("__set_key"))
-      .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
-      .select(col(idCol), col("__rep"))
+  // (repSets/docToRep used to re-tokenize the corpus once EACH — profiled
+  // at sf0.1 the two tokenize stages were 25 of the family's 30 s of task
+  // time. repPipeline now tokenizes ONCE into a persisted narrow base.)
 
   /** All unordered member pairs implied by rep-level pairs: cross-set pairs
     * expand via the two clone lists; same-set pairs are every 2-combination
@@ -238,21 +215,39 @@ object Dedup {
     expandPairs(repPairs, d2r, idCol)
   }
 
-  /** Shared rep-level pipeline: the distinct-set table (persisted —
-    * MEMORY_AND_DISK, so memory pressure spills instead of silently
-    * recomputing the whole tokenize+hash chain per consumer), the doc→rep
-    * map, and the LSH candidate pairs between representatives. Every
-    * downstream consumer (candidate expansion, jaccard verification,
-    * keep/drop policies, connected components) works off these three. */
+  /** Shared rep-level pipeline built from ONE tokenization pass.
+    *
+    * `base` = (id, __set_key, __harr) — the tokenize+hash map stage run
+    * once and persisted (MEMORY_AND_DISK: hash arrays, not token strings —
+    * roughly the corpus' token count × 8 bytes, spilling to local disk at
+    * scale). The previous shape re-tokenized the corpus for the doc→rep map
+    * to keep the cache small, but split+sort+sha2 is the family's dominant
+    * CPU cost (measured: the two tokenize stages were 25 of 30 s task time
+    * at sf0.1) — one pass + a spillable narrow cache wins on both wall
+    * clock and cluster CPU.
+    *
+    * From it: `reps` — one row per DISTINCT token set (the hot-band killer:
+    * boilerplate corpora put THOUSANDS of identical-set docs in one LSH
+    * bucket; observed 1541-doc bucket → 1.19M pairs from one band at
+    * sf0.1). Identical sets have identical signatures and identical jaccard
+    * against everything, so banding and verification run on
+    * representatives; clone results are reconstructed exactly by expansion.
+    * The `first(__harr)` agg is deterministic (__harr is a pure function of
+    * the grouping key) and partial aggregation collapses clones MAP-SIDE.
+    * `d2r` — the (doc → rep) map, a narrow join of base against reps,
+    * persisted because it fans out to as many as four consumers. */
   private def repPipeline(docs: DataFrame, idCol: String, textCol: String,
                           seeds: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val reps = repSets(docs, idCol, textCol)
+    val base = tokenSets(docs, idCol, textCol)
+      .select(col(idCol), col("__set_key"), col("__harr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // d2r fans out to as many as four consumers (pair expansion joins it
-    // twice, keep/drop policies and token-less retention once each) —
-    // persist the narrow (id, rep) rows or each consumer re-tokenizes
-    val d2r = docToRep(docs, idCol, textCol, reps)
+    val reps = base.groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d2r = base.select(col(idCol), col("__set_key"))
+      .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
+      .select(col(idCol), col("__rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repPairs = pairsFromBands(bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep")
     (reps, d2r, repPairs)
