@@ -43,6 +43,14 @@ object SparkEntry {
         .withColumn("seq", lit(3)).withColumn("op", lit("D")))
   }
 
+  /** Engine-portable serialized-row form for the chunk-checksum queries:
+    * doubles through DECIMAL, dates formatted — both engines produce the
+    * identical byte string. */
+  private val checksumRowRepr: Column = concat_ws("|", col("o_orderkey"),
+    col("o_custkey"), col("o_orderstatus"),
+    col("o_totalprice").cast("decimal(18,2)"),
+    date_format(col("o_orderdate"), "yyyy-MM-dd"))
+
   /** Full-column ordering for lineitem, pk-ish columns first — the fixture's
     * (l_orderkey, l_linenumber) is not unique, so deterministic scans order
     * by everything (taps' no-pk path, `lib/taps/utils.rb:146-154`). */
@@ -636,16 +644,29 @@ object SparkEntry {
         .filter(col("change_type") =!= "same")
     }),
     // taps' per-chunk verify loop as ONE distributed aggregation: count +
-    // sum/xor of a 48-bit row hash per pk-range chunk
+    // sum/xor of a 48-bit row hash per pk-range chunk. The DECIMAL(38,0)
+    // sum accumulates exactly (overflow guard, ReconcileSpec) but is
+    // surfaced as STRING: the driver's value hasher does not canonicalize a
+    // 16-byte parquet decimal against DuckDB's HUGEINT-derived decimal, and
+    // the digit string is the representation both engines agree on.
     "chunk_checksum" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val b = o.agg(min(col("o_orderkey")).cast("long"),
         max(col("o_orderkey")).cast("long")).head()
-      val repr = concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd"))
       Reconcile.chunkChecksums(o, "o_orderkey", b.getLong(0), b.getLong(1),
-        parts = 8, rowRepr = repr)
+        parts = 8, rowRepr = checksumRowRepr)
+        .withColumn("sum_h", col("sum_h").cast("string"))
+    }),
+    // the xxhash64 production path (no DuckDB oracle — rows-only; the md5
+    // form above is the cross-engine witness, ReconcileSpec pins that both
+    // localize a corruption to the same chunk)
+    "chunk_checksum_fast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val b = o.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).head()
+      Reconcile.chunkChecksumsFast(o, "o_orderkey", b.getLong(0), b.getLong(1),
+        parts = 8, rowRepr = checksumRowRepr)
+        .withColumn("sum_h", col("sum_h").cast("string"))
     }),
 
     // ── §2.9 CDC apply + SCD2 history: fold a change log into a snapshot
@@ -1389,7 +1410,8 @@ object SparkEntry {
              "o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), " +
              "strftime(o_orderdate, '%Y-%m-%d'))")} AS BIGINT) AS h
          |  FROM orders, sp)
-         |SELECT chunk_id, count(*) AS n, CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h,
+         |SELECT chunk_id, count(*) AS n,
+         |  CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS sum_h,
          |  bit_xor(h) AS xor_h
          |FROM h GROUP BY 1""".stripMargin,
     "ext_cdc_apply" -> cdcApplyOracleSql,

@@ -64,9 +64,25 @@ object Reconcile {
     * oracle reproduces it. */
   def chunkChecksums(df: DataFrame, pk: String, lower: Long, upper: Long,
                      parts: Int, rowRepr: Column): DataFrame =
+    checksumAgg(df, pk, lower, upper, parts,
+      conv(substring(md5(rowRepr), 1, 12), 16, 10).cast("long"))
+
+  /** Production variant of [[chunkChecksums]]: the row hash is `xxhash64`
+    * (codegen'd, single 64-bit pass) instead of md5→hex-substring→conv —
+    * four string ops per row replaced by one integer hash, the same
+    * fast-path/oracle-twin split the simhash and fingerprint operators use
+    * (xxhash64 has no DuckDB equivalent, so the md5 form above stays the
+    * cross-engine witness). Identical localization contract: a corrupted
+    * row flips exactly its chunk's (sum_h, xor_h) — pinned against the md5
+    * path by ReconcileSpec. */
+  def chunkChecksumsFast(df: DataFrame, pk: String, lower: Long, upper: Long,
+                         parts: Int, rowRepr: Column): DataFrame =
+    checksumAgg(df, pk, lower, upper, parts, xxhash64(rowRepr))
+
+  private def checksumAgg(df: DataFrame, pk: String, lower: Long, upper: Long,
+                          parts: Int, hashCol: Column): DataFrame =
     Scan.rangeChunks(df, pk, lower, upper, parts)
-      .select(col("chunk_id"),
-        conv(substring(md5(rowRepr), 1, 12), 16, 10).cast("long").as("__h"))
+      .select(col("chunk_id"), hashCol.as("__h"))
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n"),
         sum(col("__h").cast("decimal(38,0)")).as("sum_h"),

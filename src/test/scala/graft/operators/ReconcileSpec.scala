@@ -49,6 +49,25 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     assert(Reconcile.verifyChunks(a, a2).isEmpty)
   }
 
+  test("fast (xxhash64) and md5 checksum paths localize corruption to the same chunk") {
+    import spark.implicits._
+    val src = (0L until 64L).map(i => (i, s"row$i")).toDF("pk", "v")
+    val corrupt = (0L until 64L).map(i => (i, if (i == 21L) "XXX" else s"row$i"))
+      .toDF("pk", "v")
+    val repr = concat_ws("|", col("pk"), col("v"))
+    def badChunks(f: (org.apache.spark.sql.DataFrame, String, Long, Long, Int,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame): Seq[Int] =
+      Reconcile.verifyChunks(f(src, "pk", 0L, 63L, 8, repr),
+          f(corrupt, "pk", 0L, 63L, 8, repr))
+        .select("chunk_id").as[Int].collect().toSeq.sorted
+    assert(badChunks(Reconcile.chunkChecksums) == Seq(2)) // pk 21, span 8
+    assert(badChunks(Reconcile.chunkChecksumsFast) == Seq(2))
+    // clean re-computation verifies clean on the fast path too
+    val a = Reconcile.chunkChecksumsFast(src, "pk", 0L, 63L, 8, repr)
+    val b = Reconcile.chunkChecksumsFast(src, "pk", 0L, 63L, 8, repr)
+    assert(Reconcile.verifyChunks(a, b).isEmpty)
+  }
+
   test("chunkChecksums sum does not overflow past ~2^15 rows per chunk") {
     // 200k rows of ~2^47-mean 48-bit hashes in ONE chunk sums to ~2^64.6 —
     // past Long.MaxValue. The decimal(38,0) accumulator must return the
