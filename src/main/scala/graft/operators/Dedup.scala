@@ -180,9 +180,17 @@ object Dedup {
       .distinct()
   }
 
-  // (repSets/docToRep used to re-tokenize the corpus once EACH — profiled
-  // at sf0.1 the two tokenize stages were 25 of the family's 30 s of task
-  // time. repPipeline now tokenizes ONCE into a persisted narrow base.)
+  /** The RDDs materialized by a `localCheckpoint` — collected so their
+    * blocks can be freed deterministically instead of waiting on the
+    * ContextCleaner (checkpoint blocks are invisible to
+    * `spark.catalog.clearCache()`, and leaking them starves whatever
+    * memory-hungry job runs next in the session). */
+  private def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+  }
+
+  private def freeCheckpoints(dfs: DataFrame*): Unit =
+    dfs.foreach(checkpointRdds(_).foreach(_.unpersist(blocking = false)))
 
   /** All unordered member pairs implied by rep-level pairs: cross-set pairs
     * expand via the two clone lists; same-set pairs are every 2-combination
@@ -211,66 +219,78 @@ object Dedup {
     * shrunk by the clone factor). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val (_, d2r, repPairs) = repPipeline(docs, idCol, textCol, seeds, rowsPerBand)
+    val (reps, d2r) = repPipe(docs, idCol, textCol)
+    // checkpoint the (small) rep-pair frontier eagerly so the wide reps
+    // blocks can be freed NOW; the returned lazy expansion reads only the
+    // narrow repPairs + d2r checkpoints (freed by the ContextCleaner once
+    // the caller's result is garbage)
+    val repPairs = pairsFromBands(
+      bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep").localCheckpoint()
+    freeCheckpoints(reps)
     expandPairs(repPairs, d2r, idCol)
   }
 
-  /** Shared rep-level pipeline built from ONE tokenization pass.
+  /** Shared rep-level pipeline built from ONE tokenization pass, with an
+    * explicit cache lifecycle (round-5 regression lesson: three stacked
+    * MEMORY_AND_DISK persists, filled per query and never released, cost
+    * more than the re-tokenization they saved — cache fill + GC pressure
+    * dominated the family's bench).
     *
-    * `base` = (id, __set_key, __harr) — the tokenize+hash map stage run
-    * once and persisted (MEMORY_AND_DISK: hash arrays, not token strings —
-    * roughly the corpus' token count × 8 bytes, spilling to local disk at
-    * scale). The previous shape re-tokenized the corpus for the doc→rep map
-    * to keep the cache small, but split+sort+sha2 is the family's dominant
-    * CPU cost (measured: the two tokenize stages were 25 of 30 s task time
-    * at sf0.1) — one pass + a spillable narrow cache wins on both wall
-    * clock and cluster CPU.
+    * Shape now: `base` = (id, __set_key, __harr) — the tokenize+hash map
+    * stage, the family's dominant CPU cost — is persisted ONLY while the
+    * two derived tables materialize, then released before this returns:
     *
-    * From it: `reps` — one row per DISTINCT token set (the hot-band killer:
-    * boilerplate corpora put THOUSANDS of identical-set docs in one LSH
-    * bucket; observed 1541-doc bucket → 1.19M pairs from one band at
-    * sf0.1). Identical sets have identical signatures and identical jaccard
-    * against everything, so banding and verification run on
-    * representatives; clone results are reconstructed exactly by expansion.
-    * The `first(__harr)` agg is deterministic (__harr is a pure function of
-    * the grouping key) and partial aggregation collapses clones MAP-SIDE.
-    * `d2r` — the (doc → rep) map, a narrow join of base against reps,
-    * persisted because it fans out to as many as four consumers. */
-  private def repPipeline(docs: DataFrame, idCol: String, textCol: String,
-                          seeds: Int, rowsPerBand: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+    *  - `reps` — one row per DISTINCT token set (the hot-band killer:
+    *    boilerplate corpora put THOUSANDS of identical-set docs in one LSH
+    *    bucket; observed 1541-doc bucket → 1.19M pairs from one band at
+    *    sf0.1). Identical sets have identical signatures and identical
+    *    jaccard against everything, so banding and verification run on
+    *    representatives; clone results are reconstructed exactly by
+    *    expansion. `first(__harr)` is deterministic (__harr is a pure
+    *    function of the grouping key); partial aggregation collapses
+    *    clones MAP-SIDE.
+    *  - `d2r` — the (doc → rep) map via a window min over base's narrow
+    *    (id, set_key) projection: one shuffle, no join against reps.
+    *
+    * Both are EAGER `localCheckpoint`s: materialized blocks with truncated
+    * lineage, each read by 1-3 downstream consumers without re-running the
+    * tokenize stage (persist-based caching of the same tables measured 15×
+    * slower per-fill; see Verify gotchas). Callers MUST free them via
+    * [[freeCheckpoints]] once their own frontier is materialized — the
+    * drop and pairs APIs below checkpoint their (narrow) results and
+    * release the wide `reps` blocks before returning, so no wide
+    * intermediate outlives the call. */
+  private def repPipe(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val base = tokenSets(docs, idCol, textCol)
       .select(col(idCol), col("__set_key"), col("__harr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = base.groupBy(col("__set_key"))
       .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d2r = base.select(col(idCol), col("__set_key"))
-      .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
-      .select(col(idCol), col("__rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repPairs = pairsFromBands(bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep")
-    (reps, d2r, repPairs)
+      .select(col("__rep"), col("__harr"))
+      .localCheckpoint()
+    val d2r = base.select(col(idCol),
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__set_key"))).as("__rep"))
+      .localCheckpoint()
+    base.unpersist(blocking = false)
+    (reps, d2r)
   }
 
-  /** Shared rep-level pipeline + verification: (doc→rep map, verified rep
-    * pairs). Verification joins the candidate pairs back to the persisted
-    * set table's token arrays — no re-tokenization, no token-level rows. */
-  private def verifiedRepPairs(docs: DataFrame, idCol: String, textCol: String,
-                               seeds: Int, rowsPerBand: Int,
-                               threshold: Double): (DataFrame, DataFrame) = {
-    // reuse the shared pipeline's persist wiring; its unfiltered repPairs is
-    // lazy and never executed here — the size-filtered build below replaces it
-    val (reps, d2r, _) = repPipeline(docs, idCol, textCol, seeds, rowsPerBand)
+  /** Verified rep-level near-dup pairs over a prepared `reps` table.
+    * Verification joins the size-filtered band candidates back to the
+    * checkpointed token-hash arrays — no re-tokenization, no token-level
+    * rows. Verify on the 40-bit token-hash SETS: long-vs-long intersection
+    * is ~2× cheaper than string arrays and the sizes ride along from the
+    * band join. Jaccard over hash sets equals token jaccard unless two
+    * distinct tokens of one doc collide in 40 bits (~1e-7 per pair) — and
+    * the oracle replays the identical hash-set arithmetic. */
+  private def verifyReps(reps: DataFrame, seeds: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame = {
     val sized = pairsFromBandsSized(
       bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep", threshold)
-    // verify on the 40-bit token-hash SETS: long-vs-long intersection is
-    // ~2× cheaper than string arrays and the sizes ride along from the
-    // band join. Jaccard over hash sets equals token jaccard unless two
-    // distinct tokens of one doc collide in 40 bits (~1e-7 per pair) —
-    // and the oracle replays the identical hash-set arithmetic.
     val arrs = reps.select(col("__rep"), col("__harr"))
-    val verified = sized
+    sized
       .join(arrs.select(col("__rep").as("doc_a"), col("__harr").as("ha")), Seq("doc_a"))
       .join(arrs.select(col("__rep").as("doc_b"), col("__harr").as("hb")), Seq("doc_b"))
       .withColumn("i", size(array_intersect(col("ha"), col("hb"))))
@@ -279,7 +299,6 @@ object Dedup {
           (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    (d2r, verified)
   }
 
   def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
@@ -287,7 +306,9 @@ object Dedup {
                     threshold: Double = 0.95): DataFrame = {
     // verify at rep level (each distinct set-pair's jaccard computed once),
     // then expand: clones inherit the rep jaccard; same-set pairs are exactly 1.0
-    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+    val (reps, d2r) = repPipe(docs, idCol, textCol)
+    val verified = verifyReps(reps, seeds, rowsPerBand, threshold).localCheckpoint()
+    freeCheckpoints(reps)
     expandPairs(verified, d2r, idCol, carry = Seq("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -306,7 +327,8 @@ object Dedup {
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.95): DataFrame = {
-    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+    val (reps, d2r) = repPipe(docs, idCol, textCol)
+    val verified = verifyReps(reps, seeds, rowsPerBand, threshold)
     val dominated = verified.select(col("doc_b").as(idCol)).distinct()
     val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
       .join(dominated, Seq(idCol), "left_anti")
@@ -315,7 +337,12 @@ object Dedup {
     // and must be RETAINED, not silently dropped
     val tokenless = docs.select(col(idCol))
       .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
-    docs.join(keptReps.unionByName(tokenless), Seq(idCol), "left_semi")
+    // the kept-id list is the narrow frontier: materialize it, then free
+    // every wide intermediate — the returned semi-join reads docs + one
+    // ids-only checkpoint, and nothing else from this call stays resident
+    val kept = keptReps.unionByName(tokenless).localCheckpoint()
+    freeCheckpoints(reps, d2r)
+    docs.join(kept, Seq(idCol), "left_semi")
   }
 
   /** Connected components over an undirected (doc_a, doc_b) edge list by
@@ -348,11 +375,6 @@ object Dedup {
     * returned. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
                           localThreshold: Long = 500L * 1000): DataFrame = {
-    // the RDD materialized by a localCheckpoint — so its blocks can be
-    // freed deterministically instead of waiting on the ContextCleaner
-    def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -454,9 +476,6 @@ object Dedup {
     * Convergence = edge multiset stable (count + order-independent hash
     * signature — one cheap agg per round on the fresh checkpoint). */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 35): DataFrame = {
-    def checkpointRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
@@ -515,7 +534,11 @@ object Dedup {
   def dropNearDupsCC(docs: DataFrame, idCol: String, textCol: String,
                      seeds: Int = 16, rowsPerBand: Int = 8,
                      threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
-    val (d2r, verified) = verifiedRepPairs(docs, idCol, textCol, seeds, rowsPerBand, threshold)
+    val (reps, d2r) = repPipe(docs, idCol, textCol)
+    // CC reads the verified edges twice (symmetrization) — checkpoint once
+    // so the band join + verify run once, and the wide reps free early
+    val verified = verifyReps(reps, seeds, rowsPerBand, threshold).localCheckpoint()
+    freeCheckpoints(reps)
     val comp = connectedComponents(verified.select(col("doc_a"), col("doc_b")), maxIter)
     val dropped = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
@@ -523,7 +546,12 @@ object Dedup {
       .join(dropped, Seq(idCol), "left_anti")
     val tokenless = docs.select(col(idCol))
       .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
-    docs.join(keptReps.unionByName(tokenless), Seq(idCol), "left_semi")
+    // narrow frontier materialized, every pipeline intermediate freed (the
+    // cache-lifecycle contract: no persist/checkpoint from this call is
+    // reachable afterwards except the ids-only kept list)
+    val kept = keptReps.unionByName(tokenless).localCheckpoint()
+    freeCheckpoints(reps, d2r, verified, comp)
+    docs.join(kept, Seq(idCol), "left_semi")
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the

@@ -70,6 +70,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 6L, 7L))
   }
 
+  test("dedup pipelines leave no persisted tables behind (cache lifecycle contract)") {
+    // the round-5 regression: internal persists leaked until
+    // spark.catalog.clearCache(), charging cache fill + GC to every caller.
+    // Contract now: once a drop* result materializes, the session cache is
+    // empty — internal intermediates are checkpointed and freed, and the
+    // only surviving block is the narrow kept-id checkpoint.
+    spark.catalog.clearCache()
+    Dedup.dropNearDupsCC(docs, "doc_id", "text", 16, 8, 0.95).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dropNearDupsCC must not leave persisted tables in the cache manager")
+    Dedup.dropNearDups(docs, "doc_id", "text", 16, 8, 0.95).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dropNearDups must not leave persisted tables in the cache manager")
+    Dedup.nearDupsFused(docs, "doc_id", "text", 16, 8, 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "nearDupsFused must not leave persisted tables in the cache manager")
+  }
+
   test("fused bands emit a trailing partial band (seeds not divisible by rowsPerBand)") {
     // seeds=10, rowsPerBand=4 → bands of 4,4,2; the fused wide-agg path must
     // produce the same candidate pairs as the unfused signatures→bands path
