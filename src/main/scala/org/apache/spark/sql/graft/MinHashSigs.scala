@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
  *
  * Semantics match the HOF form exactly: same affine arithmetic in long math
  * (inputs are 40-bit hashes and 20-bit multipliers, so a*h+b < 2^61 — no
- * overflow), empty input array → NULL (as `array_min` of an empty array).
+ * overflow), empty input array → NULL (as `array_min` of an empty array),
+ * null ELEMENTS skipped (as `array_min` skips the nulls `transform`
+ * propagates) — an all-null array is NULL like an empty one.
  */
 @ExpressionDescription(
   usage = "minhash_sigs(arr) - per-seed affine-hash minima of a long array.")
@@ -55,18 +57,22 @@ case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long], mod: Lon
     if (n == 0) return null
     val k = as.length
     val mins = Array.fill(k)(mod) // residues are < mod, so mod > any min
+    var seen = false
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (as(j) * h + bs(j)) % mod
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) { // skip nulls, as array_min does
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % mod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(mins)
+    if (!seen) null else UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -80,20 +86,24 @@ case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long], mod: Lon
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $c.numElements();
-         |if ($n == 0) {
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, ${mod}L);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) continue; // skip nulls, as array_min does
+         |  $seen = true;
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${mod}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |if (!$seen) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $mins = new long[$k];
-         |  java.util.Arrays.fill($mins, ${mod}L);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $c.getLong($i);
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${mod}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
          |  ${ev.value} =
          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
          |}
