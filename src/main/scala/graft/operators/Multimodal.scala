@@ -81,7 +81,13 @@ object Multimodal {
     * (encoder/stream allocated inside the task, nothing on the driver). */
   def pngFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id"), length(col("text")).as("len"))
+    // parallelize the NARROW projection before payloads exist — the doc
+    // corpus is often one row group at test scale, which would pin the
+    // whole encode (and every decoder downstream, mapPartitions preserves
+    // partitioning) to a single task; repartitioning ids is ~free,
+    // repartitioning encoded payload bytes later would not be
+    val rdd = Query.ensureParallelism(
+        docs.select(col("doc_id"), length(col("text")).as("len")))
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -176,7 +182,9 @@ object Multimodal {
     * ImageIO sequence writer. */
   def gifFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+    // same single-row-group guard as pngFixture: split BEFORE encoding
+    val rdd = Query.ensureParallelism(docs.select(col("doc_id")))
+      .rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = 3 + (id % 5).toInt
@@ -259,33 +267,58 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  /** Canonical 44-byte RIFF/WAVE header for 16-bit signed LE mono PCM —
+    * byte-identical to what `javax.sound.sampled.AudioSystem.write`
+    * produces for this format (pinned by MultimodalSpec's interop test).
+    * Written directly because the JDK encoder's ServiceLoader provider
+    * lookup measured ~1.1 s PER TASK under Spark's executor classloader
+    * (MutableURLClassLoader re-scans the full jar list on SPI misses) —
+    * 32 parallel decode tasks paid 36 s of task time for 1 s of actual
+    * audio work. The container format is bytes; writing the spec'd header
+    * IS the real encode. */
+  private def wavHeader(nSamples: Int, rate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val h = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    h.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(rate)
+      .putInt(rate * 2)       // byte rate = rate * blockAlign
+      .putShort(2)            // blockAlign = channels * bytesPerSample
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    h.array()
+  }
+
   /** Real-WAV fixture: each document becomes a genuine 16-bit PCM mono WAV
     * (8 kHz) whose sample values are a pure integer function of
     * (doc_id, sample index) — sample_i = (id·31 + i·7) mod 2001 − 1000 —
-    * encoded with `javax.sound.sampled` (ships in the JDK). As with
-    * [[pngFixture]], SQL-expressible generator inputs mean a cross-engine
-    * oracle can predict exactly what a real audio decoder must recover:
-    * sample count, duration, and integer amplitude statistics. */
+    * in a canonical RIFF container (see [[wavHeader]]; AudioSystem parses
+    * these byte-for-byte, pinned in the spec). As with [[pngFixture]],
+    * SQL-expressible generator inputs mean a cross-engine oracle can
+    * predict exactly what a real audio decoder must recover: sample count,
+    * duration, and integer amplitude statistics. */
   def wavFixture(docs: DataFrame): DataFrame = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+    // same single-row-group guard as pngFixture: split BEFORE encoding
+    val rdd = Query.ensureParallelism(docs.select(col("doc_id")))
+      .rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = 50 + (id % 100).toInt
-        val data = new Array[Byte](n * 2)
+        val payload = new Array[Byte](44 + n * 2)
+        System.arraycopy(wavHeader(n, 8000), 0, payload, 0, 44)
         var i = 0
         while (i < n) {
           val sample = (((id * 31 + i * 7) % 2001) - 1000).toShort
-          data(2 * i) = (sample & 0xff).toByte
-          data(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+          payload(44 + 2 * i) = (sample & 0xff).toByte
+          payload(44 + 2 * i + 1) = ((sample >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM signed LE
-        val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
-        val bos = new ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-        Row(id, bos.toByteArray, Row("audio", "wav", null, null, n * 1000L / 8000))
+        Row(id, payload, Row("audio", "wav", null, null, n * 1000L / 8000))
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -304,38 +337,67 @@ object Multimodal {
     StructField("sum_abs", LongType, nullable = true),
   ))
 
-  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the WAV
-    * container (format chunk, sample rate, encoding), then the 16-bit LE
-    * PCM frames are folded into amplitude statistics — per-partition
-    * batched like every decoder here, nothing on the driver. Undecodable
-    * payloads yield null stats (quarantine predicate: `n_samples IS
-    * NULL`). */
+  /** REAL audio decode: a direct RIFF/WAVE chunk walk — verify the
+    * RIFF/WAVE magic, scan chunks in any order (skipping unknown ones, as
+    * the format requires), read the `fmt ` chunk's encoding fields, then
+    * fold the `data` chunk's 16-bit LE PCM frames into amplitude
+    * statistics. Per-partition batched like every decoder here, nothing on
+    * the driver; the JDK's `AudioSystem` is deliberately NOT in this path
+    * (its SPI lookup measured ~1.1 s per task under Spark's executor
+    * classloader — see [[wavHeader]]) but the spec pins agreement with it
+    * both ways. The sample fold assumes 16-bit signed mono LE PCM;
+    * anything else (8-bit, stereo, u-law, big-endian, truncated container)
+    * is quarantined: null stats, predicate `n_samples IS NULL` — at
+    * 100 TB corrupt media is routine and must never fail the job. */
   def decodeAudioFeatures(df: DataFrame): DataFrame = {
-    import javax.sound.sampled.AudioSystem
     val spark = df.sparkSession
     val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]]("payload")
         try {
-          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-          val fmt = ais.getFormat
-          // the sample loop below assumes 16-bit signed mono little-endian
-          // PCM; anything else (8-bit, stereo, u-law, big-endian) parses
-          // fine but would decode to garbage — quarantine it instead
-          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
-            s"unsupported WAV format: $fmt")
-          val rate = fmt.getSampleRate.toInt
-          val bytes = ais.readAllBytes()
-          ais.close()
-          val n = bytes.length / 2
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def ascii4(): String = {
+            val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+          }
+          require(ascii4() == "RIFF", "not a RIFF container")
+          bb.getInt // declared RIFF payload size (trust the chunk walk, not this)
+          require(ascii4() == "WAVE", "not a WAVE form")
+          var rate = -1
+          var dataOff = -1
+          var dataLen = -1
+          while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
+            val chunkId = ascii4()
+            val size = bb.getInt
+            require(size >= 0 && size <= bb.remaining(), s"truncated chunk $chunkId")
+            chunkId match {
+              case "fmt " =>
+                val fmtStart = bb.position()
+                val audioFormat = bb.getShort
+                val channels = bb.getShort
+                rate = bb.getInt
+                bb.getInt   // byte rate
+                bb.getShort // block align
+                val bits = bb.getShort
+                require(audioFormat == 1 && channels == 1 && bits == 16,
+                  s"unsupported WAV format: fmt=$audioFormat ch=$channels bits=$bits")
+                bb.position(fmtStart + size + (size & 1)) // chunks are word-aligned
+              case "data" =>
+                dataOff = bb.position(); dataLen = size
+                bb.position(bb.position() + size + (size & 1))
+              case _ => // skip unknown chunks (LIST, fact, …) — format-legal
+                bb.position(bb.position() + size + (size & 1))
+            }
+          }
+          require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+          val n = dataLen / 2
           var sumAbs = 0L
           var maxAbs = 0
           var i = 0
           while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1).toInt // sign-extends: high byte carries sign
+            val lo = payload(dataOff + 2 * i) & 0xff
+            val hi = payload(dataOff + 2 * i + 1).toInt // sign-extends: carries sign
             val sample = (hi << 8) | lo
             val a = math.abs(sample)
             sumAbs += a
