@@ -584,11 +584,13 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(v, v.filter(col("vec_id") < 10), k = 5)
     }),
-    "ext_cosine_topk_lsh" -> ((s, dir) => { // deterministic hyperplanes; no oracle
+    // integer fixed-point hyperplanes → the whole LSH path (bucketing,
+    // probe join, re-rank) is replayed by the DuckDB oracle
+    "ext_cosine_topk_lsh" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       Similarity.lshBucketTopK(v, v.filter(col("vec_id") < 10), k = 5, bits = 4)
     }),
-    "ext_embedding_neardup" -> ((s, dir) => // LSH-bucketed pair join; no oracle
+    "ext_embedding_neardup" -> ((s, dir) =>
       // threshold calibrated to the synthetic embeddings (random directions:
       // cosine ⪅ 0.5), so the check exercises real pair output, not an empty set
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.25, bits = 6)),
@@ -1320,6 +1322,31 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    // the full LSH path replayed: identical integer bucket bits (see
+    // lshBucketSql), bucket equi-join, cosine re-rank, top-5
+    "ext_cosine_topk_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${lshBucketSql("e", 4)} AS bucket FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |   round(list_inner_product(q.qe, c.e) /
+         |    (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+         |  FROM q JOIN b c USING (bucket) WHERE q.query_id <> c.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
+    "ext_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${lshBucketSql("e", 6)} AS bucket FROM v),
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+         |    round(list_inner_product(a.e, c.e) /
+         |     (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+         |  FROM b a JOIN b c USING (bucket)
+         |  WHERE a.vec_id < c.vec_id)
+         |SELECT doc_a, doc_b, sim FROM pairs WHERE sim >= 0.25""".stripMargin,
 
     "ext_text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(
@@ -1651,6 +1678,19 @@ object SparkEntry {
        |UNION ALL
        |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest
        |WHERE op <> 'D'""".stripMargin
+
+  /** DuckDB twin of Similarity.lshBucket: the identical integer
+    * fixed-point sign projection — floor(e[i]·2^20 + 0.5) times the Knuth
+    * hyperplane component ((p·1000003 + dim)·2654435761 mod 2^21 − 2^20),
+    * summed in BIGINT (exact, order-free), bit p set iff the sum is
+    * positive. `e` is a 1-based DOUBLE[] column reference. */
+  private def lshBucketSql(e: String, bits: Int): String =
+    (0 until bits).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, len($e)), i -> " +
+        s"CAST(floor($e[i]*1048576 + 0.5) AS BIGINT) * " +
+        s"((($p*1000003 + (i-1)) * 2654435761) % 2097152 - 1048576))) > 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** DuckDB twin of Layout.zValue for two dimensions: bit b of x lands at
     * 2b, of y at 2b+1 — the same dimension-alternating interleave. */

@@ -64,21 +64,34 @@ object Similarity {
         col("rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a hash of
-    * (plane, dim) mapped to [-1, 1). No RNG — reproducible across runs,
-    * partitions, and cluster sizes. */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = xxhash64(lit(plane), dim)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
+  /** Deterministic pseudo-random hyperplane component: a Knuth
+    * multiplicative hash of (plane, dim) in INTEGER space, c(p,i) ∈
+    * [−2^20, 2^20). No RNG — reproducible across runs, partitions, and
+    * cluster sizes — and no floating point, so the sign projection below
+    * is EXACT and any engine replays it bit-for-bit (the previous
+    * xxhash64-based double components were equally deterministic inside
+    * Spark but inexpressible in the DuckDB oracle, leaving both LSH
+    * queries rows-only). Overflow-safe: (plane·1000003 + dim) ≤ ~10^7,
+    * ×2654435761 < 2^55. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    pmod((lit(plane.toLong) * lit(1000003L) + dim) * lit(2654435761L),
+      lit(1L << 21)) - lit(1L << 20)
 
-  /** Sign-LSH bucket id: bit p = sign of dot(v, hyperplane_p), p < bits. */
+  /** Sign-LSH bucket id: bit p = sign of dot(v, hyperplane_p), p < bits.
+    * The dot product runs in fixed point — each float component is
+    * quantized to floor(x·2^20 + 0.5) (×2^20 is a power of two, so the
+    * double multiply is exact) and multiplied by the integer hyperplane
+    * component — making the bucket bit a pure BIGINT computation: no
+    * fold-order float noise can ever flip a near-zero projection's sign,
+    * across partitions OR engines. Magnitude bound: |x| ≤ 2^11 keeps
+    * |term| < 2^51 and a 4096-dim sum < 2^63. */
   def lshBucket(vec: Column, bits: Int): Column =
     (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+          (x, i) => floor(x.cast("double") * lit(1048576d) + lit(0.5d))
+            .cast("long") * planeComponent(p, i)),
+        lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
