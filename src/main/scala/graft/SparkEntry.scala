@@ -1347,6 +1347,30 @@ object SparkEntry {
          |  FROM b a JOIN b c USING (bucket)
          |  WHERE a.vec_id < c.vec_id)
          |SELECT doc_a, doc_b, sim FROM pairs WHERE sim >= 0.25""".stripMargin,
+    // the ENTIRE IVF pipeline replayed: first-k init, two k-means
+    // iterations with exact fixed-point centroid means (CentroidFixed's
+    // merge-order-free arithmetic is what makes this expressible), then
+    // bucket assignment, 2-probe, cosine re-rank, top-5
+    "ext_cosine_topk_ivf" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS idx, e AS c
+         |       FROM v ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "s1", "c1")},
+         |${kmeansIterSql("c1", "a2", "s2", "c2")},
+         |cand AS (SELECT vec_id AS neighbor_id, e,
+         |  (SELECT c2.idx FROM c2 ORDER BY ${cosSql("e", "c2.c")} DESC, c2.idx LIMIT 1) AS bucket
+         |  FROM v),
+         |probe AS (SELECT q.vec_id AS query_id, q.e AS qe, p.idx AS bucket
+         |  FROM (SELECT * FROM v WHERE vec_id < 10) q,
+         |  LATERAL (SELECT c2.idx FROM c2 ORDER BY ${cosSql("q.e", "c2.c")} DESC, c2.idx LIMIT 2) p(idx)),
+         |scored AS (SELECT probe.query_id, cand.neighbor_id,
+         |    ${cosSql("probe.qe", "cand.e")} AS sim
+         |  FROM probe JOIN cand USING (bucket)
+         |  WHERE probe.query_id <> cand.neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin,
 
     "ext_text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(
@@ -1691,6 +1715,34 @@ object SparkEntry {
         s"((($p*1000003 + (i-1)) * 2654435761) % 2097152 - 1048576))) > 0 " +
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** round(cosine, 6) over two DOUBLE[] references — the exact arithmetic
+    * Similarity.cosine performs (dot and norms in double, one rounding). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_inner_product($a, $b) / " +
+      s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)"
+
+  /** DuckDB twin of ONE spherical-k-means iteration (Similarity
+    * .trainCentroids): assignment = first index of the max rounded cosine
+    * against `cin`(idx, c); update = per-dim fixed-point mean exactly as
+    * CentroidFixed computes it (floor(e[i]·2^20 + 0.5) summed in BIGINT,
+    * divided as double, narrowed to FLOAT and back — both IEEE-exact
+    * replays); empty buckets keep their previous centroid. */
+  private def kmeansIterSql(cin: String, aOut: String, sOut: String,
+                            cOut: String): String =
+    s"""$aOut AS (SELECT vec_id, e,
+       |  (SELECT $cin.idx FROM $cin ORDER BY ${cosSql("e", s"$cin.c")} DESC, $cin.idx LIMIT 1) AS b
+       |  FROM v),
+       |$sOut AS (SELECT b, u.i AS i,
+       |    SUM(CAST(floor(e[u.i]*1048576 + 0.5) AS BIGINT)) AS s, COUNT(*) AS n
+       |  FROM $aOut, UNNEST(generate_series(1, len(e))) AS u(i)
+       |  GROUP BY b, u.i),
+       |$cOut AS (SELECT $cin.idx, COALESCE(upd.c, $cin.c) AS c
+       |  FROM $cin LEFT JOIN (
+       |    SELECT b AS idx,
+       |      list(CAST(CAST(CAST(s AS DOUBLE) / (n * 1048576.0) AS FLOAT) AS DOUBLE)
+       |           ORDER BY i) AS c
+       |    FROM $sOut GROUP BY b) upd USING (idx))""".stripMargin
 
   /** DuckDB twin of Layout.zValue for two dimensions: bit b of x lands at
     * 2b, of y at 2b+1 — the same dimension-alternating interleave. */

@@ -118,9 +118,13 @@ object Similarity {
 
   /** Distributed spherical k-means training: assignment is a codegen'd
     * argmax of [[cosine]] against k constant centroids; the update step is
-    * the [[graft.functions.Centroid]] partial-merge aggregator — so each
-    * iteration moves exactly k×dims doubles to the driver, never vectors.
-    * Init = first k vectors in id order (deterministic, no RNG). */
+    * the [[graft.functions.CentroidFixed]] partial-merge aggregator — so
+    * each iteration moves exactly k×dims values to the driver, never
+    * vectors. Init = first k vectors in id order (deterministic, no RNG);
+    * the fixed-point centroid sums make each update merge-ORDER-FREE, so
+    * the trained index is bit-identical across runs, partitionings, AND
+    * engines — the IVF oracle replays the whole training loop in SQL.
+    * Empty buckets keep their previous centroid. */
   def trainCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Seq[Float]] = {
     var cents: Array[Seq[Float]] = vecs.orderBy(col(idCol)).limit(k)
@@ -129,7 +133,7 @@ object Similarity {
       val updated = vecs
         .withColumn("b", nearestCentroid(col(vecCol), cents))
         .groupBy(col("b"))
-        .agg(graft.functions.Centroid.centroid(col(vecCol)).as("c"))
+        .agg(graft.functions.CentroidFixed.centroid(col(vecCol)).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
