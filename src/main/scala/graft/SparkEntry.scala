@@ -22,6 +22,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Bare scan for footer-aggregate paths (min/max/count pushdown) — see
+    * [[Tables.loadRaw]]. */
+  private def tRaw(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadRaw(s, dir, name)
+
   /** Exact decimal sum surfaced as double — see Query.dsum. */
   private def dsum(c: Column, scale: Int = 2): Column = Query.dsum(c, scale)
 
@@ -105,6 +110,11 @@ object SparkEntry {
     }
   }
 
+  /** pk bounds from the RAW scan — footer min/max pushdown, no row reads. */
+  private def checksumBounds(s: SparkSession, dir: String) =
+    Tables.loadRaw(s, dir, "orders").agg(min(col("o_orderkey")).cast("long"),
+      max(col("o_orderkey")).cast("long")).head()
+
   /** Engine-portable serialized-row form for the chunk-checksum queries:
     * doubles through DECIMAL, dates formatted — both engines produce the
     * identical byte string. */
@@ -142,13 +152,15 @@ object SparkEntry {
       Scan.keysetChunk(t(s, dir, "orders"), "o_orderkey", 5000L, 200)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
-    "agg_max_pk" -> ((s, dir) =>
-      Scan.maxPk(t(s, dir, "orders"), "o_orderkey")),
+    "agg_max_pk" -> ((s, dir) => // raw scan: max pushes into the footer
+      Scan.maxPk(tRaw(s, dir, "orders"), "o_orderkey")),
     "scan_range_chunks" -> ((s, dir) => {
       // the 100 TB generalization of keyset pagination: pk domain → 8
       // disjoint ranges; summarized per chunk so the oracle is compact
       val o = t(s, dir, "orders")
-      val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      // bounds from the RAW scan: footer min/max pushdown, no row reads
+      val b = tRaw(s, dir, "orders")
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
       Scan.rangeChunks(o, "o_orderkey", b.getLong(0), b.getLong(1), 8)
         .groupBy(col("chunk_id"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
@@ -358,8 +370,9 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         Codec.b64(col("text")).as("b64"),
         Codec.unb64(Codec.b64(col("text"))).cast("string").as("back"))),
-    "fn_json_extract_props" -> ((s, dir) =>
-      t(s, dir, "events").select(col("event_id"),
+    "fn_json_extract_props" -> ((s, dir) => // JSON parsing is map-heavy:
+      // fan the single-row-group scan out (no-op at scale)
+      Query.ensureParallelism(t(s, dir, "events")).select(col("event_id"),
         Codec.jsonGet(col("props"), "$.k").as("k"))),
     "fn_regexp_extract_varchar" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -717,8 +730,7 @@ object SparkEntry {
     // the digit string is the representation both engines agree on.
     "chunk_checksum" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val b = o.agg(min(col("o_orderkey")).cast("long"),
-        max(col("o_orderkey")).cast("long")).head()
+      val b = checksumBounds(s, dir)
       Reconcile.chunkChecksums(o, "o_orderkey", b.getLong(0), b.getLong(1),
         parts = 8, rowRepr = checksumRowRepr)
         .withColumn("sum_h", col("sum_h").cast("string"))
@@ -728,8 +740,7 @@ object SparkEntry {
     // localize a corruption to the same chunk)
     "chunk_checksum_fast" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val b = o.agg(min(col("o_orderkey")).cast("long"),
-        max(col("o_orderkey")).cast("long")).head()
+      val b = checksumBounds(s, dir)
       Reconcile.chunkChecksumsFast(o, "o_orderkey", b.getLong(0), b.getLong(1),
         parts = 8, rowRepr = checksumRowRepr)
         .withColumn("sum_h", col("sum_h").cast("string"))

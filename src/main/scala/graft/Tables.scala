@@ -50,12 +50,29 @@ object Tables {
 
   /** Lazy per-table load; Catalyst pushes filters/pruning into this scan.
     *
+    * Parallelism note: a Parquet scan is never more parallel than its
+    * row-group count, and a single-row-group file (every fixture table at
+    * test scale) pins downstream map stages to one core. The remedy is
+    * deliberately NOT here: a blanket repartition-on-load taxes every
+    * query whose first operator is itself a shuffle (windows, folds,
+    * sorts — measured net-negative). Operators with heavy MAP-side
+    * compute apply [[graft.operators.Query.ensureParallelism]] at their
+    * own entry instead, where the fan-out provably pays for the exchange;
+    * footer-metadata aggregates use [[loadRaw]] semantics (this scan,
+    * aggregate pushdown intact).
+    *
     * `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it through the
     * legacy nanos-as-long path and rebuild a microsecond timestamp with
     * integer arithmetic (`div`, not `/` — a double division would lose
     * precision above 2^53 ns). DuckDB truncates ns→µs the same way. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadRaw(spark, dir, name)
+
+  /** The bare scan — alias kept for call sites that must NEVER gain an
+    * exchange above the scan (footer min/max/count aggregate pushdown
+    * reads statistics, not rows). */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")

@@ -61,7 +61,9 @@ object Query {
     * hash aggregation (partial map-side combine) comes free from Catalyst;
     * the only shuffle moves one row per (returnflag, linestatus) partial. */
   def aggGroupReturnflag(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    // decimal partial aggregation is the map-side cost here; fan the scan
+    // out when the file's row groups under-split it (no-op at scale)
+    ensureParallelism(t(spark, dir, "lineitem"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

@@ -53,7 +53,10 @@ object Similarity {
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the candidate scan does all the work (dot products against the
+    // broadcast queries) — fan it out when row groups under-split it
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -100,8 +103,9 @@ object Similarity {
     * set). Exactness is recovered per-bucket (true cosine re-rank). */
   def lshBucketTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        lshBucket(col(vecCol), bits).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -166,8 +170,9 @@ object Similarity {
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               cents: Array[Seq[Float]], nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nearestCentroid(col(vecCol), cents).as("bucket"))
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCentroid(col(vecCol), cents).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probeCentroids(col(vecCol), cents, nprobe)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -206,7 +211,8 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val mnLit = array(mins.map(lit): _*)
     val mxLit = array(maxs.map(lit): _*)
-    vecs.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+    Query.ensureParallelism(vecs)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col(idCol), col("pos"), {
         val mn = element_at(mnLit, col("pos") + 1)
         val mx = element_at(mxLit, col("pos") + 1)
@@ -225,7 +231,7 @@ object Similarity {
 
   def embeddingNearDups(vecs: DataFrame, threshold: Double, bits: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vecs.select(col(idCol), col(vecCol),
+    val v = Query.ensureParallelism(vecs).select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), bits).as("bucket"))
     val a = v.select(col(idCol).as("doc_a"), col(vecCol).as("va"), col("bucket"))
     val b = v.select(col(idCol).as("doc_b"), col(vecCol).as("vb"), col("bucket"))
