@@ -36,4 +36,31 @@ class CentroidSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact")
   }
+
+  test("CentroidFixed is bit-identical under ANY partitioning (merge-order-free)") {
+    // the property that makes IVF training oracle-expressible: integer
+    // fixed-point partial sums commute, so the merge tree cannot change the
+    // result — unlike double sums, which drift by fold order. Compare the
+    // same aggregation under 1, 3, and 16 partitions, bit-for-bit.
+    val sq = spark
+    import sq.implicits._
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 4}", Seq.tabulate(8)(d => ((i * 31 + d * 7) % 997 - 498).toFloat / 167f))
+    }
+    def centroids(parts: Int): Map[String, Seq[Float]] =
+      rows.toDF("k", "v").repartition(parts)
+        .groupBy("k").agg(CentroidFixed.centroid(col("v")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val one = centroids(1)
+    assert(centroids(3) == one && centroids(16) == one,
+      "fixed-point centroid must not depend on the partition/merge tree")
+    // and it equals the independently-computed exact fixed-point mean
+    val expect = rows.filter(_._1 == "g0").map(_._2)
+    val n = expect.size
+    val manual = (0 until 8).map { d =>
+      val s = expect.map(v => math.floor(v(d).toDouble * 1048576.0 + 0.5).toLong).sum
+      (s.toDouble / (n * 1048576.0)).toFloat
+    }
+    assert(one("g0") == manual)
+  }
 }
