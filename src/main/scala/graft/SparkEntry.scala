@@ -607,6 +607,12 @@ object SparkEntry {
       // threshold calibrated to the synthetic embeddings (random directions:
       // cosine ⪅ 0.5), so the check exercises real pair output, not an empty set
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), 0.25, bits = 6)),
+    // SEMANTIC dedup: connected components over the cosine-near-dup graph,
+    // keep the minimum id per component (oracle = recursive CTE, the
+    // ext_dedup_drop_neardups_cc pattern over the replayed LSH pairs)
+    "ext_embedding_dedup_cc" -> ((s, dir) =>
+      Similarity.dropEmbeddingNearDupsCC(t(s, dir, "embeddings"), 0.25, bits = 6)
+        .select(col("vec_id"))),
     "ext_cosine_topk_ivf" -> ((s, dir) => { // trained index; rows-only check
       val v = t(s, dir, "embeddings")
       // index from the per-JVM fixture cache (training = setup; a serving
@@ -1358,6 +1364,27 @@ object SparkEntry {
          |  FROM b a JOIN b c USING (bucket)
          |  WHERE a.vec_id < c.vec_id)
          |SELECT doc_a, doc_b, sim FROM pairs WHERE sim >= 0.25""".stripMargin,
+    // same replayed LSH pairs, clustered transitively by a recursive CTE
+    // (min-label reachability), keep the component minimum
+    "ext_embedding_dedup_cc" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, ${lshBucketSql("e", 6)} AS bucket FROM v),
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+         |    round(list_inner_product(a.e, c.e) /
+         |     (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+         |  FROM b a JOIN b c USING (bucket)
+         |  WHERE a.vec_id < c.vec_id),
+         |verified AS (SELECT doc_a, doc_b FROM pairs WHERE sim >= 0.25),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+         |          UNION SELECT doc_b, doc_a FROM verified),
+         |reach(s, t) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.s, e2.b FROM reach r JOIN edges e2 ON e2.a = r.t),
+         |comp AS (SELECT s AS node, min(t) AS component FROM reach GROUP BY s)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin,
     // the ENTIRE IVF pipeline replayed: first-k init, two k-means
     // iterations with exact fixed-point centroid means (CentroidFixed's
     // merge-order-free arithmetic is what makes this expressible), then

@@ -241,4 +241,27 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
+
+  /** SEMANTIC dedup, the embedding-space twin of
+    * [[Dedup.dropNearDupsCC]]: cluster the verified cosine-near-dup graph
+    * ([[embeddingNearDups]] — LSH-bucketed, never all-pairs) into connected
+    * components and keep exactly one vector (the minimum id) per component.
+    * This is the "dedup by meaning" pass a training pipeline runs after
+    * token-level dedup: paraphrases and near-translations share no n-grams
+    * but sit together in embedding space. Scale shape inherits from the
+    * parts: bucketed pair generation O(n·2^−bits-ish), CC edge-proportional
+    * with the bounded driver path / distributed hash-min fallback. The
+    * kept-row anti-join reads the component labels' narrow checkpoint
+    * (freed by the ContextCleaner once the result is garbage — the CC
+    * contract). */
+  def dropEmbeddingNearDupsCC(vecs: DataFrame, threshold: Double, bits: Int = 8,
+                              maxIter: Int = 25, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDups(vecs, threshold, bits, idCol, vecCol)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponents(pairs, maxIter)
+    val dropped = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    vecs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -61,6 +61,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     dups.foreach { case (a, b, s) => assert(a < b && s >= 0.99) }
   }
 
+  test("dropEmbeddingNearDupsCC keeps one vector per transitive cosine cluster") {
+    import spark.implicits._
+    // 5, 6, 7 are colinear (pairwise cos = 1, identical LSH bucket —
+    // identical direction ⇒ identical sign bits); 8 is orthogonal to them
+    val docs = Seq(
+      (5L, Array(1.0f, 2.0f, 0.0f)),
+      (6L, Array(2.0f, 4.0f, 0.0f)),
+      (7L, Array(0.5f, 1.0f, 0.0f)),
+      (8L, Array(0.0f, 0.0f, 3.0f)),
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.dropEmbeddingNearDupsCC(docs, 0.99, bits = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 8L), s"cluster {5,6,7} keeps its minimum; got $kept")
+  }
+
   test("lshBucketTopK finds the exact neighbor when it shares the bucket") {
     val q = vecs.filter(col("vec_id") === 0L)
     val out = Similarity.lshBucketTopK(vecs, q, k = 2, bits = 2)
