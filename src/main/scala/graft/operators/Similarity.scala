@@ -257,9 +257,13 @@ object Similarity {
   def dropEmbeddingNearDupsCC(vecs: DataFrame, threshold: Double, bits: Int = 8,
                               maxIter: Int = 25, idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
+    // CC reads the edge list twice (symmetrization) — checkpoint the pair
+    // join once so the bucketed cosine pass runs once, and free the (small)
+    // edge checkpoint as soon as the component labels materialize
     val pairs = embeddingNearDups(vecs, threshold, bits, idCol, vecCol)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val comp = Dedup.connectedComponents(pairs, maxIter)
+    Dedup.freeCheckpoints(pairs)
     val dropped = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     vecs.join(dropped, Seq(idCol), "left_anti")
