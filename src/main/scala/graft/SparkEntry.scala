@@ -36,16 +36,21 @@ object SparkEntry {
     * op keeps every key's change order total — the precondition every CDC
     * consumer requires. */
   private def cdcChangeLog(orders: DataFrame): DataFrame = {
-    val base = orders.select(col("o_orderkey"), col("o_custkey"),
-      col("o_orderstatus"))
-    base.filter(col("o_orderkey") % 7 === 0)
-      .withColumn("o_orderstatus", lit("NW"))
-      .withColumn("seq", lit(1)).withColumn("op", lit("I"))
-      .unionByName(base.filter(col("o_orderkey") % 3 === 0)
-        .withColumn("o_orderstatus", lit("U1"))
-        .withColumn("seq", lit(2)).withColumn("op", lit("U")))
-      .unionByName(base.filter(col("o_orderkey") % 6 === 0)
-        .withColumn("seq", lit(3)).withColumn("op", lit("D")))
+    // ONE scan: each order row explodes into the changes it implies (the
+    // union-of-three-filtered-scans form read orders three times; same
+    // output set, engine-ordering-free — every CDC consumer keys on seq)
+    val mk = (status: Column, seq: Int, op: String, cond: Column) =>
+      when(cond, struct(col("o_custkey"),
+        status.as("o_orderstatus"), lit(seq).as("seq"), lit(op).as("op")))
+    orders.select(col("o_orderkey"), explode(array(
+        mk(lit("NW"), 1, "I", col("o_orderkey") % 7 === 0),
+        mk(lit("U1"), 2, "U", col("o_orderkey") % 3 === 0),
+        mk(col("o_orderstatus"), 3, "D", col("o_orderkey") % 6 === 0)
+      )).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("o_orderkey"), col("__c.o_custkey").as("o_custkey"),
+        col("__c.o_orderstatus").as("o_orderstatus"),
+        col("__c.seq").as("seq"), col("__c.op").as("op"))
   }
 
   /** Pristine chunk-partitioned snapshot layout for the pruned-CDC query,
