@@ -149,6 +149,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"every window must be over the change log (seq-ordered):\n${windows.mkString("\n")}\n$p")
   }
 
+  test("CDC change log derives from ONE scan per consumer (explode, not 3-way union)") {
+    // the change-log subtree feeds two consumers (upserts + the anti-join
+    // keyset), each scanning orders once, plus the snapshot scan = 3 scans
+    // total; the union-of-three-filtered-scans form cost 7 (1 + 2×3)
+    val p = planOf("ext_cdc_apply")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans <= 3, s"expected ≤3 parquet scans (snapshot + change log ×2 consumers), got $scans:\n$p")
+  }
+
+  test("embedding near-dup join is a bucket EQUI-join, never a nested loop") {
+    val p = planOf("ext_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair generation must never plan an all-pairs join:\n$p")
+    assert(p.contains("bucket"), s"pairs must join on the LSH bucket:\n$p")
+    // the CC variant materializes the pair graph eagerly (checkpoint) —
+    // its FINAL plan is the kept-id anti-join; still no all-pairs anywhere
+    val pc = planOf("ext_embedding_dedup_cc")
+    assert(!pc.contains("BroadcastNestedLoopJoin") && !pc.contains("CartesianProduct"),
+      s"semantic dedup must never plan an all-pairs join:\n$pc")
+  }
+
   test("fused minhash signatures stay inside whole-stage codegen") {
     // the native MinHashSigs expression must not fall back to interpreted
     // evaluation. doGenCode registers its seed tables via
