@@ -102,17 +102,23 @@ object SparkEntry {
     * test-scale; no Spark job, no executor involvement. */
   private def copyDir(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    // Files.walk streams hold directory handles — close them (the driver
+    // JVM lives through 120 queries; leaked handles accumulate)
+    def walked(p: Path)(f: java.util.stream.Stream[Path] => Unit): Unit = {
+      val s = Files.walk(p)
+      try f(s) finally s.close()
+    }
     def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(q => Files.delete(q))
+      walked(p)(_.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.delete(q)))
     }
     val (s, d) = (Paths.get(src), Paths.get(dst))
     deleteRec(d)
-    Files.walk(s).forEach { p =>
+    walked(s)(_.forEach { p =>
       val target = d.resolve(s.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(target)
       else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
-    }
+    })
   }
 
   /** pk bounds from the RAW scan — footer min/max pushdown, no row reads. */
