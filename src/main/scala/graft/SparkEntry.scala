@@ -708,6 +708,12 @@ object SparkEntry {
     // top-5 salient terms per doc; integer-exact linear-idf scoring
     "ext_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+    // corpus-level heavy hitters: top-20 tokens by total occurrence count
+    // (stopword induction / boilerplate detection preflight); the
+    // Misra-Gries sketch twin is spec-pinned (merge-tree-dependent counts,
+    // like the HLL sketch)
+    "ext_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", k = 20)),
 
     // ── §2.9 batch sessionization (the batch twin of session windows,
     //    with per-session stats the streaming form can't backfill) ────────
@@ -1510,6 +1516,16 @@ object SparkEntry {
         |  SELECT c_custkey, c_nationkey, c_mktsegment,
         |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
         |  FROM customer) WHERE n >= 12""".stripMargin,
+    "ext_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |  w -> w <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "ext_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |  w -> w <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "ext_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS token

@@ -220,4 +220,36 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"),
         size(col("__c")).as("n_tokens"))
   }
+
+  /** X4: exact corpus-level heavy hitters — the top-k tokens by TOTAL
+    * occurrence count (the non-distinct stream: frequency, not document
+    * frequency), ties broken by token ascending so the output is fully
+    * deterministic. The corpus-profiling pass behind stopword induction
+    * and boilerplate detection. Scale shape: per-doc tokens explode
+    * straight into a two-phase count (partial map-side — the exchange
+    * carries one row per distinct token per partition, never the stream),
+    * then orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * top-k heaps, only k rows per partition reach the driver merge. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Query.ensureParallelism(docs)
+      .select(explode(tokenStream(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
+  /** The sketch form: Misra-Gries summaries merged across partitions (see
+    * [[graft.functions.MisraGries]]) — one pass, bounded k-entry state per
+    * partition, no token-level exchange at all (each partition ships one
+    * k-entry map). The exact form above is cheap enough for most corpora;
+    * this is the shape for when even the distinct-token exchange hurts. */
+  def heavyHittersApprox(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Query.ensureParallelism(docs)
+      .select(explode(tokenStream(col(textCol))).as("token"))
+      .agg(graft.functions.MisraGries.sketch(col("token"), k).as("hitters"))
+      .select(explode(col("hitters")).as("h"))
+      .select(col("h.token").as("token"), col("h.lower_bound").as("lower_bound"))
+  }
 }
