@@ -553,6 +553,15 @@ object SparkEntry {
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
+    // FUZZY string near-dup join: char-4-gram LSH candidates + exact
+    // levenshtein verify over the documents' leading 48 chars (the
+    // short-field fuzzy-dedup shape — titles, names; token dedup is
+    // useless there). Oracle replays grams, bands, and the edit distance.
+    "ext_fuzzy_neardup" -> ((s, dir) =>
+      Dedup.fuzzyNearDups(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 48).as("snippet")),
+        "doc_id", "snippet", maxDist = 10, q = 4)),
     // transitive clustering: connected components over the verified-pair
     // graph, keep the minimum id per component (oracle = recursive CTE)
     "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
@@ -1295,6 +1304,34 @@ object SparkEntry {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    // char-4-gram twin of the minhash CTE + exact levenshtein verify
+    "ext_fuzzy_neardup" -> {
+      val seedRows = (0 until 16).map { j =>
+        val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
+      }.mkString(", ")
+      s"""WITH sn AS (SELECT doc_id, lower(substr(text, 1, 48)) AS s FROM documents),
+         |g AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(s) - 3),
+         |    i -> substr(s, i, 4))) AS g
+         |  FROM sn WHERE len(s) >= 4)),
+         |hv AS (SELECT DISTINCT doc_id,
+         |  CAST(${md5PrefixValueSql(10, "g")} AS BIGINT) AS h FROM g),
+         |seeds(j, a, b) AS (VALUES $seedRows),
+         |sig AS (
+         |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
+         |  FROM hv, seeds GROUP BY doc_id, j),
+         |band AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b, levenshtein(x.s, y.s) AS dist
+         |FROM pairs p JOIN sn x ON x.doc_id = p.doc_a JOIN sn y ON y.doc_id = p.doc_b
+         |WHERE levenshtein(x.s, y.s) <= 10""".stripMargin
+    },
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
     "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
     // identical affine-code arithmetic, replayed in the same IEEE op order

@@ -597,6 +597,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** FUZZY string near-dup join: pairs of strings within `maxDist` edit
+    * distance, found WITHOUT an all-pairs levenshtein. Character q-gram
+    * sets stand in for word-token sets (strings within small edit distance
+    * share most of their q-grams), the same MinHash banding generates
+    * candidates — identical affine family, fused [[MinHashSigs]] loop, one
+    * band self-join — and exact `levenshtein` verifies only candidates.
+    * The classic fuzzy-dedup shape for titles/names/short fields, where
+    * token-level dedup is useless (one typo changes the whole "word").
+    *
+    * Scale shape inherits from the word pipeline: no token-level shuffle
+    * (grams hash inside the row), banding O(n·bands), verification
+    * O(|candidates|·len²). The gram table is checkpointed for the band
+    * join and freed once the candidate pairs materialize; the verify
+    * joins re-project the (narrow) strings straight from the input.
+    * Default banding is 4 bands × 4 rows — narrower than the word
+    * pipeline's 2×8 because an edit changes up to q grams of a SHORT gram
+    * set, so candidate similarity is much lower than word-level near-dups
+    * (measured: 2×8 misses 1-substitution pairs on ~40-char strings).
+    * Returns (doc_a, doc_b, dist), doc_a < doc_b. */
+  def fuzzyNearDups(docs: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int, q: Int = 4,
+                    seeds: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(q >= 1 && maxDist >= 0, s"need q >= 1, maxDist >= 0; got $q, $maxDist")
+    val s = lower(col(strCol))
+    // strings shorter than q have no grams: excluded (they can only be
+    // near-dups of other short strings — callers handle those directly)
+    val grams = when(length(s) >= q,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), length(s) - lit(q - 1)),
+          i => s.substr(i, lit(q))))))
+      .otherwise(array().cast("array<string>"))
+    val sets = Query.ensureParallelism(docs)
+      .select(col(idCol),
+        array_distinct(transform(grams,
+          g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
+      .filter(size(col("__harr")) > 0)
+      .localCheckpoint()
+    val pairs = pairsFromBands(
+      bandsOfSets(sets, idCol, seeds, rowsPerBand), idCol).localCheckpoint()
+    freeCheckpoints(sets)
+    val strs = docs.select(col(idCol), s.as("__s"))
+    pairs
+      .join(strs.select(col(idCol).as("doc_a"), col("__s").as("sa")), Seq("doc_a"))
+      .join(strs.select(col(idCol).as("doc_b"), col("__s").as("sb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** The SimHash bit-vote circuit: `tok` carries (idCol, h); for bit k,
     * sum ±1 over tokens according to bit k of h; simhash bit k = sign of
     * the sum. One aggregation pass, no pair join. */

@@ -70,6 +70,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 6L, 7L))
   }
 
+  test("fuzzyNearDups finds small-edit-distance pairs, never crosses maxDist") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fix jumps over the dog"), // 1 substitution from 1
+      (3L, "the quick brown fox jumps over the dig"), // 1 substitution from 1
+      (4L, "completely unrelated text about ducks here"),
+      (5L, "ab"), // shorter than q=4: no grams, excluded
+    ).toDF("doc_id", "snippet")
+    val out = Dedup.fuzzyNearDups(rows, "doc_id", "snippet", maxDist = 3, q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) == 1 && out((1L, 3L)) == 1 && out((2L, 3L)) == 2)
+    assert(out.keys.forall { case (a, b) => a < b && a != 4L && b != 4L && b != 5L },
+      s"unrelated/short strings must never pair: $out")
+    // the cache-lifecycle contract extends to the fuzzy pipeline
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("dedup pipelines leave no persisted tables behind (cache lifecycle contract)") {
     // the round-5 regression: internal persists leaked until
     // spark.catalog.clearCache(), charging cache fill + GC to every caller.
