@@ -207,7 +207,13 @@ object Dedup {
     val r = d2r.select(col("__rep"), col(idCol).as("doc_b"))
     val sameSet = l.join(r, Seq("__rep")).filter(col("doc_a") < col("doc_b"))
       .select(Seq(col("doc_a"), col("doc_b")) ++
-        carry.map(c => (if (c == "jaccard") lit(1.0) else lit(null)).as(c)): _*)
+        // a rep's clones are IDENTICAL content: jaccard exactly 1, edit
+        // distance exactly 0
+        carry.map {
+          case "jaccard" => lit(1.0).as("jaccard")
+          case "dist" => lit(0).as("dist")
+          case c => lit(null).as(c)
+        }: _*)
     cross.unionByName(sameSet)
   }
 
@@ -606,44 +612,59 @@ object Dedup {
     * The classic fuzzy-dedup shape for titles/names/short fields, where
     * token-level dedup is useless (one typo changes the whole "word").
     *
-    * Scale shape inherits from the word pipeline: no token-level shuffle
-    * (grams hash inside the row), banding O(n·bands), verification
-    * O(|candidates|·len²). The gram table is checkpointed for the band
-    * join and freed once the candidate pairs materialize; the verify
-    * joins re-project the (narrow) strings straight from the input.
-    * Default banding is 4 bands × 4 rows — narrower than the word
-    * pipeline's 2×8 because an edit changes up to q grams of a SHORT gram
-    * set, so candidate similarity is much lower than word-level near-dups
-    * (measured: 2×8 misses 1-substitution pairs on ~40-char strings).
-    * Returns (doc_a, doc_b, dist), doc_a < doc_b. */
+    * Scale shape inherits from the word pipeline, INCLUDING rep-collapse:
+    * short fields are exactly where boilerplate runs hottest (thousands of
+    * identical titles), and identical strings share a gram set — banding
+    * and verification run once per DISTINCT string, clone pairs expand
+    * afterwards with dist = 0 (the exact reconstruction, so the oracle
+    * replays the direct uncollapsed computation). No gram-level shuffle
+    * (grams hash inside the row), banding O(distinct·bands), verification
+    * O(|candidates|·len²). Default banding is 4 bands × 4 rows — narrower
+    * than the word pipeline's 2×8 because an edit changes up to q grams of
+    * a SHORT gram set, so candidate similarity is much lower than
+    * word-level near-dups (measured: 2×8 misses 1-substitution pairs on
+    * ~40-char strings). Strings shorter than q have no grams and are
+    * excluded entirely (they can only be near-dups of other short strings
+    * — callers handle those directly). Returns (doc_a, doc_b, dist),
+    * doc_a < doc_b. */
   def fuzzyNearDups(docs: DataFrame, idCol: String, strCol: String,
                     maxDist: Int, q: Int = 4,
                     seeds: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     require(q >= 1 && maxDist >= 0, s"need q >= 1, maxDist >= 0; got $q, $maxDist")
     val s = lower(col(strCol))
-    // strings shorter than q have no grams: excluded (they can only be
-    // near-dups of other short strings — callers handle those directly)
-    val grams = when(length(s) >= q,
-        array_sort(array_distinct(transform(
-          sequence(lit(1), length(s) - lit(q - 1)),
-          i => s.substr(i, lit(q))))))
-      .otherwise(array().cast("array<string>"))
-    val sets = Query.ensureParallelism(docs)
-      .select(col(idCol),
-        array_distinct(transform(grams,
-          g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
-      .filter(size(col("__harr")) > 0)
+    val snip = Query.ensureParallelism(docs)
+      .select(col(idCol), s.as("__s"))
+      .filter(length(col("__s")) >= q)
       .localCheckpoint()
+    // rep-collapse identical snippets (min id represents each)
+    val reps = snip.groupBy(col("__s"))
+      .agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint()
+    val d2r = snip.select(col(idCol),
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s"))).as("__rep"))
+      .localCheckpoint()
+    freeCheckpoints(snip)
+    val grams = when(length(col("__s")) >= q,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), length(col("__s")) - lit(q - 1)),
+          i => col("__s").substr(i, lit(q))))))
+      .otherwise(array().cast("array<string>"))
+    val sets = reps.select(col("__rep"),
+      array_distinct(transform(grams,
+        g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
     val pairs = pairsFromBands(
-      bandsOfSets(sets, idCol, seeds, rowsPerBand), idCol).localCheckpoint()
-    freeCheckpoints(sets)
-    val strs = docs.select(col(idCol), s.as("__s"))
-    pairs
-      .join(strs.select(col(idCol).as("doc_a"), col("__s").as("sa")), Seq("doc_a"))
-      .join(strs.select(col(idCol).as("doc_b"), col("__s").as("sb")), Seq("doc_b"))
+      bandsOfSets(sets, "__rep", seeds, rowsPerBand), "__rep")
+    val strs = reps.select(col("__rep"), col("__s"))
+    val verified = pairs
+      .join(strs.select(col("__rep").as("doc_a"), col("__s").as("sa")), Seq("doc_a"))
+      .join(strs.select(col("__rep").as("doc_b"), col("__s").as("sb")), Seq("doc_b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+      .localCheckpoint()
+    freeCheckpoints(reps)
+    expandPairs(verified, d2r, idCol, carry = Seq("dist"))
   }
 
   /** The SimHash bit-vote circuit: `tok` carries (idCol, h); for bit k,

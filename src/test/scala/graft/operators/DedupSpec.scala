@@ -78,10 +78,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (3L, "the quick brown fox jumps over the dig"), // 1 substitution from 1
       (4L, "completely unrelated text about ducks here"),
       (5L, "ab"), // shorter than q=4: no grams, excluded
+      (6L, "the quick brown fox jumps over the dog"), // exact clone of 1
     ).toDF("doc_id", "snippet")
     val out = Dedup.fuzzyNearDups(rows, "doc_id", "snippet", maxDist = 3, q = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(out((1L, 2L)) == 1 && out((1L, 3L)) == 1 && out((2L, 3L)) == 2)
+    // rep-collapse expansion: the clone pairs with its rep at dist 0 and
+    // inherits the rep's verified distances exactly
+    assert(out((1L, 6L)) == 0 && out((2L, 6L)) == 1 && out((3L, 6L)) == 1)
     assert(out.keys.forall { case (a, b) => a < b && a != 4L && b != 4L && b != 5L },
       s"unrelated/short strings must never pair: $out")
     // the cache-lifecycle contract extends to the fuzzy pipeline
