@@ -543,6 +543,12 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         seeds = 16, rowsPerBand = 8)),
+    // production token hash (xxhash64): no DuckDB oracle — the md5 form
+    // above is the hash-exact witness; DedupSpec pins both families to the
+    // same verified pair set on the fixture corpus
+    "ext_dedup_minhash_fast" -> ((s, dir) =>
+      Dedup.minhashPairsFast(t(s, dir, "documents"), "doc_id", "text",
+        seeds = 16, rowsPerBand = 8)),
     "ext_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.nearDupsFused(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)),
     "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
@@ -633,7 +639,7 @@ object SparkEntry {
     "ext_embedding_dedup_cc" -> ((s, dir) =>
       Similarity.dropEmbeddingNearDupsCC(t(s, dir, "embeddings"), 0.25, bits = 6)
         .select(col("vec_id"))),
-    "ext_cosine_topk_ivf" -> ((s, dir) => { // trained index; rows-only check
+    "ext_cosine_topk_ivf" -> ((s, dir) => { // full oracle: kmeansIterSql replays the entire training loop
       val v = t(s, dir, "embeddings")
       // index from the per-JVM fixture cache (training = setup; a serving
       // system builds the inverted file once) — deterministic either way
@@ -705,6 +711,15 @@ object SparkEntry {
     "ext_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.decontaminate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 3)
+    }),
+    // production gram hash (xxhash64) — the hash never leaves the plan, so
+    // this variant still has a FULL oracle (joins raw gram strings)
+    "ext_decontaminate_fast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateFast(
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0),
         "doc_id", "text", n = 3)
@@ -1450,11 +1465,11 @@ object SparkEntry {
          |${kmeansIterSql("c0", "a1", "s1", "c1")},
          |${kmeansIterSql("c1", "a2", "s2", "c2")},
          |cand AS (SELECT vec_id AS neighbor_id, e,
-         |  (SELECT c2.idx FROM c2 ORDER BY ${cosSql("e", "c2.c")} DESC, c2.idx LIMIT 1) AS bucket
+         |  (SELECT c2.idx FROM c2 ORDER BY ${cosSql("e", "c2.c", 9)} DESC, c2.idx LIMIT 1) AS bucket
          |  FROM v),
          |probe AS (SELECT q.vec_id AS query_id, q.e AS qe, p.idx AS bucket
          |  FROM (SELECT * FROM v WHERE vec_id < 10) q,
-         |  LATERAL (SELECT c2.idx FROM c2 ORDER BY ${cosSql("q.e", "c2.c")} DESC, c2.idx LIMIT 2) p(idx)),
+         |  LATERAL (SELECT c2.idx FROM c2 ORDER BY ${cosSql("q.e", "c2.c", 9)} DESC, c2.idx LIMIT 2) p(idx)),
          |scored AS (SELECT probe.query_id, cand.neighbor_id,
          |    ${cosSql("probe.qe", "cand.e")} AS sim
          |  FROM probe JOIN cand USING (bucket)
@@ -1548,16 +1563,31 @@ object SparkEntry {
          |  COALESCE(ov.n_overlap, 0) AS n_overlap,
          |  CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin,
+    // the xxhash64 production variant: the hash only mediates membership,
+    // so the oracle needs NO hash at all — it joins the raw gram strings
+    "ext_decontaminate_fast" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |  ELSE [] END AS gr FROM tk),
+        |eg AS (SELECT DISTINCT g2 FROM
+        |       (SELECT unnest(gr) AS g2 FROM g WHERE doc_id % 13 = 0)),
+        |tg AS (SELECT doc_id, g2 FROM
+        |       (SELECT doc_id, unnest(gr) AS g2 FROM g WHERE doc_id % 13 <> 0)),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (g2)
+        |       GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(gr) AS INT) AS n_grams_distinct,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin,
     "ext_k_anonymity" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment FROM (
         |  SELECT c_custkey, c_nationkey, c_mktsegment,
         |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
         |  FROM customer) WHERE n >= 12""".stripMargin,
-    "ext_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
-        |  w -> w <> '')) AS token FROM documents),
-        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
-        |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "ext_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |  w -> w <> '')) AS token FROM documents),
@@ -1818,22 +1848,25 @@ object SparkEntry {
         s"THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** round(cosine, 6) over two DOUBLE[] references — the exact arithmetic
-    * Similarity.cosine performs (dot and norms in double, one rounding). */
-  private def cosSql(a: String, b: String): String =
+  /** round(cosine, scale) over two DOUBLE[] references — the exact
+    * arithmetic Similarity.cosine performs (dot and norms in double, one
+    * rounding). Scale must mirror the Spark side per call site: 9 for
+    * centroid assignment / probe ranking (Similarity.nearestCentroid /
+    * probeCentroids), 6 for surfaced similarity output. */
+  private def cosSql(a: String, b: String, scale: Int = 6): String =
     s"round(list_inner_product($a, $b) / " +
-      s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)"
+      s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), $scale)"
 
   /** DuckDB twin of ONE spherical-k-means iteration (Similarity
     * .trainCentroids): assignment = first index of the max rounded cosine
-    * against `cin`(idx, c); update = per-dim fixed-point mean exactly as
+    * (scale 9 — exactly nearestCentroid's arithmetic) against `cin`(idx, c); update = per-dim fixed-point mean exactly as
     * CentroidFixed computes it (floor(e[i]·2^20 + 0.5) summed in BIGINT,
     * divided as double, narrowed to FLOAT and back — both IEEE-exact
     * replays); empty buckets keep their previous centroid. */
   private def kmeansIterSql(cin: String, aOut: String, sOut: String,
                             cOut: String): String =
     s"""$aOut AS (SELECT vec_id, e,
-       |  (SELECT $cin.idx FROM $cin ORDER BY ${cosSql("e", s"$cin.c")} DESC, $cin.idx LIMIT 1) AS b
+       |  (SELECT $cin.idx FROM $cin ORDER BY ${cosSql("e", s"$cin.c", 9)} DESC, $cin.idx LIMIT 1) AS b
        |  FROM v),
        |$sOut AS (SELECT b, u.i AS i,
        |    SUM(CAST(floor(e[u.i]*1048576 + 0.5) AS BIGINT)) AS s, COUNT(*) AS n

@@ -33,8 +33,19 @@ object Curation {
     * grams, a 40-bit space gives each train gram ~1e-5 false-hit
     * probability — ~1% of 1000-gram documents falsely dropped as
     * contaminated — while 60 bits pushes that to ~1e-11 per gram. */
-  private def gramHash(g: Column): Column =
+  private def gramHashMd5(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit gram hash, PRODUCTION form: one codegen'd `xxhash64` folded
+    * into [0, 2^60) — same false-hit analysis as [[gramHashMd5]], none of
+    * its per-gram digest/hex/parse cost. The hash only mediates set
+    * membership (the output carries no hash value), so any injective-
+    * enough hash yields the identical result; [[decontaminateFast]]'s
+    * oracle therefore joins on the raw gram STRING — hash-free and exact,
+    * modulo 60-bit collisions that the witness analysis already bounds at
+    * ~1e-11 per gram. */
+  private def gramHashFast(g: Column): Column =
+    pmod(xxhash64(g), lit(1L << 60))
 
   /** Benchmark decontamination: for every training document, count how many
     * of its distinct word `n`-grams appear ANYWHERE in the held-out
@@ -51,7 +62,8 @@ object Curation {
     * hint and Catalyst falls back to a shuffle hash join with the same
     * semantics. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 3): DataFrame = {
+                    textCol: String, n: Int = 3,
+                    gramHash: Column => Column = gramHashMd5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val benchGrams = Query.ensureParallelism(bench)
       .select(explode(gramArray(col(textCol), n)).as("__g"))
@@ -77,6 +89,15 @@ object Curation {
       .select(col(idCol), col("n_grams_distinct"), col("n_overlap"),
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
+
+  /** [[decontaminate]] on the production gram hash ([[gramHashFast]]):
+    * drops the per-gram md5 digest — the pipeline's remaining constant
+    * factor — for one codegen'd xxhash64 pass. Output is identical to the
+    * md5 form (the hash never leaves the plan), so this variant carries a
+    * FULL oracle that joins on the raw gram string. */
+  def decontaminateFast(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3): DataFrame =
+    decontaminate(train, bench, idCol, textCol, n, gramHashFast)
 
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination (`qiCols`) is shared by at least `k` rows — groups smaller

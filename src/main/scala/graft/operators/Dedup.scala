@@ -38,8 +38,26 @@ object Dedup {
       explode(array_distinct(
         filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("w"))
 
+  /** 40-bit token hash, WITNESS form: md5 hex prefix parsed to a long —
+    * expensive (full digest + hex string + base-16 parse per token) but
+    * replayable arithmetic-for-arithmetic in any engine with `md5`, which
+    * is what keeps the minhash-family oracles hash-exact. */
+  private[graft] def h40Md5(w: Column): Column =
+    conv(substring(md5(w), 1, 10), 16, 10).cast("long")
+
+  /** 40-bit token hash, PRODUCTION form: one codegen'd `xxhash64` pass
+    * folded into [0, 2^40) — same domain as [[h40Md5]] (so [[SigMod]]'s
+    * overflow headroom analysis holds unchanged), ~none of its per-token
+    * digest/hex/parse cost. DuckDB has no xxhash64, so operators on this
+    * path are declared rows-only; the md5 twins are the oracle witnesses
+    * and a spec pins both families to the same verified pair set on the
+    * fixture corpus. */
+  private[graft] def h40Fast(w: Column): Column =
+    pmod(xxhash64(w), lit(1L << 40))
+
   /** Per-doc token SET as one narrow row: sorted distinct token array, the
-    * 40-bit md5-prefix hash of each token, and a set-identity key. This is
+    * 40-bit hash of each token (`h40` — [[h40Md5]] witness or [[h40Fast]]
+    * production), and a set-identity key. This is
     * the backbone of the minhash pipeline — everything token-heavy happens
     * HERE, inside whole-stage codegen, with NO token-level shuffle: the
     * exploded alternative shuffles |docs|×|tokens/doc| rows (≈6M at sf0.1,
@@ -49,8 +67,9 @@ object Dedup {
     * concat without a separator would collide e.g. ["ab","c"] with
     * ["a","bc"]). Docs that tokenize to nothing are excluded (callers retain
     * them explicitly — they are never near-dups of anything). */
-  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // tokenize+md5 is the compute-heavy map stage of the whole family; a
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String,
+                h40: Column => Column = h40Md5): DataFrame =
+    // tokenize+hash is the compute-heavy map stage of the whole family; a
     // one-row-group input would otherwise pin it to a single task
     // (no-op when the scan already splits — see Query.ensureParallelism)
     Query.ensureParallelism(docs).select(col(idCol),
@@ -58,8 +77,7 @@ object Dedup {
           filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol), col("toks"),
-        array_distinct(transform(col("toks"),
-          w => conv(substring(md5(w), 1, 10), 16, 10).cast("long"))).as("__harr"),
+        array_distinct(transform(col("toks"), h40)).as("__harr"),
         sha2(concat_ws(" ", col("toks")), 256).as("__set_key"))
 
   /** 2^57 modulus for the affine signature hashes: intermediates stay below
@@ -224,8 +242,9 @@ object Dedup {
     * exact-set representatives and expands (identical output, hot buckets
     * shrunk by the clone factor). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val (reps, d2r) = repPipe(docs, idCol, textCol)
+                   seeds: Int = 16, rowsPerBand: Int = 8,
+                   h40: Column => Column = h40Md5): DataFrame = {
+    val (reps, d2r) = repPipe(docs, idCol, textCol, h40)
     // checkpoint the (small) rep-pair frontier eagerly so the wide reps
     // blocks can be freed NOW; the returned lazy expansion reads only the
     // narrow repPairs + d2r checkpoints (freed by the ContextCleaner once
@@ -235,6 +254,17 @@ object Dedup {
     freeCheckpoints(reps)
     expandPairs(repPairs, d2r, idCol)
   }
+
+  /** [[minhashPairs]] on the production token hash ([[h40Fast]]): the
+    * tokenize+hash map stage — the family's dominant CPU cost — drops the
+    * per-token md5 digest for one codegen'd xxhash64. Identical pipeline
+    * shape; the banding buckets differ only through the hash family, and
+    * the fixture corpus yields the same candidate structure (spec-pinned
+    * against the md5 witness). No DuckDB oracle — xxhash64 has no DuckDB
+    * primitive; [[minhashPairs]] is the hash-exact witness. */
+  def minhashPairsFast(docs: DataFrame, idCol: String, textCol: String,
+                       seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
+    minhashPairs(docs, idCol, textCol, seeds, rowsPerBand, h40Fast)
 
   /** Shared rep-level pipeline built from ONE tokenization pass, with an
     * explicit cache lifecycle (round-5 regression lesson: three stacked
@@ -266,9 +296,10 @@ object Dedup {
     * drop and pairs APIs below checkpoint their (narrow) results and
     * release the wide `reps` blocks before returning, so no wide
     * intermediate outlives the call. */
-  private def repPipe(docs: DataFrame, idCol: String, textCol: String)
+  private def repPipe(docs: DataFrame, idCol: String, textCol: String,
+                      h40: Column => Column = h40Md5)
       : (DataFrame, DataFrame) = {
-    val base = tokenSets(docs, idCol, textCol)
+    val base = tokenSets(docs, idCol, textCol, h40)
       .select(col(idCol), col("__set_key"), col("__harr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = base.groupBy(col("__set_key"))
@@ -635,16 +666,21 @@ object Dedup {
     val snip = Query.ensureParallelism(docs)
       .select(col(idCol), s.as("__s"))
       .filter(length(col("__s")) >= q)
-      .localCheckpoint()
-    // rep-collapse identical snippets (min id represents each)
-    val reps = snip.groupBy(col("__s"))
-      .agg(min(col(idCol)).as("__rep"))
-      .localCheckpoint()
-    val d2r = snip.select(col(idCol),
+    // rep-collapse identical snippets (min id represents each) in ONE
+    // barrier: the doc→rep window carries __s, so BOTH the expansion map
+    // (d2r) and the rep-level view (reps — one row per distinct snippet)
+    // are narrow projections/filters of the SAME checkpoint. snip itself
+    // is never checkpointed (it is one cheap scan+map, consumed once by
+    // the window), and no separate groupBy materialization exists — two
+    // checkpoint barriers total for the whole pipeline (here + verified),
+    // down from four, which at short-field sizes is the dominant cost.
+    val d2rFull = snip.select(col(idCol), col("__s"),
         min(col(idCol)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__s"))).as("__rep"))
       .localCheckpoint()
-    freeCheckpoints(snip)
+    val reps = d2rFull.filter(col(idCol) === col("__rep"))
+      .select(col("__rep"), col("__s"))
+    val d2r = d2rFull.select(col(idCol), col("__rep"))
     val grams = when(length(col("__s")) >= q,
         array_sort(array_distinct(transform(
           sequence(lit(1), length(col("__s")) - lit(q - 1)),
@@ -655,7 +691,7 @@ object Dedup {
         g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
     val pairs = pairsFromBands(
       bandsOfSets(sets, "__rep", seeds, rowsPerBand), "__rep")
-    val strs = reps.select(col("__rep"), col("__s"))
+    val strs = reps
     val verified = pairs
       .join(strs.select(col("__rep").as("doc_a"), col("__s").as("sa")), Seq("doc_a"))
       .join(strs.select(col("__rep").as("doc_b"), col("__s").as("sb")), Seq("doc_b"))
@@ -663,7 +699,8 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .localCheckpoint()
-    freeCheckpoints(reps)
+    // d2rFull stays live for the expansion join in the returned plan;
+    // verified is the only other surviving checkpoint (both ids-narrow)
     expandPairs(verified, d2r, idCol, carry = Seq("dist"))
   }
 

@@ -177,7 +177,15 @@ object TextAnalysis {
     * Plan shape: one shuffle for the (doc, term)→tf aggregation, one for
     * term→df (derived from the tf table — no second corpus scan), a
     * term-keyed join, then a per-doc window whose rank<=k predicate pushes
-    * down as WindowGroupLimit (partial top-k before the exchange). */
+    * down as WindowGroupLimit (partial top-k before the exchange).
+    *
+    * `tf` is referenced twice (join left + df derivation), so it is
+    * eagerly `localCheckpoint`ed — without the materialization Catalyst
+    * duplicates the whole scan→tokenize→aggregate subtree and the corpus
+    * is scanned AND tokenized twice (tokenize dominates the family's CPU).
+    * The checkpoint is narrow (doc×distinct-token rows, no text column)
+    * and freed as soon as the small final top-k materializes — the repo's
+    * checkpoint-then-free lifecycle (see [[Dedup.freeCheckpoints]]). */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -185,15 +193,19 @@ object TextAnalysis {
       .select(col(idCol), explode(tokenStream(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.join(df_, "token")
+    val out = tf.join(df_, "token")
       .withColumn("score", expr("tf * 1048576 div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("score"), col("rank"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(tf)
+    out
   }
 
   /** X4 context-window chunking: split each document's token stream into

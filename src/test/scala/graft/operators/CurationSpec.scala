@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** Decontamination overlap counting and k-anonymity suppression semantics. */
@@ -30,6 +31,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
     val row = Curation.decontaminate(train, bench, "doc_id", "text").head()
     assert(row.getLong(2) == 1L && row.getInt(3) == 1)
+  }
+
+  test("decontaminateFast (xxhash64) output is identical to the md5 witness on the fixture corpus") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val witness = rows(Curation.decontaminate(train, bench, "doc_id", "text", 3))
+    val fast = rows(Curation.decontaminateFast(train, bench, "doc_id", "text", 3))
+    assert(witness.exists(_._3 > 0), "fixture must contain contaminated docs")
+    assert(fast == witness)
   }
 
   test("kAnonymize keeps only QI groups of size >= k; violations report the rest") {

@@ -92,6 +92,65 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("minhashPairsFast (xxhash64) is bucket-structure-equivalent to the md5 witness") {
+    // The two 40-bit token-hash families index the SAME pipeline; they are
+    // equivalent LSH indexes, not bit-identical ones — each family's band
+    // recall on a jaccard-j pair is the same 1-(1-j^r)^b curve, but the
+    // marginal (0.95 <= j < 1) pairs each catches are independent draws.
+    // What IS deterministic, and what this pins:
+    //  (1) identical-token-set pairs are caught by BOTH with probability 1
+    //      (rep-collapse: same set -> same rep -> expanded pair, no hashing
+    //      involved) — checked exhaustively on the fixture corpus;
+    //  (2) on a corpus whose only near-dups are identical-set clones the
+    //      pair sets are exactly equal (clones pair with probability 1,
+    //      disjoint sets with probability ~0 under ANY 40-bit family);
+    //  (3) fixture agreement stays high — verified-pair-set IoU pinned at
+    //      its measured value (0.86; both families, 2 bands x 8 rows,
+    //      individually have ~0.89 expected recall at j=0.95, so ~0.80 IoU
+    //      is the theoretical floor for ideal hash families).
+    val cloneOnly = {
+      import spark.implicits._
+      Seq(
+        (1L, "the quick brown fox"),
+        (2L, "  The Quick Brown Fox "),              // same token set as 1
+        (3L, "completely different words entirely unrelated"),
+        (4L, "the quick brown fox"),                 // same token set as 1
+        (5L, "zebra yak xylophone wombat")           // disjoint from all
+      ).toDF("doc_id", "text")
+    }
+    val md5Crafted = Dedup.minhashPairs(cloneOnly, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastCrafted = Dedup.minhashPairsFast(cloneOnly, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastCrafted == md5Crafted && fastCrafted == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+    val fix = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // exhaustive identical-set clone pairs (pure set arithmetic, no LSH)
+    val setsOf = Dedup.tokenSets(fix, "doc_id", "text")
+      .select(col("doc_id"), col("__set_key"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val clonePairs = setsOf.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val md5Fix = Dedup.minhashPairs(fix, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastFix = Dedup.minhashPairsFast(fix, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clonePairs.nonEmpty && clonePairs.subsetOf(md5Fix) && clonePairs.subsetOf(fastFix),
+      s"clone pairs must be caught by both families (missed by md5: " +
+        s"${(clonePairs -- md5Fix).size}, by fast: ${(clonePairs -- fastFix).size})")
+    def verified(c: Set[(Long, Long)]) = {
+      import spark.implicits._
+      Dedup.jaccardOnCandidates(fix, "doc_id", "text",
+        c.toSeq.toDF("doc_a", "doc_b"), 0.95)
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    }
+    val (vm, vf) = (verified(md5Fix), verified(fastFix))
+    val iou = (vm & vf).size.toDouble / (vm | vf).size.toDouble
+    assert(iou >= 0.80, f"verified-pair IoU $iou%.3f fell below the pinned floor")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("dedup pipelines leave no persisted tables behind (cache lifecycle contract)") {
     // the round-5 regression: internal persists leaked until
     // spark.catalog.clearCache(), charging cache fill + GC to every caller.
