@@ -151,29 +151,43 @@ object Dedup {
     * signatures→bands (same mins, same '_'-joined seed order, ceil-division
     * trailing partial band) — pinned by the fused-vs-unfused spec. */
   private def bandsOfSets(sets: DataFrame, idCol: String,
-                          seeds: Int, rowsPerBand: Int): DataFrame = {
+                          seeds: Int, rowsPerBand: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
     val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
     val (as, bs) = (0 until seeds).map(sigAffine).unzip
     val sigs = org.apache.spark.sql.graft.MinHashSigs.of(col("__harr"), as, bs, SigMod)
-    val bandStructs = (0 until nBands).map { b =>
+    val bandSigExprs = (0 until nBands).map { b =>
       val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
-      struct(lit(b.toLong).as("band"),
-        concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
-          .as("band_sig"))
+      concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
     }
-    sets.select(col(idCol), size(col("__harr")).as("__n"), sigs.as("__sigs"))
-      .select(col(idCol), col("__n"), explode(array(bandStructs: _*)).as("__bs"))
-      .select(col(idCol), col("__n"),
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"), bandSigExprs(b).as("band_sig"))
+    }
+    // "__allsigs" is synthesized (the per-row array of ALL band sigs — the
+    // first-match dedup needs it); other carry names pass `sets` columns
+    // through the explode unchanged
+    val passThrough = carry.filterNot(_ == "__allsigs").map(col)
+    val synth = if (carry.contains("__allsigs"))
+      Seq(array(bandSigExprs: _*).as("__allsigs")) else Nil
+    sets.select(Seq(col(idCol), size(col("__harr")).as("__n"), sigs.as("__sigs"))
+        ++ passThrough: _*)
+      .select(Seq(col(idCol), col("__n"),
+        explode(array(bandStructs: _*)).as("__bs")) ++ passThrough ++ synth: _*)
+      .select(Seq(col(idCol), col("__n"),
         col("__bs.band").as("band"), col("__bs.band_sig").as("band_sig"))
+        ++ carry.map(col): _*)
   }
 
-  /** Candidate pairs from precomputed band keys (self-join on the bucket). */
+  /** Candidate pairs from precomputed band keys (self-join on the bucket).
+    * A TRUE self-join (same plan, aliased) — the two sides canonicalize
+    * identically, so ReuseExchange materializes ONE shuffle and the
+    * band/signature pipeline runs once, not twice. */
   private def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val b = bands.select(col(idCol), col("band"), col("band_sig"))
+    b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .distinct()
   }
 
@@ -186,15 +200,16 @@ object Dedup {
     * (doc_a, doc_b, na, nb) so verification reuses the sizes. */
   private def pairsFromBandsSized(bands: DataFrame, idCol: String,
                                   threshold: Double): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("__n").as("na"),
-      col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("__n").as("nb"),
-      col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    // true self-join: one reused exchange, one band-pipeline evaluation
+    // (see pairsFromBands)
+    val b = bands.select(col(idCol), col("__n"), col("band"), col("band_sig"))
+    b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol") &&
+        least(col("l.__n"), col("r.__n")).cast("double") >=
+          lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
+        col("l.__n").as("na"), col("r.__n").as("nb"))
       .distinct()
   }
 
@@ -215,24 +230,30 @@ object Dedup {
     * of a rep's clones. Disjoint by construction — no distinct needed. */
   private def expandPairs(repPairs: DataFrame, d2r: DataFrame, idCol: String,
                           carry: Seq[String] = Nil): DataFrame = {
-    val carryCols = carry.map(col)
-    val cross = repPairs
-      .join(d2r.select(col("__rep").as("doc_a"), col(idCol).as("__ma")), Seq("doc_a"))
-      .join(d2r.select(col("__rep").as("doc_b"), col(idCol).as("__mb")), Seq("doc_b"))
-      .select(Seq(least(col("__ma"), col("__mb")).as("doc_a"),
-        greatest(col("__ma"), col("__mb")).as("doc_b")) ++ carryCols: _*)
-    val l = d2r.select(col("__rep"), col(idCol).as("doc_a"))
-    val r = d2r.select(col("__rep"), col(idCol).as("doc_b"))
-    val sameSet = l.join(r, Seq("__rep")).filter(col("doc_a") < col("doc_b"))
-      .select(Seq(col("doc_a"), col("doc_b")) ++
-        // a rep's clones are IDENTICAL content: jaccard exactly 1, edit
-        // distance exactly 0
-        carry.map {
-          case "jaccard" => lit(1.0).as("jaccard")
-          case "dist" => lit(0).as("dist")
-          case c => lit(null).as(c)
-        }: _*)
-    cross.unionByName(sameSet)
+    // Unified edge list: verified cross-set pairs PLUS one (rep, rep) self
+    // edge per rep (reps are the d2r rows with id == __rep — a narrow
+    // filter, no distinct exchange). ONE pair of joins against the member
+    // map then expands both kinds at once — the same-set 2-combinations
+    // fall out of the self edges via the ma < mb filter, and the member
+    // map's exchange is canonically identical on both join sides, so
+    // ReuseExchange materializes it once. (The previous three-join shape —
+    // separate cross and same-set subtrees — cost two more exchanges and
+    // their AQE barrier jobs.) A rep's clones are IDENTICAL content:
+    // self-edge jaccard is exactly 1, edit distance exactly 0.
+    val selfCarry = carry.map {
+      case "jaccard" => lit(1.0).as("jaccard")
+      case "dist" => lit(0).as("dist")
+      case c => lit(null).as(c)
+    }
+    val e = repPairs.select(Seq(col("doc_a"), col("doc_b")) ++ carry.map(col): _*)
+      .unionByName(d2r.filter(col(idCol) === col("__rep"))
+        .select(Seq(col("__rep").as("doc_a"), col("__rep").as("doc_b")) ++ selfCarry: _*))
+    val m = d2r.select(col("__rep"), col(idCol))
+    e.join(m.as("ma"), col("doc_a") === col("ma.__rep"))
+      .join(m.as("mb"), col("doc_b") === col("mb.__rep"))
+      .filter(col("doc_a") =!= col("doc_b") || col(s"ma.$idCol") < col(s"mb.$idCol"))
+      .select(Seq(least(col(s"ma.$idCol"), col(s"mb.$idCol")).as("doc_a"),
+        greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("doc_b")) ++ carry.map(col): _*)
   }
 
   /** X2 step 3: candidate pairs = docs agreeing on any full band.
@@ -663,21 +684,31 @@ object Dedup {
                     seeds: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     require(q >= 1 && maxDist >= 0, s"need q >= 1, maxDist >= 0; got $q, $maxDist")
     val s = lower(col(strCol))
-    val snip = Query.ensureParallelism(docs)
+    // No ensureParallelism here: the only pre-exchange work is lower+length
+    // on an already-narrow snippet column — the rep window's hash exchange
+    // is where parallelism (re)appears, and the extra round-robin exchange
+    // costs a full AQE stage for nothing (the pipeline is barrier-bound,
+    // not map-bound; measured on the fixture AND true at scale, where the
+    // scan has real splits anyway).
+    val snip = docs
       .select(col(idCol), s.as("__s"))
       .filter(length(col("__s")) >= q)
-    // rep-collapse identical snippets (min id represents each) in ONE
-    // barrier: the doc→rep window carries __s, so BOTH the expansion map
-    // (d2r) and the rep-level view (reps — one row per distinct snippet)
-    // are narrow projections/filters of the SAME checkpoint. snip itself
-    // is never checkpointed (it is one cheap scan+map, consumed once by
-    // the window), and no separate groupBy materialization exists — two
-    // checkpoint barriers total for the whole pipeline (here + verified),
-    // down from four, which at short-field sizes is the dominant cost.
+    // rep-collapse identical snippets (min id represents each) with NO
+    // barrier at all: the doc→rep window carries __s, so BOTH the
+    // expansion map (d2r) and the rep-level view (reps — one row per
+    // distinct snippet) are narrow projections/filters of the SAME
+    // subtree, and every reference canonicalizes to the same __s hash
+    // exchange — ReuseExchange materializes that shuffle once and the
+    // cheap window above it re-runs per consumer. The original pipeline
+    // spent FOUR localCheckpoint barriers (each a full job round-trip)
+    // on inputs of a few thousand distinct snippets; the all-lazy shape
+    // lets AQE pipeline the whole query. (Contrast repPipe, where the
+    // checkpointed frontier guards a re-TOKENIZATION that dominates cost
+    // — here the recompute above the reused exchange is a window over
+    // short strings.)
     val d2rFull = snip.select(col(idCol), col("__s"),
         min(col(idCol)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__s"))).as("__rep"))
-      .localCheckpoint()
     val reps = d2rFull.filter(col(idCol) === col("__rep"))
       .select(col("__rep"), col("__s"))
     val d2r = d2rFull.select(col(idCol), col("__rep"))
@@ -686,21 +717,35 @@ object Dedup {
           sequence(lit(1), length(col("__s")) - lit(q - 1)),
           i => col("__s").substr(i, lit(q))))))
       .otherwise(array().cast("array<string>"))
-    val sets = reps.select(col("__rep"),
+    val sets = reps.select(col("__rep"), col("__s"),
       array_distinct(transform(grams,
         g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
-    val pairs = pairsFromBands(
-      bandsOfSets(sets, "__rep", seeds, rowsPerBand), "__rep")
-    val strs = reps
-    val verified = pairs
-      .join(strs.select(col("__rep").as("doc_a"), col("__s").as("sa")), Seq("doc_a"))
-      .join(strs.select(col("__rep").as("doc_b"), col("__s").as("sb")), Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+    // The snippet string AND the full band-signature array ride THROUGH
+    // the band self-join (carry = __s, __allsigs), so (a) verification
+    // needs no join back to a rep table — the candidate row already holds
+    // both strings — and (b) each pair is emitted from its FIRST matching
+    // band only (`noEarlierMatch`: all bands before the joined one must
+    // differ), which makes the pair stream duplicate-free by construction
+    // and removes the distinct exchange entirely. One reused band
+    // exchange, one codegen'd filter+levenshtein pass, one checkpoint.
+    val bandsWithStr = bandsOfSets(sets, "__rep", seeds, rowsPerBand,
+      carry = Seq("__s", "__allsigs"))
+      .select(col("__rep"), col("__s"), col("__allsigs"),
+        col("band"), col("band_sig"))
+    val noEarlierMatch = !exists(
+      zip_with(
+        slice(col("l.__allsigs"), lit(1), col("l.band").cast("int")),
+        slice(col("r.__allsigs"), lit(1), col("l.band").cast("int")),
+        (x, y) => x === y),
+      b => b)
+    val verified = bandsWithStr.as("l").join(bandsWithStr.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col("l.__rep") < col("r.__rep") && noEarlierMatch)
+      .withColumn("dist", levenshtein(col("l.__s"), col("r.__s")))
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
-      .localCheckpoint()
-    // d2rFull stays live for the expansion join in the returned plan;
-    // verified is the only other surviving checkpoint (both ids-narrow)
+      .select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"), col("dist"))
+    // verified is consumed exactly once by the expansion — nothing in this
+    // pipeline needs a checkpoint, and none is left behind
     expandPairs(verified, d2r, idCol, carry = Seq("dist"))
   }
 
