@@ -36,17 +36,6 @@ object Curation {
   private def gramHashMd5(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit gram hash, PRODUCTION form: one codegen'd `xxhash64` folded
-    * into [0, 2^60) — same false-hit analysis as [[gramHashMd5]], none of
-    * its per-gram digest/hex/parse cost. The hash only mediates set
-    * membership (the output carries no hash value), so any injective-
-    * enough hash yields the identical result; [[decontaminateFast]]'s
-    * oracle therefore joins on the raw gram STRING — hash-free and exact,
-    * modulo 60-bit collisions that the witness analysis already bounds at
-    * ~1e-11 per gram. */
-  private def gramHashFast(g: Column): Column =
-    pmod(xxhash64(g), lit(1L << 60))
-
   /** Benchmark decontamination: for every training document, count how many
     * of its distinct word `n`-grams appear ANYWHERE in the held-out
     * benchmark corpus `bench`. Returns one row per training doc:
@@ -62,8 +51,8 @@ object Curation {
     * hint and Catalyst falls back to a shuffle hash join with the same
     * semantics. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 3,
-                    gramHash: Column => Column = gramHashMd5): DataFrame = {
+                    textCol: String, n: Int = 3): DataFrame = {
+    val gramHash = gramHashMd5 _
     require(n >= 1, s"n must be >= 1, got $n")
     val benchGrams = Query.ensureParallelism(bench)
       .select(explode(gramArray(col(textCol), n)).as("__g"))
@@ -90,14 +79,45 @@ object Curation {
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
-  /** [[decontaminate]] on the production gram hash ([[gramHashFast]]):
-    * drops the per-gram md5 digest — the pipeline's remaining constant
-    * factor — for one codegen'd xxhash64 pass. Output is identical to the
-    * md5 form (the hash never leaves the plan), so this variant carries a
-    * FULL oracle that joins on the raw gram string. */
+  /** Per-doc distinct gram-HASH array, production form: each token hashes
+    * once (`xxhash64`), and a gram's hash combines its n token hashes with
+    * a second variadic `xxhash64` over the raw longs — NO gram string is
+    * ever built (the md5 witness pays a slice+array_join string allocation
+    * per gram, which is the pipeline's dominant constant factor after the
+    * digest itself). The hash only mediates set membership, so any
+    * injective-enough family gives the identical decontamination verdict;
+    * 60-bit collision analysis as [[gramHashMd5]]. */
+  private def gramHashArrFast(textCol: Column, n: Int): Column = {
+    val th = transform(
+      filter(split(lower(textCol), " "), w => w =!= ""), w => xxhash64(w))
+    when(size(th) >= n,
+      array_distinct(transform(sequence(lit(1), size(th) - lit(n - 1)),
+        i => pmod(xxhash64((0 until n).map(j => element_at(th, i + lit(j))): _*),
+          lit(1L << 60)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** [[decontaminate]] on the production gram hash ([[gramHashArrFast]]):
+    * drops the per-gram md5 digest AND the gram-string construction for
+    * two codegen'd xxhash64 passes over tokens/longs. Output is identical
+    * to the md5 form modulo 60-bit collisions (the hash never leaves the
+    * plan), so this variant carries a FULL oracle that joins on the raw
+    * gram string. */
   def decontaminateFast(train: DataFrame, bench: DataFrame, idCol: String,
-                        textCol: String, n: Int = 3): DataFrame =
-    decontaminate(train, bench, idCol, textCol, n, gramHashFast)
+                        textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = Query.ensureParallelism(bench)
+      .select(explode(gramHashArrFast(col(textCol), n)).as("__gh"))
+      .distinct()
+    Query.ensureParallelism(train)
+      .select(col(idCol), gramHashArrFast(col(textCol), n).as("__ghs"))
+      .select(col(idCol), size(col("__ghs")).as("n_grams_distinct"),
+        explode_outer(col("__ghs")).as("__gh"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("__gh"), "left")
+      .groupBy(col(idCol), col("n_grams_distinct"))
+      .agg(count(col("__hit")).as("n_overlap"))
+      .select(col(idCol), col("n_grams_distinct"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
+  }
 
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination (`qiCols`) is shared by at least `k` rows — groups smaller

@@ -256,24 +256,74 @@ object Dedup {
         greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("doc_b")) ++ carry.map(col): _*)
   }
 
+  /** Band self-join filter that emits each candidate pair from its FIRST
+    * matching band only: every band before the joined one must differ on
+    * at least one side. Makes the pair stream duplicate-free by
+    * construction — no distinct exchange. Requires `__allsigs` (the per-row
+    * array of all band sigs) carried through the band explode; `l`/`r` are
+    * the self-join aliases. */
+  private def noEarlierBandMatch: Column = !exists(
+    zip_with(
+      slice(col("l.__allsigs"), lit(1), col("l.band").cast("int")),
+      slice(col("r.__allsigs"), lit(1), col("l.band").cast("int")),
+      (x, y) => x === y),
+    b => b)
+
   /** X2 step 3: candidate pairs = docs agreeing on any full band.
     * The self-join key is (band, band_sig): identical content lands in the
     * same bucket, everything else almost surely doesn't — this is what keeps
     * near-dup detection O(n·bands) instead of O(n²) at 100 TB. Runs on
     * exact-set representatives and expands (identical output, hot buckets
-    * shrunk by the clone factor). */
+    * shrunk by the clone factor).
+    *
+    * Fully lazy — zero checkpoints, zero persists (trivially satisfies the
+    * dedup-family cache contract), ONE corpus pass, ONE shuffle. The rep
+    * aggregate collects each distinct set's member ids INTO the rep row
+    * (`collect_list`), so no doc→rep side table, no broadcast of it, and
+    * no expansion joins exist: clone expansion is an in-row double explode
+    * of the member arrays riding through the band self-join. Candidate
+    * pairs are emitted from their first matching band only
+    * ([[noEarlierBandMatch]]) instead of a distinct exchange; same-set
+    * clone pairs are the in-row 2-combinations of a rep's members.
+    *
+    * The pinned `__set_key` repartition IS the aggregation's required
+    * distribution (no second exchange appears) and keeps the byte-light,
+    * compute-dense stages at full parallelism — AQE coalesces by shuffle
+    * BYTES, which mis-sizes hash/band pipelines (see [[fuzzyNearDups]]).
+    * Trade-off: pre-partitioning forfeits map-side clone collapse (every
+    * doc's hash array crosses the wire once — the same doc-level volume
+    * the checkpointing shape wrote to block storage, and a shuffle
+    * survives executor loss at scale where localCheckpoint blocks do not).
+    * Member arrays are bounded by the largest exact-clone group; the pair
+    * OUTPUT of such a group is quadratic in ANY formulation, so the array
+    * does not change the asymptotics, only materializes the group in one
+    * row. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    h40: Column => Column = h40Md5): DataFrame = {
-    val (reps, d2r) = repPipe(docs, idCol, textCol, h40)
-    // checkpoint the (small) rep-pair frontier eagerly so the wide reps
-    // blocks can be freed NOW; the returned lazy expansion reads only the
-    // narrow repPairs + d2r checkpoints (freed by the ContextCleaner once
-    // the caller's result is garbage)
-    val repPairs = pairsFromBands(
-      bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep").localCheckpoint()
-    freeCheckpoints(reps)
-    expandPairs(repPairs, d2r, idCol)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val reps = tokenSets(docs, idCol, textCol, h40)
+      .select(col(idCol), col("__set_key"), col("__harr"))
+      .repartition(par, col("__set_key"))
+      .groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"),
+        array_sort(collect_list(col(idCol))).as("__members"))
+    val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand,
+        carry = Seq("__allsigs", "__members"))
+    val cross = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch)
+      .select(col("l.__members").as("__mas"), col("r.__members").as("__mbs"))
+      .select(explode(col("__mas")).as("__ma"), col("__mbs"))
+      .select(col("__ma"), explode(col("__mbs")).as("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"))
+    val sameSet = reps.filter(size(col("__members")) > 1)
+      .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+      .select(col("__ma"), explode(col("__mbs")).as("__mb"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"))
+    cross.unionByName(sameSet)
   }
 
   /** [[minhashPairs]] on the production token hash ([[h40Fast]]): the
@@ -690,9 +740,19 @@ object Dedup {
     // costs a full AQE stage for nothing (the pipeline is barrier-bound,
     // not map-bound; measured on the fixture AND true at scale, where the
     // scan has real splits anyway).
+    // Explicit-count repartitions (REPARTITION_BY_NUM) pin the two hash
+    // exchanges below at full parallelism: AQE coalesces by shuffle BYTES,
+    // but this pipeline's per-row cost is compute-dense and byte-light
+    // (md5 per gram, levenshtein O(len²) per candidate pair), so
+    // byte-proportional coalescing serializes the heavy stages. The pinned
+    // exchanges are the SAME shuffles the plan needs anyway (__s satisfies
+    // the rep window's clustering, (band, band_sig) the self-join's) — no
+    // exchange is added, only the partition count is fixed.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val snip = docs
       .select(col(idCol), s.as("__s"))
       .filter(length(col("__s")) >= q)
+      .repartition(par, col("__s"))
     // rep-collapse identical snippets (min id represents each) with NO
     // barrier at all: the doc→rep window carries __s, so BOTH the
     // expansion map (d2r) and the rep-level view (reps — one row per
@@ -732,15 +792,10 @@ object Dedup {
       carry = Seq("__s", "__allsigs"))
       .select(col("__rep"), col("__s"), col("__allsigs"),
         col("band"), col("band_sig"))
-    val noEarlierMatch = !exists(
-      zip_with(
-        slice(col("l.__allsigs"), lit(1), col("l.band").cast("int")),
-        slice(col("r.__allsigs"), lit(1), col("l.band").cast("int")),
-        (x, y) => x === y),
-      b => b)
+      .repartition(par, col("band"), col("band_sig"))
     val verified = bandsWithStr.as("l").join(bandsWithStr.as("r"),
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
-      .filter(col("l.__rep") < col("r.__rep") && noEarlierMatch)
+      .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch)
       .withColumn("dist", levenshtein(col("l.__s"), col("r.__s")))
       .filter(col("dist") <= maxDist)
       .select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"), col("dist"))
