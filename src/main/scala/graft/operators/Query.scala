@@ -62,7 +62,11 @@ object Query {
     * the only shuffle moves one row per (returnflag, linestatus) partial. */
   def aggGroupReturnflag(spark: SparkSession, dir: String): DataFrame =
     // decimal partial aggregation is the map-side cost here; fan the scan
-    // out when the file's row groups under-split it (no-op at scale)
+    // out when the file's row groups under-split it (no-op at scale).
+    // Measured both ways at sf0.1/local[32] (BenchOne warm): with the
+    // round-robin exchange 1.62 s, without it 2.24 s — the single-task
+    // partial agg over 600k decimal rows costs more than the exchange, so
+    // the fan-out stays even for this pure-aggregate consumer.
     ensureParallelism(t(spark, dir, "lineitem"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
