@@ -178,41 +178,6 @@ object Dedup {
         ++ carry.map(col): _*)
   }
 
-  /** Candidate pairs from precomputed band keys (self-join on the bucket).
-    * A TRUE self-join (same plan, aliased) — the two sides canonicalize
-    * identically, so ReuseExchange materializes ONE shuffle and the
-    * band/signature pipeline runs once, not twice. */
-  private def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
-    val b = bands.select(col(idCol), col("band"), col("band_sig"))
-    b.as("l").join(b.as("r"),
-        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
-      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
-      .distinct()
-  }
-
-  /** Size-filtered candidate pairs for a verification threshold t: jaccard
-    * ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (i ≤ min and i ≥ t(na+nb−i)),
-    * so pairs failing the size ratio can be dropped BEFORE the distinct
-    * exchange and the intersection join — provably lossless for the
-    * verified output. On a hot ~0.9-similar boilerplate cluster this cuts
-    * the candidate stream 2×+ for the cost of a long comparison. Carries
-    * (doc_a, doc_b, na, nb) so verification reuses the sizes. */
-  private def pairsFromBandsSized(bands: DataFrame, idCol: String,
-                                  threshold: Double): DataFrame = {
-    // true self-join: one reused exchange, one band-pipeline evaluation
-    // (see pairsFromBands)
-    val b = bands.select(col(idCol), col("__n"), col("band"), col("band_sig"))
-    b.as("l").join(b.as("r"),
-        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
-      .filter(col(s"l.$idCol") < col(s"r.$idCol") &&
-        least(col("l.__n"), col("r.__n")).cast("double") >=
-          lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
-      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"),
-        col("l.__n").as("na"), col("r.__n").as("nb"))
-      .distinct()
-  }
-
   /** The RDDs materialized by a `localCheckpoint` — collected so their
     * blocks can be freed deterministically instead of waiting on the
     * ContextCleaner (checkpoint blocks are invisible to
@@ -337,88 +302,97 @@ object Dedup {
                        seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
     minhashPairs(docs, idCol, textCol, seeds, rowsPerBand, h40Fast)
 
-  /** Shared rep-level pipeline built from ONE tokenization pass, with an
-    * explicit cache lifecycle (round-5 regression lesson: three stacked
-    * MEMORY_AND_DISK persists, filled per query and never released, cost
-    * more than the re-tokenization they saved — cache fill + GC pressure
-    * dominated the family's bench).
+  /** Shared rep-level table for the near-dup verify family: ONE corpus
+    * pass, ONE shuffle, fully lazy (zero persists/checkpoints — the
+    * round-5 cache-leak class of bug is structurally impossible here).
     *
-    * Shape now: `base` = (id, __set_key, __harr) — the tokenize+hash map
-    * stage, the family's dominant CPU cost — is persisted ONLY while the
-    * two derived tables materialize, then released before this returns:
-    *
-    *  - `reps` — one row per DISTINCT token set (the hot-band killer:
-    *    boilerplate corpora put THOUSANDS of identical-set docs in one LSH
-    *    bucket; observed 1541-doc bucket → 1.19M pairs from one band at
-    *    sf0.1). Identical sets have identical signatures and identical
-    *    jaccard against everything, so banding and verification run on
-    *    representatives; clone results are reconstructed exactly by
-    *    expansion. `first(__harr)` is deterministic (__harr is a pure
-    *    function of the grouping key); partial aggregation collapses
-    *    clones MAP-SIDE.
-    *  - `d2r` — the (doc → rep) map via a window min over base's narrow
-    *    (id, set_key) projection: one shuffle, no join against reps.
-    *
-    * Both are EAGER `localCheckpoint`s: materialized blocks with truncated
-    * lineage, each read by 1-3 downstream consumers without re-running the
-    * tokenize stage (persist-based caching of the same tables measured 15×
-    * slower per-fill; see Verify gotchas). Callers MUST free them via
-    * [[freeCheckpoints]] once their own frontier is materialized — the
-    * drop and pairs APIs below checkpoint their (narrow) results and
-    * release the wide `reps` blocks before returning, so no wide
-    * intermediate outlives the call. */
-  private def repPipe(docs: DataFrame, idCol: String, textCol: String,
-                      h40: Column => Column = h40Md5)
-      : (DataFrame, DataFrame) = {
-    val base = tokenSets(docs, idCol, textCol, h40)
+    * One row per DISTINCT token set (the hot-band killer: boilerplate
+    * corpora put THOUSANDS of identical-set docs in one LSH bucket;
+    * observed 1541-doc bucket → 1.19M pairs from one band at sf0.1):
+    * identical sets have identical signatures and identical jaccard
+    * against everything, so banding and verification run on
+    * representatives. Each rep row ALSO carries its sorted member-id list
+    * (`collect_list` — no separate doc→rep table, broadcast, or expansion
+    * join exists downstream; clone results reconstruct by in-row explode).
+    * `first(__harr)` is deterministic (__harr is a pure function of the
+    * grouping key). The pinned `__set_key` repartition doubles as the
+    * aggregation's required distribution and keeps the compute-dense,
+    * byte-light hash/band stages at full parallelism (AQE coalesces by
+    * shuffle BYTES — see [[fuzzyNearDups]]); every downstream consumer
+    * canonicalizes onto this one exchange, so AQE stage reuse runs
+    * tokenize exactly once. Member arrays are bounded by the largest
+    * exact-clone group, whose pair OUTPUT is quadratic in any formulation
+    * — the array changes constant factors, not asymptotics. */
+  private def repsWithMembers(docs: DataFrame, idCol: String, textCol: String,
+                              h40: Column => Column = h40Md5): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    tokenSets(docs, idCol, textCol, h40)
       .select(col(idCol), col("__set_key"), col("__harr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = base.groupBy(col("__set_key"))
-      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
-      .select(col("__rep"), col("__harr"))
-      .localCheckpoint()
-    val d2r = base.select(col(idCol),
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__set_key"))).as("__rep"))
-      .localCheckpoint()
-    base.unpersist(blocking = false)
-    (reps, d2r)
+      .repartition(par, col("__set_key"))
+      .groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"),
+        array_sort(collect_list(col(idCol))).as("__members"))
   }
 
-  /** Verified rep-level near-dup pairs over a prepared `reps` table.
-    * Verification joins the size-filtered band candidates back to the
-    * checkpointed token-hash arrays — no re-tokenization, no token-level
-    * rows. Verify on the 40-bit token-hash SETS: long-vs-long intersection
-    * is ~2× cheaper than string arrays and the sizes ride along from the
-    * band join. Jaccard over hash sets equals token jaccard unless two
+  /** Verified rep-level near-dup pairs over a [[repsWithMembers]] table,
+    * computed entirely INSIDE the band self-join: the token-hash arrays
+    * and member lists ride through the band explode, so there is no
+    * join-back to a rep table, no distinct exchange (each pair emits from
+    * its first matching band only — [[noEarlierBandMatch]]), and no
+    * checkpoint. The size pre-filter is provably lossless for threshold t:
+    * jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (i ≤ min and
+    * i ≥ t(na+nb−i)), and it runs BEFORE the intersection. Verify on the
+    * 40-bit token-hash SETS: long-vs-long intersection is ~2× cheaper than
+    * string arrays; jaccard over hash sets equals token jaccard unless two
     * distinct tokens of one doc collide in 40 bits (~1e-7 per pair) — and
-    * the oracle replays the identical hash-set arithmetic. */
-  private def verifyReps(reps: DataFrame, seeds: Int, rowsPerBand: Int,
-                         threshold: Double): DataFrame = {
-    val sized = pairsFromBandsSized(
-      bandsOfSets(reps, "__rep", seeds, rowsPerBand), "__rep", threshold)
-    val arrs = reps.select(col("__rep"), col("__harr"))
-    sized
-      .join(arrs.select(col("__rep").as("doc_a"), col("__harr").as("ha")), Seq("doc_a"))
-      .join(arrs.select(col("__rep").as("doc_b"), col("__harr").as("hb")), Seq("doc_b"))
-      .withColumn("i", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard",
-        col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double"))
+    * the oracle replays the identical hash-set arithmetic. Output:
+    * (doc_a, doc_b, jaccard, __mas, __mbs) at rep level, doc_a < doc_b. */
+  private def verifiedRepPairs(reps: DataFrame, seeds: Int, rowsPerBand: Int,
+                               threshold: Double): DataFrame = {
+    val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand,
+      carry = Seq("__harr", "__members", "__allsigs"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch &&
+        least(col("l.__n"), col("r.__n")).cast("double") >=
+          lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
+      .withColumn("__i", size(array_intersect(col("l.__harr"), col("r.__harr"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("l.__n") + col("r.__n") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"),
+        col("jaccard"),
+        col("l.__members").as("__mas"), col("r.__members").as("__mbs"))
   }
+
+  /** Every doc of one rep's members crossed with every doc of the other's,
+    * jaccard carried; canonicalized with least/greatest (member sets of
+    * different reps are disjoint, so no duplicates arise). */
+  private def explodeCross(verified: DataFrame): DataFrame = verified
+    .select(col("jaccard"), explode(col("__mas")).as("__ma"), col("__mbs"))
+    .select(col("jaccard"), col("__ma"), explode(col("__mbs")).as("__mb"))
+    .select(least(col("__ma"), col("__mb")).as("doc_a"),
+      greatest(col("__ma"), col("__mb")).as("doc_b"), col("jaccard"))
+
+  /** In-row 2-combinations of each rep's members (exact clones: jaccard is
+    * exactly 1.0); the double explode emits both orders, `<` keeps one. */
+  private def sameSetPairs(reps: DataFrame): DataFrame = reps
+    .filter(size(col("__members")) > 1)
+    .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+    .select(col("__ma"), explode(col("__mbs")).as("__mb"))
+    .filter(col("__ma") < col("__mb"))
+    .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+      lit(1.0).as("jaccard"))
 
   def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
                     seeds: Int = 16, rowsPerBand: Int = 8,
                     threshold: Double = 0.95): DataFrame = {
     // verify at rep level (each distinct set-pair's jaccard computed once),
-    // then expand: clones inherit the rep jaccard; same-set pairs are exactly 1.0
-    val (reps, d2r) = repPipe(docs, idCol, textCol)
-    val verified = verifyReps(reps, seeds, rowsPerBand, threshold).localCheckpoint()
-    freeCheckpoints(reps)
-    expandPairs(verified, d2r, idCol, carry = Seq("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // then expand in-row: clones inherit the rep jaccard; same-set pairs
+    // are exactly 1.0 (≥ any threshold ≤ 1, matching the verified filter)
+    val reps = repsWithMembers(docs, idCol, textCol)
+    explodeCross(verifiedRepPairs(reps, seeds, rowsPerBand, threshold))
+      .unionByName(sameSetPairs(reps))
   }
 
   /** The deduplicated corpus under near-dup semantics: drop every doc that
@@ -427,30 +401,26 @@ object Dedup {
     * clustering is a strictly stronger dedup and an iterative job, not
     * needed for the keep-lowest policy).
     *
-    * Decided entirely at rep level — no pair expansion: a doc is kept iff
-    * it IS its set's representative (clones always have the rep as a
-    * smaller jaccard-1.0 partner) AND its rep is never the larger side of a
-    * verified rep pair (rep(T) < rep(S) ⟺ some member of T is smaller than
-    * rep(S), and members inherit the rep's similarities exactly). */
+    * Decided entirely at rep level — no pair expansion: a doc is DROPPED
+    * iff it is a non-rep clone (its rep is a smaller jaccard-1.0 partner)
+    * or its rep is the larger side of a verified rep pair (rep(T) <
+    * rep(S) ⟺ some member of T is smaller than rep(S), and members
+    * inherit the rep's similarities exactly). The anti-join keeps
+    * everything else — including docs that tokenize to nothing
+    * (empty/whitespace-only text), which never enter the rep table, are
+    * near-dups of nothing, and so are RETAINED without a second corpus
+    * pass. Anti-join semantics ignore duplicate drop rows, so no distinct
+    * exchange is needed; zero checkpoints, zero persists. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.95): DataFrame = {
-    val (reps, d2r) = repPipe(docs, idCol, textCol)
-    val verified = verifyReps(reps, seeds, rowsPerBand, threshold)
-    val dominated = verified.select(col("doc_b").as(idCol)).distinct()
-    val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
-      .join(dominated, Seq(idCol), "left_anti")
-    // docs that tokenize to nothing (empty/whitespace-only text) never enter
-    // the token table or the doc→rep map; they are not near-dups of anything
-    // and must be RETAINED, not silently dropped
-    val tokenless = docs.select(col(idCol))
-      .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
-    // the kept-id list is the narrow frontier: materialize it, then free
-    // every wide intermediate — the returned semi-join reads docs + one
-    // ids-only checkpoint, and nothing else from this call stays resident
-    val kept = keptReps.unionByName(tokenless).localCheckpoint()
-    freeCheckpoints(reps, d2r)
-    docs.join(kept, Seq(idCol), "left_semi")
+    val reps = repsWithMembers(docs, idCol, textCol)
+    val dominated = verifiedRepPairs(reps, seeds, rowsPerBand, threshold)
+      .select(col("doc_b").as(idCol))
+    val clones = reps
+      .select(explode(col("__members")).as(idCol), col("__rep"))
+      .filter(col(idCol) =!= col("__rep")).select(col(idCol))
+    docs.join(dominated.unionByName(clones), Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected (doc_a, doc_b) edge list by
@@ -648,24 +618,24 @@ object Dedup {
   def dropNearDupsCC(docs: DataFrame, idCol: String, textCol: String,
                      seeds: Int = 16, rowsPerBand: Int = 8,
                      threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
-    val (reps, d2r) = repPipe(docs, idCol, textCol)
-    // CC reads the verified edges twice (symmetrization) — checkpoint once
-    // so the band join + verify run once, and the wide reps free early
-    val verified = verifyReps(reps, seeds, rowsPerBand, threshold).localCheckpoint()
-    freeCheckpoints(reps)
-    val comp = connectedComponents(verified.select(col("doc_a"), col("doc_b")), maxIter)
-    val dropped = comp.filter(col("node") =!= col("component"))
+    val reps = repsWithMembers(docs, idCol, textCol)
+    // CC iterates over the verified edges — checkpoint once (narrow,
+    // rep-level id pairs) so the corpus pipeline runs exactly once
+    val verified = verifiedRepPairs(reps, seeds, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val comp = connectedComponents(verified, maxIter)
+    val droppedReps = comp.filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))
-    val keptReps = d2r.filter(col(idCol) === col("__rep")).select(col(idCol))
-      .join(dropped, Seq(idCol), "left_anti")
-    val tokenless = docs.select(col(idCol))
-      .join(d2r.select(col(idCol)), Seq(idCol), "left_anti")
-    // narrow frontier materialized, every pipeline intermediate freed (the
-    // cache-lifecycle contract: no persist/checkpoint from this call is
-    // reachable afterwards except the ids-only kept list)
-    val kept = keptReps.unionByName(tokenless).localCheckpoint()
-    freeCheckpoints(reps, d2r, verified, comp)
-    docs.join(kept, Seq(idCol), "left_semi")
+    val clones = reps
+      .select(explode(col("__members")).as(idCol), col("__rep"))
+      .filter(col(idCol) =!= col("__rep")).select(col(idCol))
+    // narrow ids-only frontier materialized (re-running the corpus
+    // pipeline for `clones`), then every pipeline checkpoint freed — the
+    // cache-lifecycle contract: nothing from this call is reachable
+    // afterwards except the dropped-id list the returned anti-join reads
+    val dropped = droppedReps.unionByName(clones).localCheckpoint()
+    freeCheckpoints(verified, comp)
+    docs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
