@@ -190,37 +190,6 @@ object Dedup {
   private[operators] def freeCheckpoints(dfs: DataFrame*): Unit =
     dfs.foreach(checkpointRdds(_).foreach(_.unpersist(blocking = false)))
 
-  /** All unordered member pairs implied by rep-level pairs: cross-set pairs
-    * expand via the two clone lists; same-set pairs are every 2-combination
-    * of a rep's clones. Disjoint by construction — no distinct needed. */
-  private def expandPairs(repPairs: DataFrame, d2r: DataFrame, idCol: String,
-                          carry: Seq[String] = Nil): DataFrame = {
-    // Unified edge list: verified cross-set pairs PLUS one (rep, rep) self
-    // edge per rep (reps are the d2r rows with id == __rep — a narrow
-    // filter, no distinct exchange). ONE pair of joins against the member
-    // map then expands both kinds at once — the same-set 2-combinations
-    // fall out of the self edges via the ma < mb filter, and the member
-    // map's exchange is canonically identical on both join sides, so
-    // ReuseExchange materializes it once. (The previous three-join shape —
-    // separate cross and same-set subtrees — cost two more exchanges and
-    // their AQE barrier jobs.) A rep's clones are IDENTICAL content:
-    // self-edge jaccard is exactly 1, edit distance exactly 0.
-    val selfCarry = carry.map {
-      case "jaccard" => lit(1.0).as("jaccard")
-      case "dist" => lit(0).as("dist")
-      case c => lit(null).as(c)
-    }
-    val e = repPairs.select(Seq(col("doc_a"), col("doc_b")) ++ carry.map(col): _*)
-      .unionByName(d2r.filter(col(idCol) === col("__rep"))
-        .select(Seq(col("__rep").as("doc_a"), col("__rep").as("doc_b")) ++ selfCarry: _*))
-    val m = d2r.select(col("__rep"), col(idCol))
-    e.join(m.as("ma"), col("doc_a") === col("ma.__rep"))
-      .join(m.as("mb"), col("doc_b") === col("mb.__rep"))
-      .filter(col("doc_a") =!= col("doc_b") || col(s"ma.$idCol") < col(s"mb.$idCol"))
-      .select(Seq(least(col(s"ma.$idCol"), col(s"mb.$idCol")).as("doc_a"),
-        greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("doc_b")) ++ carry.map(col): _*)
-  }
-
   /** Band self-join filter that emits each candidate pair from its FIRST
     * matching band only: every band before the joined one must differ on
     * at least one side. Makes the pair stream duplicate-free by
@@ -705,73 +674,68 @@ object Dedup {
     require(q >= 1 && maxDist >= 0, s"need q >= 1, maxDist >= 0; got $q, $maxDist")
     val s = lower(col(strCol))
     // No ensureParallelism here: the only pre-exchange work is lower+length
-    // on an already-narrow snippet column — the rep window's hash exchange
-    // is where parallelism (re)appears, and the extra round-robin exchange
+    // on an already-narrow snippet column — the pinned __s exchange is
+    // where parallelism (re)appears, and an extra round-robin exchange
     // costs a full AQE stage for nothing (the pipeline is barrier-bound,
     // not map-bound; measured on the fixture AND true at scale, where the
-    // scan has real splits anyway).
-    // Explicit-count repartitions (REPARTITION_BY_NUM) pin the two hash
-    // exchanges below at full parallelism: AQE coalesces by shuffle BYTES,
-    // but this pipeline's per-row cost is compute-dense and byte-light
-    // (md5 per gram, levenshtein O(len²) per candidate pair), so
-    // byte-proportional coalescing serializes the heavy stages. The pinned
-    // exchanges are the SAME shuffles the plan needs anyway (__s satisfies
-    // the rep window's clustering, (band, band_sig) the self-join's) — no
-    // exchange is added, only the partition count is fixed.
+    // scan has real splits anyway). The pinned exchanges are the SAME
+    // shuffles the plan needs anyway (__s satisfies the rep aggregate's
+    // distribution, (band, band_sig) the self-join's) — no exchange is
+    // added, only the partition count is fixed.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val snip = docs
+    // rep-collapse identical snippets (min id represents each) with the
+    // family's one-pass member-collecting aggregate ([[repsWithMembers]]
+    // shape, keyed on the snippet itself): gram hashing, banding, and the
+    // levenshtein verify run once per DISTINCT snippet, and clone pairs
+    // expand by in-row explode of the member lists — no doc→rep side
+    // table, no expansion joins, no checkpoints. The original pipeline
+    // spent FOUR localCheckpoint barriers (each a full job round-trip) on
+    // inputs of a few thousand distinct snippets.
+    val reps = docs
       .select(col(idCol), s.as("__s"))
       .filter(length(col("__s")) >= q)
       .repartition(par, col("__s"))
-    // rep-collapse identical snippets (min id represents each) with NO
-    // barrier at all: the doc→rep window carries __s, so BOTH the
-    // expansion map (d2r) and the rep-level view (reps — one row per
-    // distinct snippet) are narrow projections/filters of the SAME
-    // subtree, and every reference canonicalizes to the same __s hash
-    // exchange — ReuseExchange materializes that shuffle once and the
-    // cheap window above it re-runs per consumer. The original pipeline
-    // spent FOUR localCheckpoint barriers (each a full job round-trip)
-    // on inputs of a few thousand distinct snippets; the all-lazy shape
-    // lets AQE pipeline the whole query. (Contrast repPipe, where the
-    // checkpointed frontier guards a re-TOKENIZATION that dominates cost
-    // — here the recompute above the reused exchange is a window over
-    // short strings.)
-    val d2rFull = snip.select(col(idCol), col("__s"),
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__s"))).as("__rep"))
-    val reps = d2rFull.filter(col(idCol) === col("__rep"))
-      .select(col("__rep"), col("__s"))
-    val d2r = d2rFull.select(col(idCol), col("__rep"))
+      .groupBy(col("__s"))
+      .agg(min(col(idCol)).as("__rep"),
+        array_sort(collect_list(col(idCol))).as("__members"))
     val grams = when(length(col("__s")) >= q,
         array_sort(array_distinct(transform(
           sequence(lit(1), length(col("__s")) - lit(q - 1)),
           i => col("__s").substr(i, lit(q))))))
       .otherwise(array().cast("array<string>"))
-    val sets = reps.select(col("__rep"), col("__s"),
+    val sets = reps.select(col("__rep"), col("__s"), col("__members"),
       array_distinct(transform(grams,
         g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
-    // The snippet string AND the full band-signature array ride THROUGH
-    // the band self-join (carry = __s, __allsigs), so (a) verification
-    // needs no join back to a rep table — the candidate row already holds
-    // both strings — and (b) each pair is emitted from its FIRST matching
-    // band only (`noEarlierMatch`: all bands before the joined one must
-    // differ), which makes the pair stream duplicate-free by construction
-    // and removes the distinct exchange entirely. One reused band
-    // exchange, one codegen'd filter+levenshtein pass, one checkpoint.
+    // The snippet string, member list, AND full band-signature array ride
+    // THROUGH the band self-join, so (a) verification needs no join back
+    // to a rep table — the candidate row already holds both strings — and
+    // (b) each pair is emitted from its FIRST matching band only
+    // ([[noEarlierBandMatch]]), duplicate-free by construction, no
+    // distinct exchange. One reused band exchange, one codegen'd
+    // filter+levenshtein pass. The pinned repartitions keep the
+    // compute-dense, byte-light stages (md5 per gram, levenshtein O(len²)
+    // per pair) at full parallelism — AQE coalesces by shuffle bytes.
     val bandsWithStr = bandsOfSets(sets, "__rep", seeds, rowsPerBand,
-      carry = Seq("__s", "__allsigs"))
-      .select(col("__rep"), col("__s"), col("__allsigs"),
-        col("band"), col("band_sig"))
+      carry = Seq("__s", "__members", "__allsigs"))
       .repartition(par, col("band"), col("band_sig"))
-    val verified = bandsWithStr.as("l").join(bandsWithStr.as("r"),
+    val cross = bandsWithStr.as("l").join(bandsWithStr.as("r"),
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
       .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch)
       .withColumn("dist", levenshtein(col("l.__s"), col("r.__s")))
       .filter(col("dist") <= maxDist)
-      .select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"), col("dist"))
-    // verified is consumed exactly once by the expansion — nothing in this
-    // pipeline needs a checkpoint, and none is left behind
-    expandPairs(verified, d2r, idCol, carry = Seq("dist"))
+      .select(col("dist"), explode(col("l.__members")).as("__ma"),
+        col("r.__members").as("__mbs"))
+      .select(col("dist"), col("__ma"), explode(col("__mbs")).as("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"), col("dist"))
+    // identical-snippet clone pairs: edit distance exactly 0
+    val sameSet = reps.filter(size(col("__members")) > 1)
+      .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+      .select(col("__ma"), explode(col("__mbs")).as("__mb"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+        lit(0).as("dist"))
+    cross.unionByName(sameSet)
   }
 
   /** The SimHash bit-vote circuit: `tok` carries (idCol, h); for bit k,
