@@ -79,37 +79,24 @@ object Curation {
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
-  /** Per-doc distinct gram-HASH array, production form: each token hashes
-    * once (`xxhash64`), and a gram's hash combines its n token hashes with
-    * a second variadic `xxhash64` over the raw longs — NO gram string is
-    * ever built (the md5 witness pays a slice+array_join string allocation
-    * per gram, which is the pipeline's dominant constant factor after the
-    * digest itself). The hash only mediates set membership, so any
-    * injective-enough family gives the identical decontamination verdict;
-    * 60-bit collision analysis as [[gramHashMd5]]. */
-  private def gramHashArrFast(textCol: Column, n: Int): Column = {
-    val th = transform(
-      filter(split(lower(textCol), " "), w => w =!= ""), w => xxhash64(w))
-    when(size(th) >= n,
-      array_distinct(transform(sequence(lit(1), size(th) - lit(n - 1)),
-        i => pmod(xxhash64((0 until n).map(j => element_at(th, i + lit(j))): _*),
-          lit(1L << 60)))))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
-  /** [[decontaminate]] on the production gram hash ([[gramHashArrFast]]):
-    * drops the per-gram md5 digest AND the gram-string construction for
-    * two codegen'd xxhash64 passes over tokens/longs. Output is identical
-    * to the md5 form modulo 60-bit collisions (the hash never leaves the
-    * plan), so this variant carries a FULL oracle that joins on the raw
-    * gram string. */
+  /** [[decontaminate]] on the production gram hash
+    * ([[org.apache.spark.sql.graft.WordGramHashes]] — ONE fused native
+    * kernel per row: byte-span tokenize, xxhash64 per token, rolling
+    * n-gram combine, distinct — replacing the witness's per-gram md5
+    * digest, gram-string construction, and multi-pass interpreted HOF
+    * chain). The hash only mediates set membership, so any
+    * injective-enough family gives the identical decontamination verdict
+    * (60-bit collision analysis as [[gramHashMd5]]), and the hash never
+    * leaves the plan — this variant carries a FULL oracle that joins on
+    * the raw gram string. */
   def decontaminateFast(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3): DataFrame = {
+    def grams(c: Column) = org.apache.spark.sql.graft.WordGramHashes.of(c, n)
     val benchGrams = Query.ensureParallelism(bench)
-      .select(explode(gramHashArrFast(col(textCol), n)).as("__gh"))
+      .select(explode(grams(col(textCol))).as("__gh"))
       .distinct()
     Query.ensureParallelism(train)
-      .select(col(idCol), gramHashArrFast(col(textCol), n).as("__ghs"))
+      .select(col(idCol), grams(col(textCol)).as("__ghs"))
       .select(col(idCol), size(col("__ghs")).as("n_grams_distinct"),
         explode_outer(col("__ghs")).as("__gh"))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("__gh"), "left")

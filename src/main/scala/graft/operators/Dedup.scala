@@ -234,14 +234,14 @@ object Dedup {
     * row. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
-                   h40: Column => Column = h40Md5): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val reps = tokenSets(docs, idCol, textCol, h40)
-      .select(col(idCol), col("__set_key"), col("__harr"))
-      .repartition(par, col("__set_key"))
-      .groupBy(col("__set_key"))
-      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"),
-        array_sort(collect_list(col(idCol))).as("__members"))
+                   h40: Column => Column = h40Md5): DataFrame =
+    minhashPairsOf(repsWithMembers(docs, idCol, textCol, h40), seeds, rowsPerBand)
+
+  /** [[minhashPairs]] over a prepared rep table: band self-join, first-match
+    * pair emission, in-row clone expansion — no side tables, no joins
+    * beyond the bucket self-join. */
+  private def minhashPairsOf(reps: DataFrame, seeds: Int,
+                             rowsPerBand: Int): DataFrame = {
     val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand,
         carry = Seq("__allsigs", "__members"))
     val cross = bands.as("l").join(bands.as("r"),
@@ -252,24 +252,37 @@ object Dedup {
       .select(col("__ma"), explode(col("__mbs")).as("__mb"))
       .select(least(col("__ma"), col("__mb")).as("doc_a"),
         greatest(col("__ma"), col("__mb")).as("doc_b"))
-    val sameSet = reps.filter(size(col("__members")) > 1)
-      .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
-      .select(col("__ma"), explode(col("__mbs")).as("__mb"))
-      .filter(col("__ma") < col("__mb"))
-      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"))
+    val sameSet = sameSetPairs(reps).select(col("doc_a"), col("doc_b"))
     cross.unionByName(sameSet)
   }
 
-  /** [[minhashPairs]] on the production token hash ([[h40Fast]]): the
-    * tokenize+hash map stage — the family's dominant CPU cost — drops the
-    * per-token md5 digest for one codegen'd xxhash64. Identical pipeline
-    * shape; the banding buckets differ only through the hash family, and
-    * the fixture corpus yields the same candidate structure (spec-pinned
-    * against the md5 witness). No DuckDB oracle — xxhash64 has no DuckDB
+  /** [[minhashPairs]] on the production token path: the tokenize+hash map
+    * stage — the family's dominant CPU cost — runs as ONE fused native
+    * kernel ([[org.apache.spark.sql.graft.TokenSetHashes]]: byte-span
+    * tokenize, xxhash64 per token, set key + 40-bit hash array in a single
+    * traversal, no per-element lambda dispatch, no token String objects)
+    * instead of the witness's 6-pass HOF chain with per-token md5. Hash
+    * VALUES equal the `h40Fast` HOF form; the set key is a SHA-256 over
+    * the sorted distinct 64-bit token hashes (set identity modulo a
+    * 64-bit collision — negligible next to the family's documented 40-bit
+    * analysis). Same candidate structure as the witness on the fixture
+    * corpus (spec-pinned). No DuckDB oracle — xxhash64 has no DuckDB
     * primitive; [[minhashPairs]] is the hash-exact witness. */
   def minhashPairsFast(docs: DataFrame, idCol: String, textCol: String,
-                       seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
-    minhashPairs(docs, idCol, textCol, seeds, rowsPerBand, h40Fast)
+                       seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ts = org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol))
+    val reps = Query.ensureParallelism(docs)
+      .select(col(idCol), ts.as("__ts"))
+      .filter(col("__ts").isNotNull)
+      .select(col(idCol), hex(col("__ts.key")).as("__set_key"),
+        col("__ts.harr").as("__harr"))
+      .repartition(par, col("__set_key"))
+      .groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"),
+        array_sort(collect_list(col(idCol))).as("__members"))
+    minhashPairsOf(reps, seeds, rowsPerBand)
+  }
 
   /** Shared rep-level table for the near-dup verify family: ONE corpus
     * pass, ONE shuffle, fully lazy (zero persists/checkpoints — the

@@ -1,0 +1,216 @@
+/*
+ * Lives under org.apache.spark.sql.* because the expression-integration API
+ * it builds on (ExpressionUtils.column / AbstractDataType in ExpectsInputTypes)
+ * is private[sql] — the established pattern for third-party native
+ * expressions (see MinHashSigs). All graft-facing entry points re-export
+ * from graft.operators.
+ */
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionDescription, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fused single-pass kernels for the PRODUCTION (xxhash64) token pipelines.
+ *
+ * Why custom Expressions (SURVEY §2.10 preference order): the HOF
+ * composition — `split` → `filter` → `array_sort` → `array_distinct` →
+ * `transform(xxhash64)` (and for grams a second `transform` over index
+ * sequences) — runs 5-6 array traversals per row, allocates an intermediate
+ * array per step, and higher-order functions are CodegenFallback, so every
+ * ELEMENT crosses a boxed lambda dispatch. Tokenize+hash is the dominant
+ * CPU of the whole dedup/decontamination family. These kernels do the
+ * entire pipeline in one compiled loop over the raw UTF-8 bytes: no token
+ * String objects, no intermediate arrays, one pass.
+ *
+ * Hash family: IDENTICAL to the HOF fast paths they replace —
+ * token hash = `xxhash64(token)` (XXH64 over the token's UTF-8 bytes,
+ * seed 42, exactly Spark's `xxhash64` of a string column); gram hash =
+ * Spark's variadic `xxhash64(h_1, …, h_n)` seed-chaining (`acc = 42; acc =
+ * hashLong(h_i, acc)`), folded with `pmod` into [0, 2^60). Only the
+ * fast/rows-only operators use these (the md5 witnesses stay HOF-built and
+ * hash-exact against the DuckDB oracle); set-membership semantics are what
+ * the fast paths need, and the per-family collision analyses in
+ * Dedup/Curation hold unchanged.
+ */
+object TokenKernels {
+
+  private val sha = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
+  /** 64-bit xxhash64 (seed 42 — Spark's `xxhash64`) of each space-separated
+    * token of `lower(text)`, in token order, duplicates kept; null when the
+    * text has no tokens. Shared tokenizer of both kernels: byte-span scan —
+    * 0x20 never occurs inside a UTF-8 multi-byte sequence, so splitting on
+    * the raw byte equals `split(text, " ")`, and empty spans (runs of
+    * spaces) are skipped like the `w != ""` filter. */
+  private def tokenHashes(text: UTF8String): Array[Long] = {
+    val bytes = text.toLowerCase.getBytes
+    var arr = new Array[Long](16)
+    var m = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          if (m == arr.length) arr = java.util.Arrays.copyOf(arr, m * 2)
+          arr(m) = XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+          m += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (m == 0) null else if (m == arr.length) arr
+    else java.util.Arrays.copyOf(arr, m)
+  }
+
+  /** Sort + dedupe in place; returns the deduped length. */
+  private def sortDistinct(a: Array[Long]): Int = {
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    w
+  }
+
+  /** Kernel of [[TokenSetHashes]]: (set-identity key, 40-bit hash array).
+    * key = SHA-256 over the sorted distinct 64-bit token hashes (identical
+    * token SETS → identical key; distinct sets collide only through a
+    * 64-bit token-hash collision, far below the family's documented
+    * 40/60-bit bounds); harr = the sorted distinct 2^40 folds of those
+    * hashes — the same VALUES as `array_distinct(transform(toks, h40Fast))`
+    * (order differs; every consumer is order-insensitive: signature minima,
+    * intersect sizes, set grouping). */
+  def tokenSet(text: UTF8String): InternalRow = {
+    val th = tokenHashes(text)
+    if (th == null) return null
+    val m = sortDistinct(th)
+    val md = sha.get()
+    md.reset()
+    val bb = java.nio.ByteBuffer.allocate(m * 8)
+    var i = 0
+    while (i < m) { bb.putLong(th(i)); i += 1 }
+    val key = md.digest(bb.array())
+    val folded = new Array[Long](m)
+    i = 0
+    while (i < m) { folded(i) = Math.floorMod(th(i), 1L << 40); i += 1 }
+    val k = sortDistinct(folded)
+    new GenericInternalRow(Array[Any](key,
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(folded, k))))
+  }
+
+  /** Kernel of [[WordGramHashes]]: distinct 60-bit hashes of all word
+    * `n`-grams (rolling window over the in-order token-hash stream,
+    * duplicates kept before gramming, exactly like the HOF form); EMPTY
+    * array — not null — when the text has fewer than n tokens, so
+    * gram-less docs survive `explode_outer` counting. */
+  def gramHashes(text: UTF8String, n: Int): UnsafeArrayData = {
+    val th = tokenHashes(text)
+    if (th == null || th.length < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val g = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i < g.length) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      g(i) = Math.floorMod(acc, 1L << 60)
+      i += 1
+    }
+    val k = sortDistinct(g)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(g, k))
+  }
+}
+
+/**
+ * Native expression: one-pass tokenize → set-identity key + 40-bit hash
+ * array for the minhash PRODUCTION path ([[graft.operators.Dedup]]'s
+ * `h40Fast` family). Returns `struct<key: binary, harr: array<bigint>>`,
+ * NULL when the document tokenizes to nothing (callers filter, as with the
+ * HOF form's `size(toks) > 0` gate).
+ */
+@ExpressionDescription(
+  usage = "token_set_hashes(text) - set-identity key and 40-bit token hashes.")
+case class TokenSetHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("harr", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.tokenSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |InternalRow $r = org.apache.spark.sql.graft.TokenKernels.tokenSet($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHashes =
+    copy(child = newChild)
+}
+
+object TokenSetHashes {
+  /** Column form — usable without any registry. */
+  def of(text: Column): Column =
+    ExpressionUtils.column(TokenSetHashes(ExpressionUtils.expression(text)))
+}
+
+/**
+ * Native expression: distinct 60-bit word n-gram hashes in one pass, for
+ * the decontamination PRODUCTION path ([[graft.operators.Curation]]).
+ * Empty array (not NULL) below n tokens.
+ */
+@ExpressionDescription(
+  usage = "word_gram_hashes(text, n) - distinct 60-bit word n-gram hashes.")
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.gramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TokenKernels.gramHashes($c, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  /** Column form — usable without any registry. */
+  def of(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(text), n))
+}

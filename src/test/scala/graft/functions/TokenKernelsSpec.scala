@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{TokenSetHashes, WordGramHashes}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The fused native token kernels must be BIT-EQUAL to the HOF pipelines
+  * they replace (same xxhash64 family, same pmod folds), on both the
+  * interpreted and codegen evaluation paths. */
+class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "Hello  World hello"), // double space + case-fold duplicate
+    (2L, "a b"),
+    (3L, "   "), // tokenless
+    (4L, "x y z w x y z"), // repeated tokens (gram stream keeps dups)
+    (5L, ""),
+    (6L, "solo")).toDF("id", "text")
+
+  private def hofHarr = array_sort(array_distinct(transform(
+    filter(split(lower($"text"), " "), w => w =!= ""),
+    w => pmod(xxhash64(w), lit(1L << 40)))))
+
+  test("TokenSetHashes.harr equals the HOF h40Fast pipeline bit-for-bit") {
+    val got = docs.select($"id", TokenSetHashes.of($"text").getField("harr").as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    val want = docs.select($"id",
+        when(size(hofHarr) > 0, hofHarr).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    assert(got == want)
+    assert(got(3L).isEmpty && got(5L).isEmpty) // tokenless → NULL struct
+  }
+
+  test("TokenSetHashes.key is set-identity: same token SET, same key; different set, different key") {
+    val keys = Seq((1L, "b a"), (2L, "a  b b A"), (3L, "a c"))
+      .toDF("id", "text")
+      .select($"id", hex(TokenSetHashes.of($"text").getField("key")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == keys(2L)) // order/dup/case-insensitive set identity
+    assert(keys(1L) != keys(3L))
+  }
+
+  test("WordGramHashes equals the HOF rolling-xxhash64 pipeline bit-for-bit") {
+    val n = 2
+    val th = transform(filter(split(lower($"text"), " "), w => w =!= ""),
+      w => xxhash64(w))
+    val hof = when(size(th) >= n,
+        sort_array(array_distinct(transform(sequence(lit(1), size(th) - lit(n - 1)),
+          i => pmod(xxhash64(element_at(th, i), element_at(th, i + 1)),
+            lit(1L << 60))))))
+      .otherwise(array().cast("array<bigint>"))
+    val got = docs.select($"id", WordGramHashes.of($"text", n).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = docs.select($"id", hof.as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(got(3L).isEmpty && got(6L).isEmpty) // < n tokens → EMPTY, not null
+  }
+
+  test("interpreted and codegen paths agree") {
+    // direct Expression.eval (interpreted) vs the projected query (codegen)
+    val viaCodegen = docs
+      .select($"id", hex(TokenSetHashes.of($"text").getField("key")).as("k"),
+        TokenSetHashes.of($"text").getField("harr").as("h"),
+        WordGramHashes.of($"text", 3).as("g"))
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+    val text = org.apache.spark.unsafe.types.UTF8String.fromString("x y z w x y z")
+    val interpTs = TokenSetHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(text)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val interpG = WordGramHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(text), 3).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (k4, h4, g4) = viaCodegen(4L)
+    assert(interpTs.getBinary(0).map("%02X".format(_)).mkString == k4)
+    assert(interpTs.getArray(1).toLongArray().toSeq == h4)
+    assert(interpG.toLongArray().toSeq == g4)
+  }
+}
