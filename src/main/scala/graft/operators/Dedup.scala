@@ -765,13 +765,22 @@ object Dedup {
     votes.select(col(idCol), assemble.as("simhash"))
   }
 
-  /** X2-adjacent: 64-bit SimHash per doc over xxhash64(token) — the fast
-    * path (xxhash64 is codegen'd and 64-bit wide). No oracle — DuckDB lacks
-    * xxhash64; the circuit itself is oracle-verified via [[simhashMd5]]. */
+  /** X2-adjacent: 64-bit SimHash per doc over xxhash64(token) — the
+    * production path, ONE fused native kernel per row
+    * ([[org.apache.spark.sql.graft.SimHash64]]): the whole operator is a
+    * shuffle-FREE map (the aggregated vote circuit explodes tokens through
+    * a 64-column aggregation and pays a doc-level exchange; at corpus
+    * scale simhashing is embarrassingly parallel and the kernel keeps it
+    * that way). Dedup is by token HASH rather than token string — 64-bit
+    * collisions (~1e-11 per pair) are the only divergence from the
+    * exploded form. No oracle — DuckDB lacks xxhash64; the vote/assemble
+    * circuit itself is oracle-verified via [[simhashMd5]], and a spec pins
+    * the kernel bit-equal to the aggregated xxhash64 circuit. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    voteAssemble(
-      tokens(docs, idCol, textCol).withColumn("h", xxhash64(col("w"))),
-      idCol, 64)
+    Query.ensureParallelism(docs)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.SimHash64.of(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Cross-engine twin of [[simhash]]: the token hash is the leading
     * `ceil(bits/4)` hex digits of md5(token) (DuckDB has md5), so the SAME

@@ -135,6 +135,37 @@ object TokenKernels {
     val k = sortDistinct(g)
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(g, k))
   }
+
+  /** Kernel of [[SimHash64]]: the classic bit-vote circuit over the
+    * distinct token hashes — bit k of the result is set iff more distinct
+    * tokens have bit k set than cleared (ties clear, exactly like the
+    * aggregated `sum > 0` form). Returns null when the text has no tokens
+    * (such docs produce no row in the aggregated form). -1L sentinel is
+    * never produced: some bit pattern is always a valid simhash, so the
+    * null is signalled by the boxed return. */
+  def simHash64(text: UTF8String): java.lang.Long = {
+    val th = tokenHashes(text)
+    if (th == null) return null
+    val m = sortDistinct(th)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = th(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) out |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
 }
 
 /**
@@ -213,4 +244,46 @@ object WordGramHashes {
   /** Column form — usable without any registry. */
   def of(text: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(text), n))
+}
+
+/**
+ * Native expression: 64-bit SimHash of a document in ONE pass — tokenize,
+ * xxhash64 per token, bit votes, assemble. Turns the whole simhash
+ * operator into a shuffle-FREE map (the aggregated form explodes tokens
+ * through a 64-column vote aggregation and pays a doc-level exchange);
+ * at corpus scale simhashing is embarrassingly parallel and this shape
+ * keeps it that way. NULL for tokenless docs (the aggregated form emits
+ * no row for them — callers filter).
+ */
+@ExpressionDescription(
+  usage = "simhash64(text) - 64-bit SimHash over xxhash64 token hashes.")
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = org.apache.spark.sql.graft.TokenKernels.simHash64($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Column form — usable without any registry. */
+  def of(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 }

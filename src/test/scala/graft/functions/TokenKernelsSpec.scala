@@ -60,6 +60,28 @@ class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L).isEmpty && got(6L).isEmpty) // < n tokens → EMPTY, not null
   }
 
+  test("SimHash64 equals the aggregated xxhash64 vote circuit bit-for-bit") {
+    val got = docs.select($"id",
+        org.apache.spark.sql.graft.SimHash64.of($"text").as("s"))
+      .filter($"s".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // aggregated form: explode distinct tokens, 64 bit-vote sums, assemble
+    val tok = docs.select($"id", explode(array_distinct(
+        filter(split(lower($"text"), " "), w => w =!= ""))).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    val bitVotes = (0 until 64).map { k =>
+      sum(when($"h".bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"b$k")
+    }
+    val assemble = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val want = tok.groupBy($"id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select($"id", assemble.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    assert(!got.contains(3L) && !got.contains(5L)) // tokenless docs absent
+  }
+
   test("interpreted and codegen paths agree") {
     // direct Expression.eval (interpreted) vs the projected query (codegen)
     val viaCodegen = docs
