@@ -45,19 +45,11 @@ object Dedup {
   private[graft] def h40Md5(w: Column): Column =
     conv(substring(md5(w), 1, 10), 16, 10).cast("long")
 
-  /** 40-bit token hash, PRODUCTION form: one codegen'd `xxhash64` pass
-    * folded into [0, 2^40) — same domain as [[h40Md5]] (so [[SigMod]]'s
-    * overflow headroom analysis holds unchanged), ~none of its per-token
-    * digest/hex/parse cost. DuckDB has no xxhash64, so operators on this
-    * path are declared rows-only; the md5 twins are the oracle witnesses
-    * and a spec pins both families to the same verified pair set on the
-    * fixture corpus. */
-  private[graft] def h40Fast(w: Column): Column =
-    pmod(xxhash64(w), lit(1L << 40))
-
   /** Per-doc token SET as one narrow row: sorted distinct token array, the
-    * 40-bit hash of each token (`h40` — [[h40Md5]] witness or [[h40Fast]]
-    * production), and a set-identity key. This is
+    * 40-bit md5-prefix hash of each token ([[h40Md5]] — the WITNESS hash;
+    * the production path uses the fused
+    * [[org.apache.spark.sql.graft.TokenSetHashes]] kernel), and a
+    * set-identity key. This is
     * the backbone of the minhash pipeline — everything token-heavy happens
     * HERE, inside whole-stage codegen, with NO token-level shuffle: the
     * exploded alternative shuffles |docs|×|tokens/doc| rows (≈6M at sf0.1,
@@ -67,8 +59,7 @@ object Dedup {
     * concat without a separator would collide e.g. ["ab","c"] with
     * ["a","bc"]). Docs that tokenize to nothing are excluded (callers retain
     * them explicitly — they are never near-dups of anything). */
-  def tokenSets(docs: DataFrame, idCol: String, textCol: String,
-                h40: Column => Column = h40Md5): DataFrame =
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // tokenize+hash is the compute-heavy map stage of the whole family; a
     // one-row-group input would otherwise pin it to a single task
     // (no-op when the scan already splits — see Query.ensureParallelism)
@@ -77,7 +68,7 @@ object Dedup {
           filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol), col("toks"),
-        array_distinct(transform(col("toks"), h40)).as("__harr"),
+        array_distinct(transform(col("toks"), w => h40Md5(w))).as("__harr"),
         sha2(concat_ws(" ", col("toks")), 256).as("__set_key"))
 
   /** 2^57 modulus for the affine signature hashes: intermediates stay below
@@ -233,9 +224,8 @@ object Dedup {
     * does not change the asymptotics, only materializes the group in one
     * row. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   seeds: Int = 16, rowsPerBand: Int = 8,
-                   h40: Column => Column = h40Md5): DataFrame =
-    minhashPairsOf(repsWithMembers(docs, idCol, textCol, h40), seeds, rowsPerBand)
+                   seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
+    minhashPairsOf(repsWithMembers(docs, idCol, textCol), seeds, rowsPerBand)
 
   /** [[minhashPairs]] over a prepared rep table: band self-join, first-match
     * pair emission, in-row clone expansion — no side tables, no joins
@@ -305,10 +295,10 @@ object Dedup {
     * tokenize exactly once. Member arrays are bounded by the largest
     * exact-clone group, whose pair OUTPUT is quadratic in any formulation
     * — the array changes constant factors, not asymptotics. */
-  private def repsWithMembers(docs: DataFrame, idCol: String, textCol: String,
-                              h40: Column => Column = h40Md5): DataFrame = {
+  private def repsWithMembers(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    tokenSets(docs, idCol, textCol, h40)
+    tokenSets(docs, idCol, textCol)
       .select(col(idCol), col("__set_key"), col("__harr"))
       .repartition(par, col("__set_key"))
       .groupBy(col("__set_key"))
