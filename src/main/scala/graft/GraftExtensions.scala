@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.CosineSim
+import org.apache.spark.sql.graft.{CosineSim, SimHash64, TokenSetHashes, WordGramHashes}
 
 /**
  * SparkSessionExtensions entry point: registers graft's native expressions
@@ -23,6 +23,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("token_set_hashes"),
+      new ExpressionInfo(classOf[TokenSetHashes].getName, "token_set_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenSetHashes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordGramHashes(children.head, children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
+            n.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"word_gram_hashes: n must be a literal, got $other")
+        })))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -82,6 +82,34 @@ class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(3L) && !got.contains(5L)) // tokenless docs absent
   }
 
+  test("registered as SQL functions via GraftExtensions") {
+    // apply the extension's injections to the running test session's registry
+    docs.createOrReplaceTempView("tkspec")
+    Seq(
+      ("simhash64", (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.SimHash64(c.head): org.apache.spark.sql.catalyst.expressions.Expression),
+      ("word_gram_hashes", (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.WordGramHashes(c.head,
+          c(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.asInstanceOf[Number].intValue()): org.apache.spark.sql.catalyst.expressions.Expression)
+    ).foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.graft.SimHash64].getName, name),
+        builder)
+    }
+    val sh = spark.sql(
+      "SELECT simhash64(text) AS s FROM tkspec WHERE id = 4").head().getLong(0)
+    val shDf = docs.filter($"id" === 4L)
+      .select(org.apache.spark.sql.graft.SimHash64.of($"text")).head().getLong(0)
+    assert(sh == shDf)
+    val g = spark.sql(
+      "SELECT size(word_gram_hashes(text, 2)) AS n FROM tkspec WHERE id = 2")
+      .head().getInt(0)
+    assert(g == 1) // "a b" has exactly one 2-gram
+  }
+
   test("interpreted and codegen paths agree") {
     // direct Expression.eval (interpreted) vs the projected query (codegen)
     val viaCodegen = docs
