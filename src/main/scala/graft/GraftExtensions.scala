@@ -38,10 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordGramHashes(children.head, children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(n, _) =>
-            n.asInstanceOf[Number].intValue()
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
+            n.intValue()
           case other => throw new IllegalArgumentException(
-            s"word_gram_hashes: n must be a literal, got $other")
+            "word_gram_hashes: n must be a non-null integer literal " +
+              s"(constant expressions are not folded at resolution time), got $other")
         })))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }

@@ -52,11 +52,10 @@ object Curation {
     * semantics. */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
-    val gramHash = gramHashMd5 _
     require(n >= 1, s"n must be >= 1, got $n")
     val benchGrams = Query.ensureParallelism(bench)
       .select(explode(gramArray(col(textCol), n)).as("__g"))
-      .select(gramHash(col("__g")).as("__gh"))
+      .select(gramHashMd5(col("__g")).as("__gh"))
       .distinct()
     // ONE gram pass over the corpus: the per-doc distinct-gram count and
     // the exploded gram stream derive from the SAME projected array
@@ -71,7 +70,7 @@ object Curation {
       .select(col(idCol), size(col("__grams")).as("n_grams_distinct"),
         explode_outer(col("__grams")).as("__g"))
       .select(col(idCol), col("n_grams_distinct"),
-        gramHash(col("__g")).as("__gh"))
+        gramHashMd5(col("__g")).as("__gh"))
       .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("__gh"), "left")
       .groupBy(col(idCol), col("n_grams_distinct"))
       .agg(count(col("__hit")).as("n_overlap"))
@@ -91,7 +90,12 @@ object Curation {
     * the raw gram string. */
   def decontaminateFast(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 3): DataFrame = {
-    def grams(c: Column) = org.apache.spark.sql.graft.WordGramHashes.of(c, n)
+    // coalesce NULL text to "" BEFORE the kernel: a UnaryExpression
+    // propagates NULL, but the witness's when/otherwise treats NULL text as
+    // zero grams — the empty-string kernel path gives the identical
+    // (0, 0, 0) row, keeping the full oracle and witness contracts exact
+    def grams(c: Column) =
+      org.apache.spark.sql.graft.WordGramHashes.of(coalesce(c, lit("")), n)
     val benchGrams = Query.ensureParallelism(bench)
       .select(explode(grams(col(textCol))).as("__gh"))
       .distinct()

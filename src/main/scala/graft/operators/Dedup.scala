@@ -242,8 +242,7 @@ object Dedup {
       .select(col("__ma"), explode(col("__mbs")).as("__mb"))
       .select(least(col("__ma"), col("__mb")).as("doc_a"),
         greatest(col("__ma"), col("__mb")).as("doc_b"))
-    val sameSet = sameSetPairs(reps).select(col("doc_a"), col("doc_b"))
-    cross.unionByName(sameSet)
+    cross.unionByName(sameSetPairs(reps))
   }
 
   /** [[minhashPairs]] on the production token path: the tokenize+hash map
@@ -252,7 +251,8 @@ object Dedup {
     * tokenize, xxhash64 per token, set key + 40-bit hash array in a single
     * traversal, no per-element lambda dispatch, no token String objects)
     * instead of the witness's 6-pass HOF chain with per-token md5. Hash
-    * VALUES equal the `h40Fast` HOF form; the set key is a SHA-256 over
+    * VALUES equal the HOF fast form it replaced (`pmod(xxhash64(w), 2^40)`
+    * per distinct token); the set key is a SHA-256 over
     * the sorted distinct 64-bit token hashes (set identity modulo a
     * 64-bit collision — negligible next to the family's documented 40-bit
     * analysis). Same candidate structure as the witness on the fixture
@@ -346,15 +346,16 @@ object Dedup {
     .select(least(col("__ma"), col("__mb")).as("doc_a"),
       greatest(col("__ma"), col("__mb")).as("doc_b"), col("jaccard"))
 
-  /** In-row 2-combinations of each rep's members (exact clones: jaccard is
-    * exactly 1.0); the double explode emits both orders, `<` keeps one. */
-  private def sameSetPairs(reps: DataFrame): DataFrame = reps
+  /** In-row 2-combinations of each rep's members (exact clones), with the
+    * caller's carry columns attached (clones are IDENTICAL content:
+    * jaccard exactly 1.0, edit distance exactly 0). The double explode
+    * emits both orders, `<` keeps one. */
+  private def sameSetPairs(reps: DataFrame, carry: Column*): DataFrame = reps
     .filter(size(col("__members")) > 1)
     .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
     .select(col("__ma"), explode(col("__mbs")).as("__mb"))
     .filter(col("__ma") < col("__mb"))
-    .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
-      lit(1.0).as("jaccard"))
+    .select(col("__ma").as("doc_a") +: col("__mb").as("doc_b") +: carry: _*)
 
   def nearDupsFused(docs: DataFrame, idCol: String, textCol: String,
                     seeds: Int = 16, rowsPerBand: Int = 8,
@@ -364,7 +365,7 @@ object Dedup {
     // are exactly 1.0 (≥ any threshold ≤ 1, matching the verified filter)
     val reps = repsWithMembers(docs, idCol, textCol)
     explodeCross(verifiedRepPairs(reps, seeds, rowsPerBand, threshold))
-      .unionByName(sameSetPairs(reps))
+      .unionByName(sameSetPairs(reps, lit(1.0).as("jaccard")))
   }
 
   /** The deduplicated corpus under near-dup semantics: drop every doc that
@@ -707,8 +708,7 @@ object Dedup {
           i => col("__s").substr(i, lit(q))))))
       .otherwise(array().cast("array<string>"))
     val sets = reps.select(col("__rep"), col("__s"), col("__members"),
-      array_distinct(transform(grams,
-        g => conv(substring(md5(g), 1, 10), 16, 10).cast("long"))).as("__harr"))
+      array_distinct(transform(grams, g => h40Md5(g))).as("__harr"))
     // The snippet string, member list, AND full band-signature array ride
     // THROUGH the band self-join, so (a) verification needs no join back
     // to a rep table — the candidate row already holds both strings — and
@@ -731,14 +731,7 @@ object Dedup {
       .select(col("dist"), col("__ma"), explode(col("__mbs")).as("__mb"))
       .select(least(col("__ma"), col("__mb")).as("doc_a"),
         greatest(col("__ma"), col("__mb")).as("doc_b"), col("dist"))
-    // identical-snippet clone pairs: edit distance exactly 0
-    val sameSet = reps.filter(size(col("__members")) > 1)
-      .select(explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
-      .select(col("__ma"), explode(col("__mbs")).as("__mb"))
-      .filter(col("__ma") < col("__mb"))
-      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
-        lit(0).as("dist"))
-    cross.unionByName(sameSet)
+    cross.unionByName(sameSetPairs(reps, lit(0).as("dist")))
   }
 
   /** The SimHash bit-vote circuit: `tok` carries (idCol, h); for bit k,

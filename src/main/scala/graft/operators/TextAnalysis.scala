@@ -184,7 +184,12 @@ object TextAnalysis {
     * exchange). An earlier join-based shape referenced tf twice and
     * Catalyst duplicated the whole scan→tokenize→aggregate subtree —
     * tokenize is the family's dominant CPU cost, so that doubled the
-    * query. */
+    * query.
+    *
+    * PRECONDITION: `idCol` is unique (it is the document table's primary
+    * key). The in-row run-length tf computes per physical ROW; duplicate
+    * ids would yield duplicate (id, token) tf rows and double-counted df,
+    * where the old groupBy(id, token) shape silently merged them. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -93,8 +93,9 @@ object TokenKernels {
     * token SETS → identical key; distinct sets collide only through a
     * 64-bit token-hash collision, far below the family's documented
     * 40/60-bit bounds); harr = the sorted distinct 2^40 folds of those
-    * hashes — the same VALUES as `array_distinct(transform(toks, h40Fast))`
-    * (order differs; every consumer is order-insensitive: signature minima,
+    * hashes — the same VALUES as the HOF fast form it replaced
+    * (`array_distinct(transform(toks, w => pmod(xxhash64(w), 2^40)))`;
+    * order differs; every consumer is order-insensitive: signature minima,
     * intersect sizes, set grouping). */
   def tokenSet(text: UTF8String): InternalRow = {
     val th = tokenHashes(text)
@@ -171,7 +172,8 @@ object TokenKernels {
 /**
  * Native expression: one-pass tokenize → set-identity key + 40-bit hash
  * array for the minhash PRODUCTION path ([[graft.operators.Dedup]]'s
- * `h40Fast` family). Returns `struct<key: binary, harr: array<bigint>>`,
+ * xxhash64 family — the md5 witness keeps [[graft.operators.Dedup.tokenSets]]).
+ * Returns `struct<key: binary, harr: array<bigint>>`,
  * NULL when the document tokenizes to nothing (callers filter, as with the
  * HOF form's `size(toks) > 0` gate).
  */

@@ -24,7 +24,7 @@ class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
     filter(split(lower($"text"), " "), w => w =!= ""),
     w => pmod(xxhash64(w), lit(1L << 40)))))
 
-  test("TokenSetHashes.harr equals the HOF h40Fast pipeline bit-for-bit") {
+  test("TokenSetHashes.harr equals the HOF pmod(xxhash64, 2^40) pipeline bit-for-bit") {
     val got = docs.select($"id", TokenSetHashes.of($"text").getField("harr").as("h"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
     val want = docs.select($"id",
