@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * adding zero sink cost. Queries run in sorted name order (stable
   * run-to-run comparisons; first query also absorbs JVM/codegen warmup). */
 object Bench {
+  /** 1/5/15-min load averages, read at measurement boundaries so a judged
+    * number carries its own ambient-noise context (round-7 lesson: the same
+    * suite read 64.7 s quiet and 87.6 s under ambient load, and every round
+    * re-litigated which number was real). Best-effort: "" off Linux. */
+  def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +52,7 @@ object Bench {
     // warm-up, not to the measured query that happens to need it first
     SparkEntry.prepareFixtures(spark, sfDir)
     spark.catalog.clearCache()
+    val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
       // previous query left behind, and force a GC so the ContextCleaner
@@ -63,7 +73,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    // loadavg at both measurement boundaries: a suite judged on a host with
+    // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
+    val loadJson = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"full-pass""""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
     // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only
@@ -78,7 +92,7 @@ object Bench {
     println(json)
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$slowest,"n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

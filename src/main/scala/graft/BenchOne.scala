@@ -57,7 +57,7 @@ object BenchOne {
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // listener bus is async — let the tail events drain
-      println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})")
+      println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  loadavg=${Bench.loadavg()}")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
       spark.catalog.clearCache()
       System.gc()

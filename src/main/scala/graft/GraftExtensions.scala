@@ -36,14 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("word_gram_hashes"),
       new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"word_gram_hashes requires exactly 2 arguments (text, n), got ${children.length}")
         WordGramHashes(children.head, children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(n: Number, _) =>
-            n.intValue()
+          // integral literal types only: a fractional literal (2.5) would
+          // silently truncate through Number.intValue
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Byte, _) => n.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Short, _) => n.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _)
+            if n.isValidInt => n.toInt
           case other => throw new IllegalArgumentException(
-            "word_gram_hashes: n must be a non-null integer literal " +
+            "word_gram_hashes: n must be a non-null INTEGRAL literal " +
               s"(constant expressions are not folded at resolution time), got $other")
-        })))
+        })
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -62,11 +62,18 @@ object Dedup {
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // tokenize+hash is the compute-heavy map stage of the whole family; a
     // one-row-group input would otherwise pin it to a single task
-    // (no-op when the scan already splits — see Query.ensureParallelism)
-    Query.ensureParallelism(docs).select(col(idCol),
+    // (no-op when the scan already splits — see Query.ensureParallelism).
+    // Token-less docs are excluded by `length(translate(text,' ',''))>0`
+    // (⟺ ≥1 token: the tokenizer splits on single spaces, so any
+    // non-space char is a token char) rather than `size(toks) > 0` —
+    // the size form is pushed below the exchange as a scan filter and
+    // DUPLICATES the whole array_sort tokenize against every row
+    // (measured: the entire dedup family was tokenizing twice)
+    Query.ensureParallelism(docs)
+      .filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol),
         array_sort(array_distinct(
           filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col(idCol), col("toks"),
         array_distinct(transform(col("toks"), w => h40Md5(w))).as("__harr"),
         sha2(concat_ws(" ", col("toks")), 256).as("__set_key"))
@@ -262,9 +269,12 @@ object Dedup {
                        seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val ts = org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol))
+    // the cheap translate pre-filter replaces `__ts.isNotNull` (kernel
+    // null ⟺ no tokens ⟺ no non-space char): the isNotNull form is
+    // pushed to the scan and runs the whole kernel a second time per row
     val reps = Query.ensureParallelism(docs)
+      .filter(length(translate(col(textCol), " ", "")) > 0)
       .select(col(idCol), ts.as("__ts"))
-      .filter(col("__ts").isNotNull)
       .select(col(idCol), hex(col("__ts.key")).as("__set_key"),
         col("__ts.harr").as("__harr"))
       .repartition(par, col("__set_key"))
@@ -294,7 +304,10 @@ object Dedup {
     * canonicalizes onto this one exchange, so AQE stage reuse runs
     * tokenize exactly once. Member arrays are bounded by the largest
     * exact-clone group, whose pair OUTPUT is quadratic in any formulation
-    * — the array changes constant factors, not asymptotics. */
+    * — the array changes constant factors, not asymptotics. ONLY the
+    * pair-emitting APIs consume this; the drop paths (no pair output, so
+    * no quadratic floor to hide behind) read the array-free
+    * [[docRepMap]] instead. */
   private def repsWithMembers(docs: DataFrame, idCol: String,
                               textCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -306,11 +319,11 @@ object Dedup {
         array_sort(collect_list(col(idCol))).as("__members"))
   }
 
-  /** Verified rep-level near-dup pairs over a [[repsWithMembers]] table,
-    * computed entirely INSIDE the band self-join: the token-hash arrays
-    * and member lists ride through the band explode, so there is no
-    * join-back to a rep table, no distinct exchange (each pair emits from
-    * its first matching band only — [[noEarlierBandMatch]]), and no
+  /** Verified rep-level near-dup pairs over a rep table, computed entirely
+    * INSIDE the band self-join: the token-hash arrays (and, when
+    * `withMembers`, member lists) ride through the band explode, so there
+    * is no join-back to a rep table, no distinct exchange (each pair emits
+    * from its first matching band only — [[noEarlierBandMatch]]), and no
     * checkpoint. The size pre-filter is provably lossless for threshold t:
     * jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|) (i ≤ min and
     * i ≥ t(na+nb−i)), and it runs BEFORE the intersection. Verify on the
@@ -318,12 +331,16 @@ object Dedup {
     * string arrays; jaccard over hash sets equals token jaccard unless two
     * distinct tokens of one doc collide in 40 bits (~1e-7 per pair) — and
     * the oracle replays the identical hash-set arithmetic. Output:
-    * (doc_a, doc_b, jaccard, __mas, __mbs) at rep level, doc_a < doc_b. */
+    * (doc_a, doc_b, jaccard[, __mas, __mbs]) at rep level, doc_a < doc_b.
+    * `withMembers = false` is the drop-path form: no `__members` column is
+    * required on `reps` and none crosses the band exchange. */
   private def verifiedRepPairs(reps: DataFrame, seeds: Int, rowsPerBand: Int,
-                               threshold: Double): DataFrame = {
-    val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand,
-      carry = Seq("__harr", "__members", "__allsigs"))
-    bands.as("l").join(bands.as("r"),
+                               threshold: Double,
+                               withMembers: Boolean = true): DataFrame = {
+    val carry = if (withMembers) Seq("__harr", "__members", "__allsigs")
+                else Seq("__harr", "__allsigs")
+    val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand, carry = carry)
+    val verified = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
       .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch &&
         least(col("l.__n"), col("r.__n")).cast("double") >=
@@ -332,10 +349,41 @@ object Dedup {
       .withColumn("jaccard", col("__i").cast("double") /
         (col("l.__n") + col("r.__n") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"),
+    if (withMembers)
+      verified.select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"),
         col("jaccard"),
         col("l.__members").as("__mas"), col("r.__members").as("__mbs"))
+    else
+      verified.select(col("l.__rep").as("doc_a"), col("r.__rep").as("doc_b"),
+        col("jaccard"))
   }
+
+  /** Rep table WITHOUT member arrays — the drop-path backbone: one row
+    * per distinct token set, (min id, hash array), plain hash aggregate.
+    * The member-collecting aggregate ([[repsWithMembers]]) is correct
+    * where pairs are the declared output (the group's pair output is
+    * quadratic in any formulation), but the drop paths emit no pairs —
+    * and a boilerplate corpus at scale can hold a clone group of
+    * hundreds of millions of docs, whose `collect_list` row is a
+    * multi-GB single row (executor OOM) carrying information the drop
+    * decision never needs: keep/drop is decidable from the kept REP ids
+    * alone (a doc survives iff its id IS a surviving rep), so no member
+    * list and no doc→rep side table exist anywhere in the drop paths —
+    * every row is scalar-width. */
+  private def repsOnly(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    tokenSets(docs, idCol, textCol)
+      .select(col(idCol), col("__set_key"), col("__harr"))
+      .repartition(par, col("__set_key"))
+      .groupBy(col("__set_key"))
+      .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
+  }
+
+  /** Docs that tokenize to NOTHING (null / empty / all-space text): never
+    * near-dups of anything, always retained by the drop paths. */
+  private def tokenless(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNull ||
+      length(translate(col(textCol), " ", "")) === 0)
 
   /** Every doc of one rep's members crossed with every doc of the other's,
     * jaccard carried; canonicalized with least/greatest (member sets of
@@ -374,26 +422,31 @@ object Dedup {
     * clustering is a strictly stronger dedup and an iterative job, not
     * needed for the keep-lowest policy).
     *
-    * Decided entirely at rep level — no pair expansion: a doc is DROPPED
-    * iff it is a non-rep clone (its rep is a smaller jaccard-1.0 partner)
-    * or its rep is the larger side of a verified rep pair (rep(T) <
-    * rep(S) ⟺ some member of T is smaller than rep(S), and members
-    * inherit the rep's similarities exactly). The anti-join keeps
-    * everything else — including docs that tokenize to nothing
-    * (empty/whitespace-only text), which never enter the rep table, are
-    * near-dups of nothing, and so are RETAINED without a second corpus
-    * pass. Anti-join semantics ignore duplicate drop rows, so no distinct
-    * exchange is needed; zero checkpoints, zero persists. */
+    * Decided entirely at rep level — no pair expansion, no member arrays
+    * ([[repsOnly]]: every row scalar-width, so the largest clone group a
+    * boilerplate corpus can produce costs nothing beyond its row count).
+    * The KEPT set has a one-sided characterization that needs no doc→rep
+    * mapping at all: a doc survives ⟺ it is token-less (near-dup of
+    * nothing) OR its id is a rep (the min of its clone set — any non-rep
+    * clone has its rep as a smaller jaccard-1.0 partner) that is not the
+    * larger side of any verified rep pair (rep(T) < rep(S) ⟺ some member
+    * of T is smaller than rep(S), and members inherit the rep's
+    * similarities exactly). So the result is one semi-join of the corpus
+    * against the surviving rep ids plus the token-less slice — anti-join
+    * semantics on the dominated list ignore duplicates, no distinct
+    * exchange, zero checkpoints, zero persists. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.95): DataFrame = {
-    val reps = repsWithMembers(docs, idCol, textCol)
-    val dominated = verifiedRepPairs(reps, seeds, rowsPerBand, threshold)
-      .select(col("doc_b").as(idCol))
-    val clones = reps
-      .select(explode(col("__members")).as(idCol), col("__rep"))
-      .filter(col(idCol) =!= col("__rep")).select(col(idCol))
-    docs.join(dominated.unionByName(clones), Seq(idCol), "left_anti")
+    val reps = repsOnly(docs, idCol, textCol)
+    val dominated = verifiedRepPairs(reps, seeds, rowsPerBand, threshold,
+        withMembers = false)
+      .select(col("doc_b").as("__rep"))
+    val kept = reps.select(col("__rep"))
+      .join(dominated, Seq("__rep"), "left_anti")
+      .select(col("__rep").as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+      .unionByName(tokenless(docs, textCol))
   }
 
   /** Connected components over an undirected (doc_a, doc_b) edge list by
@@ -587,28 +640,29 @@ object Dedup {
     * not per doc, so boilerplate clone clusters cost one node. Component
     * labels are true document minima because each rep is already the min id
     * of its clone set. Token-less docs are retained (not near-dups of
-    * anything). */
+    * anything). Like [[dropNearDups]], keep/drop is decided from rep ids
+    * alone ([[repsOnly]] + a dominated-rep list from CC) — no member
+    * arrays, no row wider than a scalar anywhere in either drop path. */
   def dropNearDupsCC(docs: DataFrame, idCol: String, textCol: String,
                      seeds: Int = 16, rowsPerBand: Int = 8,
                      threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
-    val reps = repsWithMembers(docs, idCol, textCol)
+    val reps = repsOnly(docs, idCol, textCol)
     // CC iterates over the verified edges — checkpoint once (narrow,
     // rep-level id pairs) so the corpus pipeline runs exactly once
-    val verified = verifiedRepPairs(reps, seeds, rowsPerBand, threshold)
+    val verified = verifiedRepPairs(reps, seeds, rowsPerBand, threshold,
+        withMembers = false)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val comp = connectedComponents(verified, maxIter)
+    // non-minimum nodes of each component are the dominated reps; reps
+    // outside the edge graph never appear in `comp` and survive
     val droppedReps = comp.filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    val clones = reps
-      .select(explode(col("__members")).as(idCol), col("__rep"))
-      .filter(col(idCol) =!= col("__rep")).select(col(idCol))
-    // narrow ids-only frontier materialized (re-running the corpus
-    // pipeline for `clones`), then every pipeline checkpoint freed — the
-    // cache-lifecycle contract: nothing from this call is reachable
-    // afterwards except the dropped-id list the returned anti-join reads
-    val dropped = droppedReps.unionByName(clones).localCheckpoint()
+      .select(col("node").as("__rep")).localCheckpoint()
     freeCheckpoints(verified, comp)
-    docs.join(dropped, Seq(idCol), "left_anti")
+    val kept = reps.select(col("__rep"))
+      .join(droppedReps, Seq("__rep"), "left_anti")
+      .select(col("__rep").as(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+      .unionByName(tokenless(docs, textCol))
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
@@ -760,10 +814,13 @@ object Dedup {
     * circuit itself is oracle-verified via [[simhashMd5]], and a spec pins
     * the kernel bit-equal to the aggregated xxhash64 circuit. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // translate pre-filter instead of `simhash.isNotNull` (equivalent:
+    // kernel null ⟺ token-less ⟺ all-space text) — the isNotNull form
+    // gets pushed to the scan and runs the whole kernel TWICE per row
     Query.ensureParallelism(docs)
+      .filter(length(translate(col(textCol), " ", "")) > 0)
       .select(col(idCol),
         org.apache.spark.sql.graft.SimHash64.of(col(textCol)).as("simhash"))
-      .filter(col("simhash").isNotNull)
 
   /** Cross-engine twin of [[simhash]]: the token hash is the leading
     * `ceil(bits/4)` hex digits of md5(token) (DuckDB has md5), so the SAME

@@ -28,8 +28,18 @@ object Pipeline {
     val cleaned = TextAnalysis.normalize(TextAnalysis.maskPii(col(textCol)))
     val alpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
       length(col(textCol)).cast("double")
+    // the 1-element explode is a PREDICATE-PUSHDOWN BARRIER, not data
+    // flow: the quality gate filters on clean_text, and without the
+    // barrier Catalyst pushes that predicate below the projection into
+    // the scan, where it re-runs the whole 4-regex scrub+normalize chain
+    // — the pipeline's dominant per-row cost — a second time per row
+    // (codegen subexpression elimination does not span Filter/Project;
+    // measured 0.72 → 0.50 s at sf0.1/local[32])
     val staged = docs
-      .select(col(idCol), cleaned.as("clean_text"), alpha.as("__alpha"))
+      .select(col(idCol),
+        explode(array(struct(cleaned.as("ct"), alpha.as("al")))).as("__x"))
+      .select(col(idCol), col("__x.ct").as("clean_text"),
+        col("__x.al").as("__alpha"))
       .filter(length(col("clean_text")) >= minChars && col("__alpha") >= minAlpha)
       .drop("__alpha")
     // dedup as a window, not a groupBy+self-join: rank within each distinct

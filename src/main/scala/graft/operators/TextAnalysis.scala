@@ -174,17 +174,35 @@ object TextAnalysis {
     * candidate dfs differ; ties break on the term itself). A log-idf score
     * column slots into the same plan if a consumer prefers it.
     *
-    * Plan shape: ONE scan+tokenize by construction — the plan is a single
-    * linear lineage. One shuffle for the (doc, term)→tf aggregation; df is
-    * a `count(*) over (partition by term)` window on the tf rows ((doc,
-    * term) is unique after the aggregate, so the row count IS the document
-    * frequency) — no tf self-join, no second derivation of the tokenize
-    * subtree, no checkpoint barrier; then the per-doc window whose rank<=k
-    * predicate pushes down as WindowGroupLimit (partial top-k before the
-    * exchange). An earlier join-based shape referenced tf twice and
-    * Catalyst duplicated the whole scan→tokenize→aggregate subtree —
-    * tokenize is the family's dominant CPU cost, so that doubled the
-    * query.
+    * Plan shape: ZERO corpus-sized exchanges — the property that matters
+    * at 100 TB. Two independent map passes over the corpus:
+    *  (a) df per term as `explode(array_distinct(tokens))` → partial
+    *      map-side count → a term-DICTIONARY-sized shuffle → broadcast.
+    *      This pass reads only the text column and skips the sort/
+    *      run-length machinery the tf side needs ((doc, term) is unique,
+    *      so counting distinct-per-doc occurrences IS df).
+    *  (b) the tf rows, broadcast-joined to df at map side (no exchange),
+    *      so `score` exists BEFORE any shuffle — which lets the rank<=k
+    *      predicate push down as a PARTIAL WindowGroupLimit on the map
+    *      side: each doc's tokens are contiguous after the explode, so
+    *      the per-doc exchange that feeds the final window ships ≤k rows
+    *      per doc, not the token stream.
+    * The previous shape computed df as `count(*) over (partition by
+    * term)`, which SORTS the entire (doc, term) stream by term, then
+    * re-shuffled the full stream again for the per-doc window: two
+    * corpus-sized exchanges vs none. A single-tokenize + broadcast-join
+    * variant was measured and rejected: Catalyst prunes the df subtree's
+    * Generate to `.token` only, so the two tf references canonicalize
+    * differently and AQE stage reuse can NEVER deduplicate them — paying
+    * the full tf tokenize twice costs more than pass (a)'s cheap distinct
+    * form. If the term dictionary ever outgrows the broadcast threshold
+    * the join degrades to a hash shuffle join on term — still cheaper
+    * than the window's corpus sort. The token-less-doc filter is
+    * `length(translate(text, ' ', '')) > 0` (⟺ ≥1 token — the tokenizer
+    * splits on single spaces only, so trim(), which also strips tabs,
+    * would NOT be equivalent) rather than `size(tokens) > 0`: the latter
+    * gets pushed below the exchange as a scan filter and DUPLICATES the
+    * whole array_sort tokenize against every row.
     *
     * PRECONDITION: `idCol` is unique (it is the document table's primary
     * key). The in-row run-length tf computes per physical ROW; duplicate
@@ -210,15 +228,17 @@ object TextAnalysis {
       (coalesce(try_element_at(col("__s"), j + 1), size(col("__t")) + 1) -
         element_at(col("__s"), j)).cast("long").as("tf")))
     val tf = Query.ensureParallelism(docs)
+      .filter(length(translate(col(textCol), " ", "")) > 0)
       .select(col(idCol), toksSorted.as("__t"))
-      .filter(size(col("__t")) > 0)
       .select(col(idCol), col("__t"), starts.as("__s"))
       .select(col(idCol), explode(runs).as("__r"))
       .select(col(idCol), col("__r.token").as("token"), col("__r.tf").as("tf"))
-    val wTok = Window.partitionBy(col("token"))
+    val dfTbl = Query.ensureParallelism(docs)
+      .select(explode(array_distinct(tokenStream(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.withColumn("df", count(lit(1)).over(wTok))
+    tf.join(broadcast(dfTbl), Seq("token"))
       .withColumn("score", expr("tf * 1048576 div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -236,8 +256,10 @@ object TextAnalysis {
                   chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     val toks = tokenStream(col(textCol))
-    docs.select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) > 0)
+    // translate pre-filter ⟺ size(toks) > 0 without the pushed-down scan
+    // filter re-running the split (see tfidfTopK)
+    docs.filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol), toks.as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(0L),
           floor((size(col("__t")) - lit(1)).cast("double") / lit(chunkSize.toDouble))

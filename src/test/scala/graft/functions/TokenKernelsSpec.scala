@@ -82,32 +82,55 @@ class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(3L) && !got.contains(5L)) // tokenless docs absent
   }
 
-  test("registered as SQL functions via GraftExtensions") {
-    // apply the extension's injections to the running test session's registry
-    docs.createOrReplaceTempView("tkspec")
-    Seq(
-      ("simhash64", (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.SimHash64(c.head): org.apache.spark.sql.catalyst.expressions.Expression),
-      ("word_gram_hashes", (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.WordGramHashes(c.head,
-          c(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-            .value.asInstanceOf[Number].intValue()): org.apache.spark.sql.catalyst.expressions.Expression)
-    ).foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[org.apache.spark.sql.graft.SimHash64].getName, name),
-        builder)
+  test("registered as SQL functions via GraftExtensions (real injection path)") {
+    import org.apache.spark.sql.SparkSession
+    // build a session THROUGH the real extension wiring — a hand-registered
+    // duplicate of the builders would keep passing even if injectFunction
+    // itself regressed. The shared test context is reused (never stopped);
+    // active/default session are cleared so getOrCreate constructs a fresh
+    // SparkSession with the extension applied, and restored afterwards.
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old, "expected a fresh session carrying the extension")
+      val docs2 = {
+        import scala.jdk.CollectionConverters._
+        s2.createDataFrame(docs.collect().toList.asJava, docs.schema)
+      }
+      docs2.createOrReplaceTempView("tkspec")
+      val sh = s2.sql(
+        "SELECT simhash64(text) AS s FROM tkspec WHERE id = 4").head().getLong(0)
+      val shDf = docs.filter($"id" === 4L)
+        .select(org.apache.spark.sql.graft.SimHash64.of($"text")).head().getLong(0)
+      assert(sh == shDf)
+      val g = s2.sql(
+        "SELECT size(word_gram_hashes(text, 2)) AS n FROM tkspec WHERE id = 2")
+        .head().getInt(0)
+      assert(g == 1) // "a b" has exactly one 2-gram
+      val ts = s2.sql(
+        "SELECT size(token_set_hashes(text).harr) AS n FROM tkspec WHERE id = 4")
+        .head().getInt(0)
+      assert(ts == 4) // x y z w
+      val cs = s2.sql(
+        "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head().getDouble(0)
+      assert(math.abs(cs - 1.0) < 1e-9)
+      // builder validation: wrong arity and fractional n must fail the
+      // ANALYSIS clearly, not throw IndexOutOfBounds / silently truncate
+      def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Throwable](s2.sql("SELECT word_gram_hashes(text) FROM tkspec").collect())
+      assert(chain(e1).contains("2 arguments"), chain(e1))
+      val e2 = intercept[Throwable](s2.sql("SELECT word_gram_hashes(text, 2.5) FROM tkspec").collect())
+      assert(chain(e2).toUpperCase.contains("INTEGRAL"), chain(e2))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
     }
-    val sh = spark.sql(
-      "SELECT simhash64(text) AS s FROM tkspec WHERE id = 4").head().getLong(0)
-    val shDf = docs.filter($"id" === 4L)
-      .select(org.apache.spark.sql.graft.SimHash64.of($"text")).head().getLong(0)
-    assert(sh == shDf)
-    val g = spark.sql(
-      "SELECT size(word_gram_hashes(text, 2)) AS n FROM tkspec WHERE id = 2")
-      .head().getInt(0)
-    assert(g == 1) // "a b" has exactly one 2-gram
   }
 
   test("interpreted and codegen paths agree") {

@@ -253,6 +253,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(cc == Set(1L))             // one survivor per connected component
   }
 
+  test("drop paths survive a ~1M-member clone group without wide member rows") {
+    import spark.implicits._
+    // A boilerplate corpus's worst case: ONE million exact clones. The old
+    // collect_list shape materialized the whole clone group as a single
+    // array row (multi-GB at web scale → executor OOM); the drop paths now
+    // decide clone drops from the scalar-width doc→rep window map, so the
+    // group costs only its row count. Also in the corpus: a near-dup pair
+    // (jaccard 39/41 ≈ 0.951) exercising the dominated-rep side.
+    val n = 1000000L
+    val mega = spark.range(n).select(col("id").as("doc_id"),
+      lit("standard boilerplate disclaimer appended to every document").as("text"))
+    val base = (1 to 40).map(i => s"w$i")
+    val docs = mega.unionByName(Seq(
+      (n + 1, base.mkString(" ")),
+      (n + 2, (base.init :+ "wX").mkString(" "))).toDF("doc_id", "text"))
+    // rowsPerBand=1 → 16 one-seed bands: max LSH recall, deterministic
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", 16, 1, 0.95)
+    // plan-level guarantee: no member-collecting aggregate anywhere in the
+    // lazy drop pipeline
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "dropNearDups must not build member arrays")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, n + 1))
+    assert(Dedup.dropNearDupsCC(docs, "doc_id", "text", 16, 1, 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, n + 1))
+  }
+
   test("simhashMd5 twin: same collision behavior, hash fits the bit width") {
     val h = Dedup.simhashMd5(docs, "doc_id", "text", bits = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
