@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{CosineSim, SimHash64, TokenSetHashes, WordGramHashes}
+import org.apache.spark.sql.graft.{CosineSim, DistinctTokens, SimHash64, TokenSetHashes, TokenTfPairs, WordGramHashes}
 
 /**
  * SparkSessionExtensions entry point: registers graft's native expressions
@@ -52,6 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"(constant expressions are not folded at resolution time), got $other")
         })
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_tf_pairs"),
+      new ExpressionInfo(classOf[TokenTfPairs].getName, "token_tf_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenTfPairs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("distinct_tokens"),
+      new ExpressionInfo(classOf[DistinctTokens].getName, "distinct_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DistinctTokens(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

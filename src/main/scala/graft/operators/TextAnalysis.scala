@@ -211,30 +211,24 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // tf computed INSIDE the row: sort the token stream, find run starts,
-    // emit (token, run length) structs — a codegen'd array pipeline that
-    // replaces the groupBy(doc, token) hash aggregation (whose keys are
-    // nearly unique — tf is mostly 1-2 — so partial aggregation collapsed
-    // almost nothing and the exchange shipped the whole token stream;
-    // measured ~35% cheaper CPU and one less exchange). ANSI-safe: the
-    // greatest() keeps element_at's index valid even when codegen
-    // evaluates both sides of the OR.
-    val toksSorted = array_sort(tokenStream(col(textCol)))
-    val starts = filter(sequence(lit(1), size(col("__t"))), i =>
-      (i === 1) || (element_at(col("__t"), greatest(i - 1, lit(1))) =!=
-        element_at(col("__t"), i)))
-    val runs = transform(sequence(lit(1), size(col("__s"))), j => struct(
-      element_at(col("__t"), element_at(col("__s"), j)).as("token"),
-      (coalesce(try_element_at(col("__s"), j + 1), size(col("__t")) + 1) -
-        element_at(col("__s"), j)).cast("long").as("tf")))
+    // tf computed INSIDE the row by the fused [[TokenTfPairs]] kernel
+    // (tokenize → sort → run-length in one compiled pass; the earlier
+    // HOF chain — array_sort → run-starts filter → transform structs —
+    // paid a per-element lambda dispatch and dominated the map stage).
+    // STRING tokens and exact counts: the DuckDB oracle replays the
+    // identical values from raw text, and TokenKernelsSpec pins the
+    // kernel value-equal to the HOF form it replaced. Both passes stay
+    // hash-free; this replaces the groupBy(doc, token) aggregation
+    // (whose keys are nearly unique, so partial aggregation collapsed
+    // almost nothing and the exchange shipped the whole token stream).
     val tf = Query.ensureParallelism(docs)
       .filter(length(translate(col(textCol), " ", "")) > 0)
-      .select(col(idCol), toksSorted.as("__t"))
-      .select(col(idCol), col("__t"), starts.as("__s"))
-      .select(col(idCol), explode(runs).as("__r"))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.TokenTfPairs.of(col(textCol))).as("__r"))
       .select(col(idCol), col("__r.token").as("token"), col("__r.tf").as("tf"))
     val dfTbl = Query.ensureParallelism(docs)
-      .select(explode(array_distinct(tokenStream(col(textCol)))).as("token"))
+      .select(explode(
+        org.apache.spark.sql.graft.DistinctTokens.of(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))

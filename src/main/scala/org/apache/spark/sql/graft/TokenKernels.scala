@@ -137,6 +137,89 @@ object TokenKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(g, k))
   }
 
+  /** Byte spans (start, end) of the space-separated tokens of
+    * `lower(text)` in its UTF-8 bytes — shared helper of the
+    * string-emitting kernels. Returns the lowered bytes plus a packed
+    * span array (even index = start, odd = end); 0 spans ⇒ no tokens. */
+  private def tokenSpans(text: UTF8String): (Array[Byte], Array[Int], Int) = {
+    val bytes = text.toLowerCase.getBytes
+    var spans = new Array[Int](32)
+    var m = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          if (2 * m == spans.length) spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+          spans(2 * m) = start; spans(2 * m + 1) = i
+          m += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    (bytes, spans, m)
+  }
+
+  private def spanCompare(b: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Int = {
+    var i = s1; var j = s2
+    while (i < e1 && j < e2) {
+      val c = (b(i) & 0xff) - (b(j) & 0xff)
+      if (c != 0) return c
+      i += 1; j += 1
+    }
+    (e1 - s1) - (e2 - s2)
+  }
+
+  /** Kernel of [[TokenTfPairs]]: per-doc term frequencies as
+    * (token STRING, tf) structs, tokens sorted in binary (= UTF-8 code
+    * point) order — exactly the values of the HOF run-length form
+    * `array_sort(tokens)` → run starts → (token, run length), which the
+    * DuckDB oracle can replay from raw text (no hashes anywhere). One
+    * pass, one sort of span indices, no intermediate arrays-of-String
+    * until the final emit. Null when the text has no tokens. */
+  def tokenTfPairs(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val (bytes, spans, m) = tokenSpans(text)
+    if (m == 0) return null
+    val idx = new Array[Integer](m)
+    var i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int =
+        spanCompare(bytes, spans(2 * a), spans(2 * a + 1), spans(2 * b), spans(2 * b + 1))
+    })
+    val out = new java.util.ArrayList[AnyRef](m)
+    var r = 0
+    while (r < m) {
+      val t = idx(r)
+      var run = r + 1
+      while (run < m && spanCompare(bytes,
+        spans(2 * t), spans(2 * t + 1),
+        spans(2 * idx(run)), spans(2 * idx(run) + 1)) == 0) run += 1
+      val s = spans(2 * t)
+      out.add(new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, s, spans(2 * t + 1))),
+        (run - r).toLong)))
+      r = run
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Kernel of [[DistinctTokens]]: the distinct tokens of a doc as STRINGS
+    * in sorted order — the values of `array_distinct(tokens)` (order
+    * differs from the HOF form's first-occurrence order; every consumer
+    * aggregates or set-compares). Empty array when no tokens. */
+  def distinctTokens(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tf = tokenTfPairs(text)
+    if (tf == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[AnyRef])
+    val n = tf.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { out(i) = tf.getStruct(i, 2).getUTF8String(0); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Kernel of [[SimHash64]]: the classic bit-vote circuit over the
     * distinct token hashes — bit k of the result is set iff more distinct
     * tokens have bit k set than cleared (ties clear, exactly like the
@@ -246,6 +329,86 @@ object WordGramHashes {
   /** Column form — usable without any registry. */
   def of(text: Column, n: Int): Column =
     ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(text), n))
+}
+
+/**
+ * Native expression: per-document term frequencies in ONE pass — tokenize,
+ * sort, run-length — as `array<struct<token: string, tf: bigint>>`, tokens
+ * in binary-sorted order. STRING-valued (no hashes), so any engine can
+ * replay the identical values from raw text: this is the oracle-safe fast
+ * path for tf-idf-family operators, replacing a 4-step HOF chain
+ * (array_sort → sequence/filter run starts → transform structs) whose
+ * per-element lambda dispatch dominated the map stage. NULL when the
+ * document tokenizes to nothing.
+ */
+@ExpressionDescription(
+  usage = "token_tf_pairs(text) - (token, tf) pairs of the document, token-sorted.")
+case class TokenTfPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.tokenTfPairs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  org.apache.spark.sql.graft.TokenKernels.tokenTfPairs($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTfPairs =
+    copy(child = newChild)
+}
+
+object TokenTfPairs {
+  /** Column form — usable without any registry. */
+  def of(text: Column): Column =
+    ExpressionUtils.column(TokenTfPairs(ExpressionUtils.expression(text)))
+}
+
+/**
+ * Native expression: the distinct tokens of a document as sorted STRINGS,
+ * one pass — the document-frequency side of tf-idf (explode → count per
+ * token). Empty array for tokenless docs (they contribute no df).
+ */
+@ExpressionDescription(
+  usage = "distinct_tokens(text) - sorted distinct tokens of the document.")
+case class DistinctTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.distinctTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TokenKernels.distinctTokens($c);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokens =
+    copy(child = newChild)
+}
+
+object DistinctTokens {
+  /** Column form — usable without any registry. */
+  def of(text: Column): Column =
+    ExpressionUtils.column(DistinctTokens(ExpressionUtils.expression(text)))
 }
 
 /**

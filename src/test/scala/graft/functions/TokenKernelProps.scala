@@ -68,6 +68,35 @@ object TokenKernelProps extends Properties("TokenKernels") {
       got == want
     }
 
+  private def refTokens(s: String): Seq[String] =
+    UTF8String.fromString(s).toLowerCase.toString.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  property("tokenTfPairs = sorted (token, count) of the String-level reference") =
+    forAll(texts) { s =>
+      val got = TokenKernels.tokenTfPairs(UTF8String.fromString(s))
+      val toks = refTokens(s)
+      if (toks.isEmpty) got == null
+      else {
+        val want = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .sortWith((a, b) =>
+            UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1)) < 0)
+        got != null && (0 until got.numElements()).map { i =>
+          val r = got.getStruct(i, 2)
+          (r.getUTF8String(0).toString, r.getLong(1))
+        } == want
+      }
+    }
+
+  property("distinctTokens = sorted distinct tokens of the String-level reference") =
+    forAll(texts) { s =>
+      val got = TokenKernels.distinctTokens(UTF8String.fromString(s))
+      val want = refTokens(s).distinct.map(UTF8String.fromString)
+        .sortWith(_.compareTo(_) < 0)
+      (0 until got.numElements()).map(i =>
+        got.get(i, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[UTF8String]).toSeq == want
+    }
+
   property("SimHash64 = the bit-vote circuit over distinct reference hashes") =
     forAll(texts) { s =>
       val got = TokenKernels.simHash64(UTF8String.fromString(s))

@@ -82,6 +82,51 @@ class TokenKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(3L) && !got.contains(5L)) // tokenless docs absent
   }
 
+  test("TokenTfPairs equals the HOF sorted-run-length tf pipeline value-for-value") {
+    import org.apache.spark.sql.graft.TokenTfPairs
+    // the HOF form tfidfTopK used before the kernel: sort the token
+    // stream, find run starts, emit (token, run length) structs
+    val toksSorted = array_sort(filter(split(lower($"text"), " "), w => w =!= ""))
+    val starts = filter(sequence(lit(1), size($"__t")), i =>
+      (i === 1) || (element_at($"__t", greatest(i - 1, lit(1))) =!=
+        element_at($"__t", i)))
+    val runs = transform(sequence(lit(1), size($"__s")), j => struct(
+      element_at($"__t", element_at($"__s", j)).as("token"),
+      (coalesce(try_element_at($"__s", j + 1), size($"__t") + 1) -
+        element_at($"__s", j)).cast("long").as("tf")))
+    val hof = docs
+      .filter(length(translate($"text", " ", "")) > 0)
+      .select($"id", toksSorted.as("__t"))
+      .select($"id", $"__t", starts.as("__s"))
+      .select($"id", explode(runs).as("__r"))
+      .select($"id", $"__r.token", $"__r.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kern = docs
+      .filter(length(translate($"text", " ", "")) > 0)
+      .select($"id", explode(TokenTfPairs.of($"text")).as("__r"))
+      .select($"id", $"__r.token", $"__r.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kern == hof && kern.nonEmpty)
+    // null for tokenless
+    val nulls = docs.select($"id", TokenTfPairs.of($"text").as("p"))
+      .filter($"p".isNull).collect().map(_.getLong(0)).toSet
+    assert(nulls == Set(3L, 5L))
+  }
+
+  test("DistinctTokens equals array_distinct(tokens) as a set, sorted") {
+    import org.apache.spark.sql.graft.DistinctTokens
+    val hof = docs.select($"id",
+        array_distinct(filter(split(lower($"text"), " "), w => w =!= "")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted.toSeq).toMap
+    val kern = docs.select($"id", DistinctTokens.of($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    kern.foreach { case (id, ts) =>
+      assert(ts == hof(id), s"doc $id")
+      assert(ts == ts.sorted, s"doc $id not sorted")
+    }
+    assert(kern(3L).isEmpty && kern(5L).isEmpty) // tokenless → EMPTY
+  }
+
   test("registered as SQL functions via GraftExtensions (real injection path)") {
     import org.apache.spark.sql.SparkSession
     // build a session THROUGH the real extension wiring — a hand-registered
