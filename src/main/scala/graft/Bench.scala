@@ -20,6 +20,9 @@ object Bench {
     catch { case _: Throwable => "" }
 
   def main(args: Array[String]): Unit = {
+    // captured BEFORE the warm-up passes: loadavg_start reflects our own
+    // 32-thread warm-up load, so ambient load is only readable here
+    val loadBoot = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -76,7 +79,7 @@ object Bench {
     val loadEnd = loadavg()
     // loadavg at both measurement boundaries: a suite judged on a host with
     // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
-    val loadJson = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"full-pass""""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"full-pass""""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
