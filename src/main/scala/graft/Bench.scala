@@ -40,20 +40,23 @@ object Bench {
     // absorbs its cold-read + JIT cost (~8s observed on the doc corpus)
     Tables.names.foreach(t =>
       Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
-    // …and the hash/tokenize codegen paths: generated code is cached by
-    // source text, so running the dedup pipelines once over a 64-doc sample
-    // pre-compiles (Janino) and pre-JITs the same classes the measured
-    // queries use — cold-vs-warm deltas of 6–9 s/query charged to warmup,
-    // not to the first dedup query that happens to run
-    val warmDocs = Tables.load(spark, sfDir, "documents").limit(64)
-    Seq(
-      graft.operators.Dedup.nearDupsFused(warmDocs, "doc_id", "text", 16, 8, 0.5),
-      graft.operators.Dedup.dropNearDupsCC(warmDocs, "doc_id", "text", 16, 8, 0.5),
-      graft.operators.Dedup.simhash(warmDocs, "doc_id", "text"),
-    ).foreach(_.write.format("noop").mode("overwrite").save())
     // fixture setup I/O (e.g. the pruned-CDC chunked layout) belongs to
     // warm-up, not to the measured query that happens to need it first
     SparkEntry.prepareFixtures(spark, sfDir)
+    // …and per-query first-run compilation: each declared query is a
+    // DISTINCT program — fresh Catalyst plan, fresh janino classes
+    // (cached only by identical generated source), fresh JIT profile.
+    // Run the WHOLE suite once untimed so every measured number below is
+    // steady-state execution, not compiler time (the floor decomposition
+    // in BASELINE.md: repeat floor 0.10–0.16 s/query vs ~0.3–0.7 s
+    // first-run). This replaces the earlier selective dedup-pipeline
+    // warm-up — selective warm-up just moved the cold tax onto whichever
+    // queries weren't on the list. Failures are ignored here; the
+    // measured loop reports them.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     spark.catalog.clearCache()
     val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
