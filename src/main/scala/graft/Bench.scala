@@ -52,10 +52,15 @@ object Bench {
     // first-run). This replaces the earlier selective dedup-pipeline
     // warm-up — selective warm-up just moved the cold tax onto whichever
     // queries weren't on the list. Failures are ignored here; the
-    // measured loop reports them.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // measured loop reports them. TWO passes: C2 JIT compiles the hot
+    // generated methods only after enough invocations — one pass leaves
+    // multi-job queries ~0.3-0.5 s from their steady state (measured:
+    // ext_tfidf_topk 1.33 s after one warm run, 0.74 s after two).
+    (1 to 2).foreach { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     spark.catalog.clearCache()
     val loadStart = loadavg()
@@ -82,7 +87,7 @@ object Bench {
     val loadEnd = loadavg()
     // loadavg at both measurement boundaries: a suite judged on a host with
     // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"full-pass""""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"2x-full-pass""""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
