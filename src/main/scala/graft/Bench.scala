@@ -52,15 +52,25 @@ object Bench {
     // first-run). This replaces the earlier selective dedup-pipeline
     // warm-up — selective warm-up just moved the cold tax onto whichever
     // queries weren't on the list. Failures are ignored here; the
-    // measured loop reports them. TWO passes: C2 JIT compiles the hot
-    // generated methods only after enough invocations — one pass leaves
-    // multi-job queries ~0.3-0.5 s from their steady state (measured:
-    // ext_tfidf_topk 1.33 s after one warm run, 0.74 s after two).
-    (1 to 2).foreach { _ =>
+    // measured loop reports them. ADAPTIVE pass count: C2 JIT compiles
+    // the hot generated methods only after enough invocations — one pass
+    // leaves multi-job queries ~0.3-0.5 s from their steady state
+    // (measured: ext_tfidf_topk 1.33 s after one warm run, 0.74 s after
+    // two) — so keep warming until a full pass stops getting faster
+    // (<8% improvement), capped at 4 passes.
+    var prevPass = Double.MaxValue
+    var pass = 0
+    var settled = false
+    while (pass < 4 && !settled) {
+      val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      val t = (System.nanoTime() - t0) / 1e9
+      settled = pass > 0 && t > prevPass * 0.92
+      prevPass = t
+      pass += 1
     }
     spark.catalog.clearCache()
     val loadStart = loadavg()
@@ -87,7 +97,7 @@ object Bench {
     val loadEnd = loadavg()
     // loadavg at both measurement boundaries: a suite judged on a host with
     // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"2x-full-pass""""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"adaptive-full-pass-x$pass""""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
