@@ -60,14 +60,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
-  test("dropNearDups retains token-less docs (empty / whitespace-only text)") {
+  test("dropNearDups retains token-less docs (empty / whitespace-only / NULL text)") {
     import spark.implicits._
     val withEmpty = docs.unionByName(
-      Seq((6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+      Seq((6L, ""), (7L, "   "), (8L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
     val kept = Dedup.dropNearDups(withEmpty, "doc_id", "text", 16, 8, 0.99)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // 6 and 7 tokenize to nothing: not near-dups of anything → retained
-    assert(kept == Set(1L, 3L, 4L, 6L, 7L))
+    // 6, 7, 8 tokenize to nothing: not near-dups of anything → retained
+    assert(kept == Set(1L, 3L, 4L, 6L, 7L, 8L))
+    val keptCC = Dedup.dropNearDupsCC(withEmpty, "doc_id", "text", 16, 8, 0.99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptCC == Set(1L, 3L, 4L, 6L, 7L, 8L))
   }
 
   test("fuzzyNearDups finds small-edit-distance pairs, never crosses maxDist") {
