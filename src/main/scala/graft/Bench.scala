@@ -15,7 +15,8 @@ object Bench {
     * suite read 64.7 s quiet and 87.6 s under ambient load, and every round
     * re-litigated which number was real). Best-effort: "" off Linux. */
   def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
       .split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 

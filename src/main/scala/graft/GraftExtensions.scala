@@ -55,13 +55,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("token_tf_pairs"),
       new ExpressionInfo(classOf[TokenTfPairs].getName, "token_tf_pairs"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TokenTfPairs(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"token_tf_pairs requires exactly 1 argument (text), got ${children.length}")
+        TokenTfPairs(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("distinct_tokens"),
       new ExpressionInfo(classOf[DistinctTokens].getName, "distinct_tokens"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DistinctTokens(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"distinct_tokens requires exactly 1 argument (text), got ${children.length}")
+        DistinctTokens(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -379,11 +379,19 @@ object Dedup {
       .agg(min(col(idCol)).as("__rep"), first(col("__harr")).as("__harr"))
   }
 
-  /** Docs that tokenize to NOTHING (null / empty / all-space text): never
-    * near-dups of anything, always retained by the drop paths. */
-  private def tokenless(docs: DataFrame, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNull ||
-      length(translate(col(textCol), " ", "")) === 0)
+  /** ONE-pass keep filter for the drop paths: a doc survives iff its id
+    * is in `keptReps` (matched via left join + marker) OR it tokenizes
+    * to nothing (null / empty / all-space text — never a near-dup of
+    * anything). A semi-join plus a separate token-less union would scan
+    * the raw corpus TWICE; the marker form reads it once, with the same
+    * single id-shuffle. `keptReps` ids are unique (one per surviving
+    * clone set), so the left join cannot duplicate rows. */
+  private def keepDocs(docs: DataFrame, idCol: String, textCol: String,
+                       keptReps: DataFrame): DataFrame =
+    docs.join(keptReps.withColumn("__keep", lit(1)), Seq(idCol), "left")
+      .filter(col("__keep").isNotNull || col(textCol).isNull ||
+        length(translate(col(textCol), " ", "")) === 0)
+      .drop("__keep")
 
   /** Every doc of one rep's members crossed with every doc of the other's,
     * jaccard carried; canonicalized with least/greatest (member sets of
@@ -431,10 +439,11 @@ object Dedup {
     * clone has its rep as a smaller jaccard-1.0 partner) that is not the
     * larger side of any verified rep pair (rep(T) < rep(S) ⟺ some member
     * of T is smaller than rep(S), and members inherit the rep's
-    * similarities exactly). So the result is one semi-join of the corpus
-    * against the surviving rep ids plus the token-less slice — anti-join
-    * semantics on the dominated list ignore duplicates, no distinct
-    * exchange, zero checkpoints, zero persists. */
+    * similarities exactly). So the result is ONE pass over the corpus:
+    * a marker left-join against the surviving rep ids whose filter also
+    * admits the token-less docs ([[keepDocs]]) — anti-join semantics on
+    * the dominated list ignore duplicates, no distinct exchange, zero
+    * checkpoints, zero persists. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    seeds: Int = 16, rowsPerBand: Int = 8,
                    threshold: Double = 0.95): DataFrame = {
@@ -445,8 +454,7 @@ object Dedup {
     val kept = reps.select(col("__rep"))
       .join(dominated, Seq("__rep"), "left_anti")
       .select(col("__rep").as(idCol))
-    docs.join(kept, Seq(idCol), "left_semi")
-      .unionByName(tokenless(docs, textCol))
+    keepDocs(docs, idCol, textCol, kept)
   }
 
   /** Connected components over an undirected (doc_a, doc_b) edge list by
@@ -661,8 +669,7 @@ object Dedup {
     val kept = reps.select(col("__rep"))
       .join(droppedReps, Seq("__rep"), "left_anti")
       .select(col("__rep").as(idCol))
-    docs.join(kept, Seq(idCol), "left_semi")
-      .unionByName(tokenless(docs, textCol))
+    keepDocs(docs, idCol, textCol, kept)
   }
 
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the

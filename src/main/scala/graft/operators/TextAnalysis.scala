@@ -195,9 +195,13 @@ object TextAnalysis {
     * Generate to `.token` only, so the two tf references canonicalize
     * differently and AQE stage reuse can NEVER deduplicate them — paying
     * the full tf tokenize twice costs more than pass (a)'s cheap distinct
-    * form. If the term dictionary ever outgrows the broadcast threshold
-    * the join degrades to a hash shuffle join on term — still cheaper
-    * than the window's corpus sort. The token-less-doc filter is
+    * form. The join carries NO broadcast hint: AQE converts it to a
+    * broadcast hash join at runtime from the df aggregate's measured
+    * size (verified + measured equal-or-faster than the hinted form),
+    * and when a web-scale term dictionary (every typo/URL/number is a
+    * "term") outgrows the broadcast limit it genuinely degrades to a
+    * shuffle join — an explicit broadcast() hint would instead force the
+    * build and fail the job. The token-less-doc filter is
     * `length(translate(text, ' ', '')) > 0` (⟺ ≥1 token — the tokenizer
     * splits on single spaces only, so trim(), which also strips tabs,
     * would NOT be equivalent) rather than `size(tokens) > 0`: the latter
@@ -232,7 +236,7 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(dfTbl), Seq("token"))
+    tf.join(dfTbl, Seq("token"))
       .withColumn("score", expr("tf * 1048576 div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
