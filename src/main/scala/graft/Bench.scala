@@ -59,10 +59,14 @@ object Bench {
     // (measured: ext_tfidf_topk 1.33 s after one warm run, 0.74 s after
     // two) — so keep warming until a full pass stops getting faster
     // (<8% improvement), capped at 4 passes.
+    // time guard: never spend more than ~4 min warming, whatever the
+    // improvement curve says — the driver's bench step has a finite
+    // budget and a loaded host stretches every pass
+    val warmDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
     var prevPass = Double.MaxValue
     var pass = 0
     var settled = false
-    while (pass < 4 && !settled) {
+    while (pass < 4 && !settled && System.nanoTime() < warmDeadline) {
       val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
