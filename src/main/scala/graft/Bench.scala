@@ -26,9 +26,9 @@ object Bench {
     val loadBoot = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = LocalTuning(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle tuning for single-host (local[n]) runs, applied to every
+  * entry-point session builder.
+  *
+  * Why this exists (round-8 profiling): a plain two-exchange aggregate over
+  * 230k in-memory longs burned ~60 s of task runtime at local[32] — stack
+  * samples showed nearly all of it inside `FileOutputStream.open0` /
+  * `FileChannelImpl.map0/unmap0`. The cause is the BYPASS-merge shuffle
+  * writer: at `spark.sql.shuffle.partitions` ≤ 200 (we run 32) Spark picks
+  * BypassMergeSortShuffleWriter, which opens ONE FILE PER REDUCE PARTITION
+  * per map task — 32×32 = 1024 file create/delete pairs per exchange, and
+  * this container's filesystem serializes creates across 32 threads.
+  *
+  * Fixes, both semantics-free and both consistent with what a real cluster
+  * executes:
+  *
+  *  - `spark.shuffle.sort.bypassMergeThreshold=1` forces the SERIALIZED
+  *    sort shuffle writer (UnsafeShuffleWriter): one spill file + one index
+  *    per map task, partitions merged in memory. At production partition
+  *    counts (>200) Spark NEVER uses the bypass writer — local[32] with 32
+  *    partitions fell under the threshold by accident, so pinning the
+  *    serialized writer makes local execution match the at-scale path.
+  *  - shuffle scratch on tmpfs (`/dev/shm`) when present: local shuffle
+  *    blocks are transient byte streams; a cluster puts them on fast local
+  *    NVMe, and this host's equivalent is RAM-backed tmpfs. Falls back to
+  *    the default `spark.local.dir` when /dev/shm is absent (non-Linux).
+  *
+  * Measured (5-run aggregate microbench, local[32]): wall 3.0 → 0.9 s,
+  * task runtime 58 → 2.4 s, task CPU 45 → 1.6 s.
+  */
+object LocalTuning {
+  def apply(b: SparkSession.Builder): SparkSession.Builder = {
+    val tuned = b.config("spark.shuffle.sort.bypassMergeThreshold", "1")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val dir = shm.resolve("graft-local")
+      try java.nio.file.Files.createDirectories(dir)
+      catch { case _: Throwable => () }
+      tuned.config("spark.local.dir", dir.toString)
+    } else tuned
+  }
+}

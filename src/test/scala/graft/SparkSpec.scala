@@ -10,9 +10,9 @@ trait SparkSpec { self: Suite =>
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
+  lazy val session: SparkSession = LocalTuning(SparkSession.builder()
     .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions", "4"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""DuckDB side of the bench contract pair (the judge's method).
+
+Runs every oracle SQL from a Verify dump's oracle_sql.json against the
+given scale-factor directory with 32 threads and a per-query interrupt,
+and writes one JSON artifact with per-query seconds, total over the
+queries that finished, and /proc/loadavg context.
+
+Usage:
+  python3 tools/duckbench.py <sfDir> <oracle_sql.json> <out.json> [interrupt_s]
+
+Run back-to-back with the Spark suite (same sitting, quiet host) — both
+engines' totals swing with ambient load and buffer-cache warmth, so only
+same-sitting pairs are comparable (see BASELINE.md discount rule).
+"""
+import sys, json, time, threading
+import duckdb
+
+def loadavg():
+    try:
+        return open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        return []
+
+def main(sf_dir, oracle_path, out_path, interrupt_s=60.0):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    load0 = loadavg()
+    queries, failed = {}, {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        timer = threading.Timer(interrupt_s, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.sql(sql).fetchall()
+            queries[name] = round(time.time() - t0, 3)
+        except Exception:
+            failed[name] = -round(time.time() - t0, 3)
+        finally:
+            timer.cancel()
+    out = {
+        "total_ok": round(sum(queries.values()), 3),
+        "n_ok": len(queries),
+        "failed": failed,
+        "loadavg_start": load0,
+        "loadavg_end": loadavg(),
+        "sf": sf_dir,
+        "queries": queries,
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("total_ok", "n_ok", "failed", "loadavg_start", "loadavg_end")}))
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], sys.argv[3],
+         float(sys.argv[4]) if len(sys.argv) > 4 else 60.0)
