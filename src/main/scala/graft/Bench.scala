@@ -73,7 +73,10 @@ object Bench {
         catch { case _: Throwable => () }
       }
       val t = (System.nanoTime() - t0) / 1e9
-      settled = pass > 0 && t > prevPass * 0.92
+      // require ≥3 passes: pass 2 can land within 8% of pass 1 while C2
+      // is still compiling the hot generated methods (a 2-pass run read
+      // ext_dedup_minhash at 3.0 s vs its 1.05 s steady state)
+      settled = pass > 1 && t > prevPass * 0.92
       prevPass = t
       pass += 1
     }

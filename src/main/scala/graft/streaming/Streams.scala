@@ -137,6 +137,117 @@ object Streams {
         col(s"r.$tsCol") < col(s"l.$tsCol") + expr(s"INTERVAL $window"))
   }
 
+  /** One doc already in an LSH bucket's state: id, event-time millis, and
+    * the full minhash signature vector (for the jaccard estimate). */
+  final case class BucketDoc(id: Long, tsMs: Long, sigs: Array[Long])
+  final case class BucketState(docs: Seq[BucketDoc])
+  /** Emitted match: `doc_id` arrived and collided with `earlier_id` (first
+    * seen earlier in event time) in LSH band `band`; `est_jaccard` is the
+    * minhash estimate (fraction of equal signature components). */
+  final case class NearDupHit(doc_id: Long, earlier_id: Long, band: Int,
+                              est_jaccard: Double)
+  private final case class BandRow(band: Int, band_sig: String, id: Long,
+                                   ts: java.sql.Timestamp, sigs: Array[Long])
+
+  /** Streaming NEAR-dup detection — X2's unbounded form (dedup-on-ingest):
+    * every arriving document is checked against the documents of the last
+    * watermark horizon that share any LSH band, and matches with an
+    * estimated jaccard ≥ `threshold` are emitted as [[NearDupHit]] rows.
+    * The batch family ([[graft.operators.Dedup.minhashPairsFast]]) is the
+    * periodic full pass; this is the continuous front line in a training
+    * pipeline that cannot afford to re-shuffle the corpus per increment.
+    *
+    * Same production kernels as the batch path — one fused
+    * tokenize+hash traversal per document
+    * ([[org.apache.spark.sql.graft.TokenSetHashes]]), fused signature
+    * minima ([[org.apache.spark.sql.graft.MinHashSigs]]), identical
+    * band construction — so stream and batch agree document-for-document
+    * (spec-pinned against the batch candidate set).
+    *
+    * Scale shape: state lives per (band, band_sig) BUCKET, keyed exactly
+    * like the batch band self-join, so the shuffle is band-hash
+    * partitioned and hot buckets are the same hot buckets the batch path
+    * has. State is bounded two ways: event-time eviction at the watermark
+    * (an [[GroupStateTimeout.EventTimeTimeout]] garbage-collects buckets
+    * that stop receiving traffic), and `maxBucketDocs` caps a single
+    * bucket (boilerplate corpora put thousands of near-identical docs in
+    * one bucket; beyond the cap the OLDEST entries drop first, trading
+    * recall against earlier docs for bounded state — the batch pass
+    * catches what the cap misses). A pair matching in several bands emits
+    * once per matching band (buckets are independent state partitions) —
+    * at-least-once per pair by design; downstream consumers dedupe on
+    * (doc_id, earlier_id) if they need exactly-once.
+    *
+    * Within a micro-batch, rows are processed in (event time, id) order,
+    * so same-batch pairs attribute the earlier document as `earlier_id`
+    * deterministically. */
+  def nearDupStream(docs: DataFrame, tsCol: String, idCol: String,
+                    textCol: String, lateness: String = "10 minutes",
+                    seeds: Int = 16, rowsPerBand: Int = 8,
+                    threshold: Double = 0.5,
+                    maxBucketDocs: Int = 1024): Dataset[NearDupHit] = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
+    val (as, bs) = (0 until seeds).map(Dedup.sigAffine).unzip
+    val sigs = org.apache.spark.sql.graft.MinHashSigs.of(
+      col("__ts.harr"), as, bs, Dedup.SigMod)
+    val bandSigExprs = (0 until nBands).map { b =>
+      val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
+      concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
+    }
+    val bands = docs
+      .withWatermark(tsCol, lateness)
+      // cheap token-presence gate (kernel NULL ⟺ no tokens); the
+      // `isNotNull` form would re-run the kernel as a pushed scan filter
+      .filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol)).as("__ts"))
+      .select(col("id"), col("ts"), sigs.as("__sigs"))
+      .select(col("id"), col("ts"), col("__sigs"),
+        posexplode(array(bandSigExprs: _*)).as(Seq("band", "band_sig")))
+      .select(col("band").cast("int").as("band"), col("band_sig"),
+        col("id"), col("ts"), col("__sigs").as("sigs"))
+      .as[BandRow]
+    bands.groupByKey(r => s"${r.band}_${r.band_sig}")
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val live = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            .filter(_.tsMs >= wm)
+          def park(docs: Seq[BucketDoc]): Unit =
+            if (docs.isEmpty) state.remove()
+            else {
+              state.update(BucketState(docs))
+              state.setTimeoutTimestamp(math.max(docs.map(_.tsMs).max, wm) + 1)
+            }
+          if (state.hasTimedOut) { park(live); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            val hits = Seq.newBuilder[NearDupHit]
+            var cur = live
+            batch.foreach { r =>
+              cur.foreach { d =>
+                if (d.id != r.id) {
+                  var eq = 0; var j = 0
+                  while (j < r.sigs.length) {
+                    if (d.sigs(j) == r.sigs(j)) eq += 1; j += 1
+                  }
+                  val est = eq.toDouble / r.sigs.length
+                  if (est >= threshold)
+                    hits += NearDupHit(r.id, d.id, r.band, est)
+                }
+              }
+              cur = cur :+ BucketDoc(r.id, r.ts.getTime, r.sigs)
+            }
+            park(cur.takeRight(maxBucketDocs))
+            hits.result().iterator
+          }
+      }
+  }
+
   /** readStream → transform → writeStream harness over a Parquet directory
     * source — the file-native analogue of taps' chunked pull. Exactly-once:
     * the file sink commits atomically per batch, checkpoint carries offsets
