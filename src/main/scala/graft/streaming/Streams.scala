@@ -146,8 +146,10 @@ object Streams {
     * minhash estimate (fraction of equal signature components). */
   final case class NearDupHit(doc_id: Long, earlier_id: Long, band: Int,
                               est_jaccard: Double)
-  private final case class BandRow(band: Int, band_sig: String, id: Long,
-                                   ts: java.sql.Timestamp, sigs: Array[Long])
+  /** Internal exploded row (public only because encoder codegen needs
+    * access): one document in one LSH band bucket. */
+  final case class BandRow(band: Int, band_sig: String, id: Long,
+                           ts: java.sql.Timestamp, sigs: Array[Long])
 
   /** Streaming NEAR-dup detection — X2's unbounded form (dedup-on-ingest):
     * every arriving document is checked against the documents of the last

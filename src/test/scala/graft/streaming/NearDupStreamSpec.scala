@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streaming minhash near-dup detection ([[Streams.nearDupStream]]):
+  * stream/batch agreement with the production LSH family, event-time
+  * ordering, watermark-bounded state, and the per-bucket cap. */
+class NearDupStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // small corpus with exact clones, token near-dups, and unrelated docs
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact clone of 1
+    3L -> "the quick brown fox jumps over the lazy dog near the river shore", // near-dup of 1/2
+    4L -> "completely different content about distributed query engines and shuffles",
+    5L -> "completely different content about distributed query engines and exchanges", // near-dup of 4
+    6L -> "unrelated third topic mentioning neither animals nor query engines at all",
+    7L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact clone of 1/2
+  )
+
+  private def streamPairs(hits: Seq[Streams.NearDupHit]): Set[(Long, Long)] =
+    hits.map(h => (math.min(h.doc_id, h.earlier_id),
+      math.max(h.doc_id, h.earlier_id))).toSet
+
+  test("stream emits exactly the batch LSH candidate pairs (across micro-batches)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStream(docs, "ts", "doc_id", "text",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val (batch1, batch2) = corpus.splitAt(4)
+      mem.addData(batch1.zipWithIndex.map { case ((id, txt), i) =>
+        (ts(f"2026-01-01 10:0$i:00"), id, txt) })
+      q.processAllAvailable()
+      mem.addData(batch2.zipWithIndex.map { case ((id, txt), i) =>
+        (ts(f"2026-01-01 10:1$i:00"), id, txt) })
+      q.processAllAvailable()
+      val hits = sq.sql("SELECT * FROM neardup_stream").as[Streams.NearDupHit]
+        .collect().toSeq
+      // batch twin: same kernels, same band construction -> any pair sharing
+      // an LSH band has >= rowsPerBand equal signature components, so at the
+      // default threshold (rowsPerBand/seeds) the stream emits EXACTLY the
+      // batch candidate set
+      val batchPairs = Dedup.minhashPairsFast(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(streamPairs(hits) == batchPairs)
+      // event-time attribution: the later-arriving doc is doc_id, the
+      // earlier one earlier_id — ids here arrive in id order
+      hits.foreach(h => assert(h.doc_id > h.earlier_id))
+      // exact clones match in every band -> at-least-once per band is real
+      assert(hits.count(h => (h.doc_id, h.earlier_id) == (2L, 1L)) == 2)
+      // estimates: exact clones at 1.0, near-dups at >= the band bound
+      assert(hits.filter(h => (h.doc_id, h.earlier_id) == (2L, 1L))
+        .forall(_.est_jaccard == 1.0))
+      assert(hits.forall(_.est_jaccard >= 0.5))
+    } finally q.stop()
+  }
+
+  test("watermark evicts bucket state — no pairing across the horizon") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStream(docs, "ts", "doc_id", "text",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2026-01-01 10:00:00"), 1L, corpus.head._2))
+      q.processAllAvailable()
+      // unrelated doc advances the watermark to 11:40, past doc 1's ts
+      mem.addData((ts("2026-01-01 11:50:00"), 6L, corpus(5)._2))
+      q.processAllAvailable()
+      // doc 1's clone arrives after the horizon -> state evicted, no pair
+      mem.addData((ts("2026-01-01 11:55:00"), 2L, corpus.head._2))
+      q.processAllAvailable()
+      val n = sq.sql("SELECT * FROM neardup_evict").count()
+      assert(n == 0)
+    } finally q.stop()
+  }
+
+  test("within the horizon the same clone DOES pair (positive control)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStream(docs, "ts", "doc_id", "text",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_ok")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2026-01-01 10:00:00"), 1L, corpus.head._2))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 10:05:00"), 2L, corpus.head._2))
+      q.processAllAvailable()
+      val hits = sq.sql("SELECT * FROM neardup_ok").as[Streams.NearDupHit]
+        .collect().toSeq
+      assert(streamPairs(hits) == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("maxBucketDocs bounds state — oldest entries drop first") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupStream(docs, "ts", "doc_id", "text",
+        lateness = "1 hour", maxBucketDocs = 1)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2026-01-01 10:00:00"), 1L, corpus.head._2))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 10:01:00"), 2L, corpus.head._2))
+      q.processAllAvailable()
+      mem.addData((ts("2026-01-01 10:02:00"), 3L, corpus.head._2))
+      q.processAllAvailable()
+      val pairs = streamPairs(sq.sql("SELECT * FROM neardup_cap")
+        .as[Streams.NearDupHit].collect().toSeq)
+      // doc 2 paired with doc 1; the cap then kept only doc 2, so doc 3
+      // pairs with doc 2 alone — recall traded for bounded state
+      assert(pairs == Set((1L, 2L), (2L, 3L)))
+    } finally q.stop()
+  }
+}
