@@ -68,9 +68,12 @@ object Bench {
     var settled = false
     while (pass < 4 && !settled && System.nanoTime() < warmDeadline) {
       val t0 = System.nanoTime()
+      // deadline checked per QUERY too: on a loaded host a single pass can
+      // exceed the whole budget, and a between-pass check alone would let it
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        if (System.nanoTime() < warmDeadline)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
       val t = (System.nanoTime() - t0) / 1e9
       // require ≥3 passes: pass 2 can land within 8% of pass 1 while C2

@@ -25,20 +25,40 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle scratch on tmpfs (`/dev/shm`) when present: local shuffle
   *    blocks are transient byte streams; a cluster puts them on fast local
   *    NVMe, and this host's equivalent is RAM-backed tmpfs. Falls back to
-  *    the default `spark.local.dir` when /dev/shm is absent (non-Linux).
+  *    the default `spark.local.dir` when /dev/shm is absent (non-Linux),
+  *    not writable, not creatable, or lacking real headroom (a
+  *    Docker-default 64 MB tmpfs would otherwise ENOSPC a data-volume
+  *    entry point like [[Pull]] mid-job).
   *
   * Measured (5-run aggregate microbench, local[32]): wall 3.0 → 0.9 s,
   * task runtime 58 → 2.4 s, task CPU 45 → 1.6 s.
   */
 object LocalTuning {
+  /** Minimum usable space on /dev/shm before shuffle scratch moves there:
+    * a Docker-default 64 MB tmpfs (or any nearly-full one) must fall back
+    * to the disk-backed default rather than die mid-job on ENOSPC. */
+  private val MinShmBytes = 16L << 30
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val tuned = b.config("spark.shuffle.sort.bypassMergeThreshold", "1")
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
-      val dir = shm.resolve("graft-local")
-      try java.nio.file.Files.createDirectories(dir)
-      catch { case _: Throwable => () }
-      tuned.config("spark.local.dir", dir.toString)
-    } else tuned
+    scratchDir match {
+      case Some(dir) => tuned.config("spark.local.dir", dir)
+      case None => tuned
+    }
   }
+
+  /** The tmpfs scratch root, ONLY when it was actually creatable and the
+    * tmpfs has real headroom — any failure falls back to the default
+    * `spark.local.dir` (pinning an unusable path would abort SparkContext
+    * creation in every entry point). */
+  private def scratchDir: Option[String] =
+    try {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)
+          && shm.toFile.getUsableSpace >= MinShmBytes) {
+        val dir = shm.resolve("graft-local")
+        java.nio.file.Files.createDirectories(dir)
+        Some(dir.toString)
+      } else None
+    } catch { case _: Throwable => None }
 }

@@ -148,16 +148,32 @@ object Dedup {
     * candidate generation is the band self-join. Identical output to
     * signatures→bands (same mins, same '_'-joined seed order, ceil-division
     * trailing partial band) — pinned by the fused-vs-unfused spec. */
+  /** The per-row band-signature strings over a `__sigs` signature array —
+    * ONE definition shared by the batch banding and the streaming
+    * dedup-on-ingest path ([[graft.streaming.Streams.nearDupStream]]), so
+    * the two cannot drift: '_'-joined decimal signature components in seed
+    * order, ceil-division trailing partial band. */
+  private[graft] def bandSigExprs(seeds: Int, rowsPerBand: Int): Seq[Column] = {
+    val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
+    (0 until nBands).map { b =>
+      val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
+      concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
+    }
+  }
+
+  /** The fused signature array for a `__harr` token-hash array column —
+    * shared with the streaming path for the same no-drift reason. */
+  private[graft] def sigArrayExpr(seeds: Int): Column = {
+    val (as, bs) = (0 until seeds).map(sigAffine).unzip
+    org.apache.spark.sql.graft.MinHashSigs.of(col("__harr"), as, bs, SigMod)
+  }
+
   private def bandsOfSets(sets: DataFrame, idCol: String,
                           seeds: Int, rowsPerBand: Int,
                           carry: Seq[String] = Nil): DataFrame = {
     val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
-    val (as, bs) = (0 until seeds).map(sigAffine).unzip
-    val sigs = org.apache.spark.sql.graft.MinHashSigs.of(col("__harr"), as, bs, SigMod)
-    val bandSigExprs = (0 until nBands).map { b =>
-      val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
-      concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
-    }
+    val sigs = sigArrayExpr(seeds)
+    val bandSigExprs = this.bandSigExprs(seeds, rowsPerBand)
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b.toLong).as("band"), bandSigExprs(b).as("band_sig"))
     }

@@ -180,35 +180,40 @@ object Streams {
     * at-least-once per pair by design; downstream consumers dedupe on
     * (doc_id, earlier_id) if they need exactly-once.
     *
-    * Within a micro-batch, rows are processed in (event time, id) order,
-    * so same-batch pairs attribute the earlier document as `earlier_id`
-    * deterministically. */
+    * `threshold < 0` (the default) resolves to the band bound
+    * `rowsPerBand/seeds` — the estimate a single shared band already
+    * guarantees — so the default stream emits EXACTLY the batch
+    * candidate set at any banding; raise it to verify-tighter matches
+    * on ingest. Pair attribution and cap eviction both order by EVENT
+    * time (ties by id), so an allowed-late arrival is still recorded as
+    * the earlier document and the cap drops genuinely-oldest entries. */
   def nearDupStream(docs: DataFrame, tsCol: String, idCol: String,
                     textCol: String, lateness: String = "10 minutes",
                     seeds: Int = 16, rowsPerBand: Int = 8,
-                    threshold: Double = 0.5,
+                    threshold: Double = -1.0,
                     maxBucketDocs: Int = 1024): Dataset[NearDupHit] = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
     import spark.implicits._
-    val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
-    val (as, bs) = (0 until seeds).map(Dedup.sigAffine).unzip
-    val sigs = org.apache.spark.sql.graft.MinHashSigs.of(
-      col("__ts.harr"), as, bs, Dedup.SigMod)
-    val bandSigExprs = (0 until nBands).map { b =>
-      val js = b * rowsPerBand until math.min(seeds, (b + 1) * rowsPerBand)
-      concat_ws("_", js.map(j => element_at(col("__sigs"), j + 1).cast("string")): _*)
-    }
+    // default threshold = the band bound rowsPerBand/seeds: a shared band
+    // forces ≥ rowsPerBand equal signature components, so at this
+    // threshold the stream emits EXACTLY the batch candidate set at ANY
+    // banding (a fixed 0.5 would silently drop candidates at, say, 16/4)
+    val minEst = if (threshold < 0) rowsPerBand.toDouble / seeds else threshold
     val bands = docs
       .withWatermark(tsCol, lateness)
       // cheap token-presence gate (kernel NULL ⟺ no tokens); the
       // `isNotNull` form would re-run the kernel as a pushed scan filter
       .filter(length(translate(col(textCol), " ", "")) > 0)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol)).as("__ts"))
-      .select(col("id"), col("ts"), sigs.as("__sigs"))
+        org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol))
+          .getField("harr").as("__harr"))
+      // band construction SHARED with the batch family (Dedup.sigArrayExpr
+      // / Dedup.bandSigExprs) — stream and batch cannot drift
+      .select(col("id"), col("ts"), Dedup.sigArrayExpr(seeds).as("__sigs"))
       .select(col("id"), col("ts"), col("__sigs"),
-        posexplode(array(bandSigExprs: _*)).as(Seq("band", "band_sig")))
+        posexplode(array(Dedup.bandSigExprs(seeds, rowsPerBand): _*))
+          .as(Seq("band", "band_sig")))
       .select(col("band").cast("int").as("band"), col("band_sig"),
         col("id"), col("ts"), col("__sigs").as("sigs"))
       .as[BandRow]
@@ -229,7 +234,7 @@ object Streams {
           else {
             val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
             val hits = Seq.newBuilder[NearDupHit]
-            var cur = live
+            val cur = collection.mutable.ArrayBuffer.from(live)
             batch.foreach { r =>
               cur.foreach { d =>
                 if (d.id != r.id) {
@@ -238,13 +243,21 @@ object Streams {
                     if (d.sigs(j) == r.sigs(j)) eq += 1; j += 1
                   }
                   val est = eq.toDouble / r.sigs.length
-                  if (est >= threshold)
-                    hits += NearDupHit(r.id, d.id, r.band, est)
+                  if (est >= minEst) {
+                    // attribute by EVENT time (ties by id), not arrival:
+                    // an allowed-late row can be event-earlier than state
+                    val rT = r.ts.getTime
+                    val rLater = rT > d.tsMs || (rT == d.tsMs && r.id > d.id)
+                    if (rLater) hits += NearDupHit(r.id, d.id, r.band, est)
+                    else hits += NearDupHit(d.id, r.id, r.band, est)
+                  }
                 }
               }
-              cur = cur :+ BucketDoc(r.id, r.ts.getTime, r.sigs)
+              cur += BucketDoc(r.id, r.ts.getTime, r.sigs)
             }
-            park(cur.takeRight(maxBucketDocs))
+            // cap by EVENT time too: the oldest documents drop first even
+            // when a late arrival inserted out of order
+            park(cur.sortBy(d => (d.tsMs, d.id)).takeRight(maxBucketDocs).toSeq)
             hits.result().iterator
           }
       }

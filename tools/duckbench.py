@@ -33,16 +33,25 @@ def main(sf_dir, oracle_path, out_path, interrupt_s=60.0):
     queries, failed = {}, {}
     for name in sorted(oracle):
         sql = oracle[name]
-        timer = threading.Timer(interrupt_s, con.interrupt)
-        timer.start()
-        t0 = time.time()
-        try:
-            con.sql(sql).fetchall()
-            queries[name] = round(time.time() - t0, 3)
-        except Exception:
-            failed[name] = -round(time.time() - t0, 3)
-        finally:
-            timer.cancel()
+        # up to one retry: the interrupt Timer can race query completion
+        # (fire after fetchall returns but before cancel) and poison the
+        # NEXT statement on the shared connection — a genuinely-fast query
+        # must not be recorded as failed in the contract artifact
+        for attempt in (0, 1):
+            timer = threading.Timer(interrupt_s, con.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+                queries[name] = round(time.time() - t0, 3)
+                break
+            except Exception:
+                elapsed = time.time() - t0
+                if elapsed >= 0.9 * interrupt_s or attempt == 1:
+                    failed[name] = -round(elapsed, 3)
+                    break
+            finally:
+                timer.cancel()
     out = {
         "total_ok": round(sum(queries.values()), 3),
         "n_ok": len(queries),
