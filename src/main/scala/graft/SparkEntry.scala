@@ -724,6 +724,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0),
         "doc_id", "text", n = 3)
     }),
+    // bloom-pruned scale path for an unbroadcastable benchmark side: the
+    // filter is physical pruning only (false positives die in the exact
+    // join), so the result — and the oracle — are identical to _fast
+    "ext_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 3)
+    }),
     // k-anonymity suppression over the (nation, segment) quasi-identifier
     "ext_k_anonymity" -> ((s, dir) =>
       Curation.kAnonymize(t(s, dir, "customer"),
@@ -937,6 +947,30 @@ object SparkEntry {
           ON c.user_id = p.user_id AND c.t >= p.lo AND c.t < p.hi""")
     }),
   )
+
+  /** Shared oracle for the two hash-free decontamination variants
+    * (`ext_decontaminate_fast` / `ext_decontaminate_bloom`): both compute
+    * the same distinct-3-gram overlap — the xxhash64 gram hash (and the
+    * bloom pruning) never leave the Spark plan, so the oracle joins the
+    * raw gram strings. */
+  private val decontRawGramOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+      |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |  ELSE [] END AS gr FROM tk),
+      |eg AS (SELECT DISTINCT g2 FROM
+      |       (SELECT unnest(gr) AS g2 FROM g WHERE doc_id % 13 = 0)),
+      |tg AS (SELECT doc_id, g2 FROM
+      |       (SELECT doc_id, unnest(gr) AS g2 FROM g WHERE doc_id % 13 <> 0)),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (g2)
+      |       GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(len(gr) AS INT) AS n_grams_distinct,
+      |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |  CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+      |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
   def oracleSql: Map[String, String] = Map(
@@ -1565,24 +1599,11 @@ object SparkEntry {
          |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin,
     // the xxhash64 production variant: the hash only mediates membership,
     // so the oracle needs NO hash at all — it joins the raw gram strings
-    "ext_decontaminate_fast" ->
-      """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
-        |  FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
-        |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
-        |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |  ELSE [] END AS gr FROM tk),
-        |eg AS (SELECT DISTINCT g2 FROM
-        |       (SELECT unnest(gr) AS g2 FROM g WHERE doc_id % 13 = 0)),
-        |tg AS (SELECT doc_id, g2 FROM
-        |       (SELECT doc_id, unnest(gr) AS g2 FROM g WHERE doc_id % 13 <> 0)),
-        |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (g2)
-        |       GROUP BY doc_id)
-        |SELECT g.doc_id, CAST(len(gr) AS INT) AS n_grams_distinct,
-        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
-        |  CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
-        |FROM g LEFT JOIN ov USING (doc_id) WHERE g.doc_id % 13 <> 0""".stripMargin,
+    "ext_decontaminate_fast" -> decontRawGramOracleSql,
+    // the bloom-pruned scale path is bit-identical to _fast by construction
+    // (the filter only prunes the physical gram stream; every surviving
+    // candidate still passes the exact join) — same raw-gram-string oracle
+    "ext_decontaminate_bloom" -> decontRawGramOracleSql,
     "ext_k_anonymity" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment FROM (
         |  SELECT c_custkey, c_nationkey, c_mktsegment,

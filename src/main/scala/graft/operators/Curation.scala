@@ -110,6 +110,60 @@ object Curation {
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
+  /** [[decontaminateFast]]'s scale path for when the "benchmark" side
+    * outgrows a broadcast (contractor eval suites, dedup-against-pretrain
+    * corpora): prune the training gram stream with a BLOOM filter over the
+    * benchmark gram hashes before the exact join, so the join exchange
+    * carries only might-match grams instead of the whole corpus gram
+    * stream. False negatives are impossible (bloom guarantee), false
+    * positives die in the exact join — the result is BIT-IDENTICAL to
+    * [[decontaminateFast]] (spec-pinned), only the physical shape changes:
+    *
+    *  - per-doc totals come from a map-only pass (`size(grams)` in-row,
+    *    no exchange) rather than riding the join;
+    *  - the candidate join shuffles only grams the filter passes (for a
+    *    selective benchmark that is a ~1/fpp shuffle-byte cut);
+    *  - the benchmark side is aggregated DISTRIBUTED into filter bytes
+    *    (only ~numBits/8 bytes reach the driver — same bounded-driver
+    *    contract as [[Prune.bloomSemiFilter]]), never broadcast as rows.
+    *
+    * Costs one extra kernel pass over the corpus (totals and candidates
+    * cannot share one subtree without the pruning-vs-reuse trap — see
+    * the tfidf note in STATUS.md); at 100 TB that map-only pass is cheap
+    * next to shuffling the full gram stream into a join against an
+    * unbroadcastable benchmark. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         expectedGrams: Long = 1000L * 1000,
+                         numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    def grams(c: Column) =
+      org.apache.spark.sql.graft.WordGramHashes.of(coalesce(c, lit("")), n)
+    val benchGrams = Query.ensureParallelism(bench)
+      .select(explode(grams(col(textCol))).as("__gh"))
+      .distinct()
+    val bytes = benchGrams
+      .select(org.apache.spark.sql.graft.Internals
+        .bloomAgg(xxhash64(col("__gh")), expectedGrams, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val perDoc = Query.ensureParallelism(train)
+      .select(col(idCol), size(grams(col(textCol))).as("n_grams_distinct"))
+    val hits =
+      if (bytes == null) perDoc.select(col(idCol)).where(lit(false))
+        .withColumn("n_overlap", lit(0L))
+      else Query.ensureParallelism(train)
+        .select(col(idCol), explode(grams(col(textCol))).as("__gh"))
+        .where(org.apache.spark.sql.graft.Internals
+          .bloomMightContain(bytes, xxhash64(col("__gh"))))
+        .join(benchGrams, Seq("__gh"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams_distinct"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col(idCol), col("n_grams_distinct"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination (`qiCols`) is shared by at least `k` rows — groups smaller
     * than k are suppressed outright (the release would identify their

@@ -45,6 +45,52 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(fast == witness)
   }
 
+  test("decontaminateBloom is bit-identical to decontaminateFast on the fixture corpus") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val fast = rows(Curation.decontaminateFast(train, bench, "doc_id", "text", 3))
+    val bloom = rows(Curation.decontaminateBloom(train, bench, "doc_id", "text", 3))
+    assert(fast.exists(_._3 > 0), "fixture must contain contaminated docs")
+    assert(bloom == fast)
+  }
+
+  test("decontaminateBloom survives a saturated filter: false positives die in the exact join") {
+    // 64 filter bits for thousands of grams -> the bloom passes nearly
+    // everything; the result must still be exact (the filter is physical
+    // pruning only, never a correctness surface)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.filter(col("doc_id") % 13 =!= 0)
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val fast = rows(Curation.decontaminateFast(train, bench, "doc_id", "text", 3))
+    val bloom = rows(Curation.decontaminateBloom(train, bench, "doc_id", "text", 3,
+      expectedGrams = 4, numBits = 64))
+    assert(bloom == fast)
+  }
+
+  test("decontaminateBloom: empty benchmark and NULL text match the fast path") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta"), (2L, null: String), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // empty benchmark: BloomFilterAggregate returns NULL bytes -> the guard
+    // path must still emit one clean row per training doc
+    val bloomEmpty = rows(Curation.decontaminateBloom(train, emptyBench, "doc_id", "text", 3))
+    assert(bloomEmpty == Set((1L, 2, 0L, 0), (2L, 0, 0L, 0), (3L, 0, 0L, 0)))
+    assert(bloomEmpty == rows(Curation.decontaminateFast(train, emptyBench, "doc_id", "text", 3)))
+    // NULL text on the benchmark side too
+    val nullBench = Seq((9L, null: String), (10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val bloomNull = rows(Curation.decontaminateBloom(train, nullBench, "doc_id", "text", 3))
+    assert(bloomNull == rows(Curation.decontaminateFast(train, nullBench, "doc_id", "text", 3)))
+    assert(bloomNull.contains((1L, 2, 1L, 1)))
+  }
+
   test("kAnonymize keeps only QI groups of size >= k; violations report the rest") {
     import spark.implicits._
     val df = Seq(
