@@ -126,6 +126,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bloom decontamination applies might_contain BELOW the candidate-join exchange") {
+    // the scale premise: the benchmark side is too big to broadcast, so the
+    // exact gram join shuffles — the bloom prune must cut the corpus gram
+    // stream BEFORE that exchange, not after
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.load(spark, sf, "documents")
+      val p = graft.operators.Curation.decontaminateBloom(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", n = 3)
+        .queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toSeq
+      val ex = lines.indexWhere(l => l.contains("Exchange hashpartitioning")
+        && l.contains("__gh"))
+      val bf = lines.indexWhere(_.contains("might_contain"))
+      assert(ex >= 0 && bf > ex,
+        s"want gram-join exchange above might_contain (ex=$ex bf=$bf):\n${p.take(4000)}")
+      // the filter must sit on the exploded gram stream (above the Generate),
+      // i.e. inside the map stage feeding the exchange
+      val gen = lines.indexWhere(l => l.contains("Generate explode"), bf)
+      assert(gen > bf, s"want might_contain above the Generate (bf=$bf gen=$gen)")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("z-order clustering plans exactly ONE range exchange and no global sort") {
     import org.apache.spark.sql.functions._
     val orders = graft.Tables.load(spark, sf, "orders")
