@@ -573,6 +573,17 @@ object SparkEntry {
     "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
       Dedup.dropNearDupsCC(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
+    // ASYMMETRIC cross-corpus filter: drop incoming (%13 != 0) docs that
+    // near-dup ANY reference (%13 == 0) doc; reference never dropped,
+    // incoming-internal dups untouched (that's drop_neardups' job)
+    "ext_dedup_drop_against_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDupsAgainst(
+        docs.filter(col("doc_id") % 13 === 0),
+        docs.filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", 16, 8, 0.95)
+        .select(col("doc_id"))
+    }),
 
     // ── §2.11 [EXT] sampling / split / curation ──────────────────────────
     // deterministic hash split: zero-shuffle map, stable under corpus growth
@@ -1415,6 +1426,28 @@ object SparkEntry {
         |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.n + sb.n - count(*) AS DOUBLE) >= 0.95)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM verified)""".stripMargin),
+    // cross-corpus: candidates = incoming×reference band agreement (no
+    // self-join, no < ordering), verified at jaccard >= 0.95; survivors =
+    // incoming rows with no verified reference match
+    "ext_dedup_drop_against_ref" -> (minhashBandsCte +
+      """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ref_id
+        |  FROM band a JOIN band b
+        |   ON a.band = b.band AND a.band_sig = b.band_sig
+        |  WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
+        |verified AS (
+        |  SELECT p.inc_id FROM pairs p
+        |  JOIN hv a ON a.doc_id = p.inc_id
+        |  JOIN hv b ON b.doc_id = p.ref_id AND b.h = a.h
+        |  JOIN sizes sa ON sa.doc_id = p.inc_id
+        |  JOIN sizes sb ON sb.doc_id = p.ref_id
+        |  GROUP BY p.inc_id, p.ref_id, sa.n, sb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(sa.n + sb.n - count(*) AS DOUBLE) >= 0.95)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 13 <> 0
+        |  AND doc_id NOT IN (SELECT DISTINCT inc_id FROM verified)""".stripMargin),
     "ext_dedup_ngram_jaccard" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |inter AS (
@@ -1800,7 +1833,11 @@ object SparkEntry {
     * token (40-bit prefix value), then the affine 2-universal family
     * sig_j = min((a_j·h + b_j) mod 2^57) with the identical (a_j, b_j)
     * literals Dedup.sigAffine generates, '_'-joined per band of 8. */
-  private def minhashCandidatesCte: String = {
+  /** The shared minhash replay prefix (tokens → 40-bit md5 hashes → affine
+    * signatures → '_'-joined 8-row bands) — extended by both the symmetric
+    * self-join candidates ([[minhashCandidatesCte]]) and the asymmetric
+    * cross-corpus candidates (`ext_dedup_drop_against_ref`). */
+  private def minhashBandsCte: String = {
     val seedRows = (0 until 16).map { j =>
       val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
     }.mkString(", ")
@@ -1816,12 +1853,15 @@ object SparkEntry {
        |band AS (
        |  SELECT doc_id, j // 8 AS band,
        |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
-       |  FROM sig GROUP BY doc_id, j // 8),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM band a JOIN band b
-       |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM sig GROUP BY doc_id, j // 8)""".stripMargin
   }
+
+  private def minhashCandidatesCte: String = minhashBandsCte +
+    """,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b
+      |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** DuckDB hex-digit decode: value of the leading `digits` hex chars of
     * md5(`of`) as a BIGINT (DuckDB has no conv(); sum per-digit strpos

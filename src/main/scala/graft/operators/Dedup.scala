@@ -688,6 +688,64 @@ object Dedup {
     keepDocs(docs, idCol, textCol, kept)
   }
 
+  /** ASYMMETRIC near-dup filter: drop every `incoming` doc whose token-set
+    * jaccard against ANY `reference` doc clears `threshold` — cross-corpus
+    * dedup, the sibling of [[Curation.decontaminateFast]] for whole-document
+    * near-duplication rather than exact n-gram overlap (dedup a fresh crawl
+    * against the previous training snapshot; scrub paraphrased eval docs,
+    * not just verbatim ones). The reference side is never dropped and
+    * `incoming`-internal duplicates are deliberately NOT touched — that is
+    * [[dropNearDups]]' job, and pipelines run the two as separate,
+    * individually-auditable passes.
+    *
+    * Scale shape — ONE tokenize pass per corpus, no self-join anywhere:
+    *  - `reference` collapses to its DISTINCT token sets ([[tokenSets]] →
+    *    one set-key aggregation; no doc ids, no member arrays — nothing
+    *    about the reference survives but the sets themselves), then bands.
+    *  - `incoming` bands at DOC level straight off its single tokenize
+    *    pass: a second (doc→set) consumer of a set-collapsed subtree would
+    *    tokenize the corpus twice (exchange reuse cannot dedupe
+    *    differently-pruned subtrees — the family's round-8 lesson), and
+    *    the usual hot-bucket argument for rep-collapse does not bite here:
+    *    the band join is incoming×reference, so boilerplate incoming
+    *    clones cost LINEAR verify work (one verdict per doc — inherent),
+    *    never the self-join's quadratic pair blow-up.
+    *  - candidates = band equi-join on (band, band_sig), each incoming×set
+    *    pair verified once from its first matching band
+    *    ([[noEarlierBandMatch]]), size-prefiltered (provably lossless, see
+    *    [[verifiedRepPairs]]), exact hash-set jaccard inside the join.
+    *  - the matched incoming ids anti-join the corpus: token-less docs are
+    *    never candidates, so they survive without a special path. Every
+    *    shuffled row is scalar-width or one hash array; zero persists,
+    *    zero checkpoints, zero driver collections. */
+  def dropNearDupsAgainst(reference: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          seeds: Int = 16, rowsPerBand: Int = 8,
+                          threshold: Double = 0.95): DataFrame = {
+    val par = incoming.sparkSession.sparkContext.defaultParallelism
+    val refSets = tokenSets(reference, idCol, textCol)
+      .select(col("__set_key"), col("__harr"))
+      .repartition(par, col("__set_key"))
+      .groupBy(col("__set_key"))
+      .agg(first(col("__harr")).as("__harr"))
+      .select(lit(0L).as("__ref"), col("__harr"))
+    val incDocs = tokenSets(incoming, idCol, textCol)
+      .select(col(idCol), col("__harr"))
+    val carry = Seq("__harr", "__allsigs")
+    val lb = bandsOfSets(incDocs, idCol, seeds, rowsPerBand, carry)
+    val rb = bandsOfSets(refSets, "__ref", seeds, rowsPerBand, carry)
+    val matched = lb.as("l").join(rb.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(noEarlierBandMatch &&
+        least(col("l.__n"), col("r.__n")).cast("double") >=
+          lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
+      .withColumn("__i", size(array_intersect(col("l.__harr"), col("r.__harr"))))
+      .filter(col("__i").cast("double") /
+        (col("l.__n") + col("r.__n") - col("__i")).cast("double") >= lit(threshold))
+      .select(col(s"l.$idCol").as(idCol))
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** X2 verification step: exact token-set Jaccard, computed ONLY on the
     * LSH candidate pairs (never all-pairs). Output keeps pairs with
     * jaccard ≥ threshold. The division is one IEEE double op on two exact

@@ -74,6 +74,55 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(keptCC == Set(1L, 3L, 4L, 6L, 7L, 8L))
   }
 
+  test("dropNearDupsAgainst: drops only incoming near-dups of the reference") {
+    import spark.implicits._
+    val reference = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "shared reference boilerplate sentence")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "fox brown quick the"),       // same token SET as ref 100 → dropped
+      (2L, "the quick brown fox"),       // verbatim ref clone → dropped
+      (3L, "completely unrelated words entirely"), // kept
+      (4L, "completely unrelated words entirely"), // internal dup of 3 — NOT this op's job, kept
+      (5L, ""),                          // token-less → kept
+      (6L, null.asInstanceOf[String])    // NULL text → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDupsAgainst(reference, incoming, "doc_id", "text", 16, 8, 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+    // empty reference: everything survives
+    val keptAll = Dedup.dropNearDupsAgainst(
+        reference.filter(col("doc_id") < 0), incoming, "doc_id", "text", 16, 8, 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("dropNearDupsAgainst equals the symmetric machinery restricted to cross pairs") {
+    // parity on the fixture corpus: an incoming doc is dropped iff the
+    // SYMMETRIC verified pipeline (nearDupsFused over the whole corpus)
+    // finds a verified pair linking it to a reference doc — the asymmetric
+    // banding (doc-level incoming × set-collapsed reference) must induce
+    // exactly the same candidate predicate
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ref = all.filter(col("doc_id") % 13 === 0)
+    val inc = all.filter(col("doc_id") % 13 =!= 0)
+    val crossDropped = Dedup.nearDupsFused(all, "doc_id", "text", 16, 8, 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .flatMap { case (a, b) =>
+        (a % 13, b % 13) match {
+          case (0, x) if x != 0 => Some(b)
+          case (x, 0) if x != 0 => Some(a)
+          case _ => None
+        }
+      }.toSet
+    assert(crossDropped.nonEmpty, "fixture must contain cross-corpus near-dups")
+    val kept = Dedup.dropNearDupsAgainst(ref, inc, "doc_id", "text", 16, 8, 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == incIds -- crossDropped)
+  }
+
   test("fuzzyNearDups finds small-edit-distance pairs, never crosses maxDist") {
     import spark.implicits._
     val rows = Seq(

@@ -152,6 +152,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("cross-corpus drop joins bands by equi-key, never a nested loop") {
+    // at scale neither side auto-broadcasts; the incoming×reference band
+    // join must stay a shuffle EQUI-join on (band, band_sig)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("ext_dedup_drop_against_ref")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"band join degenerated:\n${p.take(4000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle equi-join:\n${p.take(4000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("z-order clustering plans exactly ONE range exchange and no global sort") {
     import org.apache.spark.sql.functions._
     val orders = graft.Tables.load(spark, sf, "orders")
