@@ -168,9 +168,9 @@ object Dedup {
     org.apache.spark.sql.graft.MinHashSigs.of(col("__harr"), as, bs, SigMod)
   }
 
-  private def bandsOfSets(sets: DataFrame, idCol: String,
-                          seeds: Int, rowsPerBand: Int,
-                          carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandsOfSets(sets: DataFrame, idCol: String,
+                                 seeds: Int, rowsPerBand: Int,
+                                 carry: Seq[String] = Nil): DataFrame = {
     val nBands = math.max(1, (seeds + rowsPerBand - 1) / rowsPerBand)
     val sigs = sigArrayExpr(seeds)
     val bandSigExprs = this.bandSigExprs(seeds, rowsPerBand)
@@ -721,27 +721,93 @@ object Dedup {
   def dropNearDupsAgainst(reference: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String,
                           seeds: Int = 16, rowsPerBand: Int = 8,
-                          threshold: Double = 0.95): DataFrame = {
-    val par = incoming.sparkSession.sparkContext.defaultParallelism
-    val refSets = tokenSets(reference, idCol, textCol)
+                          threshold: Double = 0.95): DataFrame =
+    dropAgainstImpl(reference, incoming, idCol, textCol, seeds, rowsPerBand,
+      threshold, fast = false)
+
+  /** [[dropNearDupsAgainst]] on the fused production kernel
+    * ([[org.apache.spark.sql.graft.TokenSetHashes]] — the same
+    * witness-vs-fast relationship as [[minhashPairs]]/[[minhashPairsFast]]:
+    * no DuckDB oracle for xxhash64, the md5 form is the hash-exact witness,
+    * and the fixture-corpus drop sets are spec-pinned equal). This is ALSO
+    * the batch twin of the streaming form
+    * ([[graft.streaming.Streams.againstReferenceStream]]) — both sides of
+    * that pin run the identical kernel and band construction. */
+  def dropNearDupsAgainstFast(reference: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              seeds: Int = 16, rowsPerBand: Int = 8,
+                              threshold: Double = 0.95): DataFrame =
+    dropAgainstImpl(reference, incoming, idCol, textCol, seeds, rowsPerBand,
+      threshold, fast = true)
+
+  /** Doc-level (id, set key, hash array) rows: the md5 WITNESS hashes
+    * ([[tokenSets]]) or the fused production kernel — one flag so the
+    * witness/fast twins of the cross-corpus family cannot structurally
+    * diverge. */
+  private def keyedSets(docs: DataFrame, idCol: String, textCol: String,
+                        fast: Boolean): DataFrame =
+    if (!fast) tokenSets(docs, idCol, textCol)
+      .select(col(idCol), col("__set_key"), col("__harr"))
+    else Query.ensureParallelism(docs)
+      .filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol)).as("__ts"))
+      .select(col(idCol), hex(col("__ts.key")).as("__set_key"),
+        col("__ts.harr").as("__harr"))
+
+  /** The reference side of the cross-corpus family as a band table:
+    * distinct token sets only (no doc ids, no member arrays — nothing about
+    * the reference survives but the sets), exploded to
+    * (band, band_sig, __n, __harr, __allsigs) rows. PRODUCTION (kernel)
+    * hashes — this is the table the streaming form joins against
+    * ([[graft.streaming.Streams.againstReferenceStream]]); a static side is
+    * re-evaluated every micro-batch, so long-running streams should
+    * materialize it (persist, or write/read a table) before wiring it in. */
+  def referenceBands(reference: DataFrame, idCol: String, textCol: String,
+                     seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
+    referenceBandTable(reference, idCol, textCol, seeds, rowsPerBand, fast = true)
+
+  private def referenceBandTable(reference: DataFrame, idCol: String,
+                                 textCol: String, seeds: Int, rowsPerBand: Int,
+                                 fast: Boolean): DataFrame = {
+    val par = reference.sparkSession.sparkContext.defaultParallelism
+    val sets = keyedSets(reference, idCol, textCol, fast)
       .select(col("__set_key"), col("__harr"))
       .repartition(par, col("__set_key"))
       .groupBy(col("__set_key"))
       .agg(first(col("__harr")).as("__harr"))
       .select(lit(0L).as("__ref"), col("__harr"))
-    val incDocs = tokenSets(incoming, idCol, textCol)
-      .select(col(idCol), col("__harr"))
-    val carry = Seq("__harr", "__allsigs")
-    val lb = bandsOfSets(incDocs, idCol, seeds, rowsPerBand, carry)
-    val rb = bandsOfSets(refSets, "__ref", seeds, rowsPerBand, carry)
-    val matched = lb.as("l").join(rb.as("r"),
+    bandsOfSets(sets, "__ref", seeds, rowsPerBand, Seq("__harr", "__allsigs"))
+  }
+
+  /** Candidate generation + verification for the cross-corpus family,
+    * shared verbatim by the batch drops and the streaming flag form: band
+    * equi-join (aliases `l` = incoming, `r` = reference), one emission per
+    * (incoming doc, reference set) from its first matching band, lossless
+    * size pre-filter, exact hash-set jaccard ≥ threshold. Callers select
+    * the qualified `l.*` columns they need plus `jaccard`. */
+  private[graft] def crossBandMatches(incBands: DataFrame, refBands: DataFrame,
+                                      threshold: Double): DataFrame =
+    incBands.as("l").join(refBands.as("r"),
         col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
       .filter(noEarlierBandMatch &&
         least(col("l.__n"), col("r.__n")).cast("double") >=
           lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
       .withColumn("__i", size(array_intersect(col("l.__harr"), col("r.__harr"))))
-      .filter(col("__i").cast("double") /
-        (col("l.__n") + col("r.__n") - col("__i")).cast("double") >= lit(threshold))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("l.__n") + col("r.__n") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+
+  private def dropAgainstImpl(reference: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              seeds: Int, rowsPerBand: Int, threshold: Double,
+                              fast: Boolean): DataFrame = {
+    val incDocs = keyedSets(incoming, idCol, textCol, fast)
+      .select(col(idCol), col("__harr"))
+    val lb = bandsOfSets(incDocs, idCol, seeds, rowsPerBand,
+      Seq("__harr", "__allsigs"))
+    val rb = referenceBandTable(reference, idCol, textCol, seeds, rowsPerBand, fast)
+    val matched = crossBandMatches(lb, rb, threshold)
       .select(col(s"l.$idCol").as(idCol))
     incoming.join(matched, Seq(idCol), "left_anti")
   }

@@ -263,6 +263,50 @@ object Streams {
       }
   }
 
+  /** Streaming CROSS-CORPUS near-dup flagging: every arriving document is
+    * checked against a STATIC reference corpus (the previous training
+    * snapshot, an eval suite) and emits one (doc_id, band, jaccard) row per
+    * matching reference SET — the dedup-on-ingest form of
+    * [[graft.operators.Dedup.dropNearDupsAgainstFast]], its exact batch
+    * twin (same fused kernel, same band construction, same verify — the
+    * flagged id set equals the batch drop set, spec-pinned).
+    *
+    * Unlike [[nearDupStream]] this is STATELESS: the reference is fixed, so
+    * the whole operator is a stream-static equi-join on (band, band_sig) —
+    * no `flatMapGroupsWithState`, no watermark, no state store, no eviction
+    * policy. Each (doc, reference set) match emits exactly once (from its
+    * first matching band — the same in-row [[graft.operators.Dedup]]
+    * first-match predicate the batch family uses, which needs no state);
+    * a doc matching k distinct reference sets emits k rows — consumers
+    * drop on "any hit" (`dropDuplicates("doc_id")` downstream if a single
+    * verdict row is wanted).
+    *
+    * `referenceBands` comes from [[graft.operators.Dedup.referenceBands]]
+    * (set-collapsed, kernel-hashed). Spark re-evaluates a static side every
+    * micro-batch — materialize it (persist, or write/read a compact table)
+    * for long-running streams; at 100 TB the reference collapses to its
+    * distinct sets × bands, the incoming side never shuffles more than the
+    * matched candidates, and executor loss re-plans without state
+    * recovery. */
+  def againstReferenceStream(incoming: DataFrame, referenceBands: DataFrame,
+                             idCol: String, textCol: String,
+                             seeds: Int = 16, rowsPerBand: Int = 8,
+                             threshold: Double = 0.95): DataFrame = {
+    import graft.operators.Dedup
+    val docs = incoming
+      // cheap token-presence gate (kernel NULL ⟺ no tokens), same reason
+      // as nearDupStream: the isNotNull form re-runs the kernel as a
+      // pushed filter
+      .filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        org.apache.spark.sql.graft.TokenSetHashes.of(col(textCol))
+          .getField("harr").as("__harr"))
+    val bands = Dedup.bandsOfSets(docs, "id", seeds, rowsPerBand,
+      Seq("__harr", "__allsigs"))
+    Dedup.crossBandMatches(bands, referenceBands, threshold)
+      .select(col("l.id").as("doc_id"), col("l.band").as("band"), col("jaccard"))
+  }
+
   /** readStream → transform → writeStream harness over a Parquet directory
     * source — the file-native analogue of taps' chunked pull. Exactly-once:
     * the file sink commits atomically per batch, checkpoint carries offsets

@@ -123,6 +123,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == incIds -- crossDropped)
   }
 
+  test("dropNearDupsAgainstFast (kernel) is index-equivalent to the md5 witness") {
+    // same contract as minhashPairsFast-vs-witness: the two 40-bit hash
+    // families are equivalent LSH indexes, not bit-identical ones — clone
+    // (identical-set) drops are deterministic under BOTH, marginal
+    // (0.95 <= j < 1) candidates are independent draws per family
+    import spark.implicits._
+    val reference = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "zebra yak xylophone wombat")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "fox brown THE quick"),                    // ref-100 clone set → drops
+      (2L, "completely different words entirely"),    // kept
+      (3L, "zebra wombat xylophone yak")              // ref-101 clone set → drops
+    ).toDF("doc_id", "text")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // clone-only corpus: exact equality is deterministic for any family
+    assert(kept(Dedup.dropNearDupsAgainst(reference, incoming, "doc_id", "text")) == Set(2L))
+    assert(kept(Dedup.dropNearDupsAgainstFast(reference, incoming, "doc_id", "text")) == Set(2L))
+
+    // fixture corpus: dropped-set agreement pinned at the IoU floor the
+    // symmetric fast-vs-witness spec derives (~0.89 recall per family at
+    // j=0.95 → ≥0.80 IoU for ideal independent families)
+    val all = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ref = all.filter(col("doc_id") % 13 === 0)
+    val inc = all.filter(col("doc_id") % 13 =!= 0)
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dw = incIds -- kept(Dedup.dropNearDupsAgainst(ref, inc, "doc_id", "text", 16, 8, 0.95))
+    val df = incIds -- kept(Dedup.dropNearDupsAgainstFast(ref, inc, "doc_id", "text", 16, 8, 0.95))
+    assert(dw.nonEmpty && df.nonEmpty, "fixture must contain cross-corpus drops")
+    val iou = (dw & df).size.toDouble / (dw | df).size.toDouble
+    assert(iou >= 0.80, f"dropped-set IoU $iou%.3f fell below the pinned floor")
+  }
+
   test("fuzzyNearDups finds small-edit-distance pairs, never crosses maxDist") {
     import spark.implicits._
     val rows = Seq(
