@@ -89,11 +89,21 @@ object SparkEntry {
     ivfCentroids.computeIfAbsent(dir, d =>
       Similarity.trainCentroids(t(s, d, "embeddings"), k = 8, iters = 2))
 
+  /** Trained PQ codebooks per sf dir — same setup-vs-serve split as
+    * [[ivfIndex]]; integer k-means, deterministic (first-k init, no RNG). */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Long]]]]()
+
+  private def pqIndex(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqCodebooks.computeIfAbsent(dir, d =>
+      Similarity.trainPqCodebooks(t(s, d, "embeddings"), m = 4, k = 16, iters = 2))
+
   /** Build the setup-I/O fixtures outside any measured path (Bench calls
     * this during warm-up; idempotent per JVM). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     cdcPrunedFixture(s, dir)
     ivfIndex(s, dir)
+    pqIndex(s, dir)
     ()
   }
 
@@ -656,6 +666,17 @@ object SparkEntry {
       // system builds the inverted file once) — deterministic either way
       Similarity.ivfTopK(v, v.filter(col("vec_id") < 10), k = 5,
         ivfIndex(s, dir), nprobe = 2)
+    }),
+    // product quantization: integer k-means codebooks (trained in fixture
+    // setup, ORACLE REPLAYS THE TRAINING), shuffle-free 2-byte-per-vector
+    // encode; codes hash-verified cross-engine
+    "ext_embedding_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"), pqIndex(s, dir))),
+    // ADC search over the codes: per-query m×k lookup table, candidate
+    // vectors never touched at scoring time; exact BIGINT distances
+    "ext_embedding_pq_topk" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.pqTopK(v, v.filter(col("vec_id") < 10), pqIndex(s, dir), k = 5)
     }),
     // int8 scalar quantization: calibration stats (driver-bounded by dims)
     // then a shuffle-free encode pass; codes hash-verified cross-engine
@@ -1546,6 +1567,27 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
          |FROM ranked WHERE rn <= 5""".stripMargin,
 
+    // the ENTIRE PQ pipeline replayed: fixed-point subvectors, first-16
+    // init, two integer k-means rounds, code assignment
+    "ext_embedding_pq_codes" -> (pqReplayCte +
+      " SELECT vec_id, s AS sub, CAST(code AS INT) AS code FROM codes"),
+    // ADC distances re-derived from the replayed codebooks: for each
+    // (query, candidate, subspace) look up the candidate's centroid and
+    // accumulate the exact integer distance the LUT path computes
+    "ext_embedding_pq_topk" -> (pqReplayCte +
+      s""",
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         |    SUM(${sqDistSql("qs.sv", "c2.c")}) AS dist
+         |  FROM (SELECT * FROM sub WHERE vec_id < 10) qs
+         |  JOIN codes cd ON cd.s = qs.s AND cd.vec_id <> qs.vec_id
+         |  JOIN c2 ON c2.s = cd.s AND c2.j = cd.code
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin),
+
     "ext_text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(
         |  regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
@@ -1939,6 +1981,48 @@ object SparkEntry {
        |      list(CAST(CAST(CAST(s AS DOUBLE) / (n * 1048576.0) AS FLOAT) AS DOUBLE)
        |           ORDER BY i) AS c
        |    FROM $sOut GROUP BY b) upd USING (idx))""".stripMargin
+
+  /** Exact BIGINT squared L2 between two integer list references — the
+    * identical arithmetic Similarity.sqDist performs. */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  /** One integer k-means round of the PQ replay: per-subspace argmin
+    * assignment (ties → lowest j), then floor(sum/n) centroid updates in
+    * exact doubles; empty buckets keep the previous centroid — mirroring
+    * Similarity.trainPqCodebooks step for step. */
+  private def pqIterSql(cin: String, aOut: String, cOut: String): String =
+    s"""$aOut AS (SELECT sub.vec_id, sub.s, sub.sv,
+       |  (SELECT $cin.j FROM $cin WHERE $cin.s = sub.s
+       |   ORDER BY ${sqDistSql("sub.sv", s"$cin.c")}, $cin.j LIMIT 1) AS j
+       |  FROM sub),
+       |$cOut AS (SELECT $cin.s, $cin.j, COALESCE(upd.c, $cin.c) AS c
+       |  FROM $cin LEFT JOIN (
+       |    SELECT s, j, list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS c
+       |    FROM (SELECT s, j, u.d AS d, SUM(sv[u.d]) AS sx, COUNT(*) AS n
+       |          FROM $aOut, UNNEST(generate_series(1, len(sv))) AS u(d)
+       |          GROUP BY s, j, u.d)
+       |    GROUP BY s, j) upd USING (s, j))""".stripMargin
+
+  /** The PQ replay prefix shared by the codes and ADC-top-k oracles:
+    * ×2^16 fixed-point subvectors (4 × 16 dims), first-16-vectors init,
+    * two integer k-means rounds, final code assignment. */
+  private def pqReplayCte: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |f AS (SELECT vec_id,
+       |  list_transform(e, x -> CAST(floor(x*65536 + 0.5) AS BIGINT)) AS fe FROM v),
+       |sub AS (SELECT vec_id, t.s,
+       |  list_transform(generate_series(t.s*16+1, t.s*16+16), i -> fe[i]) AS sv
+       |  FROM f, (VALUES (0),(1),(2),(3)) t(s)),
+       |c0 AS (SELECT s, j, sv AS c FROM (
+       |  SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j
+       |  FROM sub) WHERE j < 16),
+       |${pqIterSql("c0", "a1", "c1")},
+       |${pqIterSql("c1", "a2", "c2")},
+       |codes AS (SELECT sub.vec_id, sub.s, sub.sv,
+       |  (SELECT c2.j FROM c2 WHERE c2.s = sub.s
+       |   ORDER BY ${sqDistSql("sub.sv", "c2.c")}, c2.j LIMIT 1) AS code
+       |  FROM sub)""".stripMargin
 
   /** DuckDB twin of Layout.zValue for two dimensions: bit b of x lands at
     * 2b, of y at 2b+1 — the same dimension-alternating interleave. */

@@ -185,6 +185,135 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn").as("rank"))
   }
 
+  // ── Product quantization (PQ) — the memory scale path beyond int8 ─────
+  //
+  // At 100 TB of float32 embeddings even int8 (4×) leaves an index that
+  // cannot live in serving memory; PQ stores m sub-codes per vector
+  // (m·log2(k) bits — 4 subspaces × 16 centroids = 2 BYTES for a 64-dim
+  // vector, 128×) and scores queries against codes via per-query lookup
+  // tables (ADC), never touching raw candidate vectors. Everything here is
+  // INTEGER arithmetic on ×2^16 fixed-point components (a power of two, so
+  // the double multiply is exact): k-means assignment, centroid updates
+  // (floor(sum/n) — sums < 2^53 stay exact in doubles), code assignment,
+  // and ADC distances are all BIGINT — merge-order-free, bit-identical
+  // across runs, partitionings, AND engines, so the DuckDB oracle replays
+  // the ENTIRE pipeline including training (the IVF recipe). Magnitude
+  // bound: |x| ≤ 2^11 keeps a 64-dim squared distance < 2^63 (fixture
+  // embeddings are unit-scale).
+
+  private val PqScale = 65536d // 2^16
+
+  /** Fixed-point BIGINT subvector `s` (dims [s·dsub, (s+1)·dsub)). */
+  private def fpSub(vec: Column, s: Int, dsub: Int): Column =
+    transform(slice(vec, s * dsub + 1, dsub),
+      x => floor(x.cast("double") * lit(PqScale) + lit(0.5d)).cast("long"))
+
+  /** Exact squared L2 between BIGINT arrays (sequential fold — but integer
+    * addition is associative, so order cannot matter anyway). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** 0-based index of the nearest centroid (min squared L2, ties → lowest
+    * index — `array_position` returns the FIRST occurrence). */
+  private def pqNearest(sv: Column, cents: Array[Array[Long]]): Column = {
+    val dists = array(cents.map(c => sqDist(sv, lit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train the m per-subspace codebooks: init = subvectors of the first k
+    * vectors in id order (deterministic, no RNG), then `iters` rounds of
+    * integer k-means — assignment is a codegen'd argmin against k constant
+    * centroids, the update moves only m·k·dsub (sum, count) pairs to the
+    * driver per round (bounded by INDEX size, like [[trainCentroids]] /
+    * [[dimStats]], never by data size). Empty buckets keep their previous
+    * centroid. Result: cb(s)(j) = centroid j of subspace s. */
+  def trainPqCodebooks(vecs: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    val dims = vecs.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val init = vecs.orderBy(col(idCol)).limit(k)
+      .select(array((0 until m).map(s => fpSub(col(vecCol), s, dsub)): _*).as("subs"))
+      .collect().map(_.getSeq[scala.collection.Seq[Long]](0))
+    require(init.length == k, s"need at least $k vectors to init, got ${init.length}")
+    var cb: Array[Array[Array[Long]]] =
+      Array.tabulate(m, k)((s, j) => init(j)(s).toArray)
+    for (_ <- 1 to iters) {
+      val cbNow = cb
+      val assignExpr = (0 until m).foldRight(lit(-1).cast("int")) { (s, acc) =>
+        when(col("s") === s, pqNearest(col("sv"), cbNow(s))).otherwise(acc)
+      }
+      val sums = Query.ensureParallelism(vecs)
+        .select(posexplode(array((0 until m).map(s =>
+          fpSub(col(vecCol), s, dsub)): _*)).as(Seq("s", "sv")))
+        .withColumn("j", assignExpr)
+        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("j"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // ≤ m·k·dsub rows — index-sized, not data-sized
+      val upd = sums.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (sj, rows) =>
+        // floor(sum/n) in doubles: |sum| < 2^53 ⇒ exact; identical to the
+        // oracle's floor(CAST(sx AS DOUBLE)/n)
+        sj -> rows.sortBy(_.getInt(2))
+          .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toArray
+      }
+      cb = Array.tabulate(m, k)((s, j) => upd.getOrElse((s, j), cb(s)(j)))
+    }
+    cb
+  }
+
+  /** PQ encode: (id, sub, code) rows — the artifact a serving system stores
+    * (m·log2(k) bits per vector). Shuffle-free map; codes hash-verify
+    * cross-engine against the replayed-training oracle. */
+  def pqCodes(vecs: DataFrame, cb: Array[Array[Array[Long]]],
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    Query.ensureParallelism(vecs)
+      .select(col(idCol), posexplode(array((0 until m).map(s =>
+        fpSub(col(vecCol), s, dsub)): _*)).as(Seq("sub", "sv")))
+      .withColumn("code", (0 until m).foldRight(lit(-1).cast("int")) { (s, acc) =>
+        when(col("sub") === s, pqNearest(col("sv"), cb(s))).otherwise(acc)
+      })
+      .select(col(idCol), col("sub"), col("code"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: candidates carry ONLY
+    * their m codes (in-row array — shuffle-free encode); each query builds
+    * its m×k lookup table of exact fixed-point squared distances ONCE
+    * (in-row, k·dims integer ops per query), then every query–candidate
+    * distance is m table lookups — the raw candidate vector is never
+    * touched at scoring time, which is the entire point at 100 TB. Queries
+    * broadcast; per-partition top-k heaps under the window. Ascending
+    * distance, ties by neighbor id — fully deterministic. */
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             cb: Array[Array[Array[Long]]], k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"),
+        array((0 until m).map(s => pqNearest(fpSub(col(vecCol), s, dsub), cb(s))): _*)
+          .as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      array((0 until m).map { s =>
+        val sv = fpSub(col(vecCol), s, dsub)
+        array(cb(s).map(cent => sqDist(sv, lit(cent))): _*)
+      }: _*).as("lut"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", (0 until m).map(s =>
+        element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1) + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"),
+        col("rn").as("rank"))
+  }
+
   /** X2-adjacent near-dup by embedding: pairs with cosine ≥ threshold,
     * bucketed by LSH so the pair join never goes all-pairs. */
   /** Per-dimension (min, max) over the corpus — the calibration pass for
