@@ -98,12 +98,23 @@ object SparkEntry {
     pqCodebooks.computeIfAbsent(dir, d =>
       Similarity.trainPqCodebooks(t(s, d, "embeddings"), m = 4, k = 16, iters = 2))
 
+  /** IVF-PQ coarse quantizer: a PQ with ONE subspace over the full vector
+    * (8 cells) — trained by the identical integer k-means, so the oracle
+    * replays it with the same CTE template. */
+  private val ivfPqCoarseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  private def ivfPqCoarse(s: SparkSession, dir: String): Array[Array[Long]] =
+    ivfPqCoarseCache.computeIfAbsent(dir, d =>
+      Similarity.trainPqCodebooks(t(s, d, "embeddings"), m = 1, k = 8, iters = 2)(0))
+
   /** Build the setup-I/O fixtures outside any measured path (Bench calls
     * this during warm-up; idempotent per JVM). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
     cdcPrunedFixture(s, dir)
     ivfIndex(s, dir)
     pqIndex(s, dir)
+    ivfPqCoarse(s, dir)
     ()
   }
 
@@ -677,6 +688,14 @@ object SparkEntry {
     "ext_embedding_pq_topk" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
       Similarity.pqTopK(v, v.filter(col("vec_id") < 10), pqIndex(s, dir), k = 5)
+    }),
+    // IVF-PQ: coarse cells prune candidates (equi-join on the cell id),
+    // ADC over global PQ codes scores inside probed cells — the
+    // production ANN layout; oracle replays BOTH trainings
+    "ext_embedding_ivfpq_topk" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(v, v.filter(col("vec_id") < 10),
+        ivfPqCoarse(s, dir), pqIndex(s, dir), k = 5, nprobe = 2)
     }),
     // int8 scalar quantization: calibration stats (driver-bounded by dims)
     // then a shuffle-free encode pass; codes hash-verified cross-engine
@@ -1571,6 +1590,37 @@ object SparkEntry {
     // init, two integer k-means rounds, code assignment
     "ext_embedding_pq_codes" -> (pqReplayCte +
       " SELECT vec_id, s AS sub, CAST(code AS INT) AS code FROM codes"),
+    // IVF-PQ: the SAME replay template instantiated twice — fine 4×16
+    // codebooks (pqReplayCte) plus a coarse m=1/k=8 chain over the full
+    // vectors — then cell assignment, 2-probe, ADC accumulation
+    "ext_embedding_ivfpq_topk" -> (pqReplayCte +
+      s""",
+         |fsub AS (SELECT vec_id, 0 AS s, fe AS sv FROM f),
+         |g0 AS (SELECT 0 AS s, j, sv AS c FROM (
+         |  SELECT sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j FROM fsub) WHERE j < 8),
+         |${pqIterSql("g0", "ga1", "g1", "fsub")},
+         |${pqIterSql("g1", "ga2", "g2", "fsub")},
+         |cand AS (SELECT fsub.vec_id AS neighbor_id,
+         |  (SELECT g2.j FROM g2 ORDER BY ${sqDistSql("fsub.sv", "g2.c")}, g2.j LIMIT 1) AS bucket
+         |  FROM fsub),
+         |probe AS (SELECT qf.vec_id AS query_id, p.j AS bucket
+         |  FROM (SELECT * FROM fsub WHERE vec_id < 10) qf,
+         |  LATERAL (SELECT g2.j FROM g2
+         |           ORDER BY ${sqDistSql("qf.sv", "g2.c")}, g2.j LIMIT 2) p(j)),
+         |scored AS (
+         |  SELECT probe.query_id, cand.neighbor_id,
+         |    SUM(${sqDistSql("qs.sv", "c2.c")}) AS dist
+         |  FROM probe
+         |  JOIN cand USING (bucket)
+         |  JOIN sub qs ON qs.vec_id = probe.query_id
+         |  JOIN codes cd ON cd.vec_id = cand.neighbor_id AND cd.s = qs.s
+         |  JOIN c2 ON c2.s = cd.s AND c2.j = cd.code
+         |  WHERE cand.neighbor_id <> probe.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM scored)
+         |SELECT query_id, neighbor_id, dist, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5""".stripMargin),
     // ADC distances re-derived from the replayed codebooks: for each
     // (query, candidate, subspace) look up the candidate's centroid and
     // accumulate the exact integer distance the LUT path computes
@@ -1990,12 +2040,17 @@ object SparkEntry {
   /** One integer k-means round of the PQ replay: per-subspace argmin
     * assignment (ties → lowest j), then floor(sum/n) centroid updates in
     * exact doubles; empty buckets keep the previous centroid — mirroring
-    * Similarity.trainPqCodebooks step for step. */
-  private def pqIterSql(cin: String, aOut: String, cOut: String): String =
-    s"""$aOut AS (SELECT sub.vec_id, sub.s, sub.sv,
-       |  (SELECT $cin.j FROM $cin WHERE $cin.s = sub.s
-       |   ORDER BY ${sqDistSql("sub.sv", s"$cin.c")}, $cin.j LIMIT 1) AS j
-       |  FROM sub),
+    * Similarity.trainPqCodebooks step for step. `subT` is the
+    * (vec_id, s, sv) table the round assigns — the fine 4×16-dim subspaces
+    * for PQ proper, or the full vector as a single "subspace" (m=1) for
+    * the IVF-PQ coarse quantizer: the coarse quantizer IS a PQ with m=1,
+    * in SQL exactly as in Scala. */
+  private def pqIterSql(cin: String, aOut: String, cOut: String,
+                        subT: String = "sub"): String =
+    s"""$aOut AS (SELECT $subT.vec_id, $subT.s, $subT.sv,
+       |  (SELECT $cin.j FROM $cin WHERE $cin.s = $subT.s
+       |   ORDER BY ${sqDistSql(s"$subT.sv", s"$cin.c")}, $cin.j LIMIT 1) AS j
+       |  FROM $subT),
        |$cOut AS (SELECT $cin.s, $cin.j, COALESCE(upd.c, $cin.c) AS c
        |  FROM $cin LEFT JOIN (
        |    SELECT s, j, list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS c

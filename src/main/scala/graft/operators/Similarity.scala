@@ -314,6 +314,62 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** Probe list for the IVF-PQ coarse quantizer: indices of the `nprobe`
+    * nearest coarse centroids by ascending exact integer squared L2 (ties
+    * → lowest index). `coarse` is a full-dim integer codebook — train it
+    * with [[trainPqCodebooks]] at m=1 (the coarse quantizer IS a PQ with
+    * one subspace). */
+  def probeCoarse(vec: Column, coarse: Array[Array[Long]], nprobe: Int): Column = {
+    val fv = fpSub(vec, 0, coarse(0).length)
+    val ranked = coarse.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(fv, lit(c)).as("d"), lit(i).as("idx"))
+    }
+    transform(slice(array_sort(array(ranked: _*)), 1, nprobe), s => s.getField("idx"))
+  }
+
+  /** IVF-PQ: the production ANN layout — the coarse quantizer partitions
+    * candidates into an inverted file (each query probes its `nprobe`
+    * nearest cells), and INSIDE the probed cells scoring is ADC over PQ
+    * codes, so at no point does a candidate vector ride a join. The cell
+    * join is a plain equi-join on the bucket id (at 100 TB the inverted
+    * file lives partitioned on disk and a query touches only its probed
+    * partitions), and per pair the work is m table lookups. Codes here are
+    * GLOBAL PQ codes (per-cell residual encoding is the classic refinement;
+    * it needs per-cell codebooks, which would blow the replayed-training
+    * oracle up k-fold — the composition point is the same either way and
+    * the global-code variant is a legitimate production layout when memory
+    * dominates recall tuning). With `nprobe` = number of coarse cells this
+    * degrades EXACTLY to [[pqTopK]] (spec-pinned). */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                coarse: Array[Array[Long]], cb: Array[Array[Array[Long]]],
+                k: Int, nprobe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"),
+        pqNearest(fpSub(col(vecCol), 0, coarse(0).length), coarse).as("bucket"),
+        array((0 until m).map(s => pqNearest(fpSub(col(vecCol), s, dsub), cb(s))): _*)
+          .as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeCoarse(col(vecCol), coarse, nprobe)).as("bucket"),
+      array((0 until m).map { s =>
+        val sv = fpSub(col(vecCol), s, dsub)
+        array(cb(s).map(cent => sqDist(sv, lit(cent))): _*)
+      }: _*).as("lut"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", (0 until m).map(s =>
+        element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1) + 1)).reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"),
+        col("rn").as("rank"))
+  }
+
   /** X2-adjacent near-dup by embedding: pairs with cosine ≥ threshold,
     * bucketed by LSH so the pair join never goes all-pairs. */
   /** Per-dimension (min, max) over the corpus — the calibration pass for

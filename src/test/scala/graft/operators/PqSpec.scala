@@ -88,6 +88,47 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(out.sortBy(_._3).map(_._2).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("ivfPqTopK with nprobe = all cells degrades exactly to pqTopK") {
+    val cb = Similarity.trainPqCodebooks(fixture, m = 4, k = 16, iters = 2)
+    val coarse = Similarity.trainPqCodebooks(fixture, m = 1, k = 8, iters = 2)(0)
+    val queries = fixture.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val full = rows(Similarity.pqTopK(fixture, queries, cb, k = 5))
+    val probed = rows(Similarity.ivfPqTopK(fixture, queries, coarse, cb,
+      k = 5, nprobe = 8))
+    assert(probed == full && full.nonEmpty)
+  }
+
+  test("ivfPqTopK probes prune: neighbors come only from probed cells, dists exact") {
+    val cb = Similarity.trainPqCodebooks(fixture, m = 4, k = 16, iters = 2)
+    val coarse = Similarity.trainPqCodebooks(fixture, m = 1, k = 8, iters = 2)(0)
+    val vecs = fixture.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def fpv(v: Array[Float]) = v.map(fp)
+    def cell(v: Array[Float]) = refCode(fpv(v), coarse)
+    def probes(v: Array[Float], nprobe: Int) =
+      coarse.zipWithIndex.map { case (c, j) =>
+        (c.zip(fpv(v)).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.sorted.take(nprobe).map(_._2).toSet
+    val out = Similarity.ivfPqTopK(fixture, fixture.filter(col("vec_id") < 10),
+        coarse, cb, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (qid, nid, dist) =>
+      assert(probes(vecs(qid), 1).contains(cell(vecs(nid))),
+        s"neighbor $nid outside query $qid's probed cell")
+      // dist parity with the plain-Scala ADC reference
+      val q = vecs(qid); val n = vecs(nid)
+      val expect = (0 until 4).map { s =>
+        val qs = q.slice(s * 16, (s + 1) * 16).map(fp)
+        val code = refCode(n.slice(s * 16, (s + 1) * 16).map(fp), cb(s))
+        cb(s)(code).zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(dist == expect, s"ADC dist mismatch for ($qid,$nid)")
+    }
+  }
+
   test("empty buckets keep their previous centroid (duplicate init vectors)") {
     val sq = spark
     import sq.implicits._
