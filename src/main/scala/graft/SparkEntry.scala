@@ -605,6 +605,11 @@ object SparkEntry {
         "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))
     }),
+    // duplicated-SPAN removal (exact substring dedup, Lee et al. 2022
+    // shape at word-5-gram granularity): per-doc boilerplate fraction +
+    // span-scrubbed text; repeated-gram dictionary built corpus-wide
+    "ext_dedup_span_removal" -> ((s, dir) =>
+      SpanDedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text")),
 
     // ── §2.11 [EXT] sampling / split / curation ──────────────────────────
     // deterministic hash split: zero-shuffle map, stable under corpus growth
@@ -1488,6 +1493,40 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 13 <> 0
         |  AND doc_id NOT IN (SELECT DISTINCT inc_id FROM verified)""".stripMargin),
+    // duplicated-span removal: positional 5-grams hashed with the same
+    // md5-prefix witness the engine uses; a gram repeated >= 2 times
+    // corpus-wide (any doc, any position) marks every token position it
+    // covers; cleaned text = uncovered tokens re-joined in order
+    "ext_dedup_span_removal" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS tk
+         |  FROM documents),
+         |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-3),
+         |    i -> {'pos': i, 'g': tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]})) AS z
+         |  FROM tk WHERE len(tk) >= 5),
+         |g AS (SELECT doc_id, z.pos AS pos,
+         |  CAST(${md5PrefixValueSql(15, "z.g")} AS BIGINT) AS gh FROM pg),
+         |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |hits AS (SELECT DISTINCT doc_id, pos FROM g JOIN d USING (gh)),
+         |pt AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
+         |    p -> {'pos': p, 'tok': tk[p]})) AS z FROM tk WHERE len(tk) > 0),
+         |cov AS (SELECT pt.doc_id, pt.z.pos AS pos, pt.z.tok AS tok,
+         |  bool_or(h.pos IS NOT NULL) AS covered
+         |  FROM pt LEFT JOIN hits h
+         |   ON h.doc_id = pt.doc_id AND pt.z.pos BETWEEN h.pos AND h.pos + 4
+         |  GROUP BY 1, 2, 3),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens,
+         |  sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_dup,
+         |  coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered), '') AS clean_text
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+         |  CAST(coalesce(a.n_dup, 0) AS INT) AS n_dup_tokens,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |    THEN CAST((coalesce(a.n_dup, 0) * 1000000) // a.n_tokens AS BIGINT)
+         |    ELSE 0 END AS dup_ppm,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM tk t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "ext_dedup_ngram_jaccard" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |inter AS (

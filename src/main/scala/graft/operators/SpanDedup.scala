@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * X2 [EXT] — duplicated-SPAN removal (exact substring dedup).
+ *
+ * Document-level dedup (exact / minhash / simhash, `Dedup.scala`) drops
+ * whole near-identical documents, but the dominant redundancy in web-scale
+ * pretraining corpora is SUB-document: boilerplate headers, license
+ * blocks, navigation chrome and quoted passages repeated across otherwise
+ * distinct pages. The standard treatment (Lee et al. 2022, "Deduplicating
+ * Training Data Makes Language Models Better") removes every substring
+ * that occurs more than once in the corpus. A literal suffix-array build
+ * over 100 TB is its own distributed-systems project; the scalable
+ * relational equivalent used here is the word-n-gram approximation: a
+ * token position is "duplicated" when ANY corpus-repeated n-gram covers
+ * it, and the cleaned document is the original token stream with covered
+ * positions dropped. With n = [[SpanDedup.DefaultN]] this flags exactly
+ * the spans a suffix-array pass would flag at match length ≥ n tokens,
+ * quantized to token boundaries.
+ *
+ * Reference framing: taps has no text analytics at all (its unit of
+ * transfer is the opaque row — `lib/taps/data_stream.rb:76-87`); this
+ * whole family is the [EXT] north-star surface (SURVEY §2.11).
+ *
+ * Scale shape (the part that must survive 100 TB):
+ *  - THREE linear corpus passes and nothing quadratic anywhere:
+ *    (1) positional gram stream → `groupBy(gh).count()` — partially
+ *        aggregated map-side, so the exchange carries the gram
+ *        DICTIONARY (distinct grams), not the gram stream;
+ *    (2) the gram stream again, joined to the repeated-gram set. The
+ *        join carries NO broadcast hint: AQE promotes it to broadcast
+ *        from the measured size of the filtered dictionary (tfidfTopK
+ *        precedent — a boilerplate-heavy corpus can have a repeated-gram
+ *        set that outgrows a broadcast, and a hint would force the build
+ *        and fail the job where a shuffle join still finishes);
+ *    (3) the documents table, left-joined to the per-doc start-position
+ *        sets to rebuild cleaned text in-row.
+ *    A single-tokenize reuse of (1)+(2) is NOT reachable: Catalyst
+ *    prunes the count side to `gh` alone, so the two gram-stream
+ *    references canonicalize differently and AQE stage reuse can never
+ *    dedupe them (measured on tfidfTopK, round 8).
+ *  - Per-doc state is bounded by DOCUMENT length (the `collect_set` of
+ *    duplicated start positions), never by corpus-wide clone-group size —
+ *    the giant-clone-group hazard the round-7 verdict flagged for the
+ *    drop paths cannot arise here.
+ *  - The in-row coverage test is O(n_tokens × n_dup_starts) per document
+ *    (an `exists` scan per position). Both factors are bounded by the
+ *    document length, so the worst case is quadratic in ONE document,
+ *    linear in the corpus.
+ *
+ * Oracle: the gram hash is the md5-prefix witness ([[gramHashMd5]]),
+ * replayed digit-for-digit by the DuckDB oracle — the whole pipeline
+ * (tokenize, positional grams, repeat threshold, coverage, cleaned text)
+ * is cross-engine exact, hence a FULL hash oracle, not rows-only.
+ */
+object SpanDedup {
+
+  /** Span match length, in tokens. 5 words ≈ the shortest span that is
+    * evidence of copying rather than coincidence (Lee et al. use 50 BPE
+    * tokens for full suffix-array dedup; at word granularity with a
+    * repeat threshold of 2 occurrences, 5 keeps the fixture corpus's
+    * planted boilerplate detectable while staying conservative). */
+  val DefaultN = 5
+
+  /** Family tokenizer (single-space split, lowercased, empties dropped) —
+    * identical to `Dedup.tokens` / `Curation.gramArray` so span dedup,
+    * doc dedup and decontamination agree on token positions. */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(coalesce(textCol, lit(""))), " "), w => w =!= "")
+
+  /** 60-bit md5-prefix gram hash — same witness family and collision
+    * analysis as `Curation.gramHashMd5` (~1e-11 per-gram false-hit at a
+    * realistic 1e7-gram dictionary), reproducible in any engine. */
+  private def gramHashMd5(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Positional n-gram array: struct(pos, gh) per start position 1-based
+    * over the token stream; `< n`-token docs yield an empty array (the
+    * when/otherwise guard also keeps `sequence` from producing a
+    * DESCENDING range when size < n, and avoids a row-level filter that
+    * Catalyst would push into the scan as a second full tokenize —
+    * round-8 filter-pushdown-recompute lesson). */
+  private def posGrams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - lit(n - 1)),
+        i => struct(i.as("pos"),
+          gramHashMd5(array_join(slice(tk, i, lit(n)), " ")).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+
+  /** (id, pos, gh) stream of every n-gram occurrence in the corpus. */
+  private def gramStream(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    Query.ensureParallelism(docs)
+      .select(col(idCol), explode(posGrams(toks(col(textCol)), n)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"), col("__g.gh").as("__gh"))
+
+  /**
+   * Per-document duplicated-span statistics + cleaned text.
+   *
+   * Output: (idCol, n_tokens, n_dup_tokens, dup_ppm, clean_text) — one row
+   * per input document (token-less and NULL-text docs surface with zeros
+   * and an empty clean_text). `dup_ppm` is the duplicated-token fraction
+   * in integer parts-per-million (floor division — exact cross-engine),
+   * the quantity a curation pipeline thresholds on ("drop documents that
+   * are > 80% boilerplate"); `clean_text` is the span-scrubbed token
+   * stream, the Lee-et-al transform itself.
+   *
+   * A gram is repeated when its corpus-wide occurrence count (across ALL
+   * docs AND positions — a self-repeating doc is boilerplate too) is
+   * ≥ `minCount`.
+   */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = DefaultN, minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // pass 1: repeated-gram dictionary (Catalyst prunes this subtree to
+    // `gh` alone — the exchange carries (gh, partial count) post-combine)
+    val dup = gramStream(docs, idCol, textCol, n)
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__gh"))
+    // pass 2: which (doc, start) positions those grams occupy
+    val starts = gramStream(docs, idCol, textCol, n)
+      .join(dup, Seq("__gh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__starts"))
+    // pass 3: rebuild each doc in-row from its duplicated start set
+    val tk = toks(col(textCol))
+    val st = coalesce(col("__starts"), array().cast("array<int>"))
+    val posToks = when(size(col("__tk")) > 0,
+      transform(sequence(lit(1), size(col("__tk"))),
+        p => struct(p.as("pos"), element_at(col("__tk"), p).as("tok"))))
+      .otherwise(array().cast("array<struct<pos:int,tok:string>>"))
+    val kept = filter(col("__ptoks"), x =>
+      !exists(col("__st"), s => x("pos") >= s && x("pos") <= s + lit(n - 1)))
+    docs.join(starts, Seq(idCol), "left")
+      .select(col(idCol), tk.as("__tk"), st.as("__st"))
+      .select(col(idCol), col("__tk"), col("__st"), posToks.as("__ptoks"))
+      .select(col(idCol), size(col("__tk")).as("n_tokens"),
+        (size(col("__tk")) - size(kept)).as("n_dup_tokens"),
+        kept.as("__kept"))
+      .select(col(idCol), col("n_tokens"), col("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(CAST(n_dup_tokens AS BIGINT) * 1000000) div n_tokens"))
+          .otherwise(lit(0L)).as("dup_ppm"),
+        array_join(transform(col("__kept"), x => x("tok")), " ")
+          .as("clean_text"))
+  }
+}
