@@ -39,11 +39,27 @@ object Bench {
     // warm up JVM/codegen and the page cache with one full untimed pass over
     // every table — otherwise the alphabetically-first query on each table
     // absorbs its cold-read + JIT cost (~8s observed on the doc corpus)
-    Tables.names.foreach(t =>
-      Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
+    // FAULT-ISOLATED warm-up: one broken table (round-8: a fixture-schema
+    // drift broke the events load) must degrade to per-query failures in
+    // the measured loop, not zero the entire round's bench artifact — so
+    // every warm-up step is individually caught and reported in the JSON.
+    val warmupErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // fixture drift guard FIRST: a schema regeneration shows up here as a
+    // named table.column diff in the artifact, before any query obscures it
+    warmupErrors ++= Tables.schemaDrift(spark, sfDir)
+    warmupErrors.foreach(e => System.err.println(s"[bench] schema drift: $e"))
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        warmupErrors += s"$t: ${e.getClass.getSimpleName}"
+        System.err.println(s"[bench] warm-up load of $t failed: ${e.getMessage}") }
+    }
     // fixture setup I/O (e.g. the pruned-CDC chunked layout) belongs to
     // warm-up, not to the measured query that happens to need it first
-    SparkEntry.prepareFixtures(spark, sfDir)
+    try SparkEntry.prepareFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      warmupErrors += s"prepareFixtures: ${e.getClass.getSimpleName}"
+      System.err.println(s"[bench] prepareFixtures failed: ${e.getMessage}") }
     // …and per-query first-run compilation: each declared query is a
     // DISTINCT program — fresh Catalyst plan, fresh janino classes
     // (cached only by identical generated source), fresh JIT profile.
@@ -108,7 +124,9 @@ object Bench {
     val loadEnd = loadavg()
     // loadavg at both measurement boundaries: a suite judged on a host with
     // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"adaptive-full-pass-x$pass""""
+    val warmErrJson = warmupErrors.map(e => "\"" + e.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest

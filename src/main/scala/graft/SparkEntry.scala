@@ -1493,17 +1493,19 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 13 <> 0
         |  AND doc_id NOT IN (SELECT DISTINCT inc_id FROM verified)""".stripMargin),
-    // duplicated-span removal: positional 5-grams hashed with the same
+    // duplicated-span removal: positional n-grams hashed with the same
     // md5-prefix witness the engine uses; a gram repeated >= 2 times
     // corpus-wide (any doc, any position) marks every token position it
-    // covers; cleaned text = uncovered tokens re-joined in order
+    // covers; cleaned text = uncovered tokens re-joined in order.
+    // Every n-dependent literal is interpolated from SpanDedup.DefaultN so
+    // the Scala engine and this oracle share ONE constant (ADVICE r8).
     "ext_dedup_span_removal" ->
       s"""WITH tk AS (SELECT doc_id,
          |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS tk
          |  FROM documents),
-         |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-3),
-         |    i -> {'pos': i, 'g': tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]})) AS z
-         |  FROM tk WHERE len(tk) >= 5),
+         |pg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-${operators.SpanDedup.DefaultN - 2}),
+         |    i -> {'pos': i, 'g': ${(0 until operators.SpanDedup.DefaultN).map(j => s"tk[i+$j]").mkString("||' '||")}})) AS z
+         |  FROM tk WHERE len(tk) >= ${operators.SpanDedup.DefaultN}),
          |g AS (SELECT doc_id, z.pos AS pos,
          |  CAST(${md5PrefixValueSql(15, "z.g")} AS BIGINT) AS gh FROM pg),
          |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
@@ -1513,7 +1515,7 @@ object SparkEntry {
          |cov AS (SELECT pt.doc_id, pt.z.pos AS pos, pt.z.tok AS tok,
          |  bool_or(h.pos IS NOT NULL) AS covered
          |  FROM pt LEFT JOIN hits h
-         |   ON h.doc_id = pt.doc_id AND pt.z.pos BETWEEN h.pos AND h.pos + 4
+         |   ON h.doc_id = pt.doc_id AND pt.z.pos BETWEEN h.pos AND h.pos + ${operators.SpanDedup.DefaultN - 1}
          |  GROUP BY 1, 2, 3),
          |agg AS (SELECT doc_id, count(*) AS n_tokens,
          |  sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_dup,
@@ -1648,7 +1650,7 @@ object SparkEntry {
          |           ORDER BY ${sqDistSql("qf.sv", "g2.c")}, g2.j LIMIT 2) p(j)),
          |scored AS (
          |  SELECT probe.query_id, cand.neighbor_id,
-         |    SUM(${sqDistSql("qs.sv", "c2.c")}) AS dist
+         |    CAST(SUM(${sqDistSql("qs.sv", "c2.c")}) AS BIGINT) AS dist
          |  FROM probe
          |  JOIN cand USING (bucket)
          |  JOIN sub qs ON qs.vec_id = probe.query_id
@@ -1667,7 +1669,7 @@ object SparkEntry {
       s""",
          |scored AS (
          |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
-         |    SUM(${sqDistSql("qs.sv", "c2.c")}) AS dist
+         |    CAST(SUM(${sqDistSql("qs.sv", "c2.c")}) AS BIGINT) AS dist
          |  FROM (SELECT * FROM sub WHERE vec_id < 10) qs
          |  JOIN codes cd ON cd.s = qs.s AND cd.vec_id <> qs.vec_id
          |  JOIN c2 ON c2.s = cd.s AND c2.j = cd.code

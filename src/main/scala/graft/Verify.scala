@@ -21,6 +21,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture drift guard: name the table/column/got/want up front — the
+    // per-query catch below still lets every unaffected query dump
+    Tables.schemaDrift(spark, sfDir)
+      .foreach(e => System.err.println(s"[verify] schema drift: $e"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

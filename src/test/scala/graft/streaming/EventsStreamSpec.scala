@@ -17,14 +17,15 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
 
     // stream the same data: readStream wants a DIRECTORY of files — stage
-    // the fixture into one (raw schema: ts is nanos long pre-conversion)
+    // the fixture into one. ts arrives in whatever physical form the
+    // fixture generation used; normalize exactly as the batch load does.
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val streamed = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = Streams.tumblingCounts(streamed, "ts")
       .writeStream.format("memory").queryName("ev_tumbling")
       .outputMode("complete")
