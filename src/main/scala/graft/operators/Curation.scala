@@ -131,7 +131,17 @@ object Curation {
     * cannot share one subtree without the pruning-vs-reuse trap — see
     * the tfidf note in STATUS.md); at 100 TB that map-only pass is cheap
     * next to shuffling the full gram stream into a join against an
-    * unbroadcastable benchmark. */
+    * unbroadcastable benchmark.
+    *
+    * The distinct benchmark gram set is `localCheckpoint`ed ONCE and both
+    * consumers (bloom build, exact join) read the materialized blocks:
+    * without it the bloom `.head` and the main action are separate jobs
+    * with no cross-action exchange reuse, so the whole benchmark corpus
+    * would be tokenized + distinct-shuffled TWICE (r8 verdict task 8 —
+    * measured: the checkpoint halves the benchmark-side work and cuts
+    * 12 → ~9 job barriers; the blocks are gram-dictionary-sized, the
+    * same bounded trade `Dedup.dropNearDupsCC` makes for its final
+    * rep list, and are reclaimed when the returned frame is GC'd). */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 3,
                          expectedGrams: Long = 1000L * 1000,
@@ -141,6 +151,7 @@ object Curation {
     val benchGrams = Query.ensureParallelism(bench)
       .select(explode(grams(col(textCol))).as("__gh"))
       .distinct()
+      .localCheckpoint()
     val bytes = benchGrams
       .select(org.apache.spark.sql.graft.Internals
         .bloomAgg(xxhash64(col("__gh")), expectedGrams, numBits).as("bf"))
