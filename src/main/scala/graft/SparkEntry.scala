@@ -632,6 +632,30 @@ object SparkEntry {
       Sampling.weightedMix(t(s, dir, "documents"), "doc_id", rate)
         .select(col("doc_id"), col("source"))
     }),
+    // fixed-size uniform sample: exactly k rows by id-hash rank — plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort)
+    "ext_sample_fixed_k" -> ((s, dir) =>
+      Sampling.uniformFixed(t(s, dir, "documents"), "doc_id", 100)
+        .select(col("doc_id"), col("source"))),
+    // token-budget mixture: 40/30/20/10% TOKEN shares over src0..src3
+    // (every other source dropped); thresholds from exact integer math
+    "ext_token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "source",
+        size(filter(split(lower(col("text")), " "), w => w =!= "")),
+        Map("src0" -> 400000L, "src1" -> 300000L,
+            "src2" -> 200000L, "src3" -> 100000L))
+        .select(col("doc_id"), col("source"))),
+    // rank-based quality curation: best 25% of each language by
+    // alphabetic-character ratio (ties by id)
+    "ext_quality_topfrac" -> ((s, dir) => {
+      val text = col("text")
+      val score = when(length(text) > 0,
+        length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+          length(text).cast("double")).otherwise(lit(0.0))
+      Sampling.topFracByGroup(t(s, dir, "documents"), "lang", score,
+        "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+    }),
     // pre-transfer data-quality preflight: nulls/ndv/min/max per column —
     // reconciliation-grade exact ndv (the approx default has no cross-engine
     // oracle); one union-of-branches job, no Expand (pinned by PlanShapeSpec)
@@ -1371,6 +1395,39 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |WHERE (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100
          |      < 10 + 25 * (CAST(substr(source, 4, 8) AS INT) % 4)""".stripMargin,
+    "ext_sample_fixed_k" ->
+      s"""SELECT doc_id, source FROM documents
+         |ORDER BY (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 65536, doc_id
+         |LIMIT 100""".stripMargin,
+    // same exact integer threshold math as the engine: B = min over
+    // targeted sources of tokens*1e6 // ppm, per-source ceiling'd 16-bit
+    // threshold, membership by md5 bucket — HUGEINT keeps it exact
+    "ext_token_budget_mix" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS t
+         |  FROM documents),
+         |shares AS (SELECT * FROM (VALUES
+         |  ('src0', 400000), ('src1', 300000), ('src2', 200000),
+         |  ('src3', 100000)) v(source, ppm)),
+         |tot AS (SELECT source, SUM(t) AS tokens FROM tok GROUP BY source),
+         |b AS (SELECT MIN(tokens * 1000000 // ppm) AS b
+         |  FROM tot JOIN shares USING (source) WHERE tokens > 0),
+         |thr AS (SELECT source,
+         |    LEAST(65536, (CAST(65536 AS HUGEINT) * ppm * b.b + CAST(1000000 AS HUGEINT) * tokens - 1)
+         |                 // (CAST(1000000 AS HUGEINT) * tokens)) AS thr
+         |  FROM tot JOIN shares USING (source) CROSS JOIN b WHERE tokens > 0)
+         |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+         |WHERE (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 65536 < thr""".stripMargin,
+    "ext_quality_topfrac" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE)
+        |    ELSE 0.0 END AS score FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.25 * n)""".stripMargin,
     "ext_profile_columns" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map(c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,

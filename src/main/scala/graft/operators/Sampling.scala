@@ -101,4 +101,96 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Fixed-SIZE uniform sample: the k rows with the smallest id-hash, ties
+    * by id — the deterministic, distributed stand-in for reservoir sampling
+    * ("give me exactly 100k random documents from the corpus"). Plans as
+    * TakeOrderedAndProject: every partition surfaces at most k rows and the
+    * driver merges, so there is NO global sort and no shuffle of the corpus
+    * — the right shape at 100 TB as long as k is driver-sized (it is, by
+    * the operator's own contract: the sample must fit somewhere). Same
+    * membership stability as [[hashSplit]]: a row's hash rank never
+    * changes, so growing the corpus only ever EVICTS rows from the sample
+    * (by better-ranked arrivals), never reshuffles it wholesale. */
+  def uniformFixed(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.orderBy(hashBucket(col(idCol), 1 << 16).asc, col(idCol).asc).limit(k)
+  }
+
+  /** TOKEN-budget source mixing: training mixtures are specified over
+    * tokens, not documents ("30% of the training tokens from wiki, 10%
+    * from forums"), and a per-row keep-rate ([[weightedMix]]) cannot hit a
+    * token target when sources have different token totals. This operator
+    * computes, per source, the keep rate that lands the mixture on the
+    * LARGEST achievable total budget: B = min over targeted sources of
+    * floor(tokens_s·1e6/share_ppm_s) (the binding source is sampled at
+    * ~100%, every other source is thinned to its share of B), then keeps a
+    * row iff its 16-bit id-hash bucket clears the source's ceiling'd
+    * threshold. Sources absent from `sharePpm` are dropped (share 0).
+    *
+    * All threshold arithmetic is exact BigInt (ceil via (num+den−1)/den) —
+    * `bucket < ceil(x)` is exactly `bucket < x` for integer buckets — so
+    * the DuckDB oracle replays membership bit-for-bit from the same
+    * integer math (HUGEINT on its side).
+    *
+    * Scale shape: ONE aggregate pass over (source, tokenCount) whose
+    * exchange carries a row per source (map-side partial combine), a
+    * driver-side threshold table bounded by the number of sources, and a
+    * broadcast join + map filter over the corpus — the corpus itself is
+    * never shuffled. Expected sampled tokens per source ≈ share_s·B
+    * (hash-uniform to ~0.4%, the family's stated bucket bias). */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tokenCount: Column,
+                     sharePpm: Map[String, Long]): DataFrame = {
+    require(sharePpm.nonEmpty, "sharePpm must name at least one source")
+    require(sharePpm.values.forall(v => v > 0 && v <= 1000000L),
+      s"shares are ppm in (0, 1e6], got $sharePpm")
+    require(sharePpm.values.sum <= 1000000L,
+      s"shares sum to ${sharePpm.values.sum} ppm > 1e6")
+    val spark = df.sparkSession
+    val totals = df
+      .select(col(sourceCol).cast("string").as("__src"),
+        tokenCount.cast("long").as("__tok"))
+      .groupBy(col("__src")).agg(sum(col("__tok")).as("__tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = sharePpm.collect {
+      case (s, share) if totals.getOrElse(s, 0L) > 0L =>
+        BigInt(totals(s)) * 1000000L / share
+    }.minOption.getOrElse(BigInt(0))
+    val thresholds = sharePpm.toSeq.map { case (s, share) =>
+      val tok = BigInt(totals.getOrElse(s, 0L))
+      val thr =
+        if (tok == 0) BigInt(0)
+        else {
+          val num = BigInt(65536) * share * budget
+          val den = BigInt(1000000) * tok
+          ((num + den - 1) / den).min(BigInt(65536))
+        }
+      (s, thr.toLong)
+    }
+    import spark.implicits._
+    val thrDf = thresholds.toDF("__src", "__thr")
+    df.join(broadcast(thrDf), col(sourceCol) === col("__src"))
+      .filter(hashBucket(col(idCol), 1 << 16) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
+  /** Keep the top `frac` fraction of each group by `score` (descending,
+    * ties by id): quality-threshold curation expressed as a RANK, not an
+    * absolute cutoff — "keep the best 25% of each language" holds the
+    * per-group retention fixed whatever the score distribution looks like,
+    * where a fixed threshold over- or under-collects as the corpus drifts.
+    * Same window shape (and the same giant-stratum caveat) as
+    * [[stratified]]; exact per-group counts, `ceil(frac·n)` kept. */
+  def topFracByGroup(df: DataFrame, groupCol: String, score: Column,
+                     idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac in [0,1], got $frac")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
+  }
 }

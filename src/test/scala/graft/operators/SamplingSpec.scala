@@ -92,4 +92,66 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 100L)
     assert(out.filter(col("grp") =!= "grp0").count() == 0L)
   }
+
+  test("uniformFixed: exactly k rows, deterministic, monotone under growth") {
+    val s200 = Sampling.uniformFixed(docs.filter(col("id") <= 200), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s200.size == 50)
+    // re-run identical (no RNG)
+    val again = Sampling.uniformFixed(docs.filter(col("id") <= 200), "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == s200)
+    // growing the corpus only EVICTS sample members (better hash ranks
+    // arrive), never admits a previously-rejected row back
+    val s400 = Sampling.uniformFixed(docs, "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s400.size == 50)
+    val stillThere = s400.filter(_ <= 200L)
+    assert(stillThere.subsetOf(s200))
+    // plans as TakeOrderedAndProject — no global sort materialization
+    val plan = Sampling.uniformFixed(docs, "id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("tokenBudgetMix: binding source ~fully kept, others thinned to share") {
+    import spark.implicits._
+    // grp0: 10k tokens total, grp1: 90k — target 50/50 token shares means
+    // grp0 binds (B = 20k): grp0 kept ~100%, grp1 thinned to ~1/9
+    val corpus = ((1L to 100L).map(i => (i, "grp0", 100L)) ++
+      (101L to 1000L).map(i => (i, "grp1", 100L))).toDF("id", "src", "ntok")
+    val out = Sampling.tokenBudgetMix(corpus, "id", "src", col("ntok"),
+      Map("grp0" -> 500000L, "grp1" -> 500000L))
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("grp0") == 100L, s"binding source must keep all rows: $kept")
+    // 1/9 of 900 = 100 expected; hash-uniform within a generous band
+    assert(kept("grp1") > 60L && kept("grp1") < 140L, kept.toString)
+    // unlisted sources are dropped
+    val out2 = Sampling.tokenBudgetMix(corpus, "id", "src", col("ntok"),
+      Map("grp0" -> 500000L))
+    assert(out2.filter(col("src") =!= "grp0").count() == 0L)
+    // determinism: membership identical run-over-run
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      Sampling.tokenBudgetMix(corpus, "id", "src", col("ntok"),
+        Map("grp0" -> 500000L, "grp1" -> 500000L))
+        .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("topFracByGroup keeps ceil(frac*n) best-scored rows per group") {
+    import spark.implicits._
+    val scored = (1L to 100L).map(i => (i, s"g${i % 2}", (i % 10).toDouble))
+      .toDF("id", "grp", "score")
+    val out = Sampling.topFracByGroup(scored, "grp", col("score"), "id", 0.3)
+      .select("id", "grp", "score").collect()
+    // 50 rows per group -> ceil(15) kept each
+    assert(out.count(_.getString(1) == "g0") == 15)
+    assert(out.count(_.getString(1) == "g1") == 15)
+    // every kept score >= every dropped score within its group
+    val keptIds = out.map(_.getLong(0)).toSet
+    val minKept = out.filter(_.getString(1) == "g0").map(_.getDouble(2)).min
+    val maxDropped = (1L to 100L).filter(i => i % 2 == 0 && !keptIds(i))
+      .map(i => (i % 10).toDouble).max
+    assert(minKept >= maxDropped)
+  }
 }
