@@ -268,6 +268,36 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("purchase_value"))
     }),
+    // FORWARD as-of: each view picks up the EARLIEST purchase at-or-after
+    // it ("time to next conversion") — same union+window plan, time sort
+    // flipped
+    "join_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val probe = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("next_purchase_value"))
+      Temporal.asofJoin(probe, build, Seq("user_id"), "ts",
+          Seq("next_purchase_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("next_purchase_value"))
+    }),
+    // TOLERANCE as-of: the backward match only counts within 1 hour —
+    // pandas merge_asof tolerance semantics (nearest-or-nothing, never the
+    // next-nearest)
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val probe = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("recent_purchase_value"))
+      Temporal.asofJoin(probe, build, Seq("user_id"), "ts",
+          Seq("recent_purchase_value"), toleranceUs = 3600L * 1000 * 1000)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("recent_purchase_value"))
+    }),
     // interval range join: clicks within one hour after a purchase by the
     // same user (bin-quantized equi-join — no BroadcastNestedLoopJoin)
     "join_range_purchase_clicks" -> ((s, dir) => {
@@ -1322,6 +1352,29 @@ object SparkEntry {
         |                 max(value) AS purchase_value
         |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, b.purchase_value
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
+    // forward direction: DuckDB ASOF accepts the flipped inequality
+    "join_asof_forward" ->
+      """WITH probe AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |              FROM events WHERE event_type = 'view'),
+        |build AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                 max(value) AS next_purchase_value
+        |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, b.next_purchase_value
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+    // tolerance: nearest-or-nothing — the ASOF match is NULLed when it is
+    // farther than the bound, never replaced by the next-nearest
+    "join_asof_tolerance" ->
+      """WITH probe AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |              FROM events WHERE event_type = 'view'),
+        |build AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                 max(value) AS recent_purchase_value
+        |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000
+        |       THEN b.recent_purchase_value END AS recent_purchase_value
         |FROM probe p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts >= b.ts""".stripMargin,
     // range join: the plain inequality formulation (fine at oracle scale;

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,17 +26,26 @@ import org.apache.spark.sql.functions._
  */
 object Temporal {
 
-  /** As-of join: for every probe row, attach `valueCols` from the LATEST
-    * build row with the same `keys` and build time ≤ probe time (or < when
-    * `strict`); probe rows with no earlier build row keep NULLs (left
-    * semantics).
+  /** As-of join: for every probe row, attach `valueCols` from the NEAREST
+    * build row with the same `keys` on the probe's side of time —
+    * `direction = "backward"` (default) takes the latest build row with
+    * time ≤ probe time (< when `strict`), `"forward"` the earliest with
+    * time ≥ probe time (>) — the two directions pandas `merge_asof` / kdb
+    * `aj` expose. Probe rows with no qualifying build row keep NULLs (left
+    * semantics). `toleranceUs ≥ 0` additionally NULLs a match farther than
+    * that many microseconds from the probe time (pandas tolerance
+    * semantics: the nearest row either qualifies or the probe matches
+    * nothing — never the next-nearest).
     *
     * Single-shuffle formulation: tag and union both sides; build rows wrap
-    * ALL their `valueCols` in one non-null struct, and one window over
-    * (keys) ordered by (time, side) computes `last(struct, ignoreNulls)` up
-    * to the current row — at a probe row that IS the as-of build ROW. The
-    * struct wrapper matters twice: a build value that is itself NULL still
-    * wins (the match is the row, not the value — exactly DuckDB ASOF
+    * ALL their `valueCols` (plus their own event time, for the tolerance
+    * test) in one non-null struct, and one window over (keys) ordered by
+    * (time, side) computes `last(struct, ignoreNulls)` up to the current
+    * row — at a probe row that IS the as-of build ROW. Direction only flips
+    * the time sort (forward traverses latest→earliest, so "last seen" is
+    * the earliest-at-or-after); the side tiebreak is direction-independent.
+    * The struct wrapper matters twice: a build value that is itself NULL
+    * still wins (the match is the row, not the value — exactly DuckDB ASOF
     * semantics), and multiple valueCols always come from the SAME build row
     * rather than each carrying its own latest-non-null. Non-strict orders
     * build before probe at equal times (visible); strict orders it after
@@ -48,7 +57,11 @@ object Temporal {
     * not collide with them. */
   def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                timeCol: String, valueCols: Seq[String],
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false,
+               direction: String = "backward",
+               toleranceUs: Long = -1L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val probeCols = probe.columns.toSeq
     require(valueCols.intersect(probeCols).isEmpty,
       s"valueCols ${valueCols.intersect(probeCols)} collide with probe columns")
@@ -56,7 +69,9 @@ object Temporal {
     val probeSide = 1 - buildSide
     val bvType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => org.apache.spark.sql.types.StructField(
-        c, build.schema(c).dataType, nullable = true)))
+        c, build.schema(c).dataType, nullable = true)) :+
+      org.apache.spark.sql.types.StructField(
+        "__bt", build.schema(timeCol).dataType, nullable = true))
     val p = probe.select(probeCols.map(col) ++
       Seq(lit(probeSide).as("__side"), lit(null).cast(bvType).as("__bv")): _*)
     val b = build.select(
@@ -64,16 +79,33 @@ object Temporal {
         if (keys.contains(c) || c == timeCol) col(c)
         else lit(null).cast(probe.schema(c).dataType).as(c)) ++
       Seq(lit(buildSide).as("__side"),
-        struct(valueCols.map(col): _*).as("__bv")): _*)
+        struct(valueCols.map(col) :+ col(timeCol).as("__bt"): _*).as("__bv")): _*)
+    val timeOrder =
+      if (direction == "backward") col(timeCol).asc else col(timeCol).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = p.unionByName(b)
       .select(probeCols.map(col) ++ Seq(col("__side"),
         last(col("__bv"), ignoreNulls = true).over(w).as("__bv")): _*)
+    // tolerance distance in the time column's own unit: µs for timestamps,
+    // raw difference for numeric time columns
+    def toUs(c: Column): Column = probe.schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val within =
+      if (toleranceUs < 0) lit(true)
+      else if (direction == "backward")
+        toUs(col(timeCol)) - toUs(col("__bv.__bt")) <= toleranceUs
+      else
+        toUs(col("__bv.__bt")) - toUs(col(timeCol)) <= toleranceUs
     carried.filter(col("__side") === probeSide)
       .select(probeCols.map(col) ++
-        valueCols.map(c => col(s"__bv.$c").as(c)): _*)
+        valueCols.map(c =>
+          (if (toleranceUs < 0) col(s"__bv.$c")
+           else when(within, col(s"__bv.$c"))).as(c)): _*)
   }
 
   /** Batch sessionization (gaps-and-islands): assign every event a

@@ -81,6 +81,57 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(out == expected)
   }
 
+  test("asofJoin forward picks the earliest build row at or after each probe") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 10L), (2L, 1L, 21L), (3L, 1L, 60L))
+      .toDF("event_id", "k", "t")
+    val build = Seq((1L, 10L, "at"), (1L, 20L, "mid"), (1L, 50L, "late"))
+      .toDF("k", "t", "v")
+    val out = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v"),
+        direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    // probe@10 sees build@10 (equality visible); probe@21 sees build@50;
+    // probe@60 has nothing after it -> null
+    assert(out == Map(1L -> Some("at"), 2L -> Some("late"), 3L -> None))
+    // strict: the equal-time row becomes invisible
+    val strict = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v"),
+        strict = true, direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(strict(1L) == Some("mid"))
+  }
+
+  test("asofJoin forward matches a per-row subquery oracle on a seeded timeline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val probe = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val build = (1 to 100).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    val out = Temporal.asofJoin(
+      probe.toDF("event_id", "k", "t"), build.toDF("k", "t", "v"),
+      Seq("k"), "t", Seq("v"), direction = "forward")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val expected = probe.map { case (id, k, t) =>
+      val cands = build.filter(b => b._1 == k && b._2 >= t)
+      id -> (if (cands.isEmpty) -1L else cands.minBy(_._2)._3)
+    }.toMap
+    assert(out == expected)
+  }
+
+  test("asofJoin tolerance NULLs a too-far match, never takes the next-nearest") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 100L), (2L, 1L, 25L)).toDF("event_id", "k", "t")
+    // nearest build for probe@100 is t=50 (distance 50); an older one at
+    // t=95 does NOT exist — with tolerance 10 the match must be NULL, not
+    // fall back to anything else. probe@25 matches t=20 (distance 5).
+    val build = Seq((1L, 20L, "near"), (1L, 50L, "far")).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(probe, build, Seq("k"), "t", Seq("v"),
+        toleranceUs = 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("near")))
+  }
+
   test("sessionize: gap >= threshold starts a new session, smaller gaps and ties do not") {
     import spark.implicits._
     val e = Seq(
