@@ -801,6 +801,14 @@ object SparkEntry {
     "ext_text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm"))),
+    // Unicode NFC via the native codegen'd expression; the appended
+    // combining-mark sequence (e + U+0301) forces real composition work on
+    // every row — ASCII-only fixture text would otherwise make the oracle
+    // an identity check
+    "ext_unicode_nfc" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        org.apache.spark.sql.graft.UnicodeNormalize.of(
+          concat(col("text"), lit(" e\u0301")), "NFC").as("norm"))),
     // the composed pipeline: scrub → normalize → quality gate → exact dedup,
     // one fused projection + one shuffle; oracle replays every stage
     "ext_corpus_clean" -> ((s, dir) =>
@@ -1793,6 +1801,10 @@ object SparkEntry {
       """SELECT doc_id, trim(regexp_replace(
         |  regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
         |  '\s+', ' ', 'g')) AS norm FROM documents""".stripMargin,
+    // both engines implement UAX #15 canonical composition; chr(769) is
+    // the combining acute (U+0301) the Spark side appends as an escape
+    "ext_unicode_nfc" ->
+      "SELECT doc_id, nfc_normalize(text || ' e' || chr(769)) AS norm FROM documents",
     // every pipeline stage replayed: scrub regexes, normalize order
     // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
     "ext_corpus_clean" ->
