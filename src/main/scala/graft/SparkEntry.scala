@@ -809,6 +809,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         org.apache.spark.sql.graft.UnicodeNormalize.of(
           concat(col("text"), lit(" e\u0301")), "NFC").as("norm"))),
+    // markup strip over synthetically-wrapped doc text (the fixture corpus
+    // is plain text; the wrapper makes every row exercise comments, tags,
+    // and all six entities)
+    "ext_strip_markup" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<div class=\"post\"><p>"), col("text"),
+          lit("</p><!-- footer\nnote --><a href=\"http://x\">link &amp; more</a>&nbsp;&#39;q&#39; &lt;raw&gt;</div>")))
+          .as("clean"))),
+    // per-type winsorization of the events value at [p05, p95]
+    "ext_winsorize_events" -> ((s, dir) =>
+      operators.Curation.winsorize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("value_w"))),
     // the composed pipeline: scrub → normalize → quality gate → exact dedup,
     // one fused projection + one shuffle; oracle replays every stage
     "ext_corpus_clean" -> ((s, dir) =>
@@ -1805,6 +1820,26 @@ object SparkEntry {
     // the combining acute (U+0301) the Spark side appends as an escape
     "ext_unicode_nfc" ->
       "SELECT doc_id, nfc_normalize(text || ' e' || chr(769)) AS norm FROM documents",
+    // same chain, same order: comments (dotall) -> tags -> entities
+    // (&amp; last) -> whitespace collapse; the newline inside the wrapped
+    // comment is chr(10) so the dotall flag is actually load-bearing
+    "ext_strip_markup" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(
+        |      '<div class="post"><p>' || text || '</p><!-- footer' || chr(10) ||
+        |      'note --><a href="http://x">link &amp; more</a>&nbsp;&#39;q&#39; &lt;raw&gt;</div>',
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean FROM documents""".stripMargin,
+    "ext_winsorize_events" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS qlo, quantile_cont(value, 0.95) AS qhi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  least(greatest(e.value, q.qlo), q.qhi) AS value_w
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
     // every pipeline stage replayed: scrub regexes, normalize order
     // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
     "ext_corpus_clean" ->

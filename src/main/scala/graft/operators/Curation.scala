@@ -175,6 +175,32 @@ object Curation {
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
+  /** Winsorize a numeric column per group: clip values below the `lo`
+    * quantile / above the `hi` quantile of their OWN group — the standard
+    * robust-scaling step before numeric features feed a model (outliers
+    * capped, not dropped, so row counts and joins are unaffected).
+    *
+    * Exact `percentile` (sort-based interpolation, the same definition as
+    * DuckDB `quantile_cont`, hence a full oracle) rather than
+    * `approx_percentile`: the sketch has no cross-engine twin. Two-pass
+    * shape: one grouped aggregate whose exchange carries a row per group,
+    * joined back (AQE broadcasts the quantile table when groups are few —
+    * the common case) and a map-side `least/greatest` clip; the data rows
+    * shuffle only if the join does. At 100 TB with high-cardinality
+    * groups, swap the exact percentile for a per-group t-digest and keep
+    * the same join+clip shape. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val q = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $lo)").as("__qlo"),
+      expr(s"percentile($valueCol, $hi)").as("__qhi"))
+    df.join(q, Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination (`qiCols`) is shared by at least `k` rows — groups smaller
     * than k are suppressed outright (the release would identify their

@@ -93,6 +93,26 @@ object TextAnalysis {
       regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
 
+  /** X4 markup strip: reduce an HTML-ish document to its text content —
+    * the first transform every web-crawl ingest applies. Approximate by
+    * design (a full HTML5 parser is not a per-row expression): drop
+    * comments (dotall — they span lines), drop tags, decode the six
+    * entities that dominate crawl text, collapse whitespace. Entities
+    * decode AFTER tag removal, so text like `&lt;b&gt;` stays literal
+    * `<b>` in the OUTPUT rather than being re-interpreted as markup — the
+    * standard one-pass cleaner contract. Pure regex/replace chain: one
+    * fused projection, codegen'd, and replayable verbatim by the oracle
+    * (RE2 and Java regex agree on every pattern used here). */
+  def stripMarkup(textCol: Column): Column = {
+    val noComments = regexp_replace(textCol, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // &amp; LAST
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** X4 PII scrub: redact email addresses and long digit runs (phone/SSN/
     * card shapes) before a corpus ships to training. Regex-only — the
     * production-shaped first pass; entity-model scrubbing would layer on

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import graft.SparkSpec
 
 /** Decontamination overlap counting and k-anonymity suppression semantics. */
@@ -112,5 +112,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b")).toDF("id", "qi")
     assert(Curation.kAnonymize(df, Seq("qi"), 1).count() == 2)
+  }
+
+  test("winsorize clips to each group's OWN quantiles, row count preserved") {
+    import spark.implicits._
+    // g0: 1..100 -> p05=5.95, p95=95.05 (interpolated); g1: all 7s, clip is identity
+    val df = ((1 to 100).map(i => ("g0", i.toDouble)) ++
+      (1 to 10).map(_ => ("g1", 7.0))).toDF("g", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val out = Curation.winsorize(df, "g", "v", 0.05, 0.95)
+    assert(out.count() == 110)
+    val g0 = out.filter(col("g") === "g0").select("v_w")
+      .collect().map(_.getDouble(0))
+    val (lo, hi) = (g0.min, g0.max)
+    assert(lo > 5.0 && lo < 7.0 && hi > 95.0 && hi < 96.0, s"($lo, $hi)")
+    // interior values untouched
+    assert(g0.count(v => v == 50.0) == 1)
+    assert(out.filter(col("g") === "g1").select("v_w")
+      .collect().forall(_.getDouble(0) == 7.0))
   }
 }

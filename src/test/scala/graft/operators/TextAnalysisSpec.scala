@@ -140,4 +140,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == Seq("common", "banana"))
     assert(out(3L) == Seq("common"))
   }
+
+  test("stripMarkup: comments (multi-line), tags, entities, collapse — in order") {
+    import spark.implicits._
+    val doc = "<div class=\"x\"><p>Hello  <b>world</b></p>" +
+      "<!-- multi\nline comment --> &amp; friends&nbsp;&#39;q&#39; &lt;tag&gt;</div>"
+    val out = Seq(doc).toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t")).as("c"))
+      .collect()(0).getString(0)
+    // entities decode AFTER tag strip: &lt;tag&gt; stays literal text
+    assert(out == "Hello world & friends 'q' <tag>")
+  }
 }
