@@ -380,6 +380,19 @@ object SparkEntry {
       Query.lagDelta(t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
           col("prev_value"), col("delta"))),
+    // trailing-hour RANGE frame per user: frame membership is a function
+    // of the TIME VALUE (peers included), so the result is deterministic
+    // under timestamp ties; exact decimal sum → one double cast (the
+    // family rule for cross-engine float aggregates)
+    "window_trailing_hour" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_1h"))
+    }),
     "window_ntile_orders" -> ((s, dir) =>
       // two-phase global ntile — NOT ntile().over(Window.orderBy(...)),
       // whose Exchange SinglePartition funnels every order through one task
@@ -1234,6 +1247,13 @@ object SparkEntry {
         | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         | value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
         | FROM events""".stripMargin,
+    "window_trailing_hour" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "window_ntile_orders" ->
       """SELECT o_orderkey,
         | CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS quartile
