@@ -227,4 +227,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WholeStageCodegen"), s"expect a codegen span:\n${p.take(800)}")
     assert(p.contains("minhashA"), s"fused minhash loop must be IN the generated code:\n${p.take(1200)}")
   }
+
+  test("token-budget mix never shuffles the corpus: broadcast thresholds + map filter") {
+    // the corpus side must go scan → filter → broadcast-join with the tiny
+    // driver-computed threshold table; any Exchange on the corpus side
+    // would mean the mixture is shuffling 100 TB to apply a map predicate
+    val p = planOf("ext_token_budget_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for a broadcast-threshold mix:\n${p.take(2000)}")
+  }
+
+  test("winsorize: quantile table broadcasts; clip is a map above the corpus scan") {
+    val p = planOf("ext_winsorize_events")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // exactly ONE exchange — the two-phase percentile aggregate; the data
+    // rows themselves never hash-partition
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"want only the quantile aggregate's exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
+  test("fixed-k sample is TakeOrderedAndProject straight off the scan") {
+    val p = planOf("ext_sample_fixed_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Exchange"), s"no shuffle for a driver-sized top-k:\n${p.take(1500)}")
+  }
 }
