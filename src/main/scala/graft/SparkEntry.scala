@@ -456,6 +456,18 @@ object SparkEntry {
     "fn_format_number" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey"),
         Codec.formatNumber(col("o_orderkey") * 1000 + 42).as("pretty"))),
+    // three similarity regimes per row: reversal (below the 0.7 boost
+    // threshold), digit scrambling (high sim, prefix bonus active), and a
+    // one-char suffix (near 1.0) — ASCII inputs, where the char-wise and
+    // DuckDB's byte-wise comparisons coincide
+    "fn_jaro_winkler" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.{JaroWinkler => JW}
+      t(s, dir, "customer").select(col("c_custkey"),
+        JW.of(col("c_name"), reverse(col("c_name"))).as("jw_rev"),
+        JW.of(col("c_name"),
+          translate(col("c_name"), "0123456789", "1032547698")).as("jw_sub"),
+        JW.of(col("c_name"), concat(col("c_name"), lit("x"))).as("jw_suffix"))
+    }),
     "fn_date_format_events" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"))
@@ -1299,6 +1311,13 @@ object SparkEntry {
         | FROM part""".stripMargin,
     "fn_format_number" ->
       "SELECT o_orderkey, format('{:,}', o_orderkey * 1000 + 42) AS pretty FROM orders",
+    "fn_jaro_winkler" ->
+      """SELECT c_custkey,
+        | jaro_winkler_similarity(c_name, reverse(c_name)) AS jw_rev,
+        | jaro_winkler_similarity(c_name,
+        |   translate(c_name, '0123456789', '1032547698')) AS jw_sub,
+        | jaro_winkler_similarity(c_name, c_name || 'x') AS jw_suffix
+        | FROM customer""".stripMargin,
     "fn_date_format_events" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_str, count(*) AS n
         | FROM events GROUP BY 1""".stripMargin,
