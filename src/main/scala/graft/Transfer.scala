@@ -272,8 +272,10 @@ object Transfer {
     * indexes taps replays (S8): you don't index the destination, you LAYOUT
     * the destination. Requires a table catalog (`saveAsTable`). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+                    nBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    val base = df.write.mode("overwrite").format("parquet")
+    val w = path.fold(base)(p => base.option("path", p))
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -68,6 +68,45 @@ object Layout {
       .drop("__z")
   }
 
+  /** Write `df` as a BUCKETED table (hash-partitioned into `buckets` files
+    * by `key`, bucket-sorted) and return its catalog name — idempotent per
+    * session. This is the other half of the layout story besides z-order:
+    * bucketing pre-pays the shuffle of every future equi-join/aggregation
+    * on the bucket key AT WRITE TIME. At 100 TB the nightly fact tables
+    * are bucketed once on their join key and every downstream join reads
+    * co-located buckets with ZERO exchange on either side — the single
+    * biggest shuffle a star-schema pipeline otherwise pays, gone. The
+    * `repartition(buckets, key)` before the write pins one FILE per bucket
+    * (many small writer-side files per bucket would void the read-side
+    * sorted property and bloat task counts).
+    *
+    * `path` makes it an external table (the data outlives the session
+    * catalog; re-registration is a metadata-only CREATE). */
+  def ensureBucketed(s: org.apache.spark.sql.SparkSession, df: => DataFrame,
+                     name: String, key: String, buckets: Int,
+                     path: String): String = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    if (!s.catalog.tableExists(name)) {
+      graft.Transfer.writeBucketed(df.repartition(buckets, col(key)),
+        name, key, buckets, sortCols = Seq(key), path = Some(path))
+    }
+    name
+  }
+
+  /** Co-located equi-join of two tables bucketed on their respective join
+    * keys with the SAME bucket count: both sides' output partitioning
+    * already satisfies the join's distribution requirement, so Catalyst
+    * plans a sort-merge join with NO Exchange under either side (pinned by
+    * PlanShapeSpec). The merge hint only forbids the broadcast fallback —
+    * at fixture scale the small side would broadcast and hide the
+    * co-location this operator exists to demonstrate; at 100 TB neither
+    * side fits a broadcast and the bucket-aligned SMJ IS the plan. */
+  def colocatedJoin(s: org.apache.spark.sql.SparkSession,
+                    leftTable: String, rightTable: String,
+                    leftKey: String, rightKey: String): DataFrame =
+    s.table(leftTable).hint("merge")
+      .join(s.table(rightTable), col(leftKey) === col(rightKey))
+
   /** Per-partition bounding-box report for a layout: for each physical
     * partition, the (min, max) extent of every dimension — the quantity
     * min/max footer pruning actually sees. Used by specs to prove the

@@ -314,6 +314,40 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** PQ shortlist + EXACT re-rank — the refinement stage a production ANN
+    * stack runs above ADC (ADC recall is floored by quantization error;
+    * serving systems fetch raw vectors for only the top `shortlist` ADC
+    * candidates per query and re-score those exactly). Physical shape: the
+    * corpus is scanned codes-only through [[pqTopK]]; the shortlist
+    * (|queries|·shortlist rows, id pairs only) broadcasts back against the
+    * candidate scan, so the raw-vector fetch touches just the shortlisted
+    * rows — at 100 TB the second scan prunes to a handful of row groups via
+    * the broadcast join, and no raw vector ever rides a shuffle. Exact
+    * distances are full-dimension ×2^16 fixed-point BIGINT squared L2
+    * (associative integer sums — merge-order-free, engine-free), so the
+    * DuckDB oracle replays training + ADC shortlist + the refine join
+    * end-to-end. Ascending exact distance, ties by neighbor id. */
+  def pqTopKRefine(candidates: DataFrame, queries: DataFrame,
+                   cb: Array[Array[Array[Long]]], k: Int, shortlist: Int = 20,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = cb.length * cb(0)(0).length
+    val short = pqTopK(candidates, queries, cb, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      fpSub(col(vecCol), 0, dims).as("cf"))
+    val q = queries.select(col(idCol).as("query_id"),
+      fpSub(col(vecCol), 0, dims).as("qf"))
+    val exact = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", sqDist(col("qf"), col("cf")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"),
+        col("rn").as("rank"))
+  }
+
   /** Probe list for the IVF-PQ coarse quantizer: indices of the `nprobe`
     * nearest coarse centroids by ascending exact integer squared L2 (ties
     * → lowest index). `coarse` is a full-dim integer codebook — train it

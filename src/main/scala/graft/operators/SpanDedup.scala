@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * X2 [EXT] — duplicated-SPAN removal (exact substring dedup).
@@ -156,5 +157,69 @@ object SpanDedup {
           .otherwise(lit(0L)).as("dup_ppm"),
         array_join(transform(col("__keptPos"),
           p => element_at(col("__tk"), p)), " ").as("clean_text"))
+  }
+
+  /** Paragraph width for [[dedupParagraphs]], in tokens. Real pipelines
+    * split on blank lines; the fixture corpus is single-line, so fixed
+    * token windows stand in for paragraph boundaries (the dedup mechanics
+    * — first-occurrence-wins across the corpus — are boundary-agnostic). */
+  val DefaultParaTokens = 10
+
+  /**
+   * Paragraph-level exact dedup (the RefinedWeb / FineWeb curation stage
+   * between whole-document dedup and span removal): split each document
+   * into paragraphs, keep only the corpus-wide FIRST occurrence of each
+   * distinct paragraph (minimum (doc id, paragraph index) — deterministic,
+   * growth-stable for appended corpora with increasing ids), and rebuild
+   * every document from its surviving paragraphs in order.
+   *
+   * Output: (idCol, n_paras, n_kept, clean_text) — one row per input
+   * document; docs whose every paragraph first occurred elsewhere surface
+   * with n_kept = 0 and empty clean_text (a downstream length gate drops
+   * them — this operator never silently loses rows).
+   *
+   * Scale shape: two linear passes over the paragraph stream.
+   *  (1) first-occurrence election: `row_number` over
+   *      (partition by paragraph, order by (id, idx)) — ONE hash exchange
+   *      on the paragraph text; per-group state is the winner row only
+   *      (WindowGroupLimit pushes rn=1 map-side), so a boilerplate
+   *      paragraph repeated a billion times costs its group one retained
+   *      row, not a collected array.
+   *  (2) per-doc reassembly: groupBy(id) over the SURVIVING paragraphs
+   *      only — state bounded by document length. The final left join
+   *      restores paragraph-free docs.
+   * Nothing is quadratic; no member arrays; the heaviest exchange carries
+   * the paragraph stream once. (A production variant would exchange a
+   * 128-bit paragraph hash instead of the text — the md5 witness here
+   * keeps the oracle replayable and the text rides only until the
+   * election, exactly like the dictionary exchanges in [[removeDupSpans]].)
+   */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = DefaultParaTokens): DataFrame = {
+    require(w >= 1, s"paragraph width must be >= 1, got $w")
+    val tk = toks(col(textCol))
+    val paras = Query.ensureParallelism(docs)
+      .select(col(idCol), posexplode(
+        when(size(tk) > 0,
+          transform(sequence(lit(0), ((size(tk) - 1) / w).cast("int")),
+            i => array_join(slice(tk, i * w + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("__pidx", "__para")))
+    // token-less docs explode to zero rows here; the final left join restores them
+    val won = paras.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__para"))
+          .orderBy(col(idCol), col("__pidx"))))
+      .filter(col("__rn") === 1)
+    val rebuilt = won.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__pidx"), col("__para")))), s => s.getField("__para")),
+          " ").as("clean_text"))
+    docs.select(col(idCol),
+        when(size(tk) > 0, ((size(tk) - 1) / w).cast("int") + 1)
+          .otherwise(lit(0)).as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -139,6 +139,37 @@ object Temporal {
       .drop("__brk")
   }
 
+  /** Cohort retention: the standard product-analytics matrix — users
+    * grouped by their FIRST-seen day (the cohort), then for every (cohort
+    * day, day offset) the number of distinct users active that many days
+    * after joining. Offset 0 is the cohort size; retention(c, d) /
+    * retention(c, 0) is the curve a dashboard plots.
+    *
+    * Scale shape: ONE pass over the event stream and ONE exchange on the
+    * user id — per-user state is (min day, distinct active-day set),
+    * bounded by the calendar span, never by the user's event count
+    * (collect_set dedupes map-side; a billion-event bot user still carries
+    * ≤ span days of state). The exploded (cohort, offset) stream then
+    * collapses by a counting aggregate whose key space is span² — tiny —
+    * so the second exchange is matrix-sized. The two-scan alternative
+    * (min-date aggregate joined back against a distinct-activity scan)
+    * reads the corpus twice and shuffles it twice; this shape does both
+    * once. */
+  def retentionCohorts(events: DataFrame, keyCol: String, timeCol: String): DataFrame = {
+    val day = to_date(col(timeCol))
+    events
+      .select(col(keyCol).as("__k"), day.as("__d"))
+      .groupBy(col("__k"))
+      .agg(min(col("__d")).as("cohort_day"),
+        collect_set(col("__d")).as("__days"))
+      .select(col("cohort_day"),
+        explode(col("__days")).as("__day"))
+      .select(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Interval range join: rows of `points` paired with every row of
     * `intervals` sharing `keys` whose [loCol, hiCol) window contains
     * pointCol (inclusive lo, exclusive hi). All columns are non-negative

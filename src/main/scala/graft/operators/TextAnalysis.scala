@@ -322,4 +322,37 @@ object TextAnalysis {
       .select(explode(col("hitters")).as("h"))
       .select(col("h.token").as("token"), col("h.lower_bound").as("lower_bound"))
   }
+
+  /** X4 skip-gram co-occurrence counts — the corpus statistic under PMI
+    * association scoring, phrase mining, and word-vector objectives
+    * (word2vec's window counts): unordered token pairs within `window`
+    * positions of each other, with a minimum-support gate. The count is
+    * emitted RAW (support), not as PMI itself: log is a transcendental
+    * whose last-ulp differs across libm builds, while the count table is
+    * exact — a consumer derives PMI, and RANKING by PMI needs only the
+    * exact rational (cnt_xy·N)/(cnt_x·cnt_y) these counts give.
+    *
+    * Scale shape: pair generation is IN-ROW (for each offset j ≤ window,
+    * zip the token stream against itself shifted by j — O(T·window) per
+    * doc, never the O(T²) all-pairs-within-doc form), then ONE hash
+    * exchange whose partial map-side aggregation collapses the stream to
+    * the pair dictionary (bounded by vocab², and in practice by the
+    * support gate). Self-pairs (a token co-occurring with itself) keep
+    * their count like any pair; pair order is canonical (least, greatest). */
+  def cooccurrence(docs: DataFrame, textCol: String, window: Int = 2,
+                   minSupport: Long = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = tokenStream(col(textCol))
+    val pairs = flatten(array((1 to window).map { j =>
+      zip_with(slice(toks, lit(1), greatest(size(toks) - j, lit(0))),
+        slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+    }: _*))
+    Query.ensureParallelism(docs)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+  }
 }

@@ -150,4 +150,40 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     // the twin bucket absorbed vecs 0, 3, 4 — its centroid moved off init
     assert(cb(0)(0).toSeq != v0.map(fp).toSeq)
   }
+
+  test("pqTopKRefine: dists are the EXACT full-dim fixed-point distances, " +
+      "ranked ascending, drawn from the ADC shortlist") {
+    val cb = Similarity.trainPqCodebooks(fixture, m = 4, k = 16, iters = 2)
+    val queries = fixture.filter(col("vec_id") < 10)
+    val vecs = fixture.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def exact(a: Array[Float], b: Array[Float]): Long =
+      a.map(fp).zip(b.map(fp)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val shortlist = Similarity.pqTopK(fixture, queries, cb, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.pqTopKRefine(fixture, queries, cb, k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._1).toSet.size == 10 && out.length == 50)
+    out.foreach { case (qid, nid, dist, _) =>
+      // every refined pair came from the ADC shortlist…
+      assert(shortlist.contains((qid, nid)), s"($qid,$nid) not shortlisted")
+      // …and its dist is the exact full-dimension distance, not the ADC one
+      assert(dist == exact(vecs(qid), vecs(nid)), s"dist not exact for ($qid,$nid)")
+    }
+    // within each query, ranks order by exact distance (ties by id)
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)).sliding(2)
+        .forall(p => p.length < 2 || implicitly[Ordering[(Long, Long)]].lteq(p(0), p(1))))
+    }
+    // a shortlist covering the whole corpus makes the refine EXACT search:
+    // rank-1 must be the true fixed-point nearest neighbor
+    val n = fixture.count().toInt
+    val full = Similarity.pqTopKRefine(fixture,
+        fixture.filter(col("vec_id") === 3), cb, k = 1, shortlist = n)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    val best = vecs.filter(_._1 != 3L)
+      .map { case (id, v) => (exact(vecs(3L), v), id) }.min
+    assert(full == (best._2, best._1))
+  }
 }

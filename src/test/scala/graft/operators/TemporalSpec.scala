@@ -147,4 +147,25 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == 1)
     assert(out(5L) == 0 && out(6L) == 0)
   }
+
+  test("retentionCohorts: cohort = first-seen day; one count per distinct " +
+      "active user regardless of event volume") {
+    import spark.implicits._
+    val day = 86400L
+    val e = Seq(
+      // user 1 joins day 0, active days 0, 1, 3 (day-1 twice — still 1 user)
+      (1L, 0L), (1L, day + 5), (1L, day + 9), (1L, 3 * day),
+      // user 2 joins day 0, active day 0 only
+      (2L, 100L),
+      // user 3 joins day 1, active days 1 and 3 (offsets 0 and 2)
+      (3L, day + 1), (3L, 3 * day + 1)
+    ).map { case (u, sec) => (u, new java.sql.Timestamp(sec * 1000)) }
+      .toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(e, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("1970-01-01", 0) -> 2L, ("1970-01-01", 1) -> 1L, ("1970-01-01", 3) -> 1L,
+      ("1970-01-02", 0) -> 1L, ("1970-01-02", 2) -> 1L))
+  }
 }

@@ -151,4 +151,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // entities decode AFTER tag strip: &lt;tag&gt; stays literal text
     assert(out == "Hello world & friends 'q' <tag>")
   }
+
+  test("cooccurrence: pairs within the window, canonical order, support gate") {
+    import spark.implicits._
+    val docs = Seq("b a c a", "c b").toDF("text")
+    // window 2 pairs per doc: "b a c a" -> (a,b),(b,c),(a,c),(a,c),(a,a)
+    //                         "c b"     -> (b,c)
+    val out = TextAnalysis.cooccurrence(docs, "text", window = 2, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a", "b") -> 1L, ("b", "c") -> 2L, ("a", "c") -> 2L, ("a", "a") -> 1L))
+    // support gate: only pairs seen >= 2 times survive
+    val gated = TextAnalysis.cooccurrence(docs, "text", window = 2, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated == Set(("b", "c"), ("a", "c")))
+    // a window-1 run sees only adjacent pairs
+    val adj = TextAnalysis.cooccurrence(docs, "text", window = 1, minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(adj == Map(("a", "b") -> 1L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
 }
