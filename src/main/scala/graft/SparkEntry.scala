@@ -127,6 +127,30 @@ object SparkEntry {
     (o, c)
   }
 
+  /** Two-generation parquet layout for the schema-evolution read: v1 holds
+    * the even orders WITHOUT the note column (the old producer), v2 the odd
+    * orders WITH it (the new producer). The write is fixture setup; the
+    * operator under test is the mergeSchema read over both generations —
+    * the ingest reality of any long-lived 100 TB table whose producers
+    * upgraded mid-history. */
+  private val evolutionFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evolutionFixture(s: SparkSession, dir: String): String =
+    evolutionFixtures.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo_").toString
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$p/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          concat(lit("n-"), col("o_orderkey")).as("o_note"))
+        .write.mode("overwrite").parquet(s"$p/v2")
+      p
+    })
+
   /** Build the setup-I/O fixtures outside any measured path (Bench calls
     * this during warm-up; idempotent per JVM). */
   def prepareFixtures(s: SparkSession, dir: String): Unit = {
@@ -135,6 +159,7 @@ object SparkEntry {
     pqIndex(s, dir)
     ivfPqCoarse(s, dir)
     bucketedPair(s, dir)
+    evolutionFixture(s, dir)
     ()
   }
 
@@ -654,6 +679,20 @@ object SparkEntry {
       // linear interpolation between the two middle values
       t(s, dir, "orders").agg(
         expr("percentile(o_totalprice, 0.5)").as("median_price"))),
+    // grouped MODE (most frequent value, ties → lexicographically lowest):
+    // two-phase count then a window rank — the shuffle carries only the
+    // (group, value) count table
+    "agg_mode_priority" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+    }),
     // per-group exact percentiles (the grouped form of the median proof)
     "agg_percentile_by_status" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
@@ -709,6 +748,12 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "ext_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        seeds = 16, rowsPerBand = 8)),
+    // signature-agreement Jaccard estimator over the candidate pairs: what
+    // the 100 TB pipeline thresholds on when exact token-intersection
+    // verify is too expensive (standard error ≈ 1/√seeds)
+    "ext_dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimates(t(s, dir, "documents"), "doc_id", "text",
         seeds = 16, rowsPerBand = 8)),
     // production token hash (xxhash64): no DuckDB oracle — the md5 form
     // above is the hash-exact witness; DedupSpec pins both families to the
@@ -1090,6 +1135,17 @@ object SparkEntry {
         parts = 8, rowRepr = checksumRowRepr)
         .withColumn("sum_h", col("sum_h").cast("string"))
     }),
+    // Merkle fold over the chunk checksums: root comparison localizes a
+    // corrupted chunk in O(log chunks) digest compares — the anti-entropy
+    // shape for 100 TB reconciliation where the flat chunk list is itself
+    // big data
+    "chunk_merkle_tree" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val b = checksumBounds(s, dir)
+      Reconcile.merkleTree(
+        Reconcile.chunkChecksums(o, "o_orderkey", b.getLong(0), b.getLong(1),
+          parts = 8, rowRepr = checksumRowRepr), levels = 3)
+    }),
 
     // ── §2.9 CDC apply + SCD2 history: fold a change log into a snapshot
     //    (the incremental form of taps' replay, lib/taps/operation.rb's
@@ -1189,6 +1245,16 @@ object SparkEntry {
       val path = System.getProperty("java.io.tmpdir") + "/graft_orc_roundtrip"
       sources.Files.writeOrc(src, path)
       sources.Files.readOrc(s, path, src.schema)
+    }),
+    // schema evolution across parquet generations: the old producer's files
+    // lack o_note, the new producer's carry it; ONE mergeSchema read unions
+    // both footers' schemas and NULL-fills the missing column — no rewrite
+    // of the old 100 TB history (oracle replays the logical union)
+    "source_schema_evolution" -> ((s, dir) => {
+      val p = evolutionFixture(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$p/v1", s"$p/v2")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("o_note"), lit("")).as("note"))
     }),
 
     // ── §2.5 distribution windows ────────────────────────────────────────
@@ -1537,6 +1603,13 @@ object SparkEntry {
         | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "agg_median_price" ->
       "SELECT quantile_cont(o_totalprice, 0.5) AS median_price FROM orders",
+    "agg_mode_priority" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1""".stripMargin,
     "agg_percentile_by_status" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.25) AS p25,
         | quantile_cont(o_totalprice, 0.5) AS p50,
@@ -1753,6 +1826,19 @@ object SparkEntry {
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    // the estimator re-derives each candidate pair's per-seed signature
+    // agreement from the same replayed sig table
+    "ext_dedup_minhash_est" -> (minhashCandidatesCte +
+      """,
+        |agree AS (SELECT p.doc_a, p.doc_b,
+        |  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS INT) AS n_agree
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.doc_a
+        |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_agree,
+        |  CAST(n_agree AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+        |FROM agree""".stripMargin),
     // char-4-gram twin of the minhash CTE + exact levenshtein verify
     "ext_fuzzy_neardup" -> {
       val seedRows = (0 until 16).map { j =>
@@ -2282,18 +2368,27 @@ object SparkEntry {
         |SELECT o_orderkey, change_type FROM j WHERE change_type <> 'same'""".stripMargin,
     // same span arithmetic as scan_range_chunks; same 48-bit md5-prefix row
     // hash as the engine (concat_ws over portable casts)
-    "chunk_checksum" ->
-      s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
-         |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
-         |h AS (SELECT CAST(least((o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
-         |  CAST(${md5PrefixValueSql(12, "concat_ws('|', o_orderkey, o_custkey, " +
-             "o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), " +
-             "strftime(o_orderdate, '%Y-%m-%d'))")} AS BIGINT) AS h
-         |  FROM orders, sp)
-         |SELECT chunk_id, count(*) AS n,
-         |  CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS sum_h,
-         |  bit_xor(h) AS xor_h
-         |FROM h GROUP BY 1""".stripMargin,
+    "chunk_checksum" -> (chunkChecksumCte +
+      " SELECT chunk_id, n, CAST(sum_h AS VARCHAR) AS sum_h, xor_h FROM c"),
+    // the Merkle fold over the same chunk checksums: level-0 digest per
+    // chunk, each level pairs children by node_id div 2, digests are md5
+    // over '|'-joined child digests in node order — replayed level by level
+    "chunk_merkle_tree" -> (chunkChecksumCte +
+      """,
+        |l0 AS (SELECT 0 AS level, CAST(chunk_id AS BIGINT) AS node_id,
+        |  md5(concat_ws('|', chunk_id, n, CAST(sum_h AS VARCHAR), xor_h)) AS digest
+        |  FROM c),
+        |l1 AS (SELECT 1 AS level, p AS node_id,
+        |  md5(string_agg(digest, '|' ORDER BY ch)) AS digest
+        |  FROM (SELECT node_id // 2 AS p, node_id AS ch, digest FROM l0) GROUP BY p),
+        |l2 AS (SELECT 2 AS level, p AS node_id,
+        |  md5(string_agg(digest, '|' ORDER BY ch)) AS digest
+        |  FROM (SELECT node_id // 2 AS p, node_id AS ch, digest FROM l1) GROUP BY p),
+        |l3 AS (SELECT 3 AS level, p AS node_id,
+        |  md5(string_agg(digest, '|' ORDER BY ch)) AS digest
+        |  FROM (SELECT node_id // 2 AS p, node_id AS ch, digest FROM l2) GROUP BY p)
+        |SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3""".stripMargin),
     "ext_cdc_apply" -> cdcApplyOracleSql,
     // same fold, change log restricted to the first fifth of the key domain
     // (the pruned write's localized-log premise); untouched partitions pass
@@ -2363,6 +2458,13 @@ object SparkEntry {
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders""".stripMargin,
     "source_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // the logical union the two-generation mergeSchema read must produce
+    "source_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, '' AS note
+        | FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'n-' || CAST(o_orderkey AS VARCHAR) AS note
+        | FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
     "window_percent_rank" ->
       """SELECT o_orderkey, o_custkey,
         | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
@@ -2437,6 +2539,21 @@ object SparkEntry {
        |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
        |  FROM sig GROUP BY doc_id, j // 8)""".stripMargin
   }
+
+  /** Shared chunk-checksum CTE (range-chunked md5 row hashes, exact
+    * decimal sums) — consumed by the flat checksum oracle and the Merkle
+    * fold above it. */
+  private def chunkChecksumCte: String =
+    s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
+       |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
+       |h AS (SELECT CAST(least((o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
+       |  CAST(${md5PrefixValueSql(12, "concat_ws('|', o_orderkey, o_custkey, " +
+           "o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), " +
+           "strftime(o_orderdate, '%Y-%m-%d'))")} AS BIGINT) AS h
+       |  FROM orders, sp),
+       |c AS (SELECT chunk_id, count(*) AS n,
+       |  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h, bit_xor(h) AS xor_h
+       |  FROM h GROUP BY 1)""".stripMargin
 
   private def minhashCandidatesCte: String = minhashBandsCte +
     """,

@@ -250,6 +250,34 @@ object Dedup {
                    seeds: Int = 16, rowsPerBand: Int = 8): DataFrame =
     minhashPairsOf(repsWithMembers(docs, idCol, textCol), seeds, rowsPerBand)
 
+  /** Candidate pairs with their signature-agreement Jaccard ESTIMATE:
+    * est = (matching signature positions) / seeds. This is what a 100 TB
+    * pipeline actually thresholds on when the exact token-intersection
+    * verify is too expensive — the estimator touches only the seeds-length
+    * signature vectors (the MinHash guarantee: P[sig_j(A)=sig_j(B)] =
+    * J(A,B), standard error ≈ 1/√seeds), never the token sets, so the
+    * verify stage's token-level join disappears entirely. Exact integers
+    * divided once into a double — cross-engine deterministic, hence a FULL
+    * oracle (the md5 witness hash family). Pair generation is the usual
+    * band self-join; the two signature joins move one seeds-length array
+    * per doc. Output: (doc_a, doc_b, n_agree, est_jaccard). */
+  def minhashEstimates(docs: DataFrame, idCol: String, textCol: String,
+                       seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, seeds, rowsPerBand)
+    val sigArr = minhashSignatures(docs, idCol, textCol, seeds)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("j"), col("sig")))).as("__js"))
+      .select(col(idCol), transform(col("__js"), s => s.getField("sig")).as("__sa"))
+    pairs
+      .join(sigArr.select(col(idCol).as("doc_a"), col("__sa").as("__siga")), Seq("doc_a"))
+      .join(sigArr.select(col(idCol).as("doc_b"), col("__sa").as("__sigb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("__siga"), col("__sigb"), (a, b) => a === b),
+          x => x)).as("n_agree"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(seeds.toDouble))
+  }
+
   /** [[minhashPairs]] over a prepared rep table: band self-join, first-match
     * pair emission, in-row clone expansion — no side tables, no joins
     * beyond the bucket self-join. */

@@ -388,4 +388,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(1)).sorted.toSeq
     assert(t == Seq("a", "b"))
   }
+
+  test("minhashEstimates: same pair set as minhashPairs; agreement matches " +
+      "an independent per-seed recount; exact clones estimate 1.0") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val est = Dedup.minhashEstimates(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(est.nonEmpty)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    est.foreach { case (a, b, n, e) =>
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      assert(n == agree, s"($a,$b) n_agree $n != recount $agree")
+      assert(e == agree / 16.0)
+    }
+    val pairSet = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(p => (p._1, p._2)).toSet == pairSet)
+    // identical token sets agree on every seed (same-set pairs ride the
+    // rep collapse, not the band join — the estimator must still cover them)
+    val clones = est.filter { case (a, b, _, _) => sig(a) == sig(b) }
+    assert(clones.nonEmpty && clones.forall(c => c._3 == 16 && c._4 == 1.0))
+  }
 }

@@ -116,4 +116,28 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
       parts.map(Reconcile.aggState(_, Seq("g"), v)): _*))
     assert(merged == full && full.map(_._3).sum == 300L)
   }
+
+  test("merkleTree: complete level structure, and a single-chunk corruption " +
+      "flips exactly one digest path to the root (log-compare localization)") {
+    import spark.implicits._
+    def chunks(corrupt: Option[Int]) = (0 until 8).map { i =>
+      val sum = if (corrupt.contains(i)) 999999L else 1000L + i
+      (i, 10L + i, BigDecimal(sum), 77L ^ i)
+    }.toDF("chunk_id", "n", "sum_h", "xor_h")
+      .withColumn("sum_h", col("sum_h").cast("decimal(38,0)"))
+    def tree(c: org.apache.spark.sql.DataFrame) =
+      Reconcile.merkleTree(c, levels = 3).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    val clean = tree(chunks(None))
+    // 8 + 4 + 2 + 1 nodes, one root
+    assert(clean.size == 15)
+    assert((0 to 3).forall(l => clean.keys.count(_._1 == l) == (8 >> l)))
+    // determinism: same input, same digests
+    assert(tree(chunks(None)) == clean)
+    // corrupt chunk 5: exactly ONE node differs per level, on the halving
+    // path 5 -> 2 -> 1 -> 0 — top-down compare descends one branch
+    val bad = tree(chunks(Some(5)))
+    val diff = clean.keySet.filter(k => clean(k) != bad(k))
+    assert(diff == Set((0, 5L), (1, 2L), (2, 1L), (3, 0L)))
+  }
 }
