@@ -297,6 +297,16 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
+    // full outer: both unmatched sides survive NULL-padded. The non-equi
+    // conjunct stays in the join condition (not a post-filter — that would
+    // change which left rows match). Same single-shuffle SMJ as inner
+    "join_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 450000.0,
+          "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
     "join_star_5way" -> ((s, dir) => Query.starJoin5Way(s, dir)),
     // co-located join over bucketed tables: the shuffle is PRE-PAID at
     // write time (fixture setup), so the join itself plans with ZERO
@@ -448,6 +458,136 @@ object SparkEntry {
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
     }),
+    // Q6 shape (forecasting revenue change): the canonical single-scan
+    // filter-aggregate — at 100 TB this is pure pushdown territory (date
+    // range prunes partitions, the residual predicate evaluates in the
+    // scan, ONE decimal partial-agg per task reaches the driver)
+    "sql_q6_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    }),
+    // Q7 shape (volume shipping between two nations): the two-directional
+    // nation pair is a disjunctive filter over two BROADCAST nation dims —
+    // the big lineitem⋈orders spine shuffles on the join keys only once
+    "sql_q7_volume_shipping" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') shipping
+        GROUP BY supp_nation, cust_nation, l_year""")
+    }),
+    // Q8 shape (national market share): 7-way star, share = two
+    // identical-operand exact-decimal-derived doubles divided once (the
+    // Q14 float rule); region/nation/part are all broadcast dims
+    "sql_q8_market_share" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                    CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+                     n2.n_name AS nation
+              FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region   ON n1.n_regionkey = r_regionkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+                AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') all_nations
+        GROUP BY o_year""")
+    }),
+    // Q13 shape (customer order-count distribution): LEFT OUTER preserves
+    // zero-order customers, then a second aggregation over the first —
+    // both shuffles are key-bounded (custkey, then the tiny count domain)
+    "sql_q13_custdist" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count""")
+    }),
+    // Q15 shape (top supplier): CTE revenue view consumed twice — once as
+    // the join input, once under MAX; the equality gate stays in exact
+    // DECIMAL so both engines elect the same supplier(s)
+    "sql_q15_top_supplier" -> ((s, dir) => {
+      Seq("supplier", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")
+    }),
+    // Q17 shape (small-quantity-order revenue), adapted to the fixture's
+    // column set (brand+type stand in for brand+container). The canonical
+    // correlated `l_quantity < 0.2 * AVG(l_quantity)` is rewritten as the
+    // exact-integer inequality `5·qty·cnt < sum` — AVG over doubles is
+    // summation-order-dependent and a borderline row could flip between
+    // engines; the decimal form cannot
+    "sql_q17_small_qty_rev" -> ((s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH pagg AS (SELECT l_partkey AS pk,
+                             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                             COUNT(*) AS cq
+                      FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        JOIN pagg ON pk = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0))
+                * CAST(cq AS DECIMAL(10,0)) < sq""")
+    }),
+    // Q22 shape (idle high-balance customers), adapted: nation-key set
+    // stands in for the phone-prefix country codes, and "idle" means no
+    // FINALIZED order (every fixture customer has ≥1 order, so the
+    // canonical no-orders form is vacuously empty). The `> AVG(...)` gate
+    // is the exact product form `bal·cnt > sum` for the same reason as
+    // Q17; the anti-join (NOT EXISTS) is the scale shape — never a
+    // NOT IN over a collected list
+    "sql_q22_idle_balance" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        WITH pos AS (SELECT c_custkey, c_nationkey,
+                            CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+                     FROM customer
+                     WHERE c_nationkey IN (1,2,3,4,5,6,7) AND c_acctbal > 0.0),
+             aggp AS (SELECT SUM(bal) AS sb, COUNT(*) AS cb FROM pos)
+        SELECT CAST(c_nationkey AS INT) AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        FROM pos
+        WHERE bal * CAST((SELECT cb FROM aggp) AS DECIMAL(18,0)) > (SELECT sb FROM aggp)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_nationkey""")
+    }),
 
     // ── §2.4 aggregations ────────────────────────────────────────────────
     "agg_group_returnflag" -> ((s, dir) => Query.aggGroupReturnflag(s, dir)),
@@ -524,6 +664,17 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
     }),
+    // dense_rank + cume_dist per status partition: rank ties collapse
+    // (dense) and cume_dist is the exact fraction rank_of_peer_group / N —
+    // one integer division per row, bit-identical across engines. Ordering
+    // by the (possibly tied) price alone is deliberate: both functions are
+    // PEER-aware, so the result is deterministic under ties
+    "window_dense_rank_cume" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).as("drank"),
+        cume_dist().over(w).as("cdist"))
+    }),
 
     // ── §2.6 sorts / top-k ───────────────────────────────────────────────
     "sort_by_pk" -> ((s, dir) =>
@@ -551,6 +702,24 @@ object SparkEntry {
     "except_inactive_customers" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey").as("custkey"))
         .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))),
+    // UNION (distinct): plans as union-all + hash-distinct — ONE shuffle on
+    // the value, the same shape a 100 TB id-universe merge wants
+    "union_distinct_custkeys" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .union(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .distinct()),
+    // multiset EXCEPT ALL / INTERSECT ALL: occurrence-counted semantics
+    // (a row surviving k_l - k_r times), which Spark plans as a counted
+    // hash-aggregate join — no row explosion beyond the surviving copies
+    "except_all_order_custkeys" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .exceptAll(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))),
+    "intersect_all_quantities" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_quantity").as("qty"))
+        .intersectAll(t(s, dir, "lineitem").filter(col("l_returnflag") === "A")
+          .select(col("l_quantity").as("qty")))),
 
     // ── §2.8 scalar functions ────────────────────────────────────────────
     "fn_crc32_rows" -> ((s, dir) => // no DuckDB crc32 → rows-only check
@@ -1382,6 +1551,10 @@ object SparkEntry {
     "join_anti_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
         | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        | FROM customer FULL OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 450000.0""".stripMargin,
     "join_star_5way" ->
       """SELECT r_name, n_name,
         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -1442,6 +1615,84 @@ object SparkEntry {
         | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "sql_q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "sql_q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS revenue
+        | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |   CAST(year(l_shipdate) AS INT) AS l_year,
+        |   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') shipping
+        | GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "sql_q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |       CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        | FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |   n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region   ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') all_nations
+        | GROUP BY o_year""".stripMargin,
+    "sql_q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        | FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) c_orders
+        | GROUP BY c_count""".stripMargin,
+    "sql_q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        | SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        | FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        | WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
+    "sql_q17_small_qty_rev" ->
+      """WITH pagg AS (SELECT l_partkey AS pk,
+        |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |   COUNT(*) AS cq
+        |  FROM lineitem GROUP BY l_partkey)
+        | SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | JOIN pagg ON pk = l_partkey
+        | WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |   AND CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0))
+        |         * CAST(cq AS DECIMAL(10,0)) < sq""".stripMargin,
+    "sql_q22_idle_balance" ->
+      """WITH pos AS (SELECT c_custkey, c_nationkey,
+        |   CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+        |  FROM customer
+        |  WHERE c_nationkey IN (1,2,3,4,5,6,7) AND c_acctbal > 0.0),
+        | aggp AS (SELECT SUM(bal) AS sb, COUNT(*) AS cb FROM pos)
+        | SELECT CAST(c_nationkey AS INT) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        | FROM pos
+        | WHERE bal * CAST((SELECT cb FROM aggp) AS DECIMAL(18,0)) > (SELECT sb FROM aggp)
+        |   AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        | GROUP BY c_nationkey""".stripMargin,
     // the bucketed layout is physical-only: the oracle is the plain join
     "join_bucketed_colocated" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
@@ -1515,6 +1766,12 @@ object SparkEntry {
         | FROM orders
         | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "window_dense_rank_cume" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(dense_rank() OVER w AS INT) AS drank,
+        | cume_dist() OVER w AS cdist
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin,
 
     "sort_by_pk" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
@@ -1535,6 +1792,16 @@ object SparkEntry {
       "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey AS custkey FROM orders",
     "except_inactive_customers" ->
       "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders",
+    "union_distinct_custkeys" ->
+      "SELECT c_custkey AS custkey FROM customer UNION SELECT o_custkey AS custkey FROM orders",
+    "except_all_order_custkeys" ->
+      """SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "intersect_all_quantities" ->
+      """SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+        | INTERSECT ALL
+        | SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
 
     "fn_md5_rows" -> "SELECT doc_id, md5(text) AS h FROM documents",
     "fn_base64_roundtrip" ->

@@ -252,4 +252,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
     assert(!p.contains("Exchange"), s"no shuffle for a driver-sized top-k:\n${p.take(1500)}")
   }
+
+  test("Q6: date range + residual predicates reach the Parquet scan") {
+    // the single-scan filter-aggregate lives or dies on pushdown at 100 TB:
+    // the shipdate range must appear in PushedFilters (row-group pruning
+    // via min/max statistics), not only as a post-scan Filter
+    val p = planOf("sql_q6_forecast")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"Q6 predicates must push into the scan:\n$pushed")
+  }
+
+  test("Q8: region/nation/part dims broadcast; no dim ever shuffles the spine") {
+    // the 7-way star must resolve every dimension via broadcast — a shuffle
+    // against nation (25 rows) would repartition the lineitem spine
+    val p = planOf("sql_q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"Q8 dims must broadcast:\n${p.take(2000)}")
+  }
+
+  test("Q13: LEFT OUTER keeps zero-order customers (count rows vs customer table)") {
+    import org.apache.spark.sql.functions._
+    val dist = SparkEntry.queries("sql_q13_custdist")(spark, sf)
+      .agg(sum(col("custdist"))).collect()(0).getLong(0)
+    val nCust = graft.Tables.load(spark, sf, "customer").count()
+    assert(dist == nCust, s"every customer must land in exactly one bucket: $dist != $nCust")
+  }
 }
