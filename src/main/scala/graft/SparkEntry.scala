@@ -598,6 +598,11 @@ object SparkEntry {
       t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))),
     "agg_approx_distinct" -> ((s, dir) => // HLL sketch; engine-specific → rows-only
       t(s, dir, "orders").agg(approx_count_distinct(col("o_custkey"), 0.05).as("n_approx"))),
+    // Pearson correlation via exact decimal moments (sqlCorrQtyPrice doc)
+    "agg_corr_qty_price" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlCorrQtyPrice)
+    }),
     "agg_rollup_nation_region" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -1145,6 +1150,20 @@ object SparkEntry {
           max(col("n_tokens")).as("max_tokens"))),
     "ext_bpeish_token_count" -> ((s, dir) =>
       TextAnalysis.bpeishTokenCount(t(s, dir, "documents"), "doc_id", "text")),
+    // lexical diversity (type-token ratio): distinct/total tokens per doc —
+    // the curation gate for keyboard-mash and template spam (low TTR) and
+    // random-noise text (TTR ≈ 1 at length). In-row set size over the
+    // family tokenizer; the ratio is ONE double division of two exact ints
+    "ext_type_token_ratio" -> ((s, dir) => {
+      val tk = filter(split(lower(coalesce(col("text"), lit(""))), " "), w => w =!= "")
+      Query.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"), size(tk).as("n_tokens"),
+          size(array_distinct(tk)).as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          when(col("n_tokens") > 0,
+            col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"))
+    }),
     "ext_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
     "ext_quality_score" -> ((s, dir) =>
@@ -2497,6 +2516,15 @@ object SparkEntry {
     "ext_bpeish_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,
         | '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish FROM documents""".stripMargin,
+    "ext_type_token_ratio" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS tk
+        | FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(tk)) AS INT) AS n_types,
+        | CASE WHEN len(tk) > 0
+        |  THEN CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS ttr
+        |FROM tk""".stripMargin,
     "ext_lang_id" ->
       ("WITH s AS (SELECT doc_id, " + Seq(
         ("s_en", Seq("the", "a")), ("s_query", Seq("query", "scan", "filter")),
@@ -2743,6 +2771,7 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority""".stripMargin,
     "sql_scalar_above_avg" -> sqlScalarAboveAvg,
+    "agg_corr_qty_price" -> sqlCorrQtyPrice,
     "sql_q10_returned_items" -> sqlQ10ReturnedItems,
   )
 
@@ -2760,6 +2789,31 @@ object SparkEntry {
   /** Shared verbatim by the Spark surface and the DuckDB oracle: the
     * above-mean filter via exact decimal cross-multiplication
     * (price·N > Σprice — no double division, no ulp seam). */
+  /** Pearson correlation with EXACT moment accumulation, shared verbatim by
+    * both engines. The naive `corr()` built-in sums doubles in partition
+    * order — cross-engine (and cross-run, under AQE) nondeterministic. Here
+    * all five moments are exact DECIMAL sums (mergeable partials — the same
+    * two-phase shape at 1000 executors), cast to DOUBLE once, and the final
+    * formula is identical IEEE arithmetic on identical operands. Operand
+    * precisions are chosen so BOTH engines multiply exactly: DuckDB picks
+    * its physical int width from operand precision (both operands <= 18
+    * -> int64 multiply, which OVERFLOWS at these magnitudes), so one
+    * factor is widened to DECIMAL(19,_) to force int128; Spark needs
+    * p1+p2+1 <= 38 or it silently REDUCES the result scale (rounding), so
+    * the other factor stays narrow. (19,_)x(15,_) satisfies both. */
+  private val sqlCorrQtyPrice: String =
+    """WITH m AS (SELECT
+      |  CAST(COUNT(*) AS DOUBLE) AS nd,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx2,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sy2
+      | FROM lineitem)
+      |SELECT CAST((nd * sxy - sx * sy) /
+      |  (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS DOUBLE) AS corr_qty_price
+      |FROM m""".stripMargin
+
   private val sqlScalarAboveAvg: String =
     """SELECT o_orderkey, o_totalprice FROM orders
       |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders) >

@@ -107,6 +107,39 @@ object Layout {
     s.table(leftTable).hint("merge")
       .join(s.table(rightTable), col(leftKey) === col(rightKey))
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files. The 100 TB maintenance problem
+    * this solves: streaming sinks and partitioned CDC writes accrete
+    * thousands of KB-scale files per partition, and every downstream scan
+    * then pays per-file open/footer/schema costs that dwarf the reads
+    * (NameNode/liststore pressure at cluster scale, task-launch floor per
+    * split locally).
+    *
+    * Scale shape: `coalesce`, NOT `repartition` — compaction must not buy
+    * a full shuffle of the data it rewrites; coalesce folds existing
+    * splits into fewer write tasks with zero exchange (pinned by
+    * LayoutSpec). The trade: coalesced tasks inherit input-split skew. For
+    * a pathologically skewed directory pass `shuffle = true` to spread
+    * rows evenly (round-robin repartition) at full-shuffle cost.
+    *
+    * Writes to `dstDir` (never in place — the swap is the caller's
+    * rename, which object stores and HDFS both do atomically at the
+    * directory level). Returns (filesIn, filesOut). */
+  def compact(s: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, targetBytes: Long = 128L << 20,
+              shuffle: Boolean = false): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val in = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nOut = math.max(1L, (in.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
+    val df = s.read.parquet(srcDir)
+    (if (shuffle) df.repartition(nOut) else df.coalesce(nOut))
+      .write.mode("overwrite").parquet(dstDir)
+    val out = Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (in.length, out)
+  }
+
   /** Per-partition bounding-box report for a layout: for each physical
     * partition, the (min, max) extent of every dimension — the quantity
     * min/max footer pruning actually sees. Used by specs to prove the

@@ -72,4 +72,29 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // and the layout is a pure reordering: same rows
     assert(zClustered.count() == orders.count())
   }
+
+  test("compact folds a small-file directory without shuffling or losing rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val (src, dst) = (s"$base/src", s"$base/dst")
+    // 24 tiny files — the post-streaming-sink pathology
+    (1 to 2400).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+      .repartition(24).write.parquet(src)
+    val (nIn, nOut) = Layout.compact(spark, src, dst, targetBytes = 1L << 40)
+    assert(nIn == 24 && nOut == 1, s"in=$nIn out=$nOut")
+    // pure rewrite: identical multiset of rows
+    val a = spark.read.parquet(src).collect().map(_.toSeq).sortBy(_.toString)
+    val b = spark.read.parquet(dst).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // the compaction plan must be shuffle-free (coalesce, not repartition)
+    val plan = spark.read.parquet(src).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+    // sizing: a 2-file target yields 2 files
+    val dst2 = s"$base/dst2"
+    val total = Option(new java.io.File(src).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (_, n2) = Layout.compact(spark, src, dst2, targetBytes = total / 2 + 1)
+    assert(n2 == 2, s"want 2 output files, got $n2")
+  }
 }
