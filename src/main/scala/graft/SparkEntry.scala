@@ -598,9 +598,12 @@ object SparkEntry {
       t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))),
     "agg_approx_distinct" -> ((s, dir) => // HLL sketch; engine-specific → rows-only
       t(s, dir, "orders").agg(approx_count_distinct(col("o_custkey"), 0.05).as("n_approx"))),
-    // Pearson correlation via exact decimal moments (sqlCorrQtyPrice doc)
+    // Pearson correlation via exact decimal moments (sqlCorrQtyPrice doc);
+    // ensureParallelism: five decimal-product partials are map-heavy and
+    // the single-row-group fixture scan would otherwise run them one-core
     "agg_corr_qty_price" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Query.ensureParallelism(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem")
       s.sql(sqlCorrQtyPrice)
     }),
     "agg_rollup_nation_region" -> ((s, dir) => {
