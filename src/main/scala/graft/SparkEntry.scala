@@ -136,6 +136,24 @@ object SparkEntry {
   private val evolutionFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Hive-style partitioned layout of events (PARTITIONED BY event_type):
+    * directory-level partitioning is THE first pruning primitive at
+    * 100 TB — a predicate on the partition column eliminates whole
+    * directories at PLANNING time (PartitionFilters in the scan node;
+    * PlanShapeSpec pins it), before any file footer is opened. Written
+    * once per JVM as fixture setup (Bench warm-up), never in a timed or
+    * verified path. */
+  private val hivePartFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hivePartFixture(s: SparkSession, dir: String): String =
+    hivePartFixtures.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_hive_part_").toString
+      t(s, d, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      p
+    })
+
   private def evolutionFixture(s: SparkSession, dir: String): String =
     evolutionFixtures.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files
@@ -160,6 +178,7 @@ object SparkEntry {
     ivfPqCoarse(s, dir)
     bucketedPair(s, dir)
     evolutionFixture(s, dir)
+    hivePartFixture(s, dir)
     ()
   }
 
@@ -606,6 +625,12 @@ object SparkEntry {
         .createOrReplaceTempView("lineitem")
       s.sql(sqlCorrQtyPrice)
     }),
+    // OLS regression off the same exact moments (sqlRegressionPriceQty doc)
+    "agg_regression_price_qty" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem")
+      s.sql(sqlRegressionPriceQty)
+    }),
     "agg_rollup_nation_region" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -940,6 +965,10 @@ object SparkEntry {
         seeds = 16, rowsPerBand = 8)),
     "ext_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.nearDupsFused(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)),
+    // asymmetric containment over the same candidate set (Dedup doc:
+    // quote/wrapper inclusion scoring — no size-ratio prefilter)
+    "ext_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 16, 8)),
     "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
     // md5-hash twin: same vote/assemble circuit, oracle-verified
@@ -1446,6 +1475,15 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(s"$p/v1", s"$p/v2")
         .select(col("o_orderkey"), col("o_custkey"),
           coalesce(col("o_note"), lit("")).as("note"))
+    }),
+    // hive-partitioned read with a partition-column predicate: the filter
+    // resolves at PLANNING time against directory names (PartitionFilters
+    // — spec-pinned), so non-matching partitions cost zero I/O
+    "source_hive_partitioned" -> ((s, dir) => {
+      val p = hivePartFixture(s, dir)
+      s.read.parquet(p).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
     // ── §2.5 distribution windows ────────────────────────────────────────
@@ -2287,6 +2325,20 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = i2.doc_a
         |JOIN sizes sb ON sb.doc_id = i2.doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.95""".stripMargin),
+    "ext_dedup_containment" -> (minhashCandidatesCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN hv a ON a.doc_id = p.doc_a
+        |  JOIN hv b ON b.doc_id = p.doc_b AND b.h = a.h
+        |  GROUP BY p.doc_a, p.doc_b)
+        |SELECT i2.doc_a, i2.doc_b, CAST(i AS INT) AS overlap,
+        |  CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+        |  CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+        |FROM inter i2
+        |JOIN sizes sa ON sa.doc_id = i2.doc_a
+        |JOIN sizes sb ON sb.doc_id = i2.doc_b""".stripMargin),
 
     "ext_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2763,6 +2815,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, 'n-' || CAST(o_orderkey AS VARCHAR) AS note
         | FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+    "source_hive_partitioned" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
     "window_percent_rank" ->
       """SELECT o_orderkey, o_custkey,
         | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
@@ -2775,6 +2831,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "sql_scalar_above_avg" -> sqlScalarAboveAvg,
     "agg_corr_qty_price" -> sqlCorrQtyPrice,
+    "agg_regression_price_qty" -> sqlRegressionPriceQty,
     "sql_q10_returned_items" -> sqlQ10ReturnedItems,
   )
 
@@ -2804,7 +2861,7 @@ object SparkEntry {
     * factor is widened to DECIMAL(19,_) to force int128; Spark needs
     * p1+p2+1 <= 38 or it silently REDUCES the result scale (rounding), so
     * the other factor stays narrow. (19,_)x(15,_) satisfies both. */
-  private val sqlCorrQtyPrice: String =
+  private val momentsCte: String =
     """WITH m AS (SELECT
       |  CAST(COUNT(*) AS DOUBLE) AS nd,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
@@ -2812,9 +2869,23 @@ object SparkEntry {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sxy,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx2,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) AS sy2
-      | FROM lineitem)
+      | FROM lineitem)""".stripMargin
+
+  private val sqlCorrQtyPrice: String = momentsCte +
+    """
       |SELECT CAST((nd * sxy - sx * sy) /
       |  (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS DOUBLE) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  /** OLS simple regression (price on quantity) off the same exact moments:
+    * slope, intercept, R² — each a fixed IEEE-double expression over the
+    * five decimal-exact sums, so both engines agree bitwise. */
+  private val sqlRegressionPriceQty: String = momentsCte +
+    """
+      |SELECT CAST((nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS DOUBLE) AS slope,
+      |  CAST((sy - (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) * sx) / nd AS DOUBLE) AS intercept,
+      |  CAST(((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
+      |    ((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) AS DOUBLE) AS r2
       |FROM m""".stripMargin
 
   private val sqlScalarAboveAvg: String =

@@ -293,6 +293,60 @@ object Dedup {
         col("n_agree").cast("double") / lit(seeds.toDouble))
   }
 
+  /** Candidate pairs with their exact CONTAINMENT coefficients:
+    * overlap = |A∩B|, cont_a = overlap/|A|, cont_b = overlap/|B| — the
+    * asymmetric overlap measures (Broder's containment) a curation
+    * pipeline reads when one document INCLUDES another (quotes, wrappers,
+    * aggregator pages) without being a near-clone of it: jaccard is
+    * diluted by the size imbalance, containment of the smaller side is
+    * not. Scope is honest: pairs come from the same minhash band join as
+    * the jaccard family, which targets HIGH-jaccard pairs — a tiny doc
+    * quoted inside a huge one rarely collides on a band; the corpus-wide
+    * small-in-large treatment is [[SpanDedup.removeDupSpans]]. This
+    * operator prices the candidates the bands DO emit (size-skewed
+    * near-dups, wrapper pages) — note the deliberate ABSENCE of
+    * [[verifiedRepPairs]]' size-ratio prefilter, which would discard
+    * exactly the skewed pairs containment exists to score.
+    *
+    * Same single-pass shape as [[minhashEstimates]]: token-hash sets ride
+    * the band rows, the intersection is computed in the band-join row at
+    * rep level, clones expand in-row; same-set pairs are containment 1.0
+    * on both sides by construction. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       seeds: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val reps = repsWithMembers(docs, idCol, textCol)
+    val bands = bandsOfSets(reps, "__rep", seeds, rowsPerBand,
+      carry = Seq("__allsigs", "__members", "__harr"))
+    val cross = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.band_sig") === col("r.band_sig"))
+      .filter(col("l.__rep") < col("r.__rep") && noEarlierBandMatch)
+      .select(size(array_intersect(col("l.__harr"), col("r.__harr"))).as("__i"),
+        size(col("l.__harr")).as("__nl"), size(col("r.__harr")).as("__nr"),
+        col("l.__members").as("__mas"), col("r.__members").as("__mbs"))
+      .select(col("__i"), col("__nl"), col("__nr"),
+        explode(col("__mas")).as("__ma"), col("__mbs"))
+      .select(col("__i"), col("__nl"), col("__nr"), col("__ma"),
+        explode(col("__mbs")).as("__mb"))
+      // orient sizes with the id swap: doc_a is the smaller ID, and __na
+      // must be THAT document's set size, whichever join side it came from
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"),
+        col("__i").as("overlap"),
+        when(col("__ma") < col("__mb"), col("__nl")).otherwise(col("__nr")).as("__na"),
+        when(col("__ma") < col("__mb"), col("__nr")).otherwise(col("__nl")).as("__nb"))
+    val same = reps.filter(size(col("__members")) > 1)
+      .select(size(col("__harr")).as("__n"),
+        explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+      .select(col("__n"), col("__ma"), explode(col("__mbs")).as("__mb"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+        col("__n").as("overlap"), col("__n").as("__na"), col("__n").as("__nb"))
+    cross.unionByName(same)
+      .select(col("doc_a"), col("doc_b"), col("overlap"),
+        (col("overlap").cast("double") / col("__na").cast("double")).as("cont_a"),
+        (col("overlap").cast("double") / col("__nb").cast("double")).as("cont_b"))
+  }
+
   /** [[minhashPairs]] over a prepared rep table: band self-join, first-match
     * pair emission, in-row clone expansion — no side tables, no joins
     * beyond the bucket self-join. */

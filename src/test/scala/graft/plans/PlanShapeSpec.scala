@@ -271,6 +271,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"Q8 dims must broadcast:\n${p.take(2000)}")
   }
 
+  test("hive-partitioned read prunes partitions at planning time") {
+    val p = planOf("source_hive_partitioned")
+    val part = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(part.contains("event_type"),
+      s"partition-column predicate must land in PartitionFilters:\n$part")
+    // and NOT survive as a post-scan data filter on the partition column
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") &&
+      l.contains("event_type")), s"no residual data filter expected:\n${p.take(1500)}")
+  }
+
   test("Q13: LEFT OUTER keeps zero-order customers (count rows vs customer table)") {
     import org.apache.spark.sql.functions._
     val dist = SparkEntry.queries("sql_q13_custdist")(spark, sf)
