@@ -411,4 +411,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val clones = est.filter { case (a, b, _, _) => sig(a) == sig(b) }
     assert(clones.nonEmpty && clones.forall(c => c._3 == 16 && c._4 == 1.0))
   }
+
+  test("containmentPairs: bounds, same pair set, jaccard reconstructs, clones at 1.0") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(cont.nonEmpty)
+    // containment is a fraction of a real overlap: (0, 1] on both sides
+    cont.foreach { case (a, b, i, ca, cb) =>
+      assert(i > 0 && ca > 0 && cb > 0 && ca <= 1.0 && cb <= 1.0,
+        s"($a,$b) overlap=$i cont=($ca,$cb)")
+    }
+    // exactly the candidate pair universe (no size-ratio prefilter)
+    val pairSet = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.map(p => (p._1, p._2)).toSet == pairSet)
+    // set sizes recover from the containments (na = i/ca), and the
+    // verified jaccard of nearDupsFused must equal i/(na+nb-i) on the
+    // pairs both surfaces emit — one algebraic identity across operators
+    val jac = Dedup.nearDupsFused(docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    var checked = 0
+    cont.foreach { case (a, b, i, ca, cb) =>
+      jac.get((a, b)).foreach { j =>
+        val (na, nb) = (math.round(i / ca), math.round(i / cb))
+        val expect = i.toDouble / (na + nb - i).toDouble
+        assert(math.abs(j - expect) < 1e-12, s"($a,$b): $j vs $expect")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+    // exact clones: total containment on both sides
+    val ones = cont.filter(c => c._4 == 1.0 && c._5 == 1.0)
+    assert(ones.nonEmpty && ones.forall(c => jac.get((c._1, c._2)).contains(1.0)))
+  }
 }
