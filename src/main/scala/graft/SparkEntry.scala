@@ -660,18 +660,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("prev_value"), col("delta"))),
     // OHLC time-bucket downsampling (telemetry/trading resample): one
-    // hash aggregate with map-side partial min_by/max_by — open/close are
-    // arg-extremes over the tie-free (ts, event_id) key, NOT a window sort
-    // (a window would sort every (user, hour) partition to read 2 rows;
-    // min_by folds in one pass and merges associatively at 1000 executors)
+    // HASH aggregate with map-side partial min_by/max_by — open/close are
+    // arg-extremes over event time, NOT a window sort (a window would sort
+    // every (user, hour) partition to read 2 rows; min_by folds in one
+    // pass and merges associatively at 1000 executors). The ordering key
+    // is the SCALAR ts deliberately: a struct(ts, event_id) tiebreak key
+    // demotes the whole aggregate to SortAggregate (struct buffers aren't
+    // hash-mutable) — (user_id, ts) is unique in this feed (μs event
+    // time; PlanShapeSpec guards the precondition), so ts alone is tie-free;
+    // a feed without that guarantee packs its tiebreak into the μs slot
     "ext_ohlc_hourly" -> ((s, dir) => {
       val e = t(s, dir, "events")
       e.select(col("user_id"), date_trunc("hour", col("ts")).as("b"),
-          col("value"), col("ts"), col("event_id"))
+          col("value"), col("ts"))
         .groupBy(col("user_id"), col("b"))
         .agg(
-          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
-          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          min_by(col("value"), col("ts")).as("open"),
+          max_by(col("value"), col("ts")).as("close"),
           min(col("value")).as("low"), max(col("value")).as("high"),
           count(lit(1)).as("n"))
         .select(col("user_id"),
@@ -2838,20 +2843,14 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
-    // open/close replayed as first/last row per bucket under the same
-    // tie-free (ts, event_id) order (DuckDB's arg_min key must be scalar)
+    // open/close replayed as scalar arg-extremes over the same tie-free
+    // per-user event time
     "ext_ohlc_hourly" ->
-      """WITH r AS (SELECT user_id, date_trunc('hour', ts) AS b, value,
-        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-        |   ORDER BY ts, event_id) AS ra,
-        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-        |   ORDER BY ts DESC, event_id DESC) AS rd
-        | FROM events)
-        |SELECT user_id, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
-        | max(CASE WHEN ra = 1 THEN value END) AS open,
-        | max(CASE WHEN rd = 1 THEN value END) AS close,
+      """SELECT user_id,
+        | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+        | arg_min(value, ts) AS open, arg_max(value, ts) AS close,
         | min(value) AS low, max(value) AS high, count(*) AS n
-        |FROM r GROUP BY user_id, b""".stripMargin,
+        |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin,
     "window_percent_rank" ->
       """SELECT o_orderkey, o_custkey,
         | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd

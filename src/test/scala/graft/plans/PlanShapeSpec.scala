@@ -271,6 +271,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"Q8 dims must broadcast:\n${p.take(2000)}")
   }
 
+  test("OHLC: hash aggregate (no SortAggregate demotion), tie-free precondition holds") {
+    // the scalar-ts ordering key exists to KEEP min_by hash-mutable; a
+    // struct key silently demotes the plan to SortAggregate (two extra
+    // sorts). Guard both the plan and the uniqueness precondition the
+    // scalar key relies on.
+    val p = planOf("ext_ohlc_hourly")
+    assert(p.contains("HashAggregate"), s"expect hash agg:\n${p.take(1200)}")
+    assert(!p.contains("SortAggregate"),
+      s"min_by ordering key must stay hash-mutable:\n${p.take(1200)}")
+    import org.apache.spark.sql.functions._
+    val dup = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), col("ts")).count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, s"(user_id, ts) must be tie-free, found $dup duplicate keys")
+  }
+
   test("hive-partitioned read prunes partitions at planning time") {
     val p = planOf("source_hive_partitioned")
     val part = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
