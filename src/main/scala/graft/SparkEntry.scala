@@ -631,6 +631,12 @@ object SparkEntry {
         .createOrReplaceTempView("lineitem")
       s.sql(sqlRegressionPriceQty)
     }),
+    // higher exact moments: population skew / excess kurtosis
+    "agg_skew_kurtosis_qty" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem")
+      s.sql(sqlSkewKurtosisQty)
+    }),
     "agg_rollup_nation_region" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -2864,6 +2870,7 @@ object SparkEntry {
     "sql_scalar_above_avg" -> sqlScalarAboveAvg,
     "agg_corr_qty_price" -> sqlCorrQtyPrice,
     "agg_regression_price_qty" -> sqlRegressionPriceQty,
+    "agg_skew_kurtosis_qty" -> sqlSkewKurtosisQty,
     "sql_q10_returned_items" -> sqlQ10ReturnedItems,
   )
 
@@ -2907,6 +2914,27 @@ object SparkEntry {
     """
       |SELECT CAST((nd * sxy - sx * sy) /
       |  (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS DOUBLE) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  /** Population skewness / excess kurtosis of quantity via exact raw
+    * moments (Σx..Σx⁴ as decimal sums, standardized in IEEE doubles once).
+    * The built-ins sum doubles in partition order — nondeterministic
+    * cross-engine; this form is bitwise-stable. Widths: one DECIMAL(19,_)
+    * factor forces DuckDB's int128 multiply; the three remaining factors
+    * are DECIMAL(4,1) (quantity ∈ [1,50]) so the x⁴ chain peaks at
+    * (31,4) in DuckDB / (34,4) in Spark — inside both engines' 38. */
+  private val sqlSkewKurtosisQty: String =
+    """WITH m AS (SELECT
+      |  CAST(COUNT(*) AS DOUBLE) AS nd,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,1))) AS DOUBLE) AS s1,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS s2,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,1)) * CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS s3,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,1)) * CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS s4
+      | FROM lineitem)
+      |SELECT CAST((s3/nd - 3*(s1/nd)*(s2/nd) + 2*(s1/nd)*(s1/nd)*(s1/nd)) /
+      |    sqrt((s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd))) AS DOUBLE) AS skewness,
+      |  CAST((s4/nd - 4*(s1/nd)*(s3/nd) + 6*(s1/nd)*(s1/nd)*(s2/nd) - 3*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd)) /
+      |    ((s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd))) - 3.0 AS DOUBLE) AS excess_kurtosis
       |FROM m""".stripMargin
 
   /** OLS simple regression (price on quantity) off the same exact moments:
