@@ -816,6 +816,14 @@ object SparkEntry {
           translate(col("c_name"), "0123456789", "1032547698")).as("jw_sub"),
         JW.of(col("c_name"), concat(col("c_name"), lit("x"))).as("jw_suffix"))
     }),
+    // classic DP edit distance — the verify step behind fuzzy key matching
+    // and candidate-pair confirmation; identical unit-cost definition in
+    // both engines (INT-cast: DuckDB types its result BIGINT)
+    "fn_levenshtein" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).cast("int").as("lev_name_type"),
+        levenshtein(col("p_brand"), col("p_type")).cast("int").as("lev_brand_type"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).cast("int").as("lev_palindrome"))),
     "fn_date_format_events" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"))
@@ -1261,6 +1269,23 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value", 0.05, 0.95)
         .select(col("event_id"), col("event_type"), col("value_w"))),
+    // robust outlier report: |value − group median| > 3 × group MAD —
+    // the 50%-breakdown companion to the z-score gate below (an outlier
+    // cannot drag the threshold that flags it)
+    "ext_mad_outliers" -> ((s, dir) =>
+      operators.Curation.madOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("adev"), col("mad"))),
+    // z-score outliers via the exact-moment seam (sqlZscoreOutliers doc):
+    // |x − group mean| > 2σ decided as the decimal-exact-derived inequality
+    // (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no summation-order seam
+    "ext_zscore_outliers" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "events"))
+        .createOrReplaceTempView("events")
+      s.sql(sqlZscoreOutliers)
+    }),
     // the composed pipeline: scrub → normalize → quality gate → exact dedup,
     // one fused projection + one shuffle; oracle replays every stage
     "ext_corpus_clean" -> ((s, dir) =>
@@ -1338,6 +1363,25 @@ object SparkEntry {
           col("n_events"), col("sum_value"),
           expr("(unix_micros(`__end`) - unix_micros(`__start`)) div 1000000")
             .as("duration_s"))),
+    // interval union: each event opens a 5-minute [ts, ts+300s) activity
+    // window; overlapping-or-touching windows merge per user (gaps-and-
+    // islands prefix-max — one exchange, ONE running max of state)
+    "ext_merge_intervals" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("hi"))
+      Temporal.mergeIntervals(e, Seq("user_id"), "lo", "hi", Seq("event_id"))
+        .groupBy(col("user_id"), col("island_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("lo")).as("__lo"), max(col("hi")).as("__hi"))
+        .select(col("user_id"), col("island_no"),
+          date_format(timestamp_micros(col("__lo")), "yyyy-MM-dd HH:mm:ss")
+            .as("merged_start"),
+          date_format(timestamp_micros(col("__hi")), "yyyy-MM-dd HH:mm:ss")
+            .as("merged_end"),
+          col("n_events"),
+          expr("(`__hi` - `__lo`) div 1000000").as("duration_s"))
+    }),
     // cohort retention matrix: users bucketed by first-seen day, distinct
     // active users per (cohort day, day offset) — one pass, one user-id
     // exchange, per-user state bounded by the calendar span
@@ -1913,6 +1957,12 @@ object SparkEntry {
         |   translate(c_name, '0123456789', '1032547698')) AS jw_sub,
         | jaro_winkler_similarity(c_name, c_name || 'x') AS jw_suffix
         | FROM customer""".stripMargin,
+    "fn_levenshtein" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
+        | CAST(levenshtein(p_brand, p_type) AS INT) AS lev_brand_type,
+        | CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS lev_palindrome
+        | FROM part""".stripMargin,
     "fn_date_format_events" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_str, count(*) AS n
         | FROM events GROUP BY 1""".stripMargin,
@@ -2559,6 +2609,21 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type,
         |  least(greatest(e.value, q.qlo), q.qhi) AS value_w
         |FROM events e JOIN q USING (event_type)""".stripMargin,
+    // quantile_cont is the proven interpolation twin of Spark percentile
+    // (winsorize seam); med/adev/mad and the 3×MAD comparison are then
+    // identical IEEE expressions over identical operands
+    "ext_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |          abs(e.value - m.med) AS adev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, d.adev, m.mad
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.adev > 3.0 * m.mad""".stripMargin,
+    "ext_zscore_outliers" -> sqlZscoreOutliers,
     // every pipeline stage replayed: scrub regexes, normalize order
     // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
     "ext_corpus_clean" ->
@@ -2726,6 +2791,28 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM act a JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // same prefix-max break rule as the engine: a 5-min window merges into
+    // the island whenever its lo <= the max hi of all prior windows
+    // (half-open touch merges); all arithmetic on exact epoch micros
+    "ext_merge_intervals" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS hi
+        |  FROM events),
+        |w AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e),
+        |b AS (SELECT *, CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END AS brk
+        |      FROM w),
+        |g AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+        |    AS island_no FROM b)
+        |SELECT user_id, island_no,
+        |  strftime(make_timestamp(min(lo)), '%Y-%m-%d %H:%M:%S') AS merged_start,
+        |  strftime(make_timestamp(max(hi)), '%Y-%m-%d %H:%M:%S') AS merged_end,
+        |  count(*) AS n_events,
+        |  CAST((max(hi) - min(lo)) // 1000000 AS BIGINT) AS duration_s
+        |FROM g GROUP BY user_id, island_no""".stripMargin,
     "snapshot_diff" ->
       """WITH oldt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |              FROM orders),
@@ -2936,6 +3023,30 @@ object SparkEntry {
       |  CAST((s4/nd - 4*(s1/nd)*(s3/nd) + 6*(s1/nd)*(s1/nd)*(s2/nd) - 3*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd)) /
       |    ((s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd))) - 3.0 AS DOUBLE) AS excess_kurtosis
       |FROM m""".stripMargin
+
+  /** Per-group z-score outlier gate off exact decimal moments, shared
+    * verbatim by both engines. The flag |x − mean| > 2σ is decided as
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²): Σx and Σx² are exact DECIMAL sums
+    * (mergeable partials), cast to DOUBLE once, and both sides of the
+    * inequality are then identical IEEE expressions — a borderline row
+    * cannot flip cross-engine the way a double-summed AVG/STDDEV gate can.
+    * Width choice per the momentsCte doc: one DECIMAL(19,2) factor forces
+    * DuckDB's int128 multiply, 19+18+1 = 38 keeps Spark from truncating.
+    * The reported `zscore` equals (n·x − Σx)/√(n·Σx² − (Σx)²) — the same
+    * operands, so it agrees bitwise too. The 5-row moment table joins back
+    * broadcast (AQE); the event stream itself never shuffles. */
+  private val sqlZscoreOutliers: String =
+    """WITH m AS (SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+      | FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST((CAST(m.n AS DOUBLE) * e.value - m.sx) /
+      |       sqrt(CAST(m.n AS DOUBLE) * m.sx2 - m.sx * m.sx) AS DOUBLE) AS zscore
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE (CAST(m.n AS DOUBLE) * e.value - m.sx) * (CAST(m.n AS DOUBLE) * e.value - m.sx)
+      |      > 4.0 * (CAST(m.n AS DOUBLE) * m.sx2 - m.sx * m.sx)""".stripMargin
 
   /** OLS simple regression (price on quantity) off the same exact moments:
     * slope, intercept, R² — each a fixed IEEE-double expression over the

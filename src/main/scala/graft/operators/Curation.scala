@@ -201,6 +201,34 @@ object Curation {
       .drop("__qlo", "__qhi")
   }
 
+  /** Median-absolute-deviation outlier report: rows whose |value − group
+    * median| exceeds `k` × the group's MAD (median of those absolute
+    * deviations) — the robust outlier rule that, unlike a z-score, is not
+    * itself dragged by the outliers it hunts (50% breakdown point vs 0%).
+    * Returns the flagged rows plus `med`, `adev`, `mad`.
+    *
+    * Same two-aggregate join+filter shape as [[winsorize]], applied twice
+    * (median of values, then median of deviations): each grouped aggregate
+    * exchanges one row per group and AQE broadcasts the tiny quantile
+    * tables back onto the data. Exact `percentile` matches DuckDB
+    * `quantile_cont` (the proven winsorize seam — both interpolate on the
+    * sorted values); at 100 TB with high-cardinality groups swap both
+    * medians for t-digests and keep the shape. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.exists(Set("med", "adev", "mad")),
+      "madOutliers reserves output columns med/adev/mad")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5d)").as("med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .filter(col("adev") > lit(k) * col("mad"))
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination (`qiCols`) is shared by at least `k` rows — groups smaller
     * than k are suppressed outright (the release would identify their

@@ -139,6 +139,36 @@ object Temporal {
       .drop("__brk")
   }
 
+  /** Interval union (merge overlapping intervals): assign every [loCol,
+    * hiCol) interval a per-key `island_no` such that intervals in the same
+    * island overlap-or-touch transitively — the classic gaps-and-islands
+    * union underlying availability windows, downtime stitching, and span
+    * coverage. Half-open semantics: [a,b) and [b,c) TOUCH and merge (the
+    * union is contiguous); a strict gap (lo > max prior hi) starts a new
+    * island. Aggregate over (keys, island_no) with min(lo)/max(hi) for the
+    * merged spans.
+    *
+    * One shuffle on the keys; the prefix-max window and the running
+    * break-sum share one (keys, lo, hi, tie) sort so Catalyst plans a
+    * single Exchange + Sort — identical scale shape to [[sessionize]]
+    * (per-key state in the window pass is ONE running max, not the island's
+    * member set). Island numbering is deterministic regardless of tie
+    * order: the prefix max over equal (lo, hi) prefixes is
+    * order-insensitive. */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], loCol: String,
+                     hiCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (Seq(col(loCol), col(hiCol)) ++ tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val pmax = max(col(hiCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(pmax.isNull || col(loCol) > pmax, 1).otherwise(0)
+    df.withColumn("__brk", brk)
+      .withColumn("island_no",
+        (sum(col("__brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .cast("int"))
+      .drop("__brk")
+  }
+
   /** Cohort retention: the standard product-analytics matrix — users
     * grouped by their FIRST-seen day (the cohort), then for every (cohort
     * day, day offset) the number of distinct users active that many days

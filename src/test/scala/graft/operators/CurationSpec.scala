@@ -114,6 +114,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(Curation.kAnonymize(df, Seq("qi"), 1).count() == 2)
   }
 
+  test("madOutliers flags only rows beyond k x the group's OWN MAD; a " +
+      "group whose deviations are uniform flags nothing") {
+    import spark.implicits._
+    // g0: median 10.5, deviations {2.5,1.5,0.5,0.5,1.5,79.5} -> MAD 1.5;
+    // only 90 exceeds 3 x 1.5 = 4.5. g1: tight cluster -> nothing flagged.
+    val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 90.0).map(("g0", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g1", _)))
+      .toDF("g", "v").withColumn("id", monotonically_increasing_id())
+    val out = Curation.madOutliers(df, "g", "v", 3.0)
+      .select("g", "v", "med", "adev", "mad").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "g0" && r.getDouble(1) == 90.0)
+    assert(r.getDouble(2) == 10.5 && r.getDouble(3) == 79.5 && r.getDouble(4) == 1.5)
+  }
+
   test("winsorize clips to each group's OWN quantiles, row count preserved") {
     import spark.implicits._
     // g0: 1..100 -> p05=5.95, p95=95.05 (interpolated); g1: all 7s, clip is identity

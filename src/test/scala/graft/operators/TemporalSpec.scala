@@ -148,6 +148,41 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) == 0 && out(6L) == 0)
   }
 
+  test("mergeIntervals: overlap and touch merge, strict gaps split; islands " +
+      "are disjoint and every row is assigned") {
+    import spark.implicits._
+    val iv = Seq(
+      // key 1: [0,10) [5,20) overlap; [20,30) touches -> one island [0,30);
+      //        [31,40) gap of 1 -> new island
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 31L, 40L),
+      // key 1 contained interval: [32,35) inside [31,40) joins its island
+      (1L, 32L, 35L),
+      // key 2: an interval whose hi reaches past a later lo even though an
+      // intermediate interval ends early: [0,100) [1,2) [50,60) all merge
+      (2L, 0L, 100L), (2L, 1L, 2L), (2L, 50L, 60L)
+    ).toDF("k", "lo", "hi")
+    val out = Temporal.mergeIntervals(iv, Seq("k"), "lo", "hi")
+    assert(out.count() == iv.count()) // every row assigned, none dropped
+    val merged = out.groupBy($"k", $"island_no")
+      .agg(org.apache.spark.sql.functions.min($"lo").as("mlo"),
+        org.apache.spark.sql.functions.max($"hi").as("mhi"),
+        org.apache.spark.sql.functions.count($"lo").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(merged == Map(
+      (1L, 0) -> (0L, 30L, 3L), (1L, 1) -> (31L, 40L, 2L),
+      (2L, 0) -> (0L, 100L, 3L)))
+    // merged islands are pairwise disjoint per key (strictly increasing)
+    val spans = merged.toSeq.groupBy(_._1._1).view.mapValues(
+      _.sortBy(_._1._2).map(_._2)).toMap
+    spans.values.foreach { ss =>
+      ss.sliding(2).foreach {
+        case Seq((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+        case _ =>
+      }
+    }
+  }
+
   test("retentionCohorts: cohort = first-seen day; one count per distinct " +
       "active user regardless of event volume") {
     import spark.implicits._
