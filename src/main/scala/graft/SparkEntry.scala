@@ -398,6 +398,20 @@ object SparkEntry {
       Temporal.rangeJoinBinned(pts, iv, Seq("user_id"), "t", "lo", "hi", hourUs)
         .select(col("purchase_id"), col("click_id"), col("user_id"))
     }),
+    // the STREAM-STREAM form of the same interval semantics: watermarked
+    // purchases×clicks join (Streams.intervalJoinStream — in a live run
+    // each side's state is bounded by lateness + window; withWatermark is
+    // a no-op here in batch, so the oracle is the batch range join's)
+    "stream_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.streaming.Streams.intervalJoinStream(p, c, "user_id", "ts", "1 HOUR")
+        .select(col("purchase_id"), col("click_id"),
+          col("l.user_id").as("user_id"))
+    }),
 
     // ── SQL-text entry points (same engine, spark.sql surface) ───────────
     "sql_q3_shipping_priority" -> ((s, dir) => {
@@ -1278,6 +1292,13 @@ object SparkEntry {
         "event_type", "value", 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("adev"), col("mad"))),
+    // per-group min-max feature scaling to [0,1] (sqlMinmaxScale doc):
+    // exact min/max joined back, one IEEE division per row
+    "ext_minmax_scale" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "events"))
+        .createOrReplaceTempView("events")
+      s.sql(sqlMinmaxScale)
+    }),
     // z-score outliers via the exact-moment seam (sqlZscoreOutliers doc):
     // |x − group mean| > 2σ decided as the decimal-exact-derived inequality
     // (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no summation-order seam
@@ -1337,6 +1358,11 @@ object SparkEntry {
     // top-5 salient terms per doc; integer-exact linear-idf scoring
     "ext_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+    // retrieval-side index build: token → (df, first-8 posting ids);
+    // df collapses map-side, postings rank-limit below the exchange
+    // (WindowGroupLimit) — a stopword ships k·tasks rows, never its df
+    "ext_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", k = 8)),
     // corpus-level heavy hitters: top-20 tokens by total occurrence count
     // (stopword induction / boilerplate detection preflight); the
     // Misra-Gries sketch twin is spec-pinned (merge-tree-dependent counts,
@@ -1382,6 +1408,12 @@ object SparkEntry {
           col("n_events"),
           expr("(`__hi` - `__lo`) div 1000000").as("duration_s"))
     }),
+    // ordered-fold EWMA (α = 0.5): one deterministic IEEE sequence per
+    // user — reproducible cross-run and cross-engine, unlike any
+    // partition-order double sum
+    "ext_ewma_value" -> ((s, dir) =>
+      Temporal.ewma(t(s, dir, "events"), "user_id", "ts",
+        Seq("event_id"), "value", alpha = 0.5)),
     // cohort retention matrix: users bucketed by first-seen day, distinct
     // active users per (cohort day, day offset) — one pass, one user-id
     // exchange, per-user state bounded by the calendar span
@@ -2095,6 +2127,9 @@ object SparkEntry {
     // the engine side uses bin quantization precisely because this shape
     // is O(n*m) per user)
     "join_range_purchase_clicks" -> rangeJoinOracle,
+    // identical interval semantics to the batch range join — the streaming
+    // form adds only watermarked state bounds, not different pairing
+    "stream_interval_join" -> rangeJoinOracle,
     // identical semantics, but the Spark side is RAW SQL rewritten by the
     // RangeJoinRule optimizer rule — the oracle is the same inequality join
     "join_range_sql_rewrite" -> rangeJoinOracle,
@@ -2624,6 +2659,17 @@ object SparkEntry {
         |FROM dev d JOIN mad m USING (event_type)
         |WHERE d.adev > 3.0 * m.mad""".stripMargin,
     "ext_zscore_outliers" -> sqlZscoreOutliers,
+    "ext_minmax_scale" -> sqlMinmaxScale,
+    // list_reduce folds left from the first element — the identical IEEE
+    // sequence as the engine's in-row sorted aggregate fold (α = 0.5, both
+    // coefficient literals exactly representable)
+    "ext_ewma_value" ->
+      """WITH l AS (SELECT user_id, count(*) AS n_events,
+        |    list(value ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(s, (acc, x) -> acc * 0.5 + x * 0.5) AS DOUBLE) AS ewma
+        |FROM l""".stripMargin,
     // every pipeline stage replayed: scrub regexes, normalize order
     // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
     "ext_corpus_clean" ->
@@ -2762,6 +2808,18 @@ object SparkEntry {
         |  PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s)
         |SELECT doc_id, token, tf, df, score, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 5""".stripMargin,
+    // distinct (token, doc) pairs -> df + first-8 ascending posting ids
+    "ext_inverted_index" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS token
+        |  FROM documents),
+        |dfx AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+        |r AS (SELECT token, doc_id, row_number() OVER (
+        |  PARTITION BY token ORDER BY doc_id) AS rn FROM pairs)
+        |SELECT r.token, dfx.df,
+        |  string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+        |FROM r JOIN dfx ON r.token = dfx.token
+        |WHERE r.rn <= 8 GROUP BY r.token, dfx.df""".stripMargin,
     // same gaps-and-islands break rule as stream_session_counts, plus
     // per-session stats (count, exact decimal value sum, integer duration)
     "ext_sessionize" ->
@@ -3047,6 +3105,19 @@ object SparkEntry {
       |FROM events e JOIN m ON e.event_type = m.event_type
       |WHERE (CAST(m.n AS DOUBLE) * e.value - m.sx) * (CAST(m.n AS DOUBLE) * e.value - m.sx)
       |      > 4.0 * (CAST(m.n AS DOUBLE) * m.sx2 - m.sx * m.sx)""".stripMargin
+
+  /** Per-group min-max feature scaling, shared verbatim by both engines:
+    * min/max are exact (order-insensitive) extremes, and the scaled value
+    * is ONE IEEE subtraction-division over identical operands — no
+    * summation seam at all. Degenerate groups (max = min) pin to 0.5. The
+    * per-group bounds table joins back broadcast (AQE). */
+  private val sqlMinmaxScale: String =
+    """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      |           FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  CAST(CASE WHEN b.mx > b.mn THEN (e.value - b.mn) / (b.mx - b.mn)
+      |       ELSE 0.5 END AS DOUBLE) AS value_scaled
+      |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
 
   /** OLS simple regression (price on quantity) off the same exact moments:
     * slope, intercept, R² — each a fixed IEEE-double expression over the

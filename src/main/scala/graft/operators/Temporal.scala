@@ -200,6 +200,38 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Exponentially-weighted moving average per key: the final smoothed
+    * value of each key's series under s₀ = x₀, sᵢ = (1−α)·sᵢ₋₁ + α·xᵢ in
+    * event order — the standard telemetry/feature smoother. Returns one
+    * row per key: (key, n_events, ewma).
+    *
+    * The fold is ORDERED (EWMA is inherently sequential), so the rows are
+    * gathered per key (collect_list), sorted in-row by (time, ties), and
+    * folded left with `aggregate` — every IEEE operation then happens in
+    * ONE deterministic sequence, which is what makes the result
+    * reproducible cross-run AND cross-engine (a windowed closed-form
+    * Σα(1−α)ⁱxᵢ re-sums doubles in partition order). Per-key state is the
+    * key's full series — bounded by per-key event count, NOT corpus size;
+    * for unbounded per-key histories, chunk by calendar window and chain
+    * the chunk EWMAs (sᵢ carries across chunks), keeping each fold bounded.
+    * α must be exactly representable (powers of two: 0.5, 0.25, …) for the
+    * oracle to replay the identical literal. */
+  def ewma(df: DataFrame, keyCol: String, timeCol: String,
+           tieCols: Seq[String], valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val sortKey = struct(
+      (col(timeCol).as("__t") +:
+        tieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }) :+
+        col(valueCol).as("__v"): _*)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(sortKey)).as("__s"))
+      .withColumn("ewma",
+        expr(s"aggregate(slice(__s, 2, greatest(size(__s) - 1, 0)), " +
+          s"__s[0].__v, (acc, x) -> acc * ${1 - alpha} + x.__v * $alpha)"))
+      .drop("__s")
+  }
+
   /** Interval range join: rows of `points` paired with every row of
     * `intervals` sharing `keys` whose [loCol, hiCol) window contains
     * pointCol (inclusive lo, exclusive hi). All columns are non-negative

@@ -264,6 +264,42 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Inverted index construction (token → document postings): for every
+    * distinct token, its document frequency and the first `k` posting doc
+    * ids (ascending, ','-joined) — the retrieval-side structure a search /
+    * RAG pipeline builds over a curated corpus, truncated the way an
+    * impact-ordered index truncates posting lists.
+    *
+    * Same two-scan shape as [[tfidfTopK]] (the round-7/8-proven layout):
+    * the df side collapses map-side through a partial count aggregate
+    * (dictionary-sized exchange), the postings side rank-limits with
+    * row_number ≤ k, which Catalyst rewrites to a partial WindowGroupLimit
+    * BELOW the exchange — each map task ships at most k ids per token, so
+    * a stopword's posting exchange is k·tasks rows, never its full df.
+    * A single-pass window variant (count + row_number over one sort) would
+    * ship the ENTIRE token stream through the exchange; two pruned scans
+    * beat one unpruned shuffle at corpus scale. Tokens come from the fused
+    * [[org.apache.spark.sql.graft.DistinctTokens]] kernel (bit-equal to
+    * the HOF form, spec-pinned), so the whole map side is one traversal
+    * per document. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def pairs = Query.ensureParallelism(docs)
+      .select(col(idCol).as("__id"),
+        explode(org.apache.spark.sql.graft.DistinctTokens.of(col(textCol)))
+          .as("token"))
+    val dfTbl = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("token")).orderBy(col("__id"))
+    val postings = pairs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("token"))
+      .agg(concat_ws(",", sort_array(collect_list(col("__id")))).as("postings"))
+    dfTbl.join(postings, Seq("token"))
+      .select(col("token"), col("df"), col("postings"))
+  }
+
   /** X4 context-window chunking: split each document's token stream into
     * consecutive chunks of `chunkSize` tokens (last chunk ragged) — the
     * packing step before sequence construction in a training pipeline.

@@ -183,6 +183,25 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ewma: ordered fold s = (1-a)s + ax over (time, tie) order; " +
+      "input partitioning never changes a bit") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, 0L, 10.0), (1L, 2L, 1L, 20.0), (1L, 3L, 2L, 30.0),
+      (2L, 4L, 0L, 5.0)
+    ).map { case (u, id, sec, v) => (u, id, new java.sql.Timestamp(sec * 1000), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.ewma(e, "user_id", "ts", Seq("event_id"), "value", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // user 1: (10·0.5 + 20·0.5) = 15, then 15·0.5 + 30·0.5 = 22.5
+    assert(out == Map(1L -> ((3L, 22.5)), 2L -> ((1L, 5.0))))
+    // the fold order comes from the in-row sort, not arrival order
+    val rep = Temporal.ewma(e.repartition(8), "user_id", "ts",
+        Seq("event_id"), "value", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rep == out)
+  }
+
   test("retentionCohorts: cohort = first-seen day; one count per distinct " +
       "active user regardless of event volume") {
     import spark.implicits._

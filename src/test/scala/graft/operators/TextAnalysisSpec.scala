@@ -152,6 +152,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out == "Hello world & friends 'q' <tag>")
   }
 
+  test("invertedIndex: df counts distinct docs, postings are the first k ascending ids") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "b x")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // "a" repeats in doc 1 but counts once (distinct pairs); "b" df=3 with
+    // postings TRUNCATED to the first 2 ascending ids
+    assert(out == Map(
+      "a" -> ((1L, "1")), "b" -> ((3L, "1,2")), "c" -> ((1L, "2")),
+      "x" -> ((1L, "3"))))
+  }
+
   test("cooccurrence: pairs within the window, canonical order, support gate") {
     import spark.implicits._
     val docs = Seq("b a c a", "c b").toDF("text")

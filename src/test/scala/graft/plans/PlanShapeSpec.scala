@@ -297,6 +297,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       l.contains("event_type")), s"no residual data filter expected:\n${p.take(1500)}")
   }
 
+  test("inverted index: postings rank-limit becomes a partial WindowGroupLimit " +
+      "below the exchange (a stopword ships k·tasks rows, never its df)") {
+    val p = planOf("ext_inverted_index")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expect partial+final WindowGroupLimit around the token exchange:\n${p.take(2000)}")
+  }
+
   test("Q13: LEFT OUTER keeps zero-order customers (count rows vs customer table)") {
     import org.apache.spark.sql.functions._
     val dist = SparkEntry.queries("sql_q13_custdist")(spark, sf)
