@@ -398,6 +398,15 @@ object SparkEntry {
       Temporal.rangeJoinBinned(pts, iv, Seq("user_id"), "t", "lo", "hi", hourUs)
         .select(col("purchase_id"), col("click_id"), col("user_id"))
     }),
+    // stream-static enrichment: events decorated from a broadcast dim
+    // (user_id keys into the customer table at this fixture's scale) —
+    // the stream side never shuffles to meet the static side
+    "stream_static_enrich" -> ((s, dir) =>
+      graft.streaming.Streams.enrichStream(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_nationkey"), col("c_mktsegment"))),
     // the STREAM-STREAM form of the same interval semantics: watermarked
     // purchases×clicks join (Streams.intervalJoinStream — in a live run
     // each side's state is bounded by lateness + window; withWatermark is
@@ -679,6 +688,15 @@ object SparkEntry {
       Query.lagDelta(t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value")
         .select(col("event_id"), col("user_id"), col("value"),
           col("prev_value"), col("delta"))),
+    // trailing 7-row moving average per user: exact decimal window sum,
+    // ONE IEEE division per row (sum and count share a single window sort)
+    "window_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("value"),
+        (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mavg"))
+    }),
     // OHLC time-bucket downsampling (telemetry/trading resample): one
     // HASH aggregate with map-side partial min_by/max_by — open/close are
     // arg-extremes over event time, NOT a window sort (a window would sort
@@ -1038,6 +1056,13 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 48).as("snippet")),
         "doc_id", "snippet", maxDist = 10, q = 4)),
+    // entity resolution over short attribute strings: candidates blocked
+    // on p_brand (plain equi-join — never a cross product), scored with
+    // the native bit-equal-to-DuckDB Jaro-Winkler, edit distance ridealong
+    "ext_record_linkage" -> ((s, dir) =>
+      operators.Linkage.linkPairs(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_brand")),
+        "p_partkey", "p_name", Seq("p_brand"), minScore = 0.88)),
     // transitive clustering: connected components over the verified-pair
     // graph, keep the minimum id per component (oracle = recursive CTE)
     "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
@@ -1078,6 +1103,15 @@ object SparkEntry {
     "ext_domain_cap" -> ((s, dir) =>
       Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
         .select(col("doc_id"), col("source"))),
+    // balanced per-group RANDOM sample: capPerGroup ordered by a salted
+    // id-hash instead of the id — exactly 5 uniform docs per source (the
+    // eval-set builder); same WindowGroupLimit scale path as the cap
+    "ext_sample_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        t(s, dir, "documents").withColumn("__h",
+          md5(concat(lit("smp:"), col("doc_id").cast("string")))),
+        "source", "__h", 5)
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))),
     // domain mixing: per-source keep rates (10/35/60/85%, derived
     // deterministically from the source id) — pure map, no shuffle
     "ext_mix_sources" -> ((s, dir) => {
@@ -1915,6 +1949,13 @@ object SparkEntry {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "window_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / (count(*) OVER w) AS DOUBLE) AS mavg
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "window_ntile_orders" ->
       """SELECT o_orderkey,
         | CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS quartile
@@ -1989,6 +2030,16 @@ object SparkEntry {
         |   translate(c_name, '0123456789', '1032547698')) AS jw_sub,
         | jaro_winkler_similarity(c_name, c_name || 'x') AS jw_suffix
         | FROM customer""".stripMargin,
+    // same blocking equi-join + canonical pair order + identical JW/lev
+    // score arithmetic (the native expression is bit-equal to DuckDB's)
+    "ext_record_linkage" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        | a.p_name AS name_a, b.p_name AS name_b,
+        | jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        | AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
     "fn_levenshtein" ->
       """SELECT p_partkey,
         | CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
@@ -2005,6 +2056,9 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "stream_tumbling_counts" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
         | count(*) AS n,
@@ -2193,6 +2247,12 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10""".stripMargin,
+    "ext_sample_per_group" ->
+      """SELECT source, doc_id, lang, n_chars FROM (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "ext_mix_sources" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 100

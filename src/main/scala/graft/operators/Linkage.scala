@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Blocked fuzzy record linkage: find pairs of rows that likely describe
+ * the same real-world entity, without an exact key — the entity-resolution
+ * step of a data-integration pipeline (and the string-side sibling of the
+ * minhash document family in [[Dedup]]: short attribute strings score with
+ * edit-family measures, long documents with set similarity).
+ *
+ * Scale shape: the candidate space is pruned by BLOCKING — pairs must
+ * agree exactly on `blockCols`, so candidates materialize through a plain
+ * equi-join (hash-partitioned on the block key, never a cross product) and
+ * the per-block work is |block|², bounded by the blocking key's
+ * cardinality design, not the table size. Scoring is the codegen'd native
+ * [[org.apache.spark.sql.graft.JaroWinkler]] expression (bit-equal to
+ * DuckDB's `jaro_winkler_similarity`, which is what makes the score gate
+ * oracle-expressible) plus the unit-cost edit distance as a secondary
+ * signal. Canonical `id_a < id_b` halves the self-join and removes
+ * self-pairs.
+ */
+object Linkage {
+
+  /** Candidate pairs from `df` agreeing on every `blockCols` value, with
+    * Jaro-Winkler ≥ `minScore` on `nameCol`; returns (blockCols…, id_a,
+    * id_b, name_a, name_b, jw, lev). A skewed block (one giant blocking
+    * value) is the operator's documented hazard — pick blocking keys with
+    * bounded group sizes, or salt the block with a second attribute. */
+  def linkPairs(df: DataFrame, idCol: String, nameCol: String,
+                blockCols: Seq[String], minScore: Double): DataFrame = {
+    require(blockCols.nonEmpty, "blocking columns required: an unblocked " +
+      "self-join is the cross product this operator exists to avoid")
+    require(minScore >= 0 && minScore <= 1, s"minScore in [0,1], got $minScore")
+    import org.apache.spark.sql.graft.{JaroWinkler => JW}
+    val a = df.select((blockCols.map(col) :+
+      col(idCol).as("id_a")) :+ col(nameCol).as("name_a"): _*)
+    val b = df.select((blockCols.map(col) :+
+      col(idCol).as("id_b")) :+ col(nameCol).as("name_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", JW.of(col("name_a"), col("name_b")))
+      .filter(col("jw") >= minScore)
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("int"))
+  }
+}

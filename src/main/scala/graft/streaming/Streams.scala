@@ -61,6 +61,19 @@ object Streams {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join an unbounded stream against a bounded
+    * dimension table — the standard on-ingest decoration (user → account,
+    * IP → geo, id → label). The dim side is broadcast-hinted: a stream
+    * must never SHUFFLE per micro-batch to meet a static table, and the
+    * broadcast re-resolves per batch, so a refreshed dim snapshot is
+    * picked up without restarting the query. Works identically in batch
+    * (the oracle's form). `joinType` "inner" drops unmatched events,
+    * "left_outer" keeps them with NULL dim columns. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String,
+                   joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+
   /** The streaming form of taps' per-key cursor state (T1/T2): tracks, per
     * key, the high-water mark and row count seen so far — exactly what
     * `DataStreamKeyed` keeps in `state[:filter]`/`state[:offset]`

@@ -56,6 +56,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream decorates a live stream from a static dim without restarting") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "iron")).toDF("cust_id", "segment")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.enrichStream(events, dim, "user_id", "cust_id", "left_outer")
+      .select(col("user_id"), col("segment"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2026-01-01 10:00:00"), 1L), (ts("2026-01-01 10:01:00"), 3L))
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT user_id, segment FROM enrich ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      // matched row decorated; unmatched kept with NULL (left semantics)
+      assert(rows.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("intervalJoinStream pairs right rows inside the left row's window, over a real stream") {
     val sq = spark
     import sq.implicits._
