@@ -1056,6 +1056,11 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 48).as("snippet")),
         "doc_id", "snippet", maxDist = 10, q = 4)),
+    // EXACT-recall jaccard self-join at θ = 4/5 (prefix filter, rarest-
+    // first global token order): provably no missed pair — the audit-grade
+    // complement to the LSH families; integer similarity gate
+    "ext_dedup_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 4, 5)),
     // entity resolution over short attribute strings: candidates blocked
     // on p_brand (plain equi-join — never a cross product), scored with
     // the native bit-equal-to-DuckDB Jaro-Winkler, edit distance ridealong
@@ -2030,6 +2035,51 @@ object SparkEntry {
         |   translate(c_name, '0123456789', '1032547698')) AS jw_sub,
         | jaro_winkler_similarity(c_name, c_name || 'x') AS jw_suffix
         | FROM customer""".stripMargin,
+    // full prefix-filter replay at REP level: same set collapse, same
+    // set-df token order, same integer prefix length, same equi-join
+    // candidates, same exact integer gate, same in-row member expansion
+    "ext_dedup_jaccard_join" ->
+      """WITH tkd AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+        |reps AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+        |           first(ts) AS ts, len(first(ts)) AS sz
+        |         FROM tkd GROUP BY CAST(ts AS VARCHAR)),
+        |tok AS (SELECT rep, unnest(ts) AS token FROM reps),
+        |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+        |srt AS (SELECT t.rep, list(t.token ORDER BY d.df, t.token) AS ots,
+        |          count(*) AS sz
+        |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep),
+        |pfx AS (SELECT rep, ots, sz,
+        |    unnest(ots[1:(CAST(sz AS INT) - CAST((4*sz + 4)//5 AS INT) + 1)]) AS ptok
+        |  FROM srt),
+        |rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb,
+        |    CAST(len(list_intersect(a.ots, b.ots)) AS BIGINT) AS i,
+        |    CAST(a.sz AS BIGINT) AS la, CAST(b.sz AS BIGINT) AS lb
+        |  FROM pfx a JOIN pfx b ON a.ptok = b.ptok AND a.rep < b.rep
+        |  WHERE 4*greatest(a.sz, b.sz) <= 5*least(a.sz, b.sz)
+        |    AND 5*len(list_intersect(a.ots, b.ots)) >=
+        |        4*(a.sz + b.sz - len(list_intersect(a.ots, b.ots)))),
+        |c1 AS (SELECT rp.*, unnest(r1.members) AS ma
+        |       FROM rp JOIN reps r1 ON rp.ra = r1.rep),
+        |c2 AS (SELECT c1.i, c1.la, c1.lb, c1.ma, unnest(r2.members) AS mb
+        |       FROM c1 JOIN reps r2 ON c1.rb = r2.rep),
+        |crossed AS (SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+        |    i AS inter_size,
+        |    CASE WHEN ma <= mb THEN la ELSE lb END AS size_a,
+        |    CASE WHEN ma <= mb THEN lb ELSE la END AS size_b
+        |  FROM c2),
+        |s1 AS (SELECT CAST(sz AS BIGINT) AS sz, members, unnest(members) AS ma
+        |       FROM reps WHERE len(members) > 1),
+        |s2 AS (SELECT sz, ma, unnest(members) AS mb FROM s1),
+        |same AS (SELECT ma AS id_a, mb AS id_b, sz AS inter_size,
+        |           sz AS size_a, sz AS size_b
+        |         FROM s2 WHERE ma < mb),
+        |allp AS (SELECT * FROM crossed UNION ALL SELECT * FROM same)
+        |SELECT id_a, id_b, inter_size, size_a, size_b,
+        |  CAST(inter_size AS DOUBLE)/(size_a + size_b - inter_size) AS jaccard
+        |FROM allp""".stripMargin,
     // same blocking equi-join + canonical pair order + identical JW/lev
     // score arithmetic (the native expression is bit-equal to DuckDB's)
     "ext_record_linkage" ->

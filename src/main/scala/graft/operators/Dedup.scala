@@ -1083,4 +1083,131 @@ object Dedup {
 
   /** Hamming distance between two simhash values (for near-dup filtering). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** EXACT-recall set-similarity self-join (AllPairs/PPJoin prefix-filter
+    * family, Bayardo et al. 2007 / Xiao et al. 2008): every pair of
+    * documents whose token-set Jaccard ≥ θ = `thetaNum`/`thetaDen`, with
+    * NO false negatives — the guarantee the minhash-LSH family
+    * ([[minhashPairs]]) deliberately trades away. Use LSH for the routine
+    * corpus pass; use this when recall must be provable (contamination
+    * audits, legal-hold dedup, evaluating the LSH miss rate itself).
+    *
+    * Candidate pruning is the PREFIX FILTER: tokens are ordered by global
+    * document frequency (rarest first, ties by token — a total order both
+    * engines replay), each document keeps its first p = |d| − ⌈θ·|d|⌉ + 1
+    * tokens, and candidates meet through a plain equi-join on a shared
+    * PREFIX token. Exactness: if J(A,B) ≥ θ then o = |A∩B| ≥ ⌈θ·|A|⌉,
+    * and the MINIMAL shared token (global order) has ≥ o−1 intersection
+    * tokens after it in both documents, so it sits within both prefixes —
+    * the equi-join cannot miss a qualifying pair. Skew-resistance falls
+    * out of the same ordering: prefix tokens are each document's RAREST
+    * tokens, so join buckets are bounded by design (the stopword bucket
+    * never forms).
+    *
+    * Scale shape: one broadcast-or-shuffle df join + one id-keyed exchange
+    * build the ordered token arrays; the candidate join shuffles prefix
+    * rows only (p ≪ |d| per doc — at θ=0.8, a fifth of each document).
+    * Verification (in-row `array_intersect`, then the exact integer gate
+    * den·o ≥ num·(|A|+|B|−o)) runs BEFORE the pair-dedup, so the distinct
+    * exchange carries only scalar-width verified rows — never token
+    * arrays (the r7 wide-row lesson). A pair sharing several prefix
+    * tokens verifies once per shared token; positional upper-bound
+    * filters (full PPJoin) would shave that and can bolt on here without
+    * changing the shape. The size-ratio filter num·max ≤ den·min prunes
+    * impossible pairs before any array work. */
+  def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
+                       thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+    // 1. REP COLLAPSE — the same clone-group defense as the minhash
+    // family: a boilerplate corpus puts hundreds of identical token sets
+    // in one group, and every clone pair shares every prefix token, so a
+    // doc-level prefix join would generate |group|²·p candidates and run
+    // the array verify on each (measured 584 s at sf0.1 before this
+    // restructure, sub-second after). Distinct sets pair ONCE; members
+    // expand in-row afterwards, where the pair output is quadratic only
+    // because the declared OUTPUT is (as with repsWithMembers).
+    val reps = Query.ensureParallelism(docs)
+      .filter(col(textCol).isNotNull &&
+        length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol).as("__id"),
+        sort_array(org.apache.spark.sql.graft.DistinctTokens.of(col(textCol)))
+          .as("__ts"))
+      .groupBy(col("__ts"))
+      .agg(min(col("__id")).as("__rep"),
+        array_sort(collect_list(col("__id"))).as("__members"))
+    // 2. global token order = SET-level document frequency, rarest first
+    // (any total order preserves exactness; set-level df also makes every
+    // prefix token rare AMONG REPS, so join buckets stay bounded)
+    val toks = reps.select(col("__rep"), explode(col("__ts")).as("token"))
+    val dfTbl = toks.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val sorted = toks.join(dfTbl, Seq("token"))
+      .groupBy(col("__rep"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("token")))).as("__st"))
+      .select(col("__rep"),
+        expr("transform(__st, x -> x.token)").as("__ots"),
+        size(col("__st")).as("__sz"))
+      // prefix p = sz − ceil(θ·sz) + 1 (integer ceil; p ≥ 1 whenever sz ≥ 1)
+      .withColumn("__pref", expr(
+        s"slice(__ots, 1, __sz - (($thetaNum * __sz + $thetaDen - 1) div $thetaDen) + 1)"))
+    // 3. candidates on a shared prefix token — LIGHT rows only (rep id +
+    // size): a pair sharing several prefix tokens meets several times, so
+    // the scalar distinct runs BEFORE any array work (a 6× verify cut on
+    // the fixture corpus), and the arrays attach afterwards through two
+    // joins against the small rep table. The explicit-count repartition
+    // pins the verify stage's parallelism: its input is byte-light but
+    // compute-dense (one set intersection per pair), exactly the shape
+    // AQE's byte-based coalescing serializes onto one core (skill-book
+    // lesson; measured 272 s → seconds at sf0.1).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val pa = sorted.select(explode(col("__pref")).as("__ptok"),
+      col("__rep").as("__ra"), col("__sz").as("__sa"))
+    val pb = sorted.select(explode(col("__pref")).as("__ptok"),
+      col("__rep").as("__rb"), col("__sz").as("__sb"))
+    val candIds = pa.join(pb, Seq("__ptok"))
+      .filter(col("__ra") < col("__rb"))
+      .filter(lit(thetaNum) * greatest(col("__sa"), col("__sb")) <=
+        lit(thetaDen) * least(col("__sa"), col("__sb")))
+      .select(col("__ra"), col("__rb"))
+      .distinct()
+      .repartition(par, col("__ra"), col("__rb"))
+    val arrA = sorted.select(col("__rep").as("__ra"), col("__ots").as("__ta"),
+      col("__sz").cast("long").as("__la"))
+    val arrB = sorted.select(col("__rep").as("__rb"), col("__ots").as("__tb"),
+      col("__sz").cast("long").as("__lb"))
+    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .filter(lit(thetaDen.toLong) * col("__i") >=
+        lit(thetaNum.toLong) * (col("__la") + col("__lb") - col("__i")))
+      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    // 4. expand members in-row (rep-id joins against the small rep table;
+    // sizes swap with the id canonicalization), plus the in-group pairs
+    val repsA = reps.select(col("__rep").as("__ra"), col("__members").as("__mas"))
+    val repsB = reps.select(col("__rep").as("__rb"), col("__members").as("__mbs"))
+    val cross = repPairs.join(repsA, Seq("__ra")).join(repsB, Seq("__rb"))
+      .select(col("__i"), col("__la"), col("__lb"),
+        explode(col("__mas")).as("__ma"), col("__mbs"))
+      .select(col("__i"), col("__la"), col("__lb"), col("__ma"),
+        explode(col("__mbs")).as("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("__i").as("inter_size"),
+        when(col("__ma") <= col("__mb"), col("__la")).otherwise(col("__lb"))
+          .as("size_a"),
+        when(col("__ma") <= col("__mb"), col("__lb")).otherwise(col("__la"))
+          .as("size_b"))
+    val same = reps
+      .filter(size(col("__members")) > 1)
+      .select(size(col("__ts")).cast("long").as("__sz"),
+        explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+      .select(col("__sz"), col("__ma"), explode(col("__mbs")).as("__mb"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        col("__sz").as("inter_size"), col("__sz").as("size_a"),
+        col("__sz").as("size_b"))
+    cross.unionByName(same)
+      .withColumn("jaccard", col("inter_size").cast("double") /
+        (col("size_a") + col("size_b") - col("inter_size")))
+  }
 }

@@ -447,4 +447,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val ones = cont.filter(c => c._4 == 1.0 && c._5 == 1.0)
     assert(ones.nonEmpty && ones.forall(c => jac.get((c._1, c._2)).contains(1.0)))
   }
+
+  test("jaccardJoinExact equals brute-force all-pairs jaccard (no missed, " +
+      "no spurious pair) and its counts are the true set sizes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "e d c b a"),       // same set, J = 1
+      (3L, "a b c d f"),                          // J(1,3) = 4/6 < 0.8
+      (4L, "a b c d e f"),                        // J(1,4) = 5/6 ≥ 0.8
+      (5L, "x y z"), (6L, "z y x"),               // same set, J = 1
+      (7L, "q r")                                 // alone
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinExact(corpus, "doc_id", "text", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute force over the same token sets
+    val sets = corpus.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = (sets(a) | sets(b)).size
+      if 5 * inter >= 4 * union
+    } yield (a, b) -> ((inter.toLong, sets(a).size.toLong, sets(b).size.toLong))).toMap
+    assert(got == want)
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L), (3L, 4L), (5L, 6L)))
+  }
+
+  test("jaccardJoinExact at theta=1 returns exactly the same-set pairs") {
+    val got = Dedup.jaccardJoinExact(docs, "doc_id", "text", 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1, 2, 5 share one token set; 3 and 4 pair with nobody at J = 1
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("jaccardJoinExact is a superset of the LSH-verified pairs at the " +
+      "same threshold (recall the LSH family cannot prove)") {
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.jaccardJoinExact(fixture, "doc_id", "text", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupsFused(fixture, "doc_id", "text", 16, 8, 0.8)
+      .collect().map { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        (math.min(x, y), math.max(x, y))
+      }.toSet
+    assert(lsh.subsetOf(exact), s"LSH found ${lsh.diff(exact).size} pairs " +
+      "the exact join missed — exact recall is broken")
+    assert(exact.nonEmpty)
+  }
 }
