@@ -422,6 +422,19 @@ object SparkEntry {
           col("l.user_id").as("user_id"))
     }),
 
+    // ── graph analytics over the co-purchase graph (sqlGraphTriangles
+    //    doc: degree-oriented node-iterator, every probe a hash join) ────
+    "ext_graph_triangles" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem")
+      s.sql(sqlGraphTriangles)
+    }),
+    "ext_degree_distribution" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem")
+      s.sql(sqlDegreeDistribution)
+    }),
+
     // ── SQL-text entry points (same engine, spark.sql surface) ───────────
     "sql_q3_shipping_priority" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem").foreach(n =>
@@ -848,6 +861,29 @@ object SparkEntry {
           translate(col("c_name"), "0123456789", "1032547698")).as("jw_sub"),
         JW.of(col("c_name"), concat(col("c_name"), lit("x"))).as("jw_suffix"))
     }),
+    // calendar arithmetic pack: both engines clamp month addition to the
+    // month end (Jan 31 + 1 mo = Feb 28) — pinned by the oracle
+    "fn_datetime_pack" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus_30d"),
+        date_format(add_months(d, 2), "yyyy-MM-dd").as("plus_2m"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        datediff(d, lit("1995-01-01").cast("date")).as("days_since_95"),
+        month(col("o_orderdate")).as("mth"),
+        quarter(col("o_orderdate")).as("qtr"))
+    }),
+    // string manipulation pack over part names (pad/replace/locate/token
+    // pick/repeat) — each with an exact DuckDB twin
+    "fn_string_pack" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        instr(col("p_type"), "ED").cast("int").as("ed_pos"),
+        try_element_at(split(col("p_type"), " "), lit(2)).as("type_word2"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("brand_echo"))),
     // classic DP edit distance — the verify step behind fuzzy key matching
     // and candidate-pair confirmation; identical unit-cost definition in
     // both engines (INT-cast: DuckDB types its result BIGINT)
@@ -1446,6 +1482,30 @@ object SparkEntry {
             .as("merged_end"),
           col("n_events"),
           expr("(`__hi` - `__lo`) div 1000000").as("duration_s"))
+    }),
+    // deterministic Poisson bootstrap (metric-uncertainty estimation):
+    // each row's multiplicity in replicate b is drawn from Poisson(1),
+    // capped at 3, realized by integer thresholds on a 16-bit id⊕b hash —
+    // RNG-free, so membership replays exactly cross-engine. One pass,
+    // 32× in-row explode, map-side decimal partials, a 32-row exchange.
+    "ext_bootstrap_means" -> ((s, dir) => {
+      val reps = 32
+      Query.ensureParallelism(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("__b", explode(array((0 until reps).map(lit): _*)))
+        .withColumn("__u", expr("conv(substring(md5(concat(" +
+          "cast(o_orderkey as string), ':', cast(__b as string))), 1, 4), 16, 10)")
+          .cast("long"))
+        // P(0)=e⁻¹, P(≤1)=2e⁻¹, P(≤2)=2.5e⁻¹ scaled to 2^16: 24109/48219/60273
+        .withColumn("__m", when(col("__u") < 24109, 0)
+          .when(col("__u") < 48219, 1).when(col("__u") < 60273, 2)
+          .otherwise(3).cast("long"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__m") * col("o_totalprice").cast("decimal(18,2)")).as("__swx"),
+          sum(col("__m")).as("__sw"))
+        .select(col("__b").cast("int").as("replicate"),
+          (col("__swx").cast("double") / col("__sw")).as("mean_price"),
+          col("__sw").as("n_drawn"))
     }),
     // ordered-fold EWMA (α = 0.5): one deterministic IEEE sequence per
     // user — reproducible cross-run and cross-engine, unlike any
@@ -2090,6 +2150,44 @@ object SparkEntry {
         |FROM part a JOIN part b ON a.p_brand = b.p_brand
         | AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+    "ext_graph_triangles" -> sqlGraphTriangles,
+    "ext_degree_distribution" -> sqlDegreeDistribution,
+    "fn_datetime_pack" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+        | strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2m,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+        | CAST(month(o_orderdate) AS INT) AS mth,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr
+        | FROM orders""".stripMargin,
+    "fn_string_pack" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_lpad,
+        | rpad(p_brand, 12, '-') AS brand_rpad,
+        | replace(p_type, ' ', '_') AS type_snake,
+        | CAST(strpos(p_type, 'ED') AS INT) AS ed_pos,
+        | string_split(p_type, ' ')[2] AS type_word2,
+        | repeat(substring(p_brand, 1, 2), 3) AS brand_echo
+        | FROM part""".stripMargin,
+    // identical 16-bit md5 bucket (mix_sources' proven conv/strpos twin),
+    // identical integer thresholds, identical decimal-weighted sums
+    "ext_bootstrap_means" ->
+      s"""WITH bb AS (SELECT CAST(range AS INT) AS b FROM range(0, 32)),
+         |e AS (SELECT o.o_orderkey, o.o_totalprice, bb.b,
+         |   (${md5PrefixValueSql(4,
+              "CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(bb.b AS VARCHAR)")}) AS u
+         | FROM orders o, bb),
+         |m AS (SELECT b, o_totalprice,
+         |   CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+         |        WHEN u < 60273 THEN 2 ELSE 3 END AS m
+         | FROM e)
+         |SELECT CAST(b AS INT) AS replicate,
+         |  CAST(CAST(SUM(m * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    / SUM(m) AS DOUBLE) AS mean_price,
+         |  CAST(SUM(m) AS BIGINT) AS n_drawn
+         |FROM m GROUP BY b""".stripMargin,
     "fn_levenshtein" ->
       """SELECT p_partkey,
         | CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
@@ -3228,6 +3326,46 @@ object SparkEntry {
       |  CAST(CASE WHEN b.mx > b.mn THEN (e.value - b.mn) / (b.mx - b.mn)
       |       ELSE 0.5 END AS DOUBLE) AS value_scaled
       |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
+  /** Exact triangle count over the co-purchase graph (parts sharing an
+    * order), shared verbatim by both engines. The classic distributed
+    * formulation (node-iterator with degree orientation, the shape behind
+    * Cohen's MapReduce triangle counting and every Spark/GraphX variant):
+    * orient each edge from its lower-(degree, id) endpoint, build wedges by
+    * joining out-edges on their source with the two targets RANK-ORDERED,
+    * and close each wedge with ONE equi-join probe — orientation makes the
+    * closing edge's direction knowable, so the probe is a plain hash join
+    * (an OR-of-two-directions probe plans a nested loop; measured
+    * unfinishable vs 0.8 s in DuckDB at sf0.01). Degree orientation bounds
+    * every out-degree by O(√|E|), which is what caps wedge counts at hub
+    * nodes — the graph-analytics skew defense. */
+  private val sqlGraphEdgesCte: String =
+    """WITH edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT n, count(*) AS d FROM (
+      |   SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
+      |  GROUP BY n)""".stripMargin
+
+  private val sqlGraphTriangles: String = sqlGraphEdgesCte +
+    """,
+      |ore AS (SELECT
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS t,
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN db.d ELSE da.d END AS dt
+      |  FROM edges e JOIN deg da ON e.u = da.n JOIN deg db ON e.v = db.n),
+      |wedge AS (SELECT a.t AS v, b.t AS w FROM ore a JOIN ore b ON a.s = b.s
+      |          WHERE (a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t))
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM wedge JOIN ore c ON wedge.v = c.s AND wedge.w = c.t""".stripMargin
+
+  /** Degree histogram of the same co-purchase graph — the first plot of
+    * any graph profiling pass; shares the edge CTE with the triangle
+    * count. */
+  private val sqlDegreeDistribution: String = sqlGraphEdgesCte +
+    """
+      |SELECT CAST(d AS BIGINT) AS degree, count(*) AS n_nodes
+      |FROM deg GROUP BY d""".stripMargin
 
   /** OLS simple regression (price on quantity) off the same exact moments:
     * slope, intercept, R² — each a fixed IEEE-double expression over the
