@@ -435,6 +435,53 @@ object SparkEntry {
       s.sql(sqlDegreeDistribution)
     }),
 
+    // 3 rounds of damped PageRank over the same graph, INTEGER fixed-point
+    // (Graph.pagerank doc: bit-identical cross-run/partitioning/engine;
+    // float PageRank is partition-order nondeterministic)
+    "ext_pagerank" -> ((s, dir) => {
+      val l = Query.ensureParallelism(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = l.alias("a").join(l.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val both = e.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(e.select(col("v").as("s"), col("u").as("t")))
+      operators.Graph.pagerank(both, "s", "t", iters = 3)
+    }),
+    // conversion funnel (view → later click → later purchase): first-
+    // occurrence chaining via three user-keyed min-aggregates, each stage
+    // gated on strictly-after the previous stage's first time
+    "ext_funnel_counts" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+    // event-type transition matrix (the Markov view of user journeys):
+    // lag over the per-user timeline, count per (from, to) — one window
+    // sort, one matrix-sized exchange
+    "ext_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .withColumn("to_type", col("event_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ── SQL-text entry points (same engine, spark.sql surface) ───────────
     "sql_q3_shipping_priority" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem").foreach(n =>
@@ -2152,6 +2199,48 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
+    // three chained CTE iterations of the identical integer recurrence
+    // (pr div outdeg per edge; damping as (17·x)//20; BIGINT re-cast per
+    // round kills DuckDB's HUGEINT SUM widening)
+    "ext_pagerank" -> {
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS (SELECT nodes.n,
+           |  CAST(150000 + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT d.t, SUM(p.pr // o.od) AS c
+           |    FROM de d JOIN $prev p ON d.s = p.n JOIN outd o ON d.s = o.s
+           |    GROUP BY d.t) c ON nodes.n = c.t)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+         |outd AS (SELECT s, count(*) AS od FROM de GROUP BY s),
+         |nodes AS (SELECT DISTINCT s AS n FROM de),
+         |p0 AS (SELECT n, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT n AS node, pr AS pagerank FROM p3""".stripMargin
+    },
+    "ext_funnel_counts" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+    "ext_event_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "fn_datetime_pack" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pagerank(edges.toDF("s", "t"), "s", "t", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank: hand-computed integer recurrence on an undirected star") {
+    // star 1–2, 1–3 (both orientations); outdeg 1:2, 2:1, 3:1
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+    // iter1: pr(1) = 150000 + 17·2000000/20 = 1850000; pr(2) = pr(3) =
+    //        150000 + 17·500000/20 = 575000
+    assert(run(e, 1) == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // iter2: pr(1) = 150000 + (17·1150000) div 20 = 1127500;
+    //        pr(2) = pr(3) = 150000 + (17·925000) div 20 = 936250
+    assert(run(e, 2) == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("pagerank: a node with no in-edges keeps the damping base") {
+    assert(run(Seq((1L, 2L)), 1) == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("pagerank is partition-invariant (integer arithmetic, no float sums)") {
+    import spark.implicits._
+    val e = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i % 40 + 1, i)))
+    val df = e.toDF("s", "t")
+    val a = Graph.pagerank(df, "s", "t", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pagerank(df.repartition(7), "s", "t", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.size == 40)
+  }
+}
