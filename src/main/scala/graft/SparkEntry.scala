@@ -407,6 +407,18 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
         "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_nationkey"), col("c_mktsegment"))),
+    // the skew playbook as a DECLARED query: big side salted, small side
+    // replicated 8× — result-equal to the plain join (that IS the oracle);
+    // SkewSpec pins the spread, this pins the values
+    "join_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+      Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("s_name"), col("s_nationkey"))
+    }),
     // the STREAM-STREAM form of the same interval semantics: watermarked
     // purchases×clicks join (Streams.intervalJoinStream — in a live run
     // each side's state is bounded by lateness + window; withWatermark is
@@ -719,6 +731,20 @@ object SparkEntry {
       Query.ensureParallelism(t(s, dir, "lineitem"))
         .createOrReplaceTempView("lineitem")
       s.sql(sqlSkewKurtosisQty)
+    }),
+    // conditional aggregation via the SQL FILTER clause (sqlFilterClause:
+    // shared verbatim — one scan, every branch a map-side partial)
+    "agg_filter_clause" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlFilterClause)
+    }),
+    // ordered string aggregation (listagg WITHIN GROUP ⟷ string_agg
+    // ORDER BY): deterministic member order is the whole point
+    "agg_listagg_names" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+               count(*) AS n FROM customer GROUP BY c_nationkey""")
     }),
     "agg_rollup_nation_region" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
@@ -2199,6 +2225,16 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
+    "agg_filter_clause" -> sqlFilterClause,
+    "agg_listagg_names" ->
+      """SELECT c_nationkey,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names,
+        | count(*) AS n FROM customer GROUP BY c_nationkey""".stripMargin,
+    // salting is result-equal to the plain join — that equality IS the
+    // correctness claim, so the oracle is simply the unsalted join
+    "join_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_nationkey
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     // three chained CTE iterations of the identical integer recurrence
     // (pr div outdeg per edge; damping as (17·x)//20; BIGINT re-cast per
     // round kills DuckDB's HUGEINT SUM widening)
@@ -3415,6 +3451,20 @@ object SparkEntry {
       |  CAST(CASE WHEN b.mx > b.mn THEN (e.value - b.mn) / (b.mx - b.mn)
       |       ELSE 0.5 END AS DOUBLE) AS value_scaled
       |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
+  /** Conditional aggregation via the standard SQL FILTER clause, shared
+    * verbatim: one scan, each branch folds as its own map-side partial
+    * (a WHERE-per-branch union would scan once per branch). The decimal
+    * cast keeps the filtered SUM exact; an empty branch is NULL in both
+    * engines. */
+  private val sqlFilterClause: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS sum_1995,
+      |  min(o_totalprice) FILTER (WHERE o_totalprice > 150000.0) AS min_big
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   /** Exact triangle count over the co-purchase graph (parts sharing an
     * order), shared verbatim by both engines. The classic distributed
