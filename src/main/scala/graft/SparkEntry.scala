@@ -783,6 +783,46 @@ object SparkEntry {
         (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
           count(lit(1)).over(w)).as("mavg"))
     }),
+    // rolling anomaly gate: the exact-moment z-score inequality applied
+    // INSIDE a trailing 15-row window — (n·x−Σx)² > 9·(n·Σx²−(Σx)²), all
+    // decimal-exact, so a borderline tick cannot flip engines. Width
+    // discipline (momentsCte lesson, window edition): the wide window
+    // sums are DOWNCAST to the smallest width the 15-row bound
+    // guarantees ((8,2) / (12,4)) so every product stays ≤ p38 in Spark
+    // (no silent scale reduction) and int64 in DuckDB (no overflow) —
+    // ANSI mode turns any future bound violation into a loud error.
+    "window_rolling_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-14, 0)
+      t(s, dir, "events")
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__sx", sum(col("value").cast("decimal(18,2)")).over(w))
+        .withColumn("__sx2", sum(col("value").cast("decimal(19,2)") *
+          col("value").cast("decimal(18,2)")).over(w))
+        .filter(col("__n") >= 5)
+        .withColumn("__d", expr("CAST(__n AS DECIMAL(2,0)) * " +
+          "CAST(value AS DECIMAL(6,2)) - CAST(__sx AS DECIMAL(8,2))"))
+        .filter(expr("__d * __d > 9 * (CAST(__n AS DECIMAL(2,0)) * " +
+          "CAST(__sx2 AS DECIMAL(12,4)) - " +
+          "CAST(__sx AS DECIMAL(8,2)) * CAST(__sx AS DECIMAL(8,2)))"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__n").as("win_n"))
+    }),
+    // running DISTINCT count per user (first-occurrence marker + running
+    // sum — a windowed count(DISTINCT) without one, which neither engine
+    // supports directly): both windows share one (user, ts, id) sort
+    "window_running_distinct" -> ((s, dir) => {
+      val wt = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__first",
+          when(row_number().over(wt) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("__first")).over(wu))
+        .select(col("event_id"), col("user_id"), col("n_types_seen"))
+    }),
     // OHLC time-bucket downsampling (telemetry/trading resample): one
     // HASH aggregate with map-side partial min_by/max_by — open/close are
     // arg-extremes over event time, NOT a window sort (a window would sort
@@ -957,6 +997,15 @@ object SparkEntry {
         instr(col("p_type"), "ED").cast("int").as("ed_pos"),
         try_element_at(split(col("p_type"), " "), lit(2)).as("type_word2"),
         repeat(substring(col("p_brand"), 1, 2), 3).as("brand_echo"))),
+    // bitwise scalar surface (mask/partition/probe arithmetic)
+    "fn_bitwise_pack" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        expr("shiftleft(o_orderkey, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 3)").as("shr3"),
+        bit_count(col("o_orderkey")).cast("int").as("bits"))),
     // classic DP edit distance — the verify step behind fuzzy key matching
     // and candidate-pair confirmation; identical unit-cost definition in
     // both engines (INT-cast: DuckDB types its result BIGINT)
@@ -2087,6 +2136,35 @@ object SparkEntry {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // identical downcast widths ((2,0)/(6,2)/(8,2)/(12,4)): every product
+    // is int64-exact in DuckDB and ≤ p38 in Spark — no rounding seam
+    "window_rolling_anomaly" ->
+      """WITH m AS (SELECT event_id, user_id, value,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) OVER w AS sx,
+        |    sum(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS sx2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT event_id, user_id, value, n,
+        |    CAST(n AS DECIMAL(2,0)) * CAST(value AS DECIMAL(6,2))
+        |      - CAST(sx AS DECIMAL(8,2)) AS dd,
+        |    CAST(n AS DECIMAL(2,0)) * CAST(sx2 AS DECIMAL(12,4))
+        |      - CAST(sx AS DECIMAL(8,2)) * CAST(sx AS DECIMAL(8,2)) AS vv
+        |  FROM m WHERE n >= 5)
+        |SELECT event_id, user_id, value, CAST(n AS BIGINT) AS win_n
+        |FROM d WHERE dd * dd > 9 * vv""".stripMargin,
+    // two-window form of a running count(DISTINCT) (first-occurrence
+    // marker + running sum), same (user, ts, id) sort both windows
+    "window_running_distinct" ->
+      """WITH f AS (SELECT event_id, user_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fst,
+        |    ts FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        |FROM f""".stripMargin,
     "window_moving_avg" ->
       """SELECT event_id, user_id, value,
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
@@ -2313,6 +2391,15 @@ object SparkEntry {
          |    / SUM(m) AS DOUBLE) AS mean_price,
          |  CAST(SUM(m) AS BIGINT) AS n_drawn
          |FROM m GROUP BY b""".stripMargin,
+    "fn_bitwise_pack" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS band,
+        | o_orderkey | 4096 AS bor,
+        | xor(o_orderkey, o_custkey) AS bxor,
+        | o_orderkey << 2 AS shl2,
+        | o_orderkey >> 3 AS shr3,
+        | CAST(bit_count(o_orderkey) AS INT) AS bits
+        | FROM orders""".stripMargin,
     "fn_levenshtein" ->
       """SELECT p_partkey,
         | CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
