@@ -1160,10 +1160,17 @@ object Dedup {
     // AQE's byte-based coalescing serializes onto one core (skill-book
     // lesson; measured 272 s → seconds at sf0.1).
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // the prefix join's INPUT is rep-level tiny (bytes-wise), but its
+    // OUTPUT is the candidate stream — AQE's byte-based coalescing would
+    // run the pair-emitting join single-task (measured: one 8 s task at
+    // sf0.1); the explicit-count repartition pins the join's parallelism
+    // to the token buckets
     val pa = sorted.select(explode(col("__pref")).as("__ptok"),
       col("__rep").as("__ra"), col("__sz").as("__sa"))
+      .repartition(par, col("__ptok"))
     val pb = sorted.select(explode(col("__pref")).as("__ptok"),
       col("__rep").as("__rb"), col("__sz").as("__sb"))
+      .repartition(par, col("__ptok"))
     val candIds = pa.join(pb, Seq("__ptok"))
       .filter(col("__ra") < col("__rb"))
       .filter(lit(thetaNum) * greatest(col("__sa"), col("__sb")) <=
