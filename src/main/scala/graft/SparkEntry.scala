@@ -143,6 +143,26 @@ object SparkEntry {
     * PlanShapeSpec pins it), before any file footer is opened. Written
     * once per JVM as fixture setup (Bench warm-up), never in a timed or
     * verified path. */
+  /** CSV dir with a known-bad tail: the orders projection as clean CSV
+    * plus one hand-written file of exactly 3 malformed lines — the
+    * ingest-robustness fixture for PERMISSIVE parsing (bad rows must
+    * quarantine into the corrupt-record column, never kill the read or
+    * silently coerce). */
+  private val permissiveCsvFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def permissiveCsvFixture(s: SparkSession, dir: String): String =
+    permissiveCsvFixtures.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_csv_perm_").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").csv(p)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "part-badlines.csv"),
+        "not,a,number\n1,2\ngarbage line without commas at all\n")
+      p
+    })
+
   private val hivePartFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def hivePartFixture(s: SparkSession, dir: String): String =
@@ -179,6 +199,7 @@ object SparkEntry {
     bucketedPair(s, dir)
     evolutionFixture(s, dir)
     hivePartFixture(s, dir)
+    permissiveCsvFixture(s, dir)
     ()
   }
 
@@ -1489,6 +1510,54 @@ object SparkEntry {
         "event_type", "value", 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("adev"), col("mad"))),
+    // leave-one-out target encoding (sqlTargetEncodeLoo doc): the
+    // category feature a model can consume without leaking each row's own
+    // label — exact decimal group sums, one IEEE subtraction+division
+    "ext_target_encode_loo" -> ((s, dir) => {
+      Query.ensureParallelism(t(s, dir, "events"))
+        .createOrReplaceTempView("events")
+      s.sql(sqlTargetEncodeLoo)
+    }),
+    // hashing-trick featurization: token → 16-bit md5 bucket % 64, counts
+    // per (doc, bucket) — fixed-width sparse features, vocabulary-free;
+    // HOF tokenizer (witness form) so the oracle replays the same md5
+    "ext_feature_hashing" -> ((s, dir) =>
+      Query.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("w"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT) % 64")
+            .cast("int"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))),
+    // exact two-sample Kolmogorov–Smirnov distance (view vs purchase
+    // values) — the drift-detection primitive. All-integer until the last
+    // division: per distinct VALUE counts (the corpus collapses to the
+    // value grid before any ordered pass), running counts over the grid,
+    // D·n1·n2 = max|c1·n2 − c2·n1| as BIGINT, divided once. The only
+    // unpartitioned window runs over the VALUE GRID (≤ distinct values —
+    // bounded by the measurement's resolution, not the corpus).
+    "ext_ks_drift" -> ((s, dir) => {
+      val byv = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+      val tot = byv.agg(sum(col("a")).as("n_view"), sum(col("b")).as("n_purchase"))
+      cum.crossJoin(broadcast(tot))
+        .select(abs(col("ca") * col("n_purchase") - col("cb") * col("n_view"))
+          .as("num"), col("n_view"), col("n_purchase"))
+        .groupBy(col("n_view"), col("n_purchase"))
+        .agg(max(col("num")).as("ks_num"))
+        .select(col("ks_num"), col("n_view"), col("n_purchase"),
+          (col("ks_num").cast("double") /
+            (col("n_view") * col("n_purchase"))).as("ks_stat"))
+    }),
     // per-group min-max feature scaling to [0,1] (sqlMinmaxScale doc):
     // exact min/max joined back, one IEEE division per row
     "ext_minmax_scale" -> ((s, dir) => {
@@ -1771,6 +1840,26 @@ object SparkEntry {
     // write → read back through the distributed CSV writer/reader (RFC-4180
     // quoting); the oracle compares against the original table, so a hash
     // match proves the interchange is lossless including free text
+    // ingest robustness: PERMISSIVE CSV parse quarantines each malformed
+    // line into the corrupt-record column (the read never dies, bad rows
+    // never coerce silently); the fixture plants exactly 3 bad lines
+    "source_csv_permissive" -> ((s, dir) => {
+      val path = permissiveCsvFixture(s, dir)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "_corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        // Spark disallows queries whose only referenced column is the
+        // corrupt-record column (the parser would never run); cache
+        // materializes the parse first — at scale, land the parsed
+        // result to storage and audit the quarantine column from there
+        .cache()
+        .select(when(col("_corrupt_record").isNull, lit("good"))
+          .otherwise(lit("corrupt")).as("kind"))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+    }),
     "source_csv_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val path = System.getProperty("java.io.tmpdir") + "/graft_csv_roundtrip"
@@ -3080,6 +3169,34 @@ object SparkEntry {
         |WHERE d.adev > 3.0 * m.mad""".stripMargin,
     "ext_zscore_outliers" -> sqlZscoreOutliers,
     "ext_minmax_scale" -> sqlMinmaxScale,
+    "ext_target_encode_loo" -> sqlTargetEncodeLoo,
+    "ext_feature_hashing" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST((${md5PrefixValueSql(4, "w")}) % 64 AS INT) AS bucket,
+         |  count(*) AS n
+         |FROM tok GROUP BY 1, 2""".stripMargin,
+    // same value-grid construction: per distinct value counts, running
+    // sums in value order, integer numerator max, ONE final division
+    "ext_ks_drift" ->
+      """WITH byv AS (SELECT value,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY value),
+        |cum AS (SELECT value,
+        |    SUM(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+        |    SUM(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM byv),
+        |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_view,
+        |               CAST(SUM(b) AS BIGINT) AS n_purchase FROM byv)
+        |SELECT CAST(max(abs(ca * n_purchase - cb * n_view)) AS BIGINT) AS ks_num,
+        |  n_view, n_purchase,
+        |  CAST(CAST(max(abs(ca * n_purchase - cb * n_view)) AS DOUBLE)
+        |    / (n_view * n_purchase) AS DOUBLE) AS ks_stat
+        |FROM cum, tot GROUP BY n_view, n_purchase""".stripMargin,
     // list_reduce folds left from the first element — the identical IEEE
     // sequence as the engine's in-row sorted aggregate fold (α = 0.5, both
     // coefficient literals exactly representable)
@@ -3311,6 +3428,11 @@ object SparkEntry {
         |       ELSE 'same' END AS change_type
         |  FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, change_type FROM j WHERE change_type <> 'same'""".stripMargin,
+    // the corrupt count is 3 BY FIXTURE CONSTRUCTION (the planted bad-line
+    // file); the good rows are exactly the orders projection
+    "source_csv_permissive" ->
+      """SELECT 'good' AS kind, count(*) AS n FROM orders
+        |UNION ALL SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n""".stripMargin,
     // same span arithmetic as scan_range_chunks; same 48-bit md5-prefix row
     // hash as the engine (concat_ws over portable casts)
     "chunk_checksum" -> (chunkChecksumCte +
@@ -3525,6 +3647,22 @@ object SparkEntry {
       |FROM events e JOIN m ON e.event_type = m.event_type
       |WHERE (CAST(m.n AS DOUBLE) * e.value - m.sx) * (CAST(m.n AS DOUBLE) * e.value - m.sx)
       |      > 4.0 * (CAST(m.n AS DOUBLE) * m.sx2 - m.sx * m.sx)""".stripMargin
+
+  /** Leave-one-out target encoding, shared verbatim: each row's encoded
+    * value is its group's mean computed WITHOUT the row itself —
+    * (Σ_g − x)/(n_g − 1) — the standard high-cardinality categorical
+    * feature that avoids leaking the row's own label. Σ_g is an exact
+    * decimal sum cast to DOUBLE once; the subtraction and division are
+    * then identical IEEE operations. Singleton groups encode NULL. */
+  private val sqlTargetEncodeLoo: String =
+    """WITH g AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  CAST(CASE WHEN g.n > 1
+      |       THEN (g.sx - e.value) / (CAST(g.n AS DOUBLE) - 1.0)
+      |       ELSE NULL END AS DOUBLE) AS loo_mean
+      |FROM events e JOIN g ON e.event_type = g.event_type""".stripMargin
 
   /** Per-group min-max feature scaling, shared verbatim by both engines:
     * min/max are exact (order-insensitive) extremes, and the scaled value
