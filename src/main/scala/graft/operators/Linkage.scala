@@ -34,8 +34,14 @@ object Linkage {
       "self-join is the cross product this operator exists to avoid")
     require(minScore >= 0 && minScore <= 1, s"minScore in [0,1], got $minScore")
     import org.apache.spark.sql.graft.{JaroWinkler => JW}
+    // pin the probe side's parallelism on the block key: the scoring
+    // stage is byte-light but compute-dense (|block|² JW evaluations),
+    // exactly what AQE's byte-based coalescing serializes — measured as
+    // ONE 3.1 s task on the single-row-group fixture before the pin
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select((blockCols.map(col) :+
       col(idCol).as("id_a")) :+ col(nameCol).as("name_a"): _*)
+      .repartition(par, blockCols.map(col): _*)
     val b = df.select((blockCols.map(col) :+
       col(idCol).as("id_b")) :+ col(nameCol).as("name_b"): _*)
     a.join(b, blockCols)
