@@ -515,6 +515,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // WITH RECURSIVE (Spark 4 surface): a 12-month calendar spine LEFT
+    // JOINed to order counts — empty months survive (the reporting shape
+    // a bare GROUP BY month silently drops); shared verbatim
+    "sql_recursive_series" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlRecursiveSeries)
+    }),
+
     // ── SQL-text entry points (same engine, spark.sql surface) ───────────
     "sql_q3_shipping_priority" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem").foreach(n =>
@@ -753,6 +761,14 @@ object SparkEntry {
         .createOrReplaceTempView("lineitem")
       s.sql(sqlSkewKurtosisQty)
     }),
+    // grouped quartiles as three scalar columns (the proven
+    // percentile ⟷ quantile_cont interpolation seam, array form)
+    "agg_quantile_array" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__qs"))
+        .select(col("l_returnflag"),
+          expr("__qs[0]").as("q25"), expr("__qs[1]").as("q50"),
+          expr("__qs[2]").as("q75"))),
     // conditional aggregation via the SQL FILTER clause (sqlFilterClause:
     // shared verbatim — one scan, every branch a map-side partial)
     "agg_filter_clause" -> ((s, dir) => {
@@ -1698,6 +1714,19 @@ object SparkEntry {
           (col("__swx").cast("double") / col("__sw")).as("mean_price"),
           col("__sw").as("n_drawn"))
     }),
+    // forward fill (gap repair on a sensor/telemetry stream): last
+    // non-null value so far per key — IGNORE NULLS running window, the
+    // time-series imputation primitive; nulls synthesized at value > 450
+    // so the fill path is exercised deterministically
+    "ext_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v", when(col("value") > 450, lit(null)).otherwise(col("value")))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
+    }),
     // ordered-fold EWMA (α = 0.5): one deterministic IEEE sequence per
     // user — reproducible cross-run and cross-engine, unlike any
     // partition-order double sum
@@ -2393,6 +2422,21 @@ object SparkEntry {
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
     "agg_filter_clause" -> sqlFilterClause,
+    "sql_recursive_series" -> sqlRecursiveSeries,
+    "agg_quantile_array" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS q50,
+        | quantile_cont(l_quantity, 0.75) AS q75
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ext_forward_fill" ->
+      """WITH n AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN value > 450 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
+        |FROM n""".stripMargin,
     "agg_listagg_names" ->
       """SELECT c_nationkey,
         | string_agg(c_name, ',' ORDER BY c_name) AS names,
@@ -3676,6 +3720,18 @@ object SparkEntry {
       |  CAST(CASE WHEN b.mx > b.mn THEN (e.value - b.mn) / (b.mx - b.mn)
       |       ELSE 0.5 END AS DOUBLE) AS value_scaled
       |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
+  /** Recursive CTE (Spark 4 SQL surface ⟷ DuckDB, shared verbatim): a
+    * calendar spine generated by the recursion, LEFT JOINed so months
+    * with zero orders still report — the dimension a bare GROUP BY
+    * silently drops. Recursion depth is the spine length (12), driver-
+    * side trivial; the join itself is a plain broadcast of the spine. */
+  private val sqlRecursiveSeries: String =
+    """WITH RECURSIVE cal(mo) AS (
+      |  SELECT 1 UNION ALL SELECT mo + 1 FROM cal WHERE mo < 12)
+      |SELECT cal.mo AS mth, count(o_orderkey) AS n_orders
+      |FROM cal LEFT JOIN orders ON month(o_orderdate) = cal.mo
+      |GROUP BY cal.mo""".stripMargin
 
   /** Conditional aggregation via the standard SQL FILTER clause, shared
     * verbatim: one scan, each branch folds as its own map-side partial
