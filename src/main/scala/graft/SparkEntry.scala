@@ -761,6 +761,27 @@ object SparkEntry {
         .createOrReplaceTempView("lineitem")
       s.sql(sqlSkewKurtosisQty)
     }),
+    // boolean + bitwise aggregate surface (exact integer/boolean folds)
+    "agg_bool_bit_pack" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000.0)").as("any_over_400k"),
+          expr("bit_and(o_orderkey)").as("key_band"),
+          expr("bit_or(o_orderkey)").as("key_bor"),
+          expr("bit_xor(o_orderkey)").as("key_bxor"),
+          count(lit(1)).as("n"))),
+    // deterministic surrogate-key minting: a UUID-shaped key derived
+    // from md5 of the natural key — stable across runs and engines
+    // (the ingest-time id a random UUID can never give you)
+    "fn_surrogate_key" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        expr("concat_ws('-', substring(md5(concat('ord:', cast(o_orderkey as string))), 1, 8), " +
+          "substring(md5(concat('ord:', cast(o_orderkey as string))), 9, 4), " +
+          "substring(md5(concat('ord:', cast(o_orderkey as string))), 13, 4), " +
+          "substring(md5(concat('ord:', cast(o_orderkey as string))), 17, 4), " +
+          "substring(md5(concat('ord:', cast(o_orderkey as string))), 21, 12))")
+          .as("surrogate_id"))),
     // grouped quartiles as three scalar columns (the proven
     // percentile ⟷ quantile_cont interpolation seam, array form)
     "agg_quantile_array" -> ((s, dir) =>
@@ -2423,6 +2444,23 @@ object SparkEntry {
     "ext_degree_distribution" -> sqlDegreeDistribution,
     "agg_filter_clause" -> sqlFilterClause,
     "sql_recursive_series" -> sqlRecursiveSeries,
+    "agg_bool_bit_pack" ->
+      """SELECT o_orderstatus,
+        | bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        | bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        | bit_and(o_orderkey) AS key_band,
+        | bit_or(o_orderkey) AS key_bor,
+        | bit_xor(o_orderkey) AS key_bxor,
+        | count(*) AS n
+        | FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "fn_surrogate_key" ->
+      """SELECT o_orderkey,
+        | substring(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+        | substring(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+        | substring(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+        | substring(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+        | substring(md5('ord:' || CAST(o_orderkey AS VARCHAR)), 21, 12) AS surrogate_id
+        | FROM orders""".stripMargin,
     "agg_quantile_array" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS q25,

@@ -56,6 +56,35 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark semantics: a row later than lateness behind the max event " +
+      "time is DROPPED from the windowed aggregate; an in-bound late row lands") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "user", "value")
+    val q = Streams.tumblingCounts(events, "ts", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("update").start()
+    try {
+      // batch 1 advances the watermark to 11:00 − 10 min = 10:50
+      mem.addData((ts("2026-01-01 11:00:00"), "u1", 1.0))
+      q.processAllAvailable()
+      // batch 2: 10:55 is within lateness (≥ 10:50) → lands in its window;
+      // 10:30 is beyond it → silently dropped (bounded state: that window's
+      // state may already be evicted)
+      mem.addData(
+        (ts("2026-01-01 10:55:00"), "u1", 2.0),
+        (ts("2026-01-01 10:30:00"), "u1", 100.0))
+      q.processAllAvailable()
+      val got = sq.sql("SELECT win_start, n FROM late")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got("2026-01-01 10:50:00.0") == 1L) // the in-bound late row
+      assert(!got.contains("2026-01-01 10:30:00.0"),
+        "a beyond-watermark row must not create its window")
+    } finally q.stop()
+  }
+
   test("enrichStream decorates a live stream from a static dim without restarting") {
     val sq = spark
     import sq.implicits._
