@@ -428,6 +428,11 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
         "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_nationkey"), col("c_mktsegment"))),
+    // the skew-diagnosis preflight DECLARED: top-20 hottest join keys
+    // (two-phase count + TakeOrderedAndProject — the step that decides
+    // whether a join needs salting at all)
+    "ext_key_histogram" -> ((s, dir) =>
+      Skew.keyHistogram(t(s, dir, "lineitem"), "l_suppkey", topN = 20)),
     // the skew playbook as a DECLARED query: big side salted, small side
     // replicated 8× — result-equal to the plain join (that IS the oracle);
     // SkewSpec pins the spread, this pins the values
@@ -1735,6 +1740,24 @@ object SparkEntry {
           (col("__swx").cast("double") / col("__sw")).as("mean_price"),
           col("__sw").as("n_drawn"))
     }),
+    // Benford leading-digit profile (fraud / synthetic-data smell test):
+    // floor to integer FIRST (double→string formatting differs across
+    // engines; int→string doesn't), then the first character
+    "ext_benford_digits" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("digit",
+          substring(expr("CAST(floor(o_totalprice) AS BIGINT)").cast("string"), 1, 1))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))),
+    // period-over-period percent change per user (telemetry delta rate):
+    // lag + one IEEE subtract/divide over identically-read doubles
+    "window_pct_change" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+        .select(col("event_id"), col("user_id"), col("value"), col("prev"),
+          ((col("value") - col("prev")) / col("prev")).as("pct_change"))
+    }),
     // forward fill (gap repair on a sensor/telemetry stream): last
     // non-null value so far per key — IGNORE NULLS running window, the
     // time-series imputation primitive; nulls synthesized at value > 450
@@ -2467,6 +2490,20 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_quantity, 0.75) AS q75
         | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ext_key_histogram" ->
+      """SELECT l_suppkey, count(*) AS n FROM lineitem
+        |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
+    "ext_benford_digits" ->
+      """SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |  AS digit, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "window_pct_change" ->
+      """WITH l AS (SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, value, prev,
+        |  (value - prev) / prev AS pct_change
+        |FROM l WHERE prev IS NOT NULL AND prev <> 0.0""".stripMargin,
     "ext_forward_fill" ->
       """WITH n AS (SELECT event_id, user_id, ts,
         |    CASE WHEN value > 450 THEN NULL ELSE value END AS v
