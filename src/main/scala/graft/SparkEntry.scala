@@ -428,6 +428,18 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
         "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_nationkey"), col("c_mktsegment"))),
+    // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other — the semantics an inner join silently drops; nullable
+    // keys synthesized at value > 450 so both branches are exercised
+    "join_null_safe" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("k", when(col("value") > 450, lit(null))
+          .otherwise(col("user_id") % 10))
+        .alias("e")
+      val dim = e.groupBy(col("k")).agg(count(lit(1)).as("grp_n")).alias("d")
+      e.join(dim, col("e.k") <=> col("d.k"))
+        .select(col("event_id"), col("e.k").as("k"), col("grp_n"))
+    }),
     // the skew-diagnosis preflight DECLARED: top-20 hottest join keys
     // (two-phase count + TakeOrderedAndProject — the step that decides
     // whether a join needs salting at all)
@@ -1664,6 +1676,21 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 12)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
     // top-5 salient terms per doc; integer-exact linear-idf scoring
+    // per-doc surface statistics (chars, tokens, distinct tokens, longest
+    // token, exact-ratio avg token length) — the first profiling pass of
+    // any text corpus; one in-row pipeline, no shuffle
+    "ext_text_stats_pack" -> ((s, dir) =>
+      Query.ensureParallelism(t(s, dir, "documents"))
+        .withColumn("__tk", filter(split(lower(col("text")), " "), w => w =!= ""))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          size(col("__tk")).as("n_tokens"),
+          size(array_distinct(col("__tk"))).as("n_distinct"),
+          expr("array_max(transform(__tk, w -> length(w)))").as("longest_token"),
+          // nullif guards the token-less doc (NULL in both engines, never
+          // a 0/0 NaN-vs-error seam)
+          (expr("aggregate(__tk, 0L, (a, w) -> a + length(w))").cast("double") /
+            expr("nullif(size(__tk), 0)")).as("avg_token_len"))),
     "ext_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)),
     // retrieval-side index build: token → (df, first-8 posting ids);
@@ -2490,6 +2517,25 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_quantity, 0.75) AS q75
         | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ext_text_stats_pack" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_raw,
+        | CAST(len(tk) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+        | CAST(list_max(list_transform(tk, w -> length(w))) AS INT) AS longest_token,
+        | CAST(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+        |   / nullif(len(tk), 0) AS DOUBLE) AS avg_token_len
+        |FROM tk""".stripMargin,
+    "join_null_safe" ->
+      """WITH e AS (SELECT event_id,
+        |    CASE WHEN value > 450 THEN NULL ELSE user_id % 10 END AS k
+        |  FROM events),
+        |d AS (SELECT k, count(*) AS grp_n FROM e GROUP BY k)
+        |SELECT e.event_id, e.k, d.grp_n
+        |FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k""".stripMargin,
     "ext_key_histogram" ->
       """SELECT l_suppkey, count(*) AS n FROM lineitem
         |GROUP BY l_suppkey ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
