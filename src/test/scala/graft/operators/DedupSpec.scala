@@ -481,6 +481,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("jaccardJoinExact equals brute force on seeded random corpora " +
+      "(small vocab forces heavy overlap, duplicates force clone groups)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val corpus = (1L to 60L).map { id =>
+        if (rnd.nextInt(4) == 0 && id > 1)
+          // duplicate an earlier doc's text → clone groups
+          (id, null.asInstanceOf[String])
+        else (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val texts = scala.collection.mutable.Map[Long, String]()
+      val resolved = corpus.map { case (id, t) =>
+        val text = if (t != null) t else texts(1L + rnd.nextInt((id - 1).toInt))
+        texts(id) = text
+        (id, text)
+      }
+      val df = resolved.toDF("doc_id", "text")
+      val got = Dedup.jaccardJoinExact(df, "doc_id", "text", 7, 10)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sets = resolved.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size; union = (sets(a) | sets(b)).size
+        if 10 * inter >= 7 * union
+      } yield (a, b)).toSet
+      assert(got == want, s"seed $seed: ${got.diff(want).size} spurious, " +
+        s"${want.diff(got).size} missed of ${want.size}")
+    }
+  }
+
   test("jaccardJoinExact is a superset of the LSH-verified pairs at the " +
       "same threshold (recall the LSH family cannot prove)") {
     val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

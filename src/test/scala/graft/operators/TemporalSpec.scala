@@ -183,6 +183,34 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mergeIntervals equals brute-force interval union on seeded random inputs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val iv = (1 to 80).map { _ =>
+        val k = rnd.nextInt(3).toLong
+        val lo = rnd.nextInt(200).toLong
+        (k, lo, lo + 1 + rnd.nextInt(30))
+      }
+      val out = Temporal.mergeIntervals(iv.toDF("k", "lo", "hi"), Seq("k"), "lo", "hi")
+        .groupBy($"k", $"island_no")
+        .agg(org.apache.spark.sql.functions.min($"lo").as("mlo"),
+          org.apache.spark.sql.functions.max($"hi").as("mhi"))
+        .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+      // brute force: sweep each key's sorted intervals, merging on touch
+      val want = iv.groupBy(_._1).view.mapValues { vs =>
+        vs.map(v => (v._2, v._3)).sortBy(identity).foldLeft(List.empty[(Long, Long)]) {
+          case (acc @ ((alo, ahi) :: rest), (lo, hi)) =>
+            if (lo <= ahi) (alo, math.max(ahi, hi)) :: rest
+            else (lo, hi) :: acc
+          case (Nil, span) => span :: Nil
+        }.reverse
+      }.toMap
+      assert(out == want, s"seed $seed")
+    }
+  }
+
   test("ewma: ordered fold s = (1-a)s + ax over (time, tie) order; " +
       "input partitioning never changes a bit") {
     import spark.implicits._
