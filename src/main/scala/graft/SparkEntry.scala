@@ -778,6 +778,15 @@ object SparkEntry {
         .createOrReplaceTempView("lineitem")
       s.sql(sqlSkewKurtosisQty)
     }),
+    // several DISTINCT aggregates in one pass (Catalyst plans one Expand
+    // + grouped count — not one scan per distinct column)
+    "agg_count_distinct_multi" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          countDistinct(col("o_totalprice")).as("n_prices"),
+          count(lit(1)).as("n_rows"))),
     // boolean + bitwise aggregate surface (exact integer/boolean folds)
     "agg_bool_bit_pack" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderstatus"))
@@ -1294,6 +1303,19 @@ object SparkEntry {
     // complement to the LSH families; integer similarity gate
     "ext_dedup_jaccard_join" -> ((s, dir) =>
       Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 4, 5)),
+    // multi-threshold dedup planning from ONE pipeline run: pair counts
+    // at θ ∈ {0.7, 0.8, 0.9} derived from the θ=0.7 pair set with exact
+    // integer gates (100·i ≥ t·(|A|+|B|−i)) — how a curation run picks
+    // its threshold without re-running candidate generation per theta
+    "ext_jaccard_threshold_sweep" -> ((s, dir) =>
+      Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 7, 10)
+        .withColumn("theta_pct",
+          explode(array(lit(70), lit(80), lit(90))))
+        .filter(lit(100L) * col("inter_size") >=
+          col("theta_pct").cast("long") *
+            (col("size_a") + col("size_b") - col("inter_size")))
+        .groupBy(col("theta_pct"))
+        .agg(count(lit(1)).as("n_pairs"))),
     // entity resolution over short attribute strings: candidates blocked
     // on p_brand (plain equi-join — never a cross product), scored with
     // the native bit-equal-to-DuckDB Jaro-Winkler, edit distance ridealong
@@ -2438,48 +2460,19 @@ object SparkEntry {
     // full prefix-filter replay at REP level: same set collapse, same
     // set-df token order, same integer prefix length, same equi-join
     // candidates, same exact integer gate, same in-row member expansion
-    "ext_dedup_jaccard_join" ->
-      """WITH tkd AS (SELECT doc_id,
-        |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
-        |reps AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
-        |           first(ts) AS ts, len(first(ts)) AS sz
-        |         FROM tkd GROUP BY CAST(ts AS VARCHAR)),
-        |tok AS (SELECT rep, unnest(ts) AS token FROM reps),
-        |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
-        |srt AS (SELECT t.rep, list(t.token ORDER BY d.df, t.token) AS ots,
-        |          count(*) AS sz
-        |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep),
-        |pfx AS (SELECT rep, ots, sz,
-        |    unnest(ots[1:(CAST(sz AS INT) - CAST((4*sz + 4)//5 AS INT) + 1)]) AS ptok
-        |  FROM srt),
-        |rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb,
-        |    CAST(len(list_intersect(a.ots, b.ots)) AS BIGINT) AS i,
-        |    CAST(a.sz AS BIGINT) AS la, CAST(b.sz AS BIGINT) AS lb
-        |  FROM pfx a JOIN pfx b ON a.ptok = b.ptok AND a.rep < b.rep
-        |  WHERE 4*greatest(a.sz, b.sz) <= 5*least(a.sz, b.sz)
-        |    AND 5*len(list_intersect(a.ots, b.ots)) >=
-        |        4*(a.sz + b.sz - len(list_intersect(a.ots, b.ots)))),
-        |c1 AS (SELECT rp.*, unnest(r1.members) AS ma
-        |       FROM rp JOIN reps r1 ON rp.ra = r1.rep),
-        |c2 AS (SELECT c1.i, c1.la, c1.lb, c1.ma, unnest(r2.members) AS mb
-        |       FROM c1 JOIN reps r2 ON c1.rb = r2.rep),
-        |crossed AS (SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
-        |    i AS inter_size,
-        |    CASE WHEN ma <= mb THEN la ELSE lb END AS size_a,
-        |    CASE WHEN ma <= mb THEN lb ELSE la END AS size_b
-        |  FROM c2),
-        |s1 AS (SELECT CAST(sz AS BIGINT) AS sz, members, unnest(members) AS ma
-        |       FROM reps WHERE len(members) > 1),
-        |s2 AS (SELECT sz, ma, unnest(members) AS mb FROM s1),
-        |same AS (SELECT ma AS id_a, mb AS id_b, sz AS inter_size,
-        |           sz AS size_a, sz AS size_b
-        |         FROM s2 WHERE ma < mb),
-        |allp AS (SELECT * FROM crossed UNION ALL SELECT * FROM same)
+    "ext_dedup_jaccard_join" -> (jaccardPipelineCte(4, 5) +
+      """
         |SELECT id_a, id_b, inter_size, size_a, size_b,
         |  CAST(inter_size AS DOUBLE)/(size_a + size_b - inter_size) AS jaccard
-        |FROM allp""".stripMargin,
+        |FROM allp""".stripMargin),
+    // the same pipeline run once at θ=7/10, counted at three tighter
+    // thresholds from the SAME pair set (integer gates — no re-run)
+    "ext_jaccard_threshold_sweep" -> (jaccardPipelineCte(7, 10) +
+      """
+        |SELECT CAST(t.tn AS INT) AS theta_pct, count(*) AS n_pairs
+        |FROM allp, (VALUES (70), (80), (90)) AS t(tn)
+        |WHERE 100 * inter_size >= t.tn * (size_a + size_b - inter_size)
+        |GROUP BY t.tn""".stripMargin),
     // same blocking equi-join + canonical pair order + identical JW/lev
     // score arithmetic (the native expression is bit-equal to DuckDB's)
     "ext_record_linkage" ->
@@ -2494,6 +2487,13 @@ object SparkEntry {
     "ext_degree_distribution" -> sqlDegreeDistribution,
     "agg_filter_clause" -> sqlFilterClause,
     "sql_recursive_series" -> sqlRecursiveSeries,
+    "agg_count_distinct_multi" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderstatus) AS n_status,
+        | count(DISTINCT o_totalprice) AS n_prices,
+        | count(*) AS n_rows
+        | FROM orders GROUP BY 1""".stripMargin,
     "agg_bool_bit_pack" ->
       """SELECT o_orderstatus,
         | bool_and(o_totalprice > 1000.0) AS all_over_1k,
@@ -3788,6 +3788,51 @@ object SparkEntry {
       |  CAST((s4/nd - 4*(s1/nd)*(s3/nd) + 6*(s1/nd)*(s1/nd)*(s2/nd) - 3*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd)) /
       |    ((s2/nd - (s1/nd)*(s1/nd)) * (s2/nd - (s1/nd)*(s1/nd))) - 3.0 AS DOUBLE) AS excess_kurtosis
       |FROM m""".stripMargin
+
+  /** The exact-jaccard prefix-filter pipeline as a parameterized DuckDB
+    * CTE chain (θ = num/den), ending at `allp(id_a, id_b, inter_size,
+    * size_a, size_b)` — shared by the θ=4/5 pair dump and the θ=7/10
+    * threshold sweep. Mirrors [[operators.Dedup.jaccardJoinExact]] stage
+    * for stage (its Scaladoc documents the design). */
+  private def jaccardPipelineCte(num: Int, den: Int): String =
+    s"""WITH tkd AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+       |reps AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |           first(ts) AS ts, len(first(ts)) AS sz
+       |         FROM tkd GROUP BY CAST(ts AS VARCHAR)),
+       |tok AS (SELECT rep, unnest(ts) AS token FROM reps),
+       |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+       |srt AS (SELECT t.rep, list(t.token ORDER BY d.df, t.token) AS ots,
+       |          count(*) AS sz
+       |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep),
+       |pfx AS (SELECT rep, ots, sz,
+       |    unnest(ots[1:(CAST(sz AS INT) - CAST(($num*sz + $den - 1)//$den AS INT) + 1)]) AS ptok
+       |  FROM srt),
+       |rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb,
+       |    CAST(len(list_intersect(a.ots, b.ots)) AS BIGINT) AS i,
+       |    CAST(a.sz AS BIGINT) AS la, CAST(b.sz AS BIGINT) AS lb
+       |  FROM pfx a JOIN pfx b ON a.ptok = b.ptok AND a.rep < b.rep
+       |  WHERE $num*greatest(a.sz, b.sz) <= $den*least(a.sz, b.sz)
+       |    AND $den*len(list_intersect(a.ots, b.ots)) >=
+       |        $num*(a.sz + b.sz - len(list_intersect(a.ots, b.ots)))),
+       |c1 AS (SELECT rp.*, unnest(r1.members) AS ma
+       |       FROM rp JOIN reps r1 ON rp.ra = r1.rep),
+       |c2 AS (SELECT c1.i, c1.la, c1.lb, c1.ma, unnest(r2.members) AS mb
+       |       FROM c1 JOIN reps r2 ON c1.rb = r2.rep),
+       |crossed AS (SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+       |    i AS inter_size,
+       |    CASE WHEN ma <= mb THEN la ELSE lb END AS size_a,
+       |    CASE WHEN ma <= mb THEN lb ELSE la END AS size_b
+       |  FROM c2),
+       |s1 AS (SELECT CAST(sz AS BIGINT) AS sz, members, unnest(members) AS ma
+       |       FROM reps WHERE len(members) > 1),
+       |s2 AS (SELECT sz, ma, unnest(members) AS mb FROM s1),
+       |same AS (SELECT ma AS id_a, mb AS id_b, sz AS inter_size,
+       |           sz AS size_a, sz AS size_b
+       |         FROM s2 WHERE ma < mb),
+       |allp AS (SELECT * FROM crossed UNION ALL SELECT * FROM same)""".stripMargin
 
   /** Per-group z-score outlier gate off exact decimal moments, shared
     * verbatim by both engines. The flag |x − mean| > 2σ is decided as
