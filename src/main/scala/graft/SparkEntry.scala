@@ -1698,6 +1698,35 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 12)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
     // top-5 salient terms per doc; integer-exact linear-idf scoring
+    // bigram LM count table ((w1, w2, pair count, w1 context total) — the
+    // exact table behind conditional probabilities / perplexity filters;
+    // the log-space probability itself is libm-unstable so the engine
+    // emits the exact integers): ADJACENT ordered pairs in-row (shifted
+    // zip), one dictionary-sized exchange, context totals derived from
+    // the SAME pair table (no second corpus pass)
+    "ext_bigram_lm" -> ((s, dir) => {
+      val pairs = Query.ensureParallelism(t(s, dir, "documents"))
+        .withColumn("__tk", filter(split(lower(col("text")), " "), w => w =!= ""))
+        .filter(size(col("__tk")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(__tk, 1, size(__tk) - 1), slice(__tk, 2, size(__tk) - 1), " +
+            "(x, y) -> struct(x AS w1, y AS w2))")).as("__p"))
+        .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val ctx = pairs.groupBy(col("w1")).agg(sum(col("n")).as("n_w1"))
+      pairs.join(ctx, Seq("w1"))
+        .select(col("w1"), col("w2"), col("n"), col("n_w1"))
+    }),
+    // deterministic epoch shuffle: training-set resequencing by id-hash
+    // order (every run and every engine deals the same deck) — a global
+    // rank over the hash, which at scale is one range exchange
+    "ext_deterministic_shuffle" -> ((s, dir) => {
+      val w = Window.orderBy(col("__h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__h", md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+        .withColumn("position", row_number().over(w).cast("int"))
+        .select(col("position"), col("doc_id"))
+    }),
     // per-doc surface statistics (chars, tokens, distinct tokens, longest
     // token, exact-ratio avg token length) — the first profiling pass of
     // any text corpus; one in-row pipeline, no shuffle
@@ -2517,6 +2546,22 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS q50,
         | quantile_cont(l_quantity, 0.75) AS q75
         | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "ext_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |pg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM tk, unnest(range(1, len(tk))) AS r(i)
+        |       WHERE len(tk) >= 2),
+        |pairs AS (SELECT w1, w2, count(*) AS n FROM pg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM pairs GROUP BY 1)
+        |SELECT p.w1, p.w2, p.n, c.n_w1
+        |FROM pairs p JOIN ctx c ON p.w1 = c.w1""".stripMargin,
+    "ext_deterministic_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |  AS position, doc_id
+        |FROM documents""".stripMargin,
     "ext_text_stats_pack" ->
       """WITH tk AS (SELECT doc_id, text,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
