@@ -1836,6 +1836,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"), col("prev"),
           ((col("value") - col("prev")) / col("prev")).as("pct_change"))
     }),
+    // running peak and drawdown per user (the telemetry/trading health
+    // curve): cumulative max + one IEEE subtraction per row
+    "window_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("peak", max(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("peak"),
+          (col("peak") - col("value")).as("drawdown"))
+    }),
+    // primary-key sequence-gap detection (data-quality audit): adjacent
+    // key deltas over the total order; emits each gap's bounds and size.
+    // The global ORDER BY is the point — at scale it is ONE range
+    // exchange (the sort_by_pk path), because gap detection genuinely
+    // needs the total order
+    "ext_sequence_gaps" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"))
+        // the fixture's keys are contiguous; simulate loss (the audit's
+        // whole purpose) by dropping every 7th key — replayed verbatim
+        // by the oracle, so every detected gap is value-checked
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("__prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("__prev").isNotNull &&
+          col("o_orderkey") - col("__prev") > 1)
+        .select(col("__prev").as("gap_after"),
+          col("o_orderkey").as("next_present"),
+          (col("o_orderkey") - col("__prev") - 1).as("n_missing"))
+    }),
     // forward fill (gap repair on a sensor/telemetry stream): last
     // non-null value so far per key — IGNORE NULLS running window, the
     // time-series imputation primitive; nulls synthesized at value > 450
@@ -2595,6 +2626,20 @@ object SparkEntry {
         |SELECT event_id, user_id, value, prev,
         |  (value - prev) / prev AS pct_change
         |FROM l WHERE prev IS NOT NULL AND prev <> 0.0""".stripMargin,
+    "window_drawdown" ->
+      """SELECT event_id, user_id, value,
+        | max(value) OVER w AS peak,
+        | max(value) OVER w - value AS drawdown
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "ext_sequence_gaps" ->
+      """WITH l AS (SELECT o_orderkey,
+        |    lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT prev AS gap_after, o_orderkey AS next_present,
+        |  o_orderkey - prev - 1 AS n_missing
+        |FROM l WHERE prev IS NOT NULL AND o_orderkey - prev > 1""".stripMargin,
     "ext_forward_fill" ->
       """WITH n AS (SELECT event_id, user_id, ts,
         |    CASE WHEN value > 450 THEN NULL ELSE value END AS v
