@@ -1260,6 +1260,20 @@ object SparkEntry {
     // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
     "ext_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // clone-FAMILY size distribution at token-SET granularity (the first
+    // chart of any dedup audit: how much of the corpus is singletons vs
+    // boilerplate families) — same set collapse as the jaccard join's rep
+    // stage, then two tiny aggregates
+    "ext_clone_size_histogram" -> ((s, dir) =>
+      Query.ensureParallelism(t(s, dir, "documents"))
+        .filter(col("text").isNotNull &&
+          length(translate(col("text"), " ", "")) > 0)
+        .select(sort_array(
+          org.apache.spark.sql.graft.DistinctTokens.of(col("text"))).as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__m"))
+        .groupBy(col("__m"))
+        .agg(count(lit(1)).as("n_families"))
+        .select(col("__m").as("family_size"), col("n_families"))),
     "ext_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         seeds = 16, rowsPerBand = 8)),
@@ -3031,6 +3045,16 @@ object SparkEntry {
     "ext_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+    "ext_clone_size_histogram" ->
+      """WITH g AS (SELECT
+        |    CAST(list_sort(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), w -> w <> ''))) AS VARCHAR) AS k,
+        |    count(*) AS m
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0
+        |  GROUP BY 1)
+        |SELECT m AS family_size, count(*) AS n_families
+        |FROM g GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
     // the estimator re-derives each candidate pair's per-seed signature
     // agreement from the same replayed sig table
