@@ -428,6 +428,33 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
         "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_nationkey"), col("c_mktsegment"))),
+    // presence flag via LEFT JOIN against a distinct key set (the EXISTS
+    // decoration that keeps every probe row, unlike a semi join)
+    "join_exists_flag" -> ((s, dir) => {
+      val hasOrders = t(s, dir, "orders").select(col("o_custkey")).distinct()
+        .withColumn("__has", lit(1))
+      t(s, dir, "customer")
+        .join(hasOrders, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          col("__has").isNotNull.as("has_orders"))
+    }),
+    // market-basket pair supports: top-20 part pairs by the number of
+    // orders containing both (the association-mining support table);
+    // canonical u < v, deterministic tiebreak
+    "ext_market_basket" -> ((s, dir) => {
+      val l = Query.ensureParallelism(t(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      l.alias("a").join(l.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_u"), col("b.l_partkey").as("part_v"),
+          col("a.l_orderkey").as("__o"))
+        .distinct()
+        .groupBy(col("part_u"), col("part_v"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part_u"), col("part_v"))
+        .limit(20)
+    }),
     // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
     // each other — the semantics an inner join silently drops; nullable
     // keys synthesized at value > 450 so both branches are exercised
@@ -2619,6 +2646,19 @@ object SparkEntry {
         | CAST(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
         |   / nullif(len(tk), 0) AS DOUBLE) AS avg_token_len
         |FROM tk""".stripMargin,
+    "join_exists_flag" ->
+      """SELECT c.c_custkey, c.c_name,
+        | (o.o_custkey IS NOT NULL) AS has_orders
+        |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        | ON c.c_custkey = o.o_custkey""".stripMargin,
+    "ext_market_basket" ->
+      """WITH p AS (SELECT DISTINCT a.l_partkey AS part_u,
+        |    b.l_partkey AS part_v, a.l_orderkey AS o
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_u, part_v, count(*) AS support
+        |FROM p GROUP BY 1, 2
+        |ORDER BY support DESC, part_u, part_v LIMIT 20""".stripMargin,
     "join_null_safe" ->
       """WITH e AS (SELECT event_id,
         |    CASE WHEN value > 450 THEN NULL ELSE user_id % 10 END AS k
