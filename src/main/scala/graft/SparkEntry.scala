@@ -1585,6 +1585,15 @@ object SparkEntry {
     }),
     "ext_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+    // predicted vs labeled language: the audit matrix for any
+    // classifier-backed curation gate
+    "ext_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("actual_lang", col("lang"))
+        .groupBy(col("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
     "ext_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
     "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 rolling hash; no oracle
@@ -3577,17 +3586,14 @@ object SparkEntry {
         | CASE WHEN len(tk) > 0
         |  THEN CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS ttr
         |FROM tk""".stripMargin,
-    "ext_lang_id" ->
-      ("WITH s AS (SELECT doc_id, " + Seq(
-        ("s_en", Seq("the", "a")), ("s_query", Seq("query", "scan", "filter")),
-        ("s_data", Seq("data", "row", "column"))).map { case (name, words) =>
-        words.map(w => occursSql(w)).mkString(" + ") + s" AS $name"
-      }.mkString(", ") +
-        """ FROM documents)
-          |SELECT doc_id, CASE
-          | WHEN s_en >= s_query AND s_en >= s_data THEN 'en'
-          | WHEN s_query >= s_data THEN 'query-ish'
-          | ELSE 'data-ish' END AS pred_lang FROM s""".stripMargin),
+    "ext_lang_id" -> sqlLangIdOracle,
+    // predicted vs labeled language — the confusion matrix every
+    // classifier-backed curation gate gets audited with
+    "ext_lang_confusion" ->
+      (s"""WITH pred AS ($sqlLangIdOracle)
+          |SELECT d.lang AS actual_lang, p.pred_lang, count(*) AS n
+          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+          |GROUP BY 1, 2""".stripMargin),
     "ext_quality_score" ->
       ("""SELECT doc_id,
         | CAST(length(text) AS INT) AS n_chars_actual,
@@ -4388,6 +4394,21 @@ object SparkEntry {
     s"CAST((length(' ' || lower(text) || ' ') - " +
       s"length(replace(' ' || lower(text) || ' ', '$target', ' '))) / $n AS BIGINT)"
   }
+
+  /** The lang-id heuristic replay (stopword occurrence scores → argmax
+    * class), shared by the per-doc prediction dump and the confusion
+    * matrix. */
+  private lazy val sqlLangIdOracle: String =
+    "WITH s AS (SELECT doc_id, " + Seq(
+      ("s_en", Seq("the", "a")), ("s_query", Seq("query", "scan", "filter")),
+      ("s_data", Seq("data", "row", "column"))).map { case (name, words) =>
+      words.map(w => occursSql(w)).mkString(" + ") + s" AS $name"
+    }.mkString(", ") +
+      """ FROM documents)
+        |SELECT doc_id, CASE
+        | WHEN s_en >= s_query AND s_en >= s_data THEN 'en'
+        | WHEN s_query >= s_data THEN 'query-ish'
+        | ELSE 'data-ish' END AS pred_lang FROM s""".stripMargin
 
   /** Shared VALUES list of catalog table names for the table-filter oracles. */
   private def tableNamesValues: String =
