@@ -1107,27 +1107,29 @@ object Dedup {
     * Scale shape: one broadcast-or-shuffle df join + one id-keyed exchange
     * build the ordered token arrays; the candidate join shuffles prefix
     * rows only (p ≪ |d| per doc — at θ=0.8, a fifth of each document).
-    * Verification (in-row `array_intersect`, then the exact integer gate
-    * den·o ≥ num·(|A|+|B|−o)) runs BEFORE the pair-dedup, so the distinct
-    * exchange carries only scalar-width verified rows — never token
-    * arrays (the r7 wide-row lesson). A pair sharing several prefix
-    * tokens verifies once per shared token; positional upper-bound
-    * filters (full PPJoin) would shave that and can bolt on here without
-    * changing the shape. The size-ratio filter num·max ≤ den·min prunes
-    * impossible pairs before any array work. */
-  def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
-                       thetaNum: Int, thetaDen: Int): DataFrame = {
-    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
-      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
-    // 1. REP COLLAPSE — the same clone-group defense as the minhash
-    // family: a boilerplate corpus puts hundreds of identical token sets
-    // in one group, and every clone pair shares every prefix token, so a
-    // doc-level prefix join would generate |group|²·p candidates and run
-    // the array verify on each (measured 584 s at sf0.1 before this
-    // restructure, sub-second after). Distinct sets pair ONCE; members
-    // expand in-row afterwards, where the pair output is quadratic only
-    // because the declared OUTPUT is (as with repsWithMembers).
-    val reps = Query.ensureParallelism(docs)
+    * Candidate rows are scalar-width (rep id, size, match position) and
+    * pass three cheap integer gates — the size-ratio filter
+    * num·max ≤ den·min, then the PPJoin POSITIONAL upper bound
+    * (num+den)·min(szₐ−pₐ, szᵦ−pᵦ) ≥ num·(szₐ+szᵦ) — before a scalar
+    * `distinct` collapses the several meetings of a pair to ONE row.
+    * Only then do the token arrays attach (two joins against the small
+    * rep table) for exactly one in-row `array_intersect` verify per
+    * surviving pair, gated by den·o ≥ num·(|A|+|B|−o). The distinct
+    * exchange never carries token arrays (the r7 wide-row lesson), and
+    * the positional filter prunes candidates even when every document
+    * shares a prefix token. */
+  /** Stage 1 of [[jaccardJoinExact]]: REP COLLAPSE — the same clone-group
+    * defense as the minhash family: a boilerplate corpus puts hundreds of
+    * identical token sets in one group, and every clone pair shares every
+    * prefix token, so a doc-level prefix join would generate |group|²·p
+    * candidates and run the array verify on each (measured 584 s at sf0.1
+    * before this restructure, sub-second after). Distinct sets pair ONCE;
+    * members expand in-row afterwards, where the pair output is quadratic
+    * only because the declared OUTPUT is (as with repsWithMembers).
+    * Returns (__ts token-set, __rep, __members). */
+  private[graft] def jaccardReps(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
+    Query.ensureParallelism(docs)
       .filter(col(textCol).isNotNull &&
         length(translate(col(textCol), " ", "")) > 0)
       .select(col(idCol).as("__id"),
@@ -1136,48 +1138,104 @@ object Dedup {
       .groupBy(col("__ts"))
       .agg(min(col("__id")).as("__rep"),
         array_sort(collect_list(col("__id"))).as("__members"))
-    // 2. global token order = SET-level document frequency, rarest first
-    // (any total order preserves exactness; set-level df also makes every
-    // prefix token rare AMONG REPS, so join buckets stay bounded)
+
+  /** Stage 2 of [[jaccardJoinExact]]: global token order = SET-level
+    * document frequency, rarest first (any total order preserves
+    * exactness; set-level df also makes every prefix token rare AMONG
+    * REPS, so join buckets stay bounded). Returns
+    * (__rep, __ots ordered tokens, __sz, __pref prefix slice) with
+    * prefix p = sz − ⌈θ·sz⌉ + 1 (integer ceil; p ≥ 1 whenever sz ≥ 1). */
+  private[graft] def jaccardOrderedPrefix(reps: DataFrame, thetaNum: Int,
+                                              thetaDen: Int): DataFrame = {
     val toks = reps.select(col("__rep"), explode(col("__ts")).as("token"))
     val dfTbl = toks.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val sorted = toks.join(dfTbl, Seq("token"))
+    toks.join(dfTbl, Seq("token"))
       .groupBy(col("__rep"))
       .agg(sort_array(collect_list(struct(col("__df"), col("token")))).as("__st"))
       .select(col("__rep"),
         expr("transform(__st, x -> x.token)").as("__ots"),
         size(col("__st")).as("__sz"))
-      // prefix p = sz − ceil(θ·sz) + 1 (integer ceil; p ≥ 1 whenever sz ≥ 1)
       .withColumn("__pref", expr(
         s"slice(__ots, 1, __sz - (($thetaNum * __sz + $thetaDen - 1) div $thetaDen) + 1)"))
-    // 3. candidates on a shared prefix token — LIGHT rows only (rep id +
-    // size): a pair sharing several prefix tokens meets several times, so
-    // the scalar distinct runs BEFORE any array work (a 6× verify cut on
-    // the fixture corpus), and the arrays attach afterwards through two
-    // joins against the small rep table. The explicit-count repartition
-    // pins the verify stage's parallelism: its input is byte-light but
-    // compute-dense (one set intersection per pair), exactly the shape
-    // AQE's byte-based coalescing serializes onto one core (skill-book
-    // lesson; measured 272 s → seconds at sf0.1).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // the prefix join's INPUT is rep-level tiny (bytes-wise), but its
-    // OUTPUT is the candidate stream — AQE's byte-based coalescing would
-    // run the pair-emitting join single-task (measured: one 8 s task at
-    // sf0.1); the explicit-count repartition pins the join's parallelism
-    // to the token buckets
-    val pa = sorted.select(explode(col("__pref")).as("__ptok"),
-      col("__rep").as("__ra"), col("__sz").as("__sa"))
-      .repartition(par, col("__ptok"))
-    val pb = sorted.select(explode(col("__pref")).as("__ptok"),
-      col("__rep").as("__rb"), col("__sz").as("__sb"))
-      .repartition(par, col("__ptok"))
-    val candIds = pa.join(pb, Seq("__ptok"))
+  }
+
+  /** Stage 3 of [[jaccardJoinExact]]: the candidate pair set — LIGHT rows
+    * only (rep id + size + match position): a pair sharing several prefix
+    * tokens meets several times, so the scalar distinct runs BEFORE any
+    * array work (a 6× verify cut on the fixture corpus), and the arrays
+    * attach afterwards through joins against the small rep table. The
+    * explicit-count repartitions pin the pair-emitting join's and the
+    * verify stage's parallelism: their inputs are byte-light but
+    * compute-dense, exactly the shape AQE's byte-based coalescing
+    * serializes onto one core (skill-book lesson; measured 272 s →
+    * seconds at sf0.1).
+    *
+    * POSITIONAL FILTER (full PPJoin, Xiao et al. 2008): a row meeting on
+    * a prefix token at 0-based positions (pa, pb) bounds the overlap by
+    * ubound = min(sa − pa, sb − pb) — only tokens at-or-after the match
+    * can still intersect — and J ≥ θ needs o ≥ ⌈num·(sa+sb)/(num+den)⌉,
+    * so rows with (num+den)·ubound < num·(sa+sb) cannot witness a
+    * qualifying pair. Exactness survives because the filter runs
+    * PER-ROW, before the scalar distinct: for a true pair the MINIMAL
+    * shared token (global order) has every intersection token at or
+    * after it in both arrays, so ITS row always passes — dropping the
+    * other meetings only removes duplicates the distinct would eat.
+    * `positional = false` keeps the pre-r10 size-only pruning (spec /
+    * diagnostics use it to measure the filter's candidate cut). */
+  private[graft] def jaccardCandidates(sorted: DataFrame, thetaNum: Int,
+                                           thetaDen: Int,
+                                           positional: Boolean = true): DataFrame = {
+    val par = sorted.sparkSession.sparkContext.defaultParallelism
+    // SALTED pair-emitting join: a small-vocabulary corpus has fewer
+    // prefix tokens than cores (the fixture: 31 tokens, 32 threads), so a
+    // plain token-keyed shuffle join caps parallelism at the token count
+    // and serializes on hot tokens. Salting spreads each token's probe
+    // rows over `salts` buckets (pa rides exactly one salt, pb replicates
+    // to all — pair multiplicity unchanged, so exactness and the distinct
+    // are untouched); replication cost is salts × prefix-row count on the
+    // build side only — the standard skew recipe [[Skew.saltedJoin]].
+    val salts = 8
+    val pa = sorted.select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val pb = sorted.select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+        posexplode(col("__pref")).as(Seq("__pb", "__ptok")))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val met = pa.join(pb, Seq("__ptok", "__salt"))
       .filter(col("__ra") < col("__rb"))
       .filter(lit(thetaNum) * greatest(col("__sa"), col("__sb")) <=
         lit(thetaDen) * least(col("__sa"), col("__sb")))
-      .select(col("__ra"), col("__rb"))
-      .distinct()
+    val gated = if (positional) met.filter(lit(thetaNum + thetaDen) *
+        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+      lit(thetaNum) * (col("__sa") + col("__sb")))
+    else met
+    // ONE exchange for the dedup AND the parallelism pin: the explicit
+    // repartition hash-partitions on exactly the distinct's grouping keys,
+    // so the aggregation reuses it (no second exchange), and AQE never
+    // coalesces a user-specified repartition — the byte-light candidate
+    // stream keeps `par`-way parallelism into the verify stage.
+    gated.select(col("__ra"), col("__rb"))
       .repartition(par, col("__ra"), col("__rb"))
+      .distinct()
+  }
+
+  def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
+                       thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+    // materialize the shared stages ONCE: reps feeds the token-df join,
+    // the member expansion, and the same-set pairs; sorted feeds the
+    // candidate join and BOTH verify array sides. Un-checkpointed, each
+    // consumer re-runs the final aggregation past the reused exchange
+    // (ReuseExchange shares only the exchange subtree) — the pagerank
+    // lesson applied to a DAG instead of a loop. Blocks are freed
+    // explicitly below once the result is materialized (the r5 leak
+    // lesson: localCheckpoint blocks are invisible to clearCache).
+    val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
+    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
+    val candIds = jaccardCandidates(sorted, thetaNum, thetaDen)
     val arrA = sorted.select(col("__rep").as("__ra"), col("__ots").as("__ta"),
       col("__sz").cast("long").as("__la"))
     val arrB = sorted.select(col("__rep").as("__rb"), col("__ots").as("__tb"),
@@ -1213,8 +1271,11 @@ object Dedup {
       .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
         col("__sz").as("inter_size"), col("__sz").as("size_a"),
         col("__sz").as("size_b"))
-    cross.unionByName(same)
+    val result = cross.unionByName(same)
       .withColumn("jaccard", col("inter_size").cast("double") /
         (col("size_a") + col("size_b") - col("inter_size")))
+      .localCheckpoint()
+    freeCheckpoints(reps, sorted)
+    result
   }
 }

@@ -517,6 +517,69 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jaccardJoinExact pair sets are MONOTONE in θ (tightening the " +
+      "threshold only removes pairs) — the premise the threshold-sweep " +
+      "query derives its θ ∈ {0.7, 0.8, 0.9} counts from") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+      val df = (1L to 50L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(7))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairsAt(num: Int, den: Int): Set[(Long, Long)] =
+        Dedup.jaccardJoinExact(df, "doc_id", "text", num, den)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val p70 = pairsAt(7, 10); val p80 = pairsAt(4, 5); val p90 = pairsAt(9, 10)
+      assert(p80.subsetOf(p70),
+        s"seed $seed: θ=0.8 emitted ${p80.diff(p70).size} pairs absent at θ=0.7")
+      assert(p90.subsetOf(p80),
+        s"seed $seed: θ=0.9 emitted ${p90.diff(p80).size} pairs absent at θ=0.8")
+      assert(p70.size >= p80.size && p80.size >= p90.size)
+    }
+  }
+
+  test("prefix + positional filters PRUNE on a Zipfian vocabulary " +
+      "(the fixture's 31-token vocab structurally defeats them; realistic " +
+      "corpora must show candidates ≪ rep pairs) and stay exact there") {
+    import spark.implicits._
+    // rank-frequency Zipf(s=1.1) over 1000 tokens — the text-corpus shape
+    val rnd = new scala.util.Random(19)
+    val weights = (1 to 1000).map(k => 1.0 / math.pow(k, 1.1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    def draw(): String = {
+      val x = rnd.nextDouble() * cum.last
+      s"t${cum.indexWhere(_ >= x)}"
+    }
+    val df = (1L to 400L).map { id =>
+      (id, Seq.fill(8 + rnd.nextInt(18))(draw()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val reps = Dedup.jaccardReps(df, "doc_id", "text").localCheckpoint()
+    val nReps = reps.count()
+    val sorted = Dedup.jaccardOrderedPrefix(reps, 4, 5).localCheckpoint()
+    val sizeOnly = Dedup.jaccardCandidates(sorted, 4, 5, positional = false).count()
+    val cand = Dedup.jaccardCandidates(sorted, 4, 5).count()
+    val repPairs = nReps * (nReps - 1) / 2
+    info(s"repPairs=$repPairs sizeOnly=$sizeOnly positional=$cand " +
+      f"(${100.0 * cand / repPairs}%.2f%% of the pair space)")
+    assert(cand * 10 < repPairs,
+      s"positional candidates $cand are not ≪ rep pairs $repPairs")
+    assert(cand <= sizeOnly)
+    // pruning must not cost recall: full pipeline equals brute force here
+    val got = Dedup.jaccardJoinExact(df, "doc_id", "text", 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets = df.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size; union = (sets(a) | sets(b)).size
+      if 5 * inter >= 4 * union
+    } yield (a, b)).toSet
+    assert(got == want, s"${got.diff(want).size} spurious, " +
+      s"${want.diff(got).size} missed of ${want.size}")
+  }
+
   test("jaccardJoinExact is a superset of the LSH-verified pairs at the " +
       "same threshold (recall the LSH family cannot prove)") {
     val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
