@@ -440,21 +440,19 @@ object SparkEntry {
     }),
     // market-basket pair supports: top-20 part pairs by the number of
     // orders containing both (the association-mining support table);
-    // canonical u < v, deterministic tiebreak
-    "ext_market_basket" -> ((s, dir) => {
-      val l = Query.ensureParallelism(t(s, dir, "lineitem"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      l.alias("a").join(l.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("part_u"), col("b.l_partkey").as("part_v"),
-          col("a.l_orderkey").as("__o"))
-        .distinct()
+    // canonical u < v, deterministic tiebreak. Pairs are generated IN-ROW
+    // per order (Graph.itemPairs — one exchange) instead of the classic
+    // self-join + DISTINCT; per-order pairs are unique by construction,
+    // so the support count needs no dedup exchange at all.
+    "ext_market_basket" -> ((s, dir) =>
+      operators.Graph.itemPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        .select(col("u").as("part_u"), col("v").as("part_v"))
         .groupBy(col("part_u"), col("part_v"))
         .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("part_u"), col("part_v"))
-        .limit(20)
-    }),
+        .limit(20)),
     // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
     // each other — the semantics an inner join silently drops; nullable
     // keys synthesized at value > 450 so both branches are exercised
@@ -500,29 +498,26 @@ object SparkEntry {
     }),
 
     // ── graph analytics over the co-purchase graph (sqlGraphTriangles
-    //    doc: degree-oriented node-iterator, every probe a hash join) ────
+    //    doc: degree-oriented node-iterator, every probe a hash join).
+    //    The EDGE SET is built with Graph.itemPairs (in-row per-order
+    //    pair expansion, one exchange + one distinct) and registered as
+    //    the `edges` view; the analytic tail (deg/ore/wedge/close) stays
+    //    SHARED VERBATIM with the DuckDB oracle, whose edges CTE replays
+    //    the identical set via the portable self-join. ────────────────────
     "ext_graph_triangles" -> ((s, dir) => {
-      Query.ensureParallelism(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("lineitem")
-      s.sql(sqlGraphTriangles)
+      copurchaseEdges(s, dir).createOrReplaceTempView("edges")
+      s.sql(sqlTrianglesFromEdges)
     }),
     "ext_degree_distribution" -> ((s, dir) => {
-      Query.ensureParallelism(t(s, dir, "lineitem"))
-        .createOrReplaceTempView("lineitem")
-      s.sql(sqlDegreeDistribution)
+      copurchaseEdges(s, dir).createOrReplaceTempView("edges")
+      s.sql(sqlDegreeFromEdges)
     }),
 
     // 3 rounds of damped PageRank over the same graph, INTEGER fixed-point
     // (Graph.pagerank doc: bit-identical cross-run/partitioning/engine;
     // float PageRank is partition-order nondeterministic)
     "ext_pagerank" -> ((s, dir) => {
-      val l = Query.ensureParallelism(t(s, dir, "lineitem"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = l.alias("a").join(l.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val e = copurchaseEdges(s, dir)
       val both = e.select(col("u").as("s"), col("v").as("t"))
         .unionByName(e.select(col("v").as("s"), col("u").as("t")))
       operators.Graph.pagerank(both, "s", "t", iters = 3)
@@ -4073,27 +4068,51 @@ object SparkEntry {
       |  min(o_totalprice) FILTER (WHERE o_totalprice > 150000.0) AS min_big
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  /** Exact triangle count over the co-purchase graph (parts sharing an
-    * order), shared verbatim by both engines. The classic distributed
-    * formulation (node-iterator with degree orientation, the shape behind
-    * Cohen's MapReduce triangle counting and every Spark/GraphX variant):
-    * orient each edge from its lower-(degree, id) endpoint, build wedges by
-    * joining out-edges on their source with the two targets RANK-ORDERED,
-    * and close each wedge with ONE equi-join probe — orientation makes the
-    * closing edge's direction knowable, so the probe is a plain hash join
-    * (an OR-of-two-directions probe plans a nested loop; measured
-    * unfinishable vs 0.8 s in DuckDB at sf0.01). Degree orientation bounds
-    * every out-degree by O(√|E|), which is what caps wedge counts at hub
-    * nodes — the graph-analytics skew defense. */
-  private val sqlGraphEdgesCte: String =
-    """WITH edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  /** The co-purchase edge set (parts sharing an order, u < v, distinct):
+    * in-row per-order pair expansion (Graph.itemPairs — one exchange)
+    * plus one pair-keyed distinct, replacing the r9 lineitem self-join
+    * whose join AND distinct each exchanged the full pair stream. The
+    * DuckDB oracles replay the identical set via [[sqlEdgesSelfJoinCte]]
+    * (portable SQL); DISTINCT(u,v) over per-order-unique pairs equals
+    * DISTINCT over the self-join's output. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    operators.Graph.itemPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .select(col("u"), col("v"))
+      // pair-keyed pin: the distinct's exchange carries the byte-light
+      // pair stream — unpinned, AQE coalesces it to 1-2 tasks
+      .repartition(s.sparkContext.defaultParallelism, col("u"), col("v"))
+      .distinct()
+
+  /** Oracle-side co-purchase edges CTE — the portable self-join twin of
+    * [[copurchaseEdges]]; both produce the same distinct (u < v) set. */
+  private val sqlEdgesSelfJoinCte: String =
+    """edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |deg AS (SELECT n, count(*) AS d FROM (
+      |""".stripMargin
+
+  private val sqlDegCte: String =
+    """deg AS (SELECT n, count(*) AS d FROM (
       |   SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) x
       |  GROUP BY n)""".stripMargin
 
-  private val sqlGraphTriangles: String = sqlGraphEdgesCte +
+  /** Exact triangle count over the co-purchase graph; the analytic tail
+    * (deg/ore/wedge/close) is shared verbatim by both engines — only the
+    * `edges` source differs (Spark: itemPairs temp view; DuckDB: the
+    * self-join CTE). The classic distributed formulation (node-iterator
+    * with degree orientation, the shape behind Cohen's MapReduce triangle
+    * counting and every Spark/GraphX variant): orient each edge from its
+    * lower-(degree, id) endpoint, build wedges by joining out-edges on
+    * their source with the two targets RANK-ORDERED, and close each wedge
+    * with ONE equi-join probe — orientation makes the closing edge's
+    * direction knowable, so the probe is a plain hash join (an
+    * OR-of-two-directions probe plans a nested loop; measured
+    * unfinishable vs 0.8 s in DuckDB at sf0.01). Degree orientation bounds
+    * every out-degree by O(√|E|), which is what caps wedge counts at hub
+    * nodes — the graph-analytics skew defense. */
+  private val sqlTrianglesTail: String =
     """,
       |ore AS (SELECT
       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
@@ -4106,12 +4125,21 @@ object SparkEntry {
       |FROM wedge JOIN ore c ON wedge.v = c.s AND wedge.w = c.t""".stripMargin
 
   /** Degree histogram of the same co-purchase graph — the first plot of
-    * any graph profiling pass; shares the edge CTE with the triangle
+    * any graph profiling pass; shares the deg CTE with the triangle
     * count. */
-  private val sqlDegreeDistribution: String = sqlGraphEdgesCte +
+  private val sqlDegreeTail: String =
     """
       |SELECT CAST(d AS BIGINT) AS degree, count(*) AS n_nodes
       |FROM deg GROUP BY d""".stripMargin
+
+  // Spark side runs the shared tail over the pre-built `edges` view; the
+  // DuckDB oracle prepends the self-join CTE to the SAME tail.
+  private val sqlTrianglesFromEdges: String = "WITH " + sqlDegCte + sqlTrianglesTail
+  private val sqlDegreeFromEdges: String = "WITH " + sqlDegCte + sqlDegreeTail
+  private val sqlGraphTriangles: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlTrianglesTail
+  private val sqlDegreeDistribution: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlDegreeTail
 
   /** OLS simple regression (price on quantity) off the same exact moments:
     * slope, intercept, R² — each a fixed IEEE-double expression over the

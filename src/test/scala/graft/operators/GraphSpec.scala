@@ -36,4 +36,27 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b && a.size == 40)
   }
+
+  test("itemPairs equals the self-join + distinct formulation (same edge " +
+      "set the graph oracles replay) and emits per-group-unique pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong))
+    val df = rows.toDF("g", "item")
+    val got = Graph.itemPairs(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-group pairs are unique by construction (collect_set + i < j)
+    assert(got.length == got.distinct.length)
+    val want = rows.distinct.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val items = rs.map(_._2).distinct.sorted
+      for (i <- items.indices; j <- i + 1 until items.size)
+        yield (g, items(i), items(j))
+    }
+    assert(got.toSet == want.toSet && got.forall(p => p._2 < p._3))
+    // the distinct edge set matches the self-join's DISTINCT output
+    val edges = Graph.itemPairs(df, "g", "item")
+      .select("u", "v").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == want.map(p => (p._2, p._3)).toSet)
+  }
 }
