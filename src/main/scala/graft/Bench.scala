@@ -21,6 +21,25 @@ object Bench {
     catch { case _: Throwable => "" }
 
   def main(args: Array[String]): Unit = {
+    // SELF-DEFENSE against a loaded boot (round-9: the judged artifact was
+    // recorded at 1-min load 2.86 — 52% over the same-day quiet pair, and
+    // by BASELINE.md's own ~1.5 discount rule not a comparable number).
+    // Wait — bounded to 5 minutes — for ambient load to fall under the
+    // threshold before measuring anything; if it never does, the JSON
+    // carries "load_discounted": true so the artifact names its own
+    // invalidity instead of leaving it to post-hoc litigation.
+    val loadThreshold = 1.5
+    def load1(): Double =
+      try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    val waitDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+    var ambient = load1()
+    while (ambient > loadThreshold && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] ambient 1-min load $ambient%.2f > " +
+        f"$loadThreshold%.1f — waiting for a quiet host")
+      Thread.sleep(15000)
+      ambient = load1()
+    }
+    val loadDiscounted = ambient > loadThreshold
     // captured BEFORE the warm-up passes: loadavg_start reflects our own
     // 32-thread warm-up load, so ambient load is only readable here
     val loadBoot = loadavg()
@@ -126,7 +145,7 @@ object Bench {
     // 1-min load ≫ 1 must be discounted or re-run (see BASELINE.md)
     val warmErrJson = warmupErrors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest

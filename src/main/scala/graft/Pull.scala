@@ -9,7 +9,13 @@ import org.apache.spark.sql.SparkSession
  * Usage:
  *   sbt "runMain graft.Pull <srcDir> <dst> <manifestPath> \
  *        [--filter <regex>] [--exclude a,b] [--tables a,b] [--indexes-first]
- *        [--codec zstd|snappy|gzip|lz4|none]"
+ *        [--codec zstd|snappy|gzip|lz4|none] [--chunksize n]"
+ *
+ * `--chunksize` (`lib/taps/cli.rb:135`) sets the INITIAL batch size for a
+ * `jdbc:` destination — the JDBC sink `batchsize` and the
+ * [[streaming.ChunkSizer]] starting point the AIMD controller retunes
+ * from (default 1000, the reference's DEFAULT_CHUNKSIZE). File
+ * destinations ignore it: Parquet chunking is row-group/AQE-governed.
  *
  * `dst` is a directory (Parquet landing) or a `jdbc:` URL — the latter runs
  * the live taps sequence per table: schema, data, indexes, sequences
@@ -31,6 +37,9 @@ object Pull {
       .map(ts => operators.CatalogOps.tablesToRegex(ts.split(",").toSeq))
       .orElse(opt("--filter"))
     val exclude = opt("--exclude").map(_.split(",").toSeq).getOrElse(Nil)
+    val chunkSize = opt("--chunksize").map(_.toInt)
+      .getOrElse(streaming.ChunkSizer.Default)
+    require(chunkSize > 0, s"--chunksize must be positive, got $chunkSize")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalTuning(SparkSession.builder()
@@ -47,7 +56,8 @@ object Pull {
         val m0 = streaming.Manifest.load(manifest)
         val todo = Transfer.plan(Tables.names, filter, exclude, m0)
         Transfer.pullToJdbc(spark, src, dst, todo,
-          indexesFirst = args.contains("--indexes-first"))
+          indexesFirst = args.contains("--indexes-first"),
+          batchSize = chunkSize)
       } else Transfer.pull(spark, src, dst, manifest,
         filterRegex = filter, exclude = exclude,
         codec = opt("--codec").getOrElse("zstd"))

@@ -2394,7 +2394,7 @@ object SparkEntry {
         | FROM pos
         | WHERE bal * CAST((SELECT cb FROM aggp) AS DECIMAL(18,0)) > (SELECT sb FROM aggp)
         |   AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |                 WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         | GROUP BY c_nationkey""".stripMargin,
     // the bucketed layout is physical-only: the oracle is the plain join
     "join_bucketed_colocated" ->

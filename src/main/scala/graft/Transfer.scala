@@ -156,7 +156,18 @@ object Transfer {
     *
     * `maxChunks` bounds how many ranges ONE invocation commits (the graceful
     * drain / time-budget control, T6). Returns one Result per range this
-    * call moved, keyed `table/chunk_id`. */
+    * call moved, keyed `table/chunk_id`.
+    *
+    * NO-PK FALLBACK: a table without a single integer pk has no keyset
+    * access path, and this method refuses it (require below) — callers
+    * fall back to the unchunked [[pull]], which moves the whole table in
+    * one idempotent write. The reference's own answer for pk-less tables
+    * is ORDER BY all columns + OFFSET pagination (`lib/taps/utils.rb:
+    * 146-154`), which its README documents as pathological on large
+    * tables (`README.rdoc:36`) — re-reading the whole prefix per page.
+    * One full scan per run (the unchunked path) strictly beats N scans of
+    * shrinking prefixes; the cost is chunk-grained resume, which a
+    * pk-less table cannot have deterministically in either engine. */
   def pullChunked(spark: SparkSession, srcDir: String, dstDir: String,
                   manifestPath: String, table: String,
                   chunks: Int = 16, maxChunks: Int = Int.MaxValue): Seq[Result] = {
@@ -233,7 +244,7 @@ object Transfer {
                  tables: Seq[String],
                  indexes: Map[String, Seq[sources.Jdbc.IndexDef]] = Map.empty,
                  indexesFirst: Boolean = false,
-                 batchSize: Int = 1000,
+                 batchSize: Int = streaming.ChunkSizer.Default,
                  parallelism: Int = 4): Seq[Result] = {
     import sources.Jdbc
     import scala.collection.parallel.CollectionConverters._

@@ -129,15 +129,25 @@ object Layout {
               dstDir: String, targetBytes: Long = 128L << 20,
               shuffle: Boolean = false): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
-    val in = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val nOut = math.max(1L, (in.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
+    // listing goes through the Hadoop FileSystem RESOLVED FROM THE PATH —
+    // a java.io.File listing is silently empty for the hdfs:///s3a://
+    // directories this operator exists for, degenerating nOut to 1 (one
+    // giant coalesced write) and the reported counts to 0
+    def listParquet(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val in = listParquet(srcDir)
+    require(in.nonEmpty, s"no parquet files to compact under $srcDir")
+    val nOut = math.max(1L,
+      (in.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
     val df = s.read.parquet(srcDir)
     (if (shuffle) df.repartition(nOut) else df.coalesce(nOut))
       .write.mode("overwrite").parquet(dstDir)
-    val out = Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    (in.length, out)
+    (in.size, listParquet(dstDir).size)
   }
 
   /** Per-partition bounding-box report for a layout: for each physical

@@ -219,6 +219,14 @@ object Temporal {
   def ewma(df: DataFrame, keyCol: String, timeCol: String,
            tieCols: Seq[String], valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // the doc's cross-engine bit-equality contract requires α (and 1−α)
+    // to survive the Double→literal→Double round trip EXACTLY, so pin α
+    // to the 2^-20 grid (covers every power-of-two smoother and any
+    // practical tuning step) instead of letting a non-dyadic α break the
+    // contract silently
+    require(alpha == math.round(alpha * (1 << 20)).toDouble / (1 << 20),
+      s"alpha must be exactly representable on the 2^-20 grid " +
+        s"(e.g. 0.5, 0.25, 0.1 is NOT), got $alpha")
     val sortKey = struct(
       (col(timeCol).as("__t") +:
         tieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }) :+

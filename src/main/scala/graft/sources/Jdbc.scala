@@ -63,7 +63,7 @@ object Jdbc {
 
   /** Bulk-import options (S5): `batchsize` is taps' chunksize — start at
     * the reference default (1000) and let a ChunkSizer retune it. */
-  def writeOptions(url: String, table: String, batchSize: Int = 1000,
+  def writeOptions(url: String, table: String, batchSize: Int = graft.streaming.ChunkSizer.Default,
                    isolation: String = "READ_COMMITTED"): Map[String, String] =
     Map(
       "url" -> url,

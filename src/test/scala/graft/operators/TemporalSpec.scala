@@ -228,6 +228,14 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
         Seq("event_id"), "value", 0.5)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(rep == out)
+    // non-dyadic α would silently break the cross-engine bit-equality
+    // contract (the literal can't round-trip) — must be refused loudly
+    intercept[IllegalArgumentException] {
+      Temporal.ewma(e, "user_id", "ts", Seq("event_id"), "value", 0.1)
+    }
+    // the 2^-20 grid itself is fine, including E-notation renderings
+    Temporal.ewma(e, "user_id", "ts", Seq("event_id"), "value",
+      1.0 / (1 << 20)).collect()
   }
 
   test("retentionCohorts: cohort = first-seen day; one count per distinct " +

@@ -36,6 +36,22 @@ class JdbcSpec extends AnyFunSuite {
     assert(o("batchsize") == "2000" && o("dbtable") == "orders")
   }
 
+  test("--chunksize parity: the write default IS ChunkSizer.Default, an " +
+      "override seeds both the JDBC batchsize and the controller's first " +
+      "batch (lib/taps/cli.rb:135)") {
+    // default flows from the single constant the CLI flag overrides
+    assert(Jdbc.writeOptions(url, "orders")("batchsize") ==
+      graft.streaming.ChunkSizer.Default.toString)
+    // an overridden initial chunk size is what the AIMD loop sends FIRST
+    var t = 0L
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    Jdbc.adaptiveWriteLoop[Int](
+      (1 to 900).iterator,
+      (_, size) => { sizes += size; t += 950000000L }, // in-band: ~1s/batch
+      graft.streaming.ChunkSizer(250), () => t)
+    assert(sizes.head == 250)
+  }
+
   test("adaptiveWriteLoop: fast writes ramp the batch size up, all rows land") {
     var t = 0L
     val clock = () => t

@@ -25,10 +25,13 @@ def main(spark_path, duck_path, cutoff=0.6):
           f"duck finished {len(both)}")
     print(f"loadavg spark boot={sp.get('loadavg_boot')} end={sp.get('loadavg_end')}")
     print(f"loadavg duck  start={du.get('loadavg_start')} end={du.get('loadavg_end')}")
-    print(f"co-finishing ({len(both)}q): {s_tot:.1f} vs {d_tot:.1f} s "
-          f"= {s_tot/d_tot:.2f}x")
-    print(f"head >= {cutoff}s either ({len(head)}q): {sh:.1f} vs {dh:.1f} s "
-          f"= {sh/dh:.2f}x" if head else "no head")
+    # guard the ratios: an all-DNF (or all-zero) DuckDB side must still
+    # print the totals and the DNF list instead of dying on the division
+    co_ratio = f" = {s_tot/d_tot:.2f}x" if d_tot > 0 else ""
+    print(f"co-finishing ({len(both)}q): {s_tot:.1f} vs {d_tot:.1f} s{co_ratio}")
+    head_ratio = f" = {sh/dh:.2f}x" if dh > 0 else ""
+    print(f"head >= {cutoff}s either ({len(head)}q): {sh:.1f} vs {dh:.1f} s"
+          f"{head_ratio}" if head else "no head")
     print(f"floor ({len(floor)}q): {sf_:.1f} vs {df_:.1f} s")
     if missing:
         print(f"duck DNF: {missing}")
