@@ -187,8 +187,8 @@ object Curation {
     * joined back (AQE broadcasts the quantile table when groups are few —
     * the common case) and a map-side `least/greatest` clip; the data rows
     * shuffle only if the join does. At 100 TB with high-cardinality
-    * groups, swap the exact percentile for a per-group t-digest and keep
-    * the same join+clip shape. */
+    * groups, [[winsorizeSketched]] swaps the exact percentile for the
+    * mergeable t-digest with the same join+clip shape. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
@@ -198,6 +198,28 @@ object Curation {
     df.join(q, Seq(groupCol))
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
+
+  /** The documented 100 TB swap point of [[winsorize]]: identical
+    * join+clip shape, but the per-group quantiles come from the mergeable
+    * [[graft.functions.TDigest]] sketch instead of exact `percentile` —
+    * per-group aggregation state drops from the group's full value list
+    * to ≤ ~2·compression centroids, so a billion-row group winsorizes
+    * without an executor OOM. Clip bounds are rank-approximate
+    * (TDigestSpec pins ≤ 1% rank error at the default compression);
+    * the exact form remains the declared oracle-checked query. */
+  def winsorizeSketched(df: DataFrame, groupCol: String, valueCol: String,
+                        lo: Double, hi: Double,
+                        compression: Int = 100): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val q = df.groupBy(col(groupCol))
+      .agg(graft.functions.TDigest.quantiles(
+        col(valueCol).cast("double"), Seq(lo, hi), compression).as("__q"))
+      .select(col(groupCol), col("__q")(0).as("__qlo"), col("__q")(1).as("__qhi"))
+    df.join(q, Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__qlo")), col("__qhi")))
       .drop("__qlo", "__qhi")
   }
 
