@@ -520,7 +520,71 @@ object SparkEntry {
       val e = copurchaseEdges(s, dir)
       val both = e.select(col("u").as("s"), col("v").as("t"))
         .unionByName(e.select(col("v").as("s"), col("u").as("t")))
-      operators.Graph.pagerank(both, "s", "t", iters = 3)
+      val pr = operators.Graph.pagerank(both, "s", "t", iters = 3)
+      operators.Dedup.freeCheckpoints(e)
+      pr
+    }),
+    // BFS hop-count histogram from the graph's minimum part id
+    // (Graph.bfsLevels: level-synchronous frontier joins, integer-exact;
+    // the DuckDB twin is a depth-bounded WITH RECURSIVE ... UNION —
+    // Spark's recursive CTE is UNION ALL-only as of 4.1 and would
+    // path-explode on this cyclic graph, hence the iterative engine side)
+    "ext_bfs_levels" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+      // one scalar (the BFS source) — index-sized collect, not data-sized
+      val src = e.agg(min(col("u"))).head().getLong(0)
+      val both = e.select(col("u").as("s"), col("v").as("t"))
+        .unionByName(e.select(col("v").as("s"), col("u").as("t")))
+      val lv = operators.Graph.bfsLevels(both, "s", "t", src, maxDepth = 6)
+      operators.Dedup.freeCheckpoints(e)
+      lv.groupBy(col("lvl").cast("int").as("lvl"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+    // rolling EXACT median/p90 over a 15-row trailing frame — the robust
+    // telemetry smoother (sorts each frame; both engines interpolate on
+    // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
+    "window_rolling_median" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlRollingMedian)
+    }),
+    // per-user Shannon entropy of the event-type mix (bot/anomaly audit:
+    // entropy 0 = single-type users): per-type counts fold IN-ROW in
+    // event_type order — the EWMA ordered-fold recipe, so every IEEE op
+    // has one deterministic sequence; round(6) absorbs cross-engine ln ulp
+    "ext_event_entropy" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlEventEntropy)
+    }),
+    // volume-weighted average price per (returnflag, ship month): the
+    // exact-decimal ratio recipe (19-wide factor forces DuckDB to int128,
+    // 19+12+1 <= 38 keeps Spark's product exact) — SHARED VERBATIM
+    "agg_vwap_flag_month" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlVwapFlagMonth)
+    }),
+    // Gini coefficient of the corpus' source distribution — the curation
+    // concentration audit (is the corpus one crawl in a trench coat?);
+    // integer rank/count sums, two exact divisions — SHARED VERBATIM
+    "ext_source_gini" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(sqlSourceGini)
+    }),
+    // quality-aware dedup representative: within each identical-token-set
+    // clone group keep the LONGEST member (ties → min id) — real curation
+    // keeps the best doc, not the smallest id; one window over the
+    // token-set partition, no join
+    "ext_dedup_rep_quality" -> ((s, dir) => {
+      val d = Query.ensureParallelism(t(s, dir, "documents"))
+        .filter(col("text").isNotNull &&
+          length(translate(col("text"), " ", "")) > 0)
+        .select(col("doc_id"), col("n_chars"),
+          sort_array(org.apache.spark.sql.graft.DistinctTokens.of(col("text")))
+            .as("__ts"))
+      val w = Window.partitionBy(col("__ts"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.select(col("doc_id"), first(col("doc_id")).over(w).as("rep_id"))
+        .withColumn("kept", col("doc_id") === col("rep_id"))
     }),
     // conversion funnel (view → later click → later purchase): first-
     // occurrence chaining via three user-keyed min-aggregates, each stage
@@ -2590,6 +2654,33 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
+    // depth-bounded BFS via recursive UNION (DuckDB dedups (node, lvl)
+    // rows per step, so a cyclic graph terminates at the lvl cap)
+    "ext_bfs_levels" ->
+      ("WITH RECURSIVE " + sqlEdgesSelfJoinCte +
+        """de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+          |bfs AS (SELECT CAST((SELECT min(u) FROM edges) AS BIGINT) AS node, 0 AS lvl
+          |  UNION
+          |  SELECT d.t, b.lvl + 1 FROM bfs b JOIN de d ON d.s = b.node
+          |  WHERE b.lvl < 6),
+          |m AS (SELECT node, min(lvl) AS lvl FROM bfs GROUP BY node)
+          |SELECT CAST(lvl AS INT) AS lvl, count(*) AS n_nodes
+          |FROM m GROUP BY lvl""".stripMargin),
+    "window_rolling_median" -> sqlRollingQuantiles("quantile_cont"),
+    "ext_event_entropy" -> sqlEventEntropyOracle,
+    "agg_vwap_flag_month" -> sqlVwapFlagMonth,
+    "ext_source_gini" -> sqlSourceGini,
+    "ext_dedup_rep_quality" ->
+      """WITH tkd AS (SELECT doc_id, n_chars,
+        |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+        |r AS (SELECT doc_id,
+        |    first_value(doc_id) OVER (PARTITION BY CAST(ts AS VARCHAR)
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id
+        |  FROM tkd)
+        |SELECT doc_id, rep_id, doc_id = rep_id AS kept FROM r""".stripMargin,
     "agg_filter_clause" -> sqlFilterClause,
     "sql_recursive_series" -> sqlRecursiveSeries,
     "agg_count_distinct_multi" ->
@@ -4084,6 +4175,14 @@ object SparkEntry {
       // pair stream — unpinned, AQE coalesces it to 1-2 tasks
       .repartition(s.sparkContext.defaultParallelism, col("u"), col("v"))
       .distinct()
+      // materialized ONCE: every consumer reads the edge set several
+      // times (deg unions u and v, ore joins deg twice, pagerank unions
+      // both orientations) and each reference would re-run the final
+      // distinct aggregation past the reused exchange. Blocks are freed
+      // by the eager consumers (pagerank/bfs) or reclaimed by the
+      // ContextCleaner when the temp view is replaced (bench GCs between
+      // queries) — the edge set is ~MBs, not corpus-sized.
+      .localCheckpoint()
 
   /** Oracle-side co-purchase edges CTE — the portable self-join twin of
     * [[copurchaseEdges]]; both produce the same distinct (u < v) set. */
@@ -4140,6 +4239,74 @@ object SparkEntry {
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlTrianglesTail
   private val sqlDegreeDistribution: String =
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlDegreeTail
+
+  /** Rolling exact median/p90 (15-row trailing frame): Spark `percentile`
+    * and DuckDB `quantile_cont` share the sorted linear-interpolation
+    * definition; round(6) absorbs the midpoint-vs-lerp last-ulp split. */
+  private def sqlRollingQuantiles(fn: String): String =
+    s"""SELECT event_id, user_id, value,
+       | round($fn(value, 0.5) OVER w, 6) AS med15,
+       | round($fn(value, 0.9) OVER w, 6) AS p90_15
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin
+  private val sqlRollingMedian: String = sqlRollingQuantiles("percentile")
+
+  /** Per-user event-type entropy: counts fold in-row in event_type order
+    * (the EWMA ordered-fold recipe — one deterministic IEEE sequence). */
+  private val sqlEventEntropy: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type),
+      |a AS (SELECT user_id,
+      |    array_sort(collect_list(struct(event_type, CAST(cnt AS DOUBLE) AS c))) AS l,
+      |    CAST(SUM(cnt) AS DOUBLE) AS n, CAST(SUM(cnt) AS BIGINT) AS nb
+      |  FROM c GROUP BY user_id)
+      |SELECT user_id, nb AS n_events, CAST(size(l) AS INT) AS n_types,
+      |  round(aggregate(l, CAST(0.0 AS DOUBLE),
+      |    (acc, x) -> acc - (x.c / n) * ln(x.c / n)), 6) AS entropy
+      |FROM a""".stripMargin
+
+  /** The identical pipeline in DuckDB's list dialect: list(… ORDER BY) +
+    * left-fold via list_reduce seeded by a prepended 0.0 — the same
+    * term order and fold tree as the Spark `aggregate`. */
+  private val sqlEventEntropyOracle: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type),
+      |a AS (SELECT user_id,
+      |    list(CAST(cnt AS DOUBLE) ORDER BY event_type) AS l,
+      |    CAST(SUM(cnt) AS DOUBLE) AS n, CAST(SUM(cnt) AS BIGINT) AS nb
+      |  FROM c GROUP BY user_id)
+      |SELECT user_id, nb AS n_events, CAST(len(l) AS INT) AS n_types,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(l, x -> -(x / n) * ln(x / n))),
+      |    (acc, x) -> acc + x), 6) AS entropy
+      |FROM a""".stripMargin
+
+  /** VWAP per (returnflag, ship month), shared verbatim: both decimal
+    * sums are exact (19-wide factor → DuckDB int128; 19+12+1 ≤ 38 →
+    * Spark keeps the product scale), so the final division sees the same
+    * two doubles in both engines. */
+  private val sqlVwapFlagMonth: String =
+    """SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS mo,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+      |      * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE)
+      |  / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+      |  AS vwap
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Source-concentration Gini, shared verbatim: ascending-rank identity
+    * G = 2·Σi·xᵢ/(k·Σxᵢ) − (k+1)/k over integer counts — every sum is
+    * integer-exact, the two divisions see identical operands. */
+  private val sqlSourceGini: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n, source) AS i,
+      |        count(*) OVER () AS k FROM c)
+      |SELECT CAST(count(*) AS INT) AS n_sources,
+      |  CAST(2 * CAST(SUM(i * n) AS BIGINT) AS DOUBLE)
+      |    / (CAST(MAX(k) AS DOUBLE) * CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE))
+      |  - CAST(MAX(k) + 1 AS DOUBLE) / CAST(MAX(k) AS DOUBLE) AS gini
+      |FROM r""".stripMargin
 
   /** OLS simple regression (price on quantity) off the same exact moments:
     * slope, intercept, R² — each a fixed IEEE-double expression over the

@@ -204,7 +204,7 @@ object Dedup {
     case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
   }
 
-  private[operators] def freeCheckpoints(dfs: DataFrame*): Unit =
+  private[graft] def freeCheckpoints(dfs: DataFrame*): Unit =
     dfs.foreach(checkpointRdds(_).foreach(_.unpersist(blocking = false)))
 
   /** Band self-join filter that emits each candidate pair from its FIRST

@@ -53,6 +53,58 @@ object Graph {
           "y -> struct(x AS u, y AS v))))")).as("__e"))
       .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
 
+  /** Breadth-first levels from `source` over a DIRECTED edge list
+    * (`srcCol`, `dstCol`; undirected graphs pass both orientations):
+    * (node, lvl) with lvl = min hop count ≤ `maxDepth`; unreachable nodes
+    * are absent. Level-synchronous frontier expansion — the BFS every
+    * distributed graph engine runs: each round joins the CURRENT frontier
+    * (nodes first reached last round) against the edge list and folds the
+    * discoveries in with a min-aggregate, so a round costs one node-keyed
+    * join + one aggregate over the label table, never a traversal. All
+    * arithmetic is integer — bit-identical cross-run, cross-partitioning,
+    * and cross-engine (a DuckDB WITH RECURSIVE ... UNION oracle replays
+    * the same levels; Spark's recursive CTE is UNION ALL-only as of 4.1,
+    * which path-explodes on cyclic graphs — hence the iterative form).
+    * Edge list and per-round labels are localCheckpointed like
+    * [[pagerank]]'s loop inputs. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                source: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .repartition(par, col("__s"))
+      .localCheckpoint()
+    var labels = e.sparkSession.range(1)
+      .select(lit(source).as("__n"), lit(0).as("__lvl"))
+      .localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer(e, labels)
+    // early exit on a dead frontier: each round's label table is already
+    // materialized (eager checkpoint), so the count is a metadata read —
+    // a diameter-3 graph pays 3 rounds, not maxDepth
+    var known = 1L
+    var i = 1
+    var frontierAlive = true
+    while (i <= maxDepth && frontierAlive) {
+      val frontier = labels.filter(col("__lvl") === i - 1)
+        .select(col("__n").as("__s"))
+      val next = e.join(frontier, Seq("__s"))
+        .select(col("__t").as("__n"), lit(i).as("__lvl"))
+      labels = labels.unionByName(next)
+        .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
+        .localCheckpoint()
+      spent += labels
+      val now = labels.count()
+      frontierAlive = now > known
+      known = now
+      i += 1
+    }
+    val result = labels
+      .select(col("__n").as("node"), col("__lvl").as("lvl"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(spent.toSeq: _*)
+    result
+  }
+
   /** `iters` rounds of damped PageRank over a DIRECTED edge list
     * (`srcCol`, `dstCol`); undirected graphs pass both orientations.
     * Scores start at 1_000_000 per node; each round:
