@@ -1236,15 +1236,21 @@ object Dedup {
     val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
     val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
     val candIds = jaccardCandidates(sorted, thetaNum, thetaDen)
-    val arrA = sorted.select(col("__rep").as("__ra"), col("__ots").as("__ta"),
-      col("__sz").cast("long").as("__la"))
-    val arrB = sorted.select(col("__rep").as("__rb"), col("__ots").as("__tb"),
-      col("__sz").cast("long").as("__lb"))
+    // verify arrays come from reps' LEXICOGRAPHIC token sets (not the
+    // df-ordered prefix arrays): SortedOverlapGate merge-intersects two
+    // sorted arrays in one fused codegen'd pass — no per-pair hash set,
+    // and the θ gate folded into the loop aborts a failing pair the
+    // moment the remaining elements can't reach α (PPJoin's verify
+    // early-exit). Exactness unchanged; spec pins equality against the
+    // array_intersect + integer-gate composition.
+    val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+      size(col("__ts")).cast("long").as("__la"))
+    val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+      size(col("__ts")).cast("long").as("__lb"))
     val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
-      .filter(lit(thetaDen.toLong) * col("__i") >=
-        lit(thetaNum.toLong) * (col("__la") + col("__lb") - col("__i")))
+      .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
+        col("__ta"), col("__tb"), thetaNum, thetaDen))
+      .filter(col("__i") >= 0L)
       .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
     // 4. expand members in-row (rep-id joins against the small rep table;
     // sizes swap with the id canonicalization), plus the in-group pairs

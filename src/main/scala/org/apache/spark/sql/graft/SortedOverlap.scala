@@ -1,0 +1,110 @@
+/*
+ * Lives under org.apache.spark.sql.* because the expression-integration API
+ * it builds on (ExpressionUtils.column / AbstractDataType in ExpectsInputTypes)
+ * is private[sql] — the established pattern for third-party native
+ * expressions (see CosineSim.scala).
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/**
+ * Native Catalyst expression: the VERIFY step of the exact-recall jaccard
+ * join, fused into one merge pass. Inputs are two LEXICOGRAPHICALLY sorted,
+ * distinct-element `array<string>` token sets (the shape
+ * `sort_array(DistinctTokens.of(text))` produces); output is the
+ * intersection size o when the jaccard gate den·o ≥ num·(|A|+|B|−o)
+ * passes, and −1 when it fails.
+ *
+ * Why a custom Expression (SURVEY §2.10 preference order): the built-in
+ * `size(array_intersect(a, b))` builds a hash set of one side PER PAIR and
+ * hashes every string of the other — for the candidate-verify stage doing
+ * millions of pair evaluations it is the whole operator's hot loop. Sorted
+ * inputs admit a linear MERGE intersection (binary `UTF8String.compareTo`,
+ * no hashing, no allocation) — and folding the θ gate into the loop adds
+ * the classic PPJoin verify EARLY EXIT: o can never exceed
+ * o + min(remaining_a, remaining_b), so the merge aborts the moment the
+ * bound drops below α = ⌈num·(|A|+|B|)/(num+den)⌉. Failing pairs (the
+ * majority on an adversarial corpus) terminate in a fraction of the merge.
+ *
+ * EXACT by construction — the merge counts the same intersection
+ * `array_intersect` does (distinct sorted inputs), and the early exit only
+ * fires when the gate is already unreachable; a spec pins equality against
+ * the `array_intersect` + integer-gate composition on random corpora.
+ */
+@ExpressionDescription(
+  usage = "sorted_overlap_gate(a, b) - intersection size of two sorted " +
+    "string arrays, or -1 when the jaccard theta gate fails.")
+case class SortedOverlapGate(left: Expression, right: Expression,
+                             thetaNum: Int, thetaDen: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+    s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    // α = smallest overlap satisfying den·o ≥ num·(la+lb−o)
+    val alpha = (thetaNum.toLong * (la + lb) + thetaNum + thetaDen - 1) /
+      (thetaNum + thetaDen)
+    var i = 0; var j = 0; var o = 0L
+    while (i < la && j < lb) {
+      if (o + math.min(la - i, lb - j) < alpha) return -1L
+      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (c == 0) { o += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    if (o >= alpha) o else -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val alpha = ctx.freshName("alpha")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val o = ctx.freshName("o")
+      val c = ctx.freshName("c")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |long $alpha = (${thetaNum}L * ($la + $lb) + ${thetaNum + thetaDen} - 1)
+         |  / ${thetaNum + thetaDen};
+         |int $i = 0; int $j = 0; long $o = 0L;
+         |while ($i < $la && $j < $lb) {
+         |  long $rem = ($la - $i) < ($lb - $j) ? ($la - $i) : ($lb - $j);
+         |  if ($o + $rem < $alpha) { $o = -1L; break; }
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $o++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($o >= $alpha) ? $o : -1L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlapGate =
+    copy(left = l, right = r)
+}
+
+object SortedOverlapGate {
+  /** Column form — usable without any registry. */
+  def of(a: Column, b: Column, thetaNum: Int, thetaDen: Int): Column =
+    ExpressionUtils.column(SortedOverlapGate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      thetaNum, thetaDen))
+}
