@@ -505,41 +505,49 @@ object SparkEntry {
     //    SHARED VERBATIM with the DuckDB oracle, whose edges CTE replays
     //    the identical set via the portable self-join. ────────────────────
     "ext_graph_triangles" -> ((s, dir) => {
-      copurchaseEdges(s, dir).createOrReplaceTempView("edges")
-      s.sql(sqlTrianglesFromEdges)
+      // multi-consumer tail (deg twice, ore, wedge, close) — the
+      // checkpoint earns its barrier; result is materialized here so the
+      // edge blocks and the temp view can be released NOW instead of
+      // pinning the catalog until the next graph query (r10 advice)
+      val e = copurchaseEdges(s, dir)
+      e.createOrReplaceTempView("edges")
+      val r = s.sql(sqlTrianglesFromEdges).localCheckpoint()
+      s.catalog.dropTempView("edges")
+      operators.Dedup.freeCheckpoints(e)
+      r
     }),
-    "ext_degree_distribution" -> ((s, dir) => {
-      copurchaseEdges(s, dir).createOrReplaceTempView("edges")
-      s.sql(sqlDegreeFromEdges)
-    }),
+    // single-consumer: the histogram reads the edge set ONCE, so no
+    // checkpoint and no temp view — one linear job: pair distinct
+    // (exchange-free past the u-keyed pin), in-row both-orientation
+    // explode, partial-combined node agg, tiny histogram agg. The
+    // oracle's UNION ALL of u and v equals the explode of [u, v].
+    "ext_degree_distribution" -> ((s, dir) =>
+      copurchaseEdgesRaw(s, dir)
+        .select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+        .select(col("d").as("degree"), col("n_nodes"))),
 
     // 3 rounds of damped PageRank over the same graph, INTEGER fixed-point
     // (Graph.pagerank doc: bit-identical cross-run/partitioning/engine;
-    // float PageRank is partition-order nondeterministic)
-    "ext_pagerank" -> ((s, dir) => {
-      val e = copurchaseEdges(s, dir)
-      val both = e.select(col("u").as("s"), col("v").as("t"))
-        .unionByName(e.select(col("v").as("s"), col("u").as("t")))
-      val pr = operators.Graph.pagerank(both, "s", "t", iters = 3)
-      operators.Dedup.freeCheckpoints(e)
-      pr
-    }),
+    // float PageRank is partition-order nondeterministic). Undirected fast
+    // path: in-row orientation expansion + outdeg-as-base — the pair
+    // pipeline runs once into ONE checkpoint barrier.
+    "ext_pagerank" -> ((s, dir) =>
+      operators.Graph.pagerankUndirected(
+        copurchasePairs(s, dir), "u", "v", iters = 3)),
     // BFS hop-count histogram from the graph's minimum part id
     // (Graph.bfsLevels: level-synchronous frontier joins, integer-exact;
     // the DuckDB twin is a depth-bounded WITH RECURSIVE ... UNION —
     // Spark's recursive CTE is UNION ALL-only as of 4.1 and would
-    // path-explode on this cyclic graph, hence the iterative engine side)
-    "ext_bfs_levels" -> ((s, dir) => {
-      val e = copurchaseEdges(s, dir)
-      // one scalar (the BFS source) — index-sized collect, not data-sized
-      val src = e.agg(min(col("u"))).head().getLong(0)
-      val both = e.select(col("u").as("s"), col("v").as("t"))
-        .unionByName(e.select(col("v").as("s"), col("u").as("t")))
-      val lv = operators.Graph.bfsLevels(both, "s", "t", src, maxDepth = 6)
-      operators.Dedup.freeCheckpoints(e)
-      lv.groupBy(col("lvl").cast("int").as("lvl"))
-        .agg(count(lit(1)).as("n_nodes"))
-    }),
+    // path-explode on this cyclic graph, hence the iterative engine side).
+    // The source (min node id) is read off the checkpointed edge frame
+    // inside bfsLevelsUndirected — no second pipeline pass, null-safe.
+    "ext_bfs_levels" -> ((s, dir) =>
+      operators.Graph.bfsLevelsUndirected(
+          copurchasePairs(s, dir), "u", "v", maxDepth = 6)
+        .groupBy(col("lvl").cast("int").as("lvl"))
+        .agg(count(lit(1)).as("n_nodes"))),
     // rolling EXACT median/p90 over a 15-row trailing frame — the robust
     // telemetry smoother (sorts each frame; both engines interpolate on
     // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
@@ -4166,23 +4174,34 @@ object SparkEntry {
     * DuckDB oracles replay the identical set via [[sqlEdgesSelfJoinCte]]
     * (portable SQL); DISTINCT(u,v) over per-order-unique pairs equals
     * DISTINCT over the self-join's output. */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  /** Per-order co-purchase pairs (u < v), unique per order but possibly
+    * repeated ACROSS orders (0.3% dup at sf0.1) — the cheapest form, for
+    * consumers whose semantics are multiplicity-invariant (BFS min-fold)
+    * or that dedup in-pipeline anyway (pagerank's adjacency build). */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     operators.Graph.itemPairs(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey")
       .select(col("u"), col("v"))
-      // pair-keyed pin: the distinct's exchange carries the byte-light
-      // pair stream — unpinned, AQE coalesces it to 1-2 tasks
-      .repartition(s.sparkContext.defaultParallelism, col("u"), col("v"))
+
+  private def copurchaseEdgesRaw(s: SparkSession, dir: String): DataFrame =
+    copurchasePairs(s, dir)
+      // u-keyed pin: pins the byte-light pair stream's parallelism
+      // (unpinned, AQE coalesces it to 1-2 tasks) AND makes the distinct
+      // exchange-free — HashPartitioning(u) already clusters (u, v)
+      .repartition(s.sparkContext.defaultParallelism, col("u"))
       .distinct()
-      // materialized ONCE: every consumer reads the edge set several
-      // times (deg unions u and v, ore joins deg twice, pagerank unions
-      // both orientations) and each reference would re-run the final
-      // distinct aggregation past the reused exchange. Blocks are freed
-      // by the eager consumers (pagerank/bfs) or reclaimed by the
-      // ContextCleaner when the temp view is replaced (bench GCs between
-      // queries) — the edge set is ~MBs, not corpus-sized.
-      .localCheckpoint()
+
+  /** [[copurchaseEdgesRaw]] materialized once, for MULTI-consumer tails
+    * (the triangle query reads edges for deg twice, ore, wedge, close —
+    * each reference would re-run the distinct aggregation past the
+    * reused exchange). Single-consumer queries (degree histogram,
+    * pagerank, BFS — each checkpoints or streams the pairs itself) take
+    * the raw frame and skip the barrier. Callers free the blocks after
+    * materializing their result (r10 advice: a pinned temp view carried
+    * the blocks for the whole session). */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    copurchaseEdgesRaw(s, dir).localCheckpoint()
 
   /** Oracle-side co-purchase edges CTE — the portable self-join twin of
     * [[copurchaseEdges]]; both produce the same distinct (u < v) set. */

@@ -69,18 +69,106 @@ object Graph {
     * [[pagerank]]'s loop inputs. */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 source: Long, maxDepth: Int): DataFrame = {
-    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
       .repartition(par, col("__s"))
       .localCheckpoint()
+    bfsLoop(e, source, maxDepth)
+  }
+
+  /** BFS over an UNDIRECTED pair list (`uCol` < `vCol`), source = the
+    * minimum node id: both orientations expand IN-ROW (one explode over
+    * the pair stream — the pair pipeline runs ONCE, where a
+    * union-of-two-selects re-runs whatever produced it per orientation),
+    * and the source scalar reads the already-materialized checkpoint
+    * instead of a second pass. Duplicate pairs are ALLOWED and left in
+    * place: the per-round min-fold is multiplicity-invariant, so the
+    * distinct every other graph consumer pays would be a wasted
+    * full-stream exchange here. Empty edge set → empty result (no NPE
+    * on the null min). */
+  def bfsLevelsUndirected(pairs: DataFrame, uCol: String, vCol: String,
+                          maxDepth: Int, earlyExit: Boolean = false): DataFrame = {
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    val e = pairs.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
+      .repartition(par, col("__s"))
+      .localCheckpoint()
+    // one scalar off the materialized blocks — index-sized, not a re-run
+    val srcRow = e.agg(min(col("__s"))).head()
+    if (srcRow.isNullAt(0)) {
+      Dedup.freeCheckpoints(e)
+      e.sparkSession.range(0)
+        .select(col("id").as("node"), col("id").cast("int").as("lvl"))
+    } else if (earlyExit) bfsLoop(e, srcRow.getLong(0), maxDepth)
+    else bfsLoopFixed(e, srcRow.getLong(0), maxDepth)
+  }
+
+  /** [[bfsLoop]] without the per-round liveness barrier, for TIGHT depth
+    * bounds (the oracle-twin queries run a depth-bounded recursion on
+    * both engines): every round's label table is `persist`-marked instead
+    * of checkpoint-materialized, so the whole loop is ONE action — each
+    * cached layer computes once and is read twice (frontier filter +
+    * union), and no driver round-trip separates the rounds. A dead
+    * frontier makes the remaining rounds no-ops (the min-fold is
+    * idempotent), so semantics match [[bfsLoop]] exactly; an
+    * unknown-diameter graph at scale wants `earlyExit = true` instead —
+    * there the count-per-round buys skipped rounds, not wasted ones. */
+  private def bfsLoopFixed(e: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    // AQE OFF for the whole loop (restored in finally — and it must wrap
+    // the persist() calls too: CacheManager compiles each cached layer's
+    // physical plan at persist time, so a layer persisted under AQE
+    // replays as its own multi-job adaptive execution later). The loop
+    // body is a fixed-shape chain of tiny node-keyed exchanges — AQE
+    // contributes nothing (no skew, no coalesce win at these sizes) and
+    // turns every exchange into its own job barrier (measured: 33 jobs /
+    // 146 tasks adaptive vs a straight-line job without). Global AQE
+    // stays on — the r8 lesson was about the whole suite, not a
+    // fixed-iteration loop.
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      var labels = e.sparkSession.range(1)
+        .select(lit(source).as("__n"), lit(0).as("__lvl"))
+      var i = 1
+      while (i <= maxDepth) {
+        val frontier = labels.filter(col("__lvl") === i - 1)
+          .select(col("__n").as("__s"))
+        val next = e.join(frontier, Seq("__s"))
+          .select(col("__t").as("__n"), lit(i).as("__lvl"))
+        labels = labels.unionByName(next)
+          .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
+          .persist()
+        cached += labels
+        i += 1
+      }
+      labels.select(col("__n").as("node"), col("__lvl").as("lvl"))
+        .localCheckpoint()
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    cached.foreach(_.unpersist(blocking = false))
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  /** Shared level-synchronous loop over a CHECKPOINTED (__s, __t) edge
+    * frame pre-partitioned on __s. ONE barrier per round: the label table
+    * is lazily checkpoint-marked and the liveness `count()` is the action
+    * that materializes it — the pre-r11 eager-checkpoint-then-count shape
+    * paid two jobs per level for the same blocks. Frees `e` and every
+    * round's blocks before returning. */
+  private def bfsLoop(e: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     var labels = e.sparkSession.range(1)
       .select(lit(source).as("__n"), lit(0).as("__lvl"))
       .localCheckpoint()
     val spent = scala.collection.mutable.ArrayBuffer(e, labels)
-    // early exit on a dead frontier: each round's label table is already
-    // materialized (eager checkpoint), so the count is a metadata read —
-    // a diameter-3 graph pays 3 rounds, not maxDepth
+    // early exit on a dead frontier — a diameter-3 graph pays 3 rounds,
+    // not maxDepth; the label count comes from the SAME job that
+    // materializes the round's checkpoint blocks
     var known = 1L
     var i = 1
     var frontierAlive = true
@@ -91,7 +179,7 @@ object Graph {
         .select(col("__t").as("__n"), lit(i).as("__lvl"))
       labels = labels.unionByName(next)
         .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       spent += labels
       val now = labels.count()
       frontierAlive = now > known
@@ -160,6 +248,72 @@ object Graph {
     val result = pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
       .localCheckpoint()
     Dedup.freeCheckpoints(e, base)
+    result
+  }
+
+  /** [[pagerank]] specialized to an UNDIRECTED pair list (`uCol`,
+    * `vCol`) that MAY contain duplicate pairs (they are deduplicated
+    * in-pipeline, exchange-free — see the adjacency-build comment):
+    * same integer recurrence, same results as feeding both distinct
+    * orientations to [[pagerank]] (spec-pinned), but the structure
+    * exploits what undirectedness guarantees —
+    *  - both orientations expand IN-ROW with one explode, so the pair
+    *    pipeline upstream runs ONCE (a union of two selects re-runs it
+    *    per orientation);
+    *  - every node has an out-edge AND an in-edge (its own reversed
+    *    orientation), so the node base IS the out-degree aggregate — no
+    *    union-distinct node discovery, no left-join restore, no
+    *    coalesce — and base needs no checkpoint of its own: it derives
+    *    from the checkpointed `e` by one exchange-free aggregation (`e`
+    *    is pre-partitioned on __s), so re-deriving it per reference is
+    *    cheaper than a barrier.
+    * Net: ONE checkpoint barrier (the edge frame) + one per-iteration
+    * exchange (the contribution agg — every join in the loop reads
+    * co-partitioned sides). */
+  def pagerankUndirected(pairs: DataFrame, uCol: String, vCol: String,
+                         iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val par = pairs.sparkSession.sparkContext.defaultParallelism
+    // orientation-exploded DISTINCT adjacency in TWO exchanges: the
+    // caller hands the raw (possibly globally-duplicated) pair stream;
+    // dedup runs AFTER the explode, as an exchange-free aggregate — the
+    // explicit __s repartition already satisfies the (__s, __t) distinct's
+    // clustering requirement (partitioning keys ⊆ grouping keys), so the
+    // classic pre-distinct on (u, v) would only add a third full-stream
+    // exchange for nothing.
+    val e = pairs.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
+      .repartition(par, col("__s"))
+      .distinct()
+      .localCheckpoint()
+    // AQE OFF for the iteration chain (restored in finally): fixed-shape
+    // node-keyed exchanges over a checkpointed co-partitioned edge frame
+    // — adaptivity has nothing to decide and would turn each of the
+    // chain's exchanges into its own job barrier (the bfsLoopFixed
+    // measurement). The loop compiles into ONE straight-line job.
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      val base = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+        .select(col("__s").as("__n"), col("__od"))
+      var pr = base.withColumn("__pr", lit(1000000L))
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(pr.select(col("__n").as("__s"), col("__od"), col("__pr")), Seq("__s"))
+          .groupBy(col("__t"))
+          .agg(sum(expr("__pr div __od")).as("__c"))
+        // INNER restore: contrib covers every node (all nodes have in-edges)
+        pr = base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
+          .select(col("__n"), col("__od"),
+            (lit(150000L) + expr("(17 * __c) div 20")).as("__pr"))
+      }
+      pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
+        .localCheckpoint()
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    Dedup.freeCheckpoints(e)
     result
   }
 }

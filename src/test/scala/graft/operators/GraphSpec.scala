@@ -37,6 +37,42 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(a == b && a.size == 40)
   }
 
+  test("pagerankUndirected equals pagerank fed both orientations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val df = pairs.toDF("u", "v")
+    val both = df.select($"u".as("s"), $"v".as("t"))
+      .unionByName(df.select($"v".as("s"), $"u".as("t")))
+    val want = Graph.pagerank(both, "s", "t", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.pagerankUndirected(df, "u", "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("bfsLevelsUndirected: levels match the directed run from min id; " +
+      "empty edge set yields an empty frame (no NPE)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (6L, 7L))
+    val df = pairs.toDF("u", "v")
+    val both = df.select($"u".as("s"), $"v".as("t"))
+      .unionByName(df.select($"v".as("s"), $"u".as("t")))
+    val want = Graph.bfsLevels(both, "s", "t", 1L, 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val got = Graph.bfsLevelsUndirected(df, "u", "v", 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(got == want)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 3L))
+    val empty = Graph.bfsLevelsUndirected(
+      Seq.empty[(Long, Long)].toDF("u", "v"), "u", "v", 6)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("node", "lvl"))
+  }
+
   test("itemPairs equals the self-join + distinct formulation (same edge " +
       "set the graph oracles replay) and emits per-group-unique pairs") {
     import spark.implicits._
