@@ -1411,19 +1411,14 @@ object SparkEntry {
     // complement to the LSH families; integer similarity gate
     "ext_dedup_jaccard_join" -> ((s, dir) =>
       Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 4, 5)),
-    // multi-threshold dedup planning from ONE pipeline run: pair counts
-    // at θ ∈ {0.7, 0.8, 0.9} derived from the θ=0.7 pair set with exact
-    // integer gates (100·i ≥ t·(|A|+|B|−i)) — how a curation run picks
-    // its threshold without re-running candidate generation per theta
+    // multi-threshold dedup planning from ONE pipeline run: exact pair
+    // counts at θ ∈ {0.7, 0.8, 0.9} derived from the θ=0.7 VERIFIED REP
+    // pairs with integer gates (100·i ≥ t·(|A|+|B|−i)) and member-count
+    // products — the doc-level pair expansion is never materialized
+    // (Dedup.jaccardThresholdSweep doc; r10 verdict item 1)
     "ext_jaccard_threshold_sweep" -> ((s, dir) =>
-      Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 7, 10)
-        .withColumn("theta_pct",
-          explode(array(lit(70), lit(80), lit(90))))
-        .filter(lit(100L) * col("inter_size") >=
-          col("theta_pct").cast("long") *
-            (col("size_a") + col("size_b") - col("inter_size")))
-        .groupBy(col("theta_pct"))
-        .agg(count(lit(1)).as("n_pairs"))),
+      Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+        Seq(70, 80, 90))),
     // entity resolution over short attribute strings: candidates blocked
     // on p_brand (plain equi-join — never a cross product), scored with
     // the native bit-equal-to-DuckDB Jaro-Winkler, edit distance ridealong

@@ -1221,6 +1221,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Stage 4 of [[jaccardJoinExact]]: candidates verified at REP level —
+    * (__ra, __rb, __i inter size, __la, __lb set sizes), J ≥ θ
+    * guaranteed. Verify arrays come from reps' LEXICOGRAPHIC token sets
+    * (not the df-ordered prefix arrays): SortedOverlapGate
+    * merge-intersects two sorted arrays in one fused codegen'd pass — no
+    * per-pair hash set, and the θ gate folded into the loop aborts a
+    * failing pair the moment the remaining elements can't reach α
+    * (PPJoin's verify early-exit). Exactness spec-pinned against the
+    * array_intersect + integer-gate composition. */
+  private[graft] def jaccardVerifiedPairs(reps: DataFrame, sorted: DataFrame,
+                                          thetaNum: Int, thetaDen: Int): DataFrame = {
+    val candIds = jaccardCandidates(sorted, thetaNum, thetaDen)
+    val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+      size(col("__ts")).cast("long").as("__la"))
+    val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+      size(col("__ts")).cast("long").as("__lb"))
+    candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+      .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
+        col("__ta"), col("__tb"), thetaNum, thetaDen))
+      .filter(col("__i") >= 0L)
+      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+  }
+
+  /** Multi-threshold dedup PLANNING from one pipeline run at the LOOSEST
+    * threshold: exact qualifying-pair COUNTS at each θ ∈ `thetasPct`
+    * (percent, e.g. 70/80/90) — how a curation run picks its threshold
+    * without re-running candidate generation per θ, and without ever
+    * materializing the doc-level pair expansion the full join pays. A
+    * verified rep pair (A, B) contributes |members(A)|·|members(B)|
+    * distinct doc pairs (different token sets ⇒ disjoint member sets), a
+    * clone family of m docs contributes C(m,2) at EVERY θ (J = 1), and no
+    * doc pair is counted twice (a doc has exactly one token set) — so the
+    * integer size products ARE the pair counts (spec-pinned against the
+    * expand-then-count formulation). The θ gate replays the exact integer
+    * form 100·i ≥ θ·(|A|+|B|−i) over the min-θ verified pairs. */
+  def jaccardThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                            thetasPct: Seq[Int]): DataFrame = {
+    require(thetasPct.nonEmpty && thetasPct.forall(t => t > 0 && t <= 100),
+      s"thetasPct must be percentages in (0, 100], got $thetasPct")
+    val tmin = thetasPct.min
+    val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
+    val sorted = jaccardOrderedPrefix(reps, tmin, 100).localCheckpoint()
+    val rp = jaccardVerifiedPairs(reps, sorted, tmin, 100)
+    val cnt = reps.select(col("__rep"),
+      size(col("__members")).cast("long").as("__c"))
+    val thetaArr = array(thetasPct.map(lit(_)): _*)
+    val cross = rp
+      .join(cnt.select(col("__rep").as("__ra"), col("__c").as("__ca")), Seq("__ra"))
+      .join(cnt.select(col("__rep").as("__rb"), col("__c").as("__cb")), Seq("__rb"))
+      .select(explode(thetaArr).as("theta_pct"), col("__i"), col("__la"),
+        col("__lb"), (col("__ca") * col("__cb")).as("__n"))
+      .filter(lit(100L) * col("__i") >=
+        col("theta_pct").cast("long") * (col("__la") + col("__lb") - col("__i")))
+      .select(col("theta_pct"), col("__n"))
+    val same = reps.filter(size(col("__members")) > 1)
+      .select(size(col("__members")).cast("long").as("__m"))
+      .select(explode(thetaArr).as("theta_pct"),
+        expr("(__m * (__m - 1)) div 2").as("__n"))
+    val result = cross.unionByName(same)
+      .groupBy(col("theta_pct"))
+      .agg(sum(col("__n")).as("n_pairs"))
+      .localCheckpoint()
+    freeCheckpoints(reps, sorted)
+    result
+  }
+
   def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
                        thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
@@ -1235,23 +1301,7 @@ object Dedup {
     // lesson: localCheckpoint blocks are invisible to clearCache).
     val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
     val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
-    val candIds = jaccardCandidates(sorted, thetaNum, thetaDen)
-    // verify arrays come from reps' LEXICOGRAPHIC token sets (not the
-    // df-ordered prefix arrays): SortedOverlapGate merge-intersects two
-    // sorted arrays in one fused codegen'd pass — no per-pair hash set,
-    // and the θ gate folded into the loop aborts a failing pair the
-    // moment the remaining elements can't reach α (PPJoin's verify
-    // early-exit). Exactness unchanged; spec pins equality against the
-    // array_intersect + integer-gate composition.
-    val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
-      size(col("__ts")).cast("long").as("__la"))
-    val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
-      size(col("__ts")).cast("long").as("__lb"))
-    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
-      .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
-        col("__ta"), col("__tb"), thetaNum, thetaDen))
-      .filter(col("__i") >= 0L)
-      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    val repPairs = jaccardVerifiedPairs(reps, sorted, thetaNum, thetaDen)
     // 4. expand members in-row (rep-id joins against the small rep table;
     // sizes swap with the id canonicalization), plus the in-group pairs
     val repsA = reps.select(col("__rep").as("__ra"), col("__members").as("__mas"))

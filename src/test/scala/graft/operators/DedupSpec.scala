@@ -517,6 +517,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jaccardThresholdSweep counts equal expand-then-count over the " +
+      "full join at every θ (size products = doc-pair counts)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val corpus = (1L to 80L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // force clone groups: every 5th doc copies doc (id - 4)
+      val resolved = corpus.map { case (id, t) =>
+        if (id % 5 == 0) (id, corpus((id - 5).toInt)._2) else (id, t)
+      }
+      val df = resolved.toDF("doc_id", "text")
+      val got = Dedup.jaccardThresholdSweep(df, "doc_id", "text", Seq(70, 80, 90))
+        .as[(Int, Long)].collect().toMap
+      val joined = Dedup.jaccardJoinExact(df, "doc_id", "text", 7, 10)
+        .select("inter_size", "size_a", "size_b").as[(Long, Long, Long)]
+        .collect()
+      val want = Seq(70, 80, 90).map { t =>
+        t -> joined.count { case (i, a, b) => 100L * i >= t * (a + b - i) }.toLong
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
   test("jaccardJoinExact pair sets are MONOTONE in θ (tightening the " +
       "threshold only removes pairs) — the premise the threshold-sweep " +
       "query derives its θ ∈ {0.7, 0.8, 0.9} counts from") {
