@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
  *        [--codec zstd|snappy|gzip|lz4|none] [--chunksize n]"
  *
  * `--chunksize` (`lib/taps/cli.rb:135`) sets the INITIAL batch size for a
- * `jdbc:` destination — the JDBC sink `batchsize` and the
- * [[streaming.ChunkSizer]] starting point the AIMD controller retunes
- * from (default 1000, the reference's DEFAULT_CHUNKSIZE). File
- * destinations ignore it: Parquet chunking is row-group/AQE-governed.
+ * `jdbc:` destination — the [[streaming.ChunkSizer]] seed each write
+ * partition's AIMD controller retunes from ([[sources.Jdbc.writeAdaptive]];
+ * default 1000, the reference's DEFAULT_CHUNKSIZE). Clamped to a floor of
+ * 10 like the reference CLI (`lib/taps/cli.rb:135`). File destinations
+ * ignore it: Parquet chunking is row-group/AQE-governed.
  *
  * `dst` is a directory (Parquet landing) or a `jdbc:` URL — the latter runs
  * the live taps sequence per table: schema, data, indexes, sequences
@@ -37,9 +38,10 @@ object Pull {
       .map(ts => operators.CatalogOps.tablesToRegex(ts.split(",").toSeq))
       .orElse(opt("--filter"))
     val exclude = opt("--exclude").map(_.split(",").toSeq).getOrElse(Nil)
-    val chunkSize = opt("--chunksize").map(_.toInt)
+    // floor of 10, like the reference (`lib/taps/cli.rb:135` —
+    // `v.to_i < 10 ? 10 : v.to_i`)
+    val chunkSize = opt("--chunksize").map(v => math.max(10, v.toInt))
       .getOrElse(streaming.ChunkSizer.Default)
-    require(chunkSize > 0, s"--chunksize must be positive, got $chunkSize")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalTuning(SparkSession.builder()

@@ -261,7 +261,10 @@ object Transfer {
         typeOverrides = Jdbc.indexedVarcharOverrides(df, tableIndexes))
       Jdbc.dropTableIfExists(url, table)
       pre.foreach(Jdbc.execute(url, _))
-      Jdbc.write(df, Jdbc.writeOptions(url, table, batchSize))
+      // per-partition AIMD sink: batchSize seeds each partition's
+      // ChunkSizer (the --chunksize contract), then every stream retunes
+      // independently — see Jdbc.writeAdaptive
+      Jdbc.writeAdaptive(df, url, table, batchSize)
       post.foreach(Jdbc.execute(url, _))
       val rows = Jdbc.queryLong(url, s"SELECT count(*) FROM $table").getOrElse(0L)
       val wm =

@@ -225,8 +225,10 @@ object Temporal {
     // practical tuning step) instead of letting a non-dyadic α break the
     // contract silently
     require(alpha == math.round(alpha * (1 << 20)).toDouble / (1 << 20),
-      s"alpha must be exactly representable on the 2^-20 grid " +
-        s"(e.g. 0.5, 0.25, 0.1 is NOT), got $alpha")
+      s"alpha must be exactly representable on the 2^-20 grid for the " +
+        s"cross-engine bit-equality contract (0.5 and 0.25 are; 0.1 is " +
+        s"not — use 0.09999942779541016 = 104857/2^20 for a ~0.1 smoother), " +
+        s"got $alpha")
     val sortKey = struct(
       (col(timeCol).as("__t") +:
         tieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }) :+

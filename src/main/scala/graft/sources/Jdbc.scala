@@ -74,6 +74,54 @@ object Jdbc {
   def write(df: DataFrame, opts: Map[String, String], mode: SaveMode = SaveMode.Append): Unit =
     df.write.format("jdbc").options(opts).mode(mode).save()
 
+  /** The PRODUCTION bulk-import sink: distributed writes where every
+    * partition drives its own [[adaptiveWriteLoop]] — each executor task
+    * opens one connection and retunes its batch size against ITS observed
+    * round-trip (taps' ~1 s/batch operating point, per stream), which is
+    * the scale-correct reading of the reference's single-stream AIMD:
+    * 1000 executors each adapt independently to their share of the
+    * target's throughput instead of sharing one global constant. `append`
+    * semantics; at-least-once like taps (a task retry after a partial
+    * commit re-sends the partition — [[graft.Transfer.verifyTransfer]] /
+    * repair converges, T3). Exhausted retries (2, like
+    * `lib/taps/utils.rb:103-111`) fail the task loudly. */
+  def writeAdaptive(df: DataFrame, url: String, table: String,
+                    chunkSize: Int = graft.streaming.ChunkSizer.Default): Unit = {
+    val cols = df.schema.fieldNames
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val width = cols.length
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(insertSql)
+          val (written, fin) = adaptiveWriteLoop[Row](rows, (batch, _) => {
+            ps.clearBatch()
+            try {
+              batch.foreach { r =>
+                var i = 0
+                while (i < width) { ps.setObject(i + 1, r.get(i)); i += 1 }
+                ps.addBatch()
+              }
+              ps.executeBatch()
+              conn.commit()
+            } catch {
+              case e: Exception =>
+                try conn.rollback() catch { case _: Exception => () }
+                throw e
+            }
+          }, graft.streaming.ChunkSizer(chunkSize))
+          if (fin.exhausted)
+            throw new java.sql.SQLException(
+              s"adaptive write to $table aborted after retries " +
+                s"($written rows committed in this partition)")
+        } finally conn.close()
+      }
+    }
+  }
+
   /** taps' hot loop, generalized: drive a sequence of batched writes with
     * the AIMD [[graft.streaming.ChunkSizer]] — each batch's observed wall
     * time retunes the next batch size toward the ~1 s/batch operating point
