@@ -88,13 +88,7 @@ object Graph {
     * on the null min). */
   def bfsLevelsUndirected(pairs: DataFrame, uCol: String, vCol: String,
                           maxDepth: Int, earlyExit: Boolean = false): DataFrame = {
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
-    val e = pairs.select(explode(array(
-        struct(col(uCol).as("__s"), col(vCol).as("__t")),
-        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
-      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
-      .repartition(par, col("__s"))
-      .localCheckpoint()
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     // one scalar off the materialized blocks — index-sized, not a re-run
     val srcRow = e.agg(min(col("__s"))).head()
     if (srcRow.isNullAt(0)) {
@@ -136,13 +130,7 @@ object Graph {
         .select(lit(source).as("__n"), lit(0).as("__lvl"))
       var i = 1
       while (i <= maxDepth) {
-        val frontier = labels.filter(col("__lvl") === i - 1)
-          .select(col("__n").as("__s"))
-        val next = e.join(frontier, Seq("__s"))
-          .select(col("__t").as("__n"), lit(i).as("__lvl"))
-        labels = labels.unionByName(next)
-          .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
-          .persist()
+        labels = bfsRound(e, labels, i).persist()
         cached += labels
         i += 1
       }
@@ -152,6 +140,18 @@ object Graph {
     cached.foreach(_.unpersist(blocking = false))
     Dedup.freeCheckpoints(e)
     result
+  }
+
+  /** One BFS round: join the round-(i−1) frontier against the edge list,
+    * fold discoveries in with the min-aggregate. Shared by both loop
+    * drivers and by the pre-checkpoint plan audit. */
+  private def bfsRound(e: DataFrame, labels: DataFrame, i: Int): DataFrame = {
+    val frontier = labels.filter(col("__lvl") === i - 1)
+      .select(col("__n").as("__s"))
+    val next = e.join(frontier, Seq("__s"))
+      .select(col("__t").as("__n"), lit(i).as("__lvl"))
+    labels.unionByName(next)
+      .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
   }
 
   /** Shared level-synchronous loop over a CHECKPOINTED (__s, __t) edge
@@ -173,13 +173,7 @@ object Graph {
     var i = 1
     var frontierAlive = true
     while (i <= maxDepth && frontierAlive) {
-      val frontier = labels.filter(col("__lvl") === i - 1)
-        .select(col("__n").as("__s"))
-      val next = e.join(frontier, Seq("__s"))
-        .select(col("__t").as("__n"), lit(i).as("__lvl"))
-      labels = labels.unionByName(next)
-        .groupBy(col("__n")).agg(min(col("__lvl")).as("__lvl"))
-        .localCheckpoint(eager = false)
+      labels = bfsRound(e, labels, i).localCheckpoint(eager = false)
       spent += labels
       val now = labels.count()
       frontierAlive = now > known
@@ -273,7 +267,6 @@ object Graph {
   def pagerankUndirected(pairs: DataFrame, uCol: String, vCol: String,
                          iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val par = pairs.sparkSession.sparkContext.defaultParallelism
     // orientation-exploded DISTINCT adjacency in TWO exchanges: the
     // caller hands the raw (possibly globally-duplicated) pair stream;
     // dedup runs AFTER the explode, as an exchange-free aggregate — the
@@ -281,11 +274,7 @@ object Graph {
     // clustering requirement (partitioning keys ⊆ grouping keys), so the
     // classic pre-distinct on (u, v) would only add a third full-stream
     // exchange for nothing.
-    val e = pairs.select(explode(array(
-        struct(col(uCol).as("__s"), col(vCol).as("__t")),
-        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
-      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
-      .repartition(par, col("__s"))
+    val e = orientedAdjacency(pairs, uCol, vCol)
       .distinct()
       .localCheckpoint()
     // AQE OFF for the iteration chain (restored in finally): fixed-shape
@@ -297,23 +286,68 @@ object Graph {
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      val base = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
-        .select(col("__s").as("__n"), col("__od"))
+      val base = outdegBase(e)
       var pr = base.withColumn("__pr", lit(1000000L))
       (1 to iters).foreach { _ =>
-        val contrib = e
-          .join(pr.select(col("__n").as("__s"), col("__od"), col("__pr")), Seq("__s"))
-          .groupBy(col("__t"))
-          .agg(sum(expr("__pr div __od")).as("__c"))
-        // INNER restore: contrib covers every node (all nodes have in-edges)
-        pr = base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
-          .select(col("__n"), col("__od"),
-            (lit(150000L) + expr("(17 * __c) div 20")).as("__pr"))
+        pr = prIteration(e, base, pr)
       }
       pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
         .localCheckpoint()
     } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     Dedup.freeCheckpoints(e)
     result
+  }
+
+  /** Undirected node base = the out-degree aggregate (every node appears
+    * as a source; exchange-free over the __s-partitioned edge frame). */
+  private def outdegBase(e: DataFrame): DataFrame =
+    e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+      .select(col("__s").as("__n"), col("__od"))
+
+  /** One undirected-PageRank round: contribution agg by target, INNER
+    * restore against the base (contrib covers every node — all nodes
+    * have in-edges). Shared by the loop and the plan audit. */
+  private def prIteration(e: DataFrame, base: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = e
+      .join(pr.select(col("__n").as("__s"), col("__od"), col("__pr")), Seq("__s"))
+      .groupBy(col("__t"))
+      .agg(sum(expr("__pr div __od")).as("__c"))
+    base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
+      .select(col("__n"), col("__od"),
+        (lit(150000L) + expr("(17 * __c) div 20")).as("__pr"))
+  }
+
+  private def orientedAdjacency(pairs: DataFrame, uCol: String,
+                                vCol: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("__s"))
+
+  /** PRE-checkpoint single-iteration PageRank plan, for the plan audit
+    * (PLANS.md): the exact [[prIteration]]/[[outdegBase]] expressions one
+    * [[pagerankUndirected]] round runs, with the checkpoint barriers
+    * omitted so explain shows the loop body's join/agg shapes instead of
+    * a `Scan ExistingRDD`. Built for explain, not execution. */
+  def pagerankIterationPlan(pairs: DataFrame, uCol: String,
+                            vCol: String): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol).distinct()
+    val base = outdegBase(e)
+    prIteration(e, base, base.withColumn("__pr", lit(1000000L)))
+      .select(col("__n").as("node"), col("__pr").as("pagerank"))
+  }
+
+  /** PRE-checkpoint round-1 BFS plan, for the plan audit — the exact
+    * [[bfsRound]] expressions with the edge/label checkpoints omitted.
+    * Built for explain, not execution. */
+  def bfsRoundPlan(pairs: DataFrame, uCol: String, vCol: String,
+                   source: Long): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol)
+    val labels0 = e.sparkSession.range(1)
+      .select(lit(source).as("__n"), lit(0).as("__lvl"))
+    bfsRound(e, labels0, 1)
+      .select(col("__n").as("node"), col("__lvl").as("lvl"))
   }
 }
