@@ -404,6 +404,39 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("recent_purchase_value"))
     }),
+    // GROUPED as-of on a composite key (user_id, event_type): every event
+    // gets the value and age of the most recent STRICTLY-earlier event of
+    // its own stream — the "previous reading" feature engineered per
+    // (entity, signal) pair. Build is per-(keys, ts) aggregated first
+    // (asofJoin's determinism contract); strict excludes the row itself.
+    "ext_asof_grouped" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val build = e.groupBy(col("user_id"), col("event_type"), col("ts"))
+        .agg(max(col("value")).as("prev_value"))
+        .withColumn("prev_ts", col("ts"))
+      val probe = e.select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"))
+      Temporal.asofJoin(probe, build, Seq("user_id", "event_type"), "ts",
+          Seq("prev_value", "prev_ts"), strict = true)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("prev_value"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"))
+    }),
+    // WINDOW deduplication (debounce/throttle): drop an event landing
+    // within 24 h of its predecessor in the same (user_id, event_type)
+    // stream — the standard telemetry de-bounce before sessionization.
+    // Lag-based (predecessor = previous RAW event), exactly the SQL twin.
+    "ext_events_throttle" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > 86400000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // interval range join: clicks within one hour after a purchase by the
     // same user (bin-quantized equi-join — no BroadcastNestedLoopJoin)
     "join_range_purchase_clicks" -> ((s, dir) => {
@@ -548,6 +581,33 @@ object SparkEntry {
           copurchasePairs(s, dir), "u", "v", maxDepth = 6)
         .groupBy(col("lvl").cast("int").as("lvl"))
         .agg(count(lit(1)).as("n_nodes"))),
+    // per-node clustering coefficient over the same graph — reuses the
+    // triangle machinery with the wedge source carried through
+    // (sqlClusteringTail doc); multi-consumer tail → checkpointed edges
+    "ext_clustering_coeff" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+      e.createOrReplaceTempView("edges")
+      val r = s.sql(sqlClusteringFromEdges).localCheckpoint()
+      s.catalog.dropTempView("edges")
+      operators.Dedup.freeCheckpoints(e)
+      r
+    }),
+    // neighbor-degree (assortativity) profile, integer-exact
+    "ext_neighbor_degree" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+      e.createOrReplaceTempView("edges")
+      val r = s.sql(sqlNeighborDegreeFromEdges).localCheckpoint()
+      s.catalog.dropTempView("edges")
+      operators.Dedup.freeCheckpoints(e)
+      r
+    }),
+    // bounded-pass k-core peel (k=3, 4 rounds): checkpointed loop engine
+    // side (Graph.kcorePeel doc — the unrolled-CTE form re-inlines each
+    // round's subtree ~3x per level in Catalyst); the oracle replays the
+    // identical rounds as chained CTEs (sqlKcorePeelTail)
+    "ext_kcore_peel" -> ((s, dir) =>
+      operators.Graph.kcorePeel(copurchaseEdgesRaw(s, dir), "u", "v",
+        k = 3, rounds = 4)),
     // rolling EXACT median/p90 over a 15-row trailing frame — the robust
     // telemetry smoother (sorts each frame; both engines interpolate on
     // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
@@ -1441,6 +1501,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 =!= 0),
         "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))
+    }),
+    // EXACT-recall cross-corpus jaccard join at θ = 7/10: every
+    // (incoming, reference) doc pair over the threshold — the audit-grade
+    // exact twin of ext_dedup_drop_against_ref's LSH screen
+    // (Dedup.jaccardJoinAgainst doc: per-side rep collapse, one global
+    // token order over both sides, prefix + positional pruning)
+    "ext_jaccard_against_ref" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardJoinAgainst(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", 7, 10)
     }),
     // duplicated-SPAN removal (exact substring dedup, Lee et al. 2022
     // shape at word-5-gram granularity): per-doc boilerplate fraction +
@@ -2674,6 +2746,30 @@ object SparkEntry {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
+    "ext_clustering_coeff" -> sqlClusteringCoeff,
+    "ext_neighbor_degree" -> sqlNeighborDegree,
+    "ext_kcore_peel" -> sqlKcorePeel,
+    "ext_jaccard_against_ref" -> sqlJaccardAgainstCte(7, 10),
+    // build aggregated per (keys, ts) exactly like the engine side; lag
+    // over the per-ts-unique build IS the strict backward as-of
+    "ext_asof_grouped" ->
+      """WITH b AS (SELECT user_id, event_type, ts, max(value) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |lb AS (SELECT user_id, event_type, ts,
+        |    lag(v) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS prev_value,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS prev_ts
+        |  FROM b)
+        |SELECT e.event_id, e.user_id, e.event_type, lb.prev_value,
+        |  epoch_us(e.ts) - epoch_us(lb.prev_ts) AS gap_us
+        |FROM events e JOIN lb ON e.user_id = lb.user_id
+        |  AND e.event_type = lb.event_type AND e.ts = lb.ts""".stripMargin,
+    "ext_events_throttle" ->
+      """WITH x AS (SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM x
+        |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 86400000000""".stripMargin,
     // depth-bounded BFS via recursive UNION (DuckDB dedups (node, lvl)
     // rows per step, so a cyclic graph terminates at the lvl cap)
     "ext_bfs_levels" ->
@@ -4100,6 +4196,47 @@ object SparkEntry {
        |         FROM s2 WHERE ma < mb),
        |allp AS (SELECT * FROM crossed UNION ALL SELECT * FROM same)""".stripMargin
 
+  /** Cross-corpus twin of [[jaccardPipelineCte]] (Dedup.jaccardJoinAgainst):
+    * rep collapse PER SIDE (incoming = doc_id % 13 <> 0, reference = 0),
+    * document frequency over the union of both sides' reps, prefix join
+    * across sides only, exact verify, member expansion. */
+  private def sqlJaccardAgainstCte(num: Int, den: Int): String =
+    s"""WITH tkd AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+       |repsI AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |            first(ts) AS ts, len(first(ts)) AS sz
+       |          FROM tkd WHERE doc_id % 13 <> 0 GROUP BY CAST(ts AS VARCHAR)),
+       |repsR AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |            first(ts) AS ts, len(first(ts)) AS sz
+       |          FROM tkd WHERE doc_id % 13 = 0 GROUP BY CAST(ts AS VARCHAR)),
+       |allreps AS (SELECT rep, ts, 0 AS corp FROM repsI
+       |            UNION ALL SELECT rep, ts, 1 AS corp FROM repsR),
+       |tok AS (SELECT rep, corp, unnest(ts) AS token FROM allreps),
+       |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+       |srt AS (SELECT t.rep, t.corp, list(t.token ORDER BY d.df, t.token) AS ots,
+       |          count(*) AS sz
+       |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep, t.corp),
+       |pfx AS (SELECT rep, corp, ots, sz,
+       |    unnest(ots[1:(CAST(sz AS INT) - CAST(($num*sz + $den - 1)//$den AS INT) + 1)]) AS ptok
+       |  FROM srt),
+       |rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb,
+       |    CAST(len(list_intersect(a.ots, b.ots)) AS BIGINT) AS i,
+       |    CAST(a.sz AS BIGINT) AS la, CAST(b.sz AS BIGINT) AS lb
+       |  FROM pfx a JOIN pfx b ON a.ptok = b.ptok AND a.corp = 0 AND b.corp = 1
+       |  WHERE $num*greatest(a.sz, b.sz) <= $den*least(a.sz, b.sz)
+       |    AND $den*len(list_intersect(a.ots, b.ots)) >=
+       |        $num*(a.sz + b.sz - len(list_intersect(a.ots, b.ots)))),
+       |c1 AS (SELECT rp.*, unnest(r1.members) AS ma
+       |       FROM rp JOIN repsI r1 ON rp.ra = r1.rep),
+       |c2 AS (SELECT c1.i, c1.la, c1.lb, c1.ma, unnest(r2.members) AS mb
+       |       FROM c1 JOIN repsR r2 ON c1.rb = r2.rep)
+       |SELECT ma AS id_in, mb AS id_ref, i AS inter_size,
+       |  la AS size_in, lb AS size_ref,
+       |  CAST(i AS DOUBLE)/(la + lb - i) AS jaccard
+       |FROM c2""".stripMargin
+
   /** Per-group z-score outlier gate off exact decimal moments, shared
     * verbatim by both engines. The flag |x − mean| > 2σ is decided as
     * (n·x − Σx)² > 4·(n·Σx² − (Σx)²): Σx and Σx² are exact DECIMAL sums
@@ -4262,14 +4399,91 @@ object SparkEntry {
       |SELECT CAST(d AS BIGINT) AS degree, count(*) AS n_nodes
       |FROM deg GROUP BY d""".stripMargin
 
+  /** Per-node clustering coefficient, shared verbatim: the triangle
+    * tail's degree-oriented wedge/close machinery with the wedge SOURCE
+    * carried through, each closed triangle exploded to its three corners,
+    * and cc(n) = 2·tri(n) / (d·(d−1)) over nodes with d ≥ 2. The only
+    * float op is one division over integer-derived operands (identical
+    * IEEE both engines); round(6) is belt. */
+  private val sqlClusteringTail: String =
+    """,
+      |ore AS (SELECT
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS t,
+      |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN db.d ELSE da.d END AS dt
+      |  FROM edges e JOIN deg da ON e.u = da.n JOIN deg db ON e.v = db.n),
+      |wedge AS (SELECT a.s AS x, a.t AS y, b.t AS z FROM ore a JOIN ore b ON a.s = b.s
+      |          WHERE (a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t)),
+      |tri AS (SELECT wedge.x, wedge.y, wedge.z
+      |        FROM wedge JOIN ore c ON wedge.y = c.s AND wedge.z = c.t),
+      |tc AS (SELECT n, count(*) AS t FROM (
+      |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) q GROUP BY n)
+      |SELECT d.n AS node, CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_tri,
+      |  CAST(d.d AS BIGINT) AS degree,
+      |  round(2.0 * COALESCE(tc.t, 0) /
+      |        (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0)), 6) AS clustering
+      |FROM deg d LEFT JOIN tc ON d.n = tc.n WHERE d.d >= 2""".stripMargin
+
+  /** Neighbor-degree profile (assortativity table), shared verbatim:
+    * for each degree class, how many edge ENDS it owns and the integer
+    * sum of its neighbors' degrees — the `knn(d)` curve every graph
+    * profiling pass plots, INTEGER-exact cross-engine (the mean is one
+    * division away, left to the reader so the hash stays integer). */
+  private val sqlNeighborDegreeTail: String =
+    """,
+      |nbr AS (SELECT u AS n, v AS m FROM edges
+      |        UNION ALL SELECT v AS n, u AS m FROM edges)
+      |SELECT da.d AS degree, count(*) AS n_ends,
+      |  CAST(sum(db.d) AS BIGINT) AS sum_nbr_degree
+      |FROM nbr JOIN deg da ON nbr.n = da.n JOIN deg db ON nbr.m = db.n
+      |GROUP BY da.d""".stripMargin
+
+  /** BOUNDED-pass k-core peel, shared verbatim: `rounds` rounds of
+    * "drop nodes with degree < k, induce the surviving subgraph", then
+    * the surviving per-node degrees. Fixed round count keeps the query a
+    * deterministic cross-engine twin at any scale (the streaming
+    * approximation of full peeling — convergence is a liveness check a
+    * production loop adds exactly like [[operators.Graph.bfsLevels]]'
+    * earlyExit); each round is one aggregate + two semi-joins, all
+    * node-keyed. */
+  private def sqlKcorePeelTail(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(",\ne0 AS (SELECT u, v FROM edges)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |d$r AS (SELECT n, count(*) AS d FROM (
+        |    SELECT u AS n FROM e${r - 1} UNION ALL SELECT v AS n FROM e${r - 1}) x
+        |  GROUP BY n),
+        |n$r AS (SELECT n FROM d$r WHERE d >= $k),
+        |e$r AS (SELECT u, v FROM e${r - 1}
+        |  WHERE u IN (SELECT n FROM n$r) AND v IN (SELECT n FROM n$r))"""
+        .stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM e$rounds UNION ALL SELECT v AS n FROM e$rounds) x
+      |  GROUP BY n) f""".stripMargin)
+    sb.toString
+  }
+
   // Spark side runs the shared tail over the pre-built `edges` view; the
   // DuckDB oracle prepends the self-join CTE to the SAME tail.
   private val sqlTrianglesFromEdges: String = "WITH " + sqlDegCte + sqlTrianglesTail
   private val sqlDegreeFromEdges: String = "WITH " + sqlDegCte + sqlDegreeTail
+  private val sqlClusteringFromEdges: String = "WITH " + sqlDegCte + sqlClusteringTail
+  private val sqlNeighborDegreeFromEdges: String =
+    "WITH " + sqlDegCte + sqlNeighborDegreeTail
   private val sqlGraphTriangles: String =
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlTrianglesTail
   private val sqlDegreeDistribution: String =
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlDegreeTail
+  private val sqlClusteringCoeff: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlClusteringTail
+  private val sqlNeighborDegree: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlNeighborDegreeTail
+  private val sqlKcorePeel: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlKcorePeelTail(3, 4)
 
   /** Rolling exact median/p90 (15-row trailing frame): Spark `percentile`
     * and DuckDB `quantile_cont` share the sorted linear-interpolation

@@ -1287,6 +1287,92 @@ object Dedup {
     result
   }
 
+  /** [[jaccardCandidates]] for an R-S (cross-corpus) join: `sorted`
+    * carries a `__corp` tag (0 = incoming, 1 = reference); candidate
+    * pairs take the incoming side as probe and the reference side as the
+    * salt-replicated build — no `__ra < __rb` canonicalization (the
+    * corpus split IS the orientation). The positional filter's overlap
+    * ubound argument is side-symmetric, so it applies unchanged. */
+  private def jaccardCandidatesCross(sorted: DataFrame, thetaNum: Int,
+                                     thetaDen: Int): DataFrame = {
+    val par = sorted.sparkSession.sparkContext.defaultParallelism
+    val salts = 8
+    val pa = sorted.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val pb = sorted.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+        posexplode(col("__pref")).as(Seq("__pb", "__ptok")))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val met = pa.join(pb, Seq("__ptok", "__salt"))
+      .filter(lit(thetaNum) * greatest(col("__sa"), col("__sb")) <=
+        lit(thetaDen) * least(col("__sa"), col("__sb")))
+      .filter(lit(thetaNum + thetaDen) *
+          least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+        lit(thetaNum) * (col("__sa") + col("__sb")))
+    met.select(col("__ra"), col("__rb"))
+      .repartition(par, col("__ra"), col("__rb"))
+      .distinct()
+  }
+
+  /** Cross-corpus EXACT-recall jaccard join at θ = num/den: every
+    * (incoming, reference) doc pair with J ≥ θ — the audit-grade exact
+    * twin of [[dropNearDupsAgainst]]'s LSH screen (what a decontamination
+    * audit thresholds on). Same machinery as [[jaccardJoinExact]]:
+    * per-SIDE rep collapse (identical sets on opposite sides stay two
+    * reps), ONE global rarest-first token order computed over BOTH sides'
+    * reps, prefix join with size + positional pruning, codegen'd
+    * merge-verify — but candidates pair ACROSS corpora only, so there is
+    * no a < b canonicalization and no same-set expansion (a J = 1
+    * cross pair meets through its shared prefix like any other pair).
+    * Doc ids must be unique ACROSS both corpora (rep ids live in one
+    * id space). Returns (id_in, id_ref, inter_size, size_in, size_ref,
+    * jaccard). */
+  def jaccardJoinAgainst(inc: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, thetaNum: Int,
+                         thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+    val reps = jaccardReps(inc, idCol, textCol).withColumn("__corp", lit(0))
+      .unionByName(
+        jaccardReps(ref, idCol, textCol).withColumn("__corp", lit(1)))
+      .localCheckpoint()
+    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
+      .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
+      .localCheckpoint()
+    val candIds = jaccardCandidatesCross(sorted, thetaNum, thetaDen)
+    val arrA = reps.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+        size(col("__ts")).cast("long").as("__la"))
+    val arrB = reps.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+        size(col("__ts")).cast("long").as("__lb"))
+    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+      .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
+        col("__ta"), col("__tb"), thetaNum, thetaDen))
+      .filter(col("__i") >= 0L)
+      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    val memA = reps.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__members").as("__mas"))
+    val memB = reps.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__members").as("__mbs"))
+    val result = repPairs.join(memA, Seq("__ra")).join(memB, Seq("__rb"))
+      .select(col("__i"), col("__la"), col("__lb"),
+        explode(col("__mas")).as("id_in"), col("__mbs"))
+      .select(col("__i"), col("__la"), col("__lb"), col("id_in"),
+        explode(col("__mbs")).as("id_ref"))
+      .select(col("id_in"), col("id_ref"), col("__i").as("inter_size"),
+        col("__la").as("size_in"), col("__lb").as("size_ref"))
+      .withColumn("jaccard", col("inter_size").cast("double") /
+        (col("size_in") + col("size_ref") - col("inter_size")))
+      .localCheckpoint()
+    freeCheckpoints(reps, sorted)
+    result
+  }
+
   def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
                        thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,

@@ -326,6 +326,44 @@ object Graph {
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
         col("__s"))
 
+  /** BOUNDED-pass k-core peel over a DISTINCT undirected edge list:
+    * `rounds` rounds of "drop nodes with degree < k, induce the
+    * surviving subgraph", then the surviving per-node degrees —
+    * (node, degree). Fixed round count keeps the result a deterministic
+    * cross-engine twin at any scale (the streaming approximation of full
+    * peeling; a production loop adds the convergence count exactly like
+    * [[bfsLevels]]' earlyExit). Each round is one node agg + two semi
+    * joins over a CHECKPOINTED round input — the chained-CTE SQL form
+    * re-inlines every round's subtree ~3× per level in Catalyst (plan
+    * grows 3^rounds; measured 12.5 s wall on 1.8 s of compute at sf0.1),
+    * which is why the engine side is this loop and only the oracle keeps
+    * the unrolled SQL. */
+  def kcorePeel(edges: DataFrame, uCol: String, vCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer(e)
+    var r = 0
+    while (r < rounds) {
+      val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      spent += e
+      r += 1
+    }
+    val result = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(spent.toSeq: _*)
+    result
+  }
+
   /** PRE-checkpoint single-iteration PageRank plan, for the plan audit
     * (PLANS.md): the exact [[prIteration]]/[[outdegBase]] expressions one
     * [[pagerankUndirected]] round runs, with the checkpoint barriers

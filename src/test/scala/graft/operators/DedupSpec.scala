@@ -517,6 +517,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jaccardJoinAgainst equals brute-force cross-corpus jaccard " +
+      "(no missed pair, no spurious pair, clone groups on both sides)") {
+    import spark.implicits._
+    for (seed <- Seq(2, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val corpus = (1L to 90L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // clone groups on both sides: every 4th doc copies doc (id - 3)
+      val resolved = corpus.map { case (id, t) =>
+        if (id % 4 == 0) (id, corpus((id - 4).toInt)._2) else (id, t)
+      }
+      val df = resolved.toDF("doc_id", "text")
+      val inc = df.filter($"doc_id" % 3 =!= 0)
+      val ref = df.filter($"doc_id" % 3 === 0)
+      val got = Dedup.jaccardJoinAgainst(inc, ref, "doc_id", "text", 7, 10)
+        .select("id_in", "id_ref").as[(Long, Long)].collect().toSet
+      val sets = resolved.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys if a % 3 != 0
+        b <- sets.keys if b % 3 == 0
+        inter = (sets(a) & sets(b)).size; union = (sets(a) | sets(b)).size
+        if 10 * inter >= 7 * union
+      } yield (a, b)).toSet
+      assert(got == want, s"seed $seed: ${got.diff(want).size} spurious, " +
+        s"${want.diff(got).size} missed of ${want.size}")
+    }
+  }
+
   test("jaccardThresholdSweep counts equal expand-then-count over the " +
       "full join at every θ (size products = doc-pair counts)") {
     import spark.implicits._

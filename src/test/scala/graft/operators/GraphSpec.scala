@@ -73,6 +73,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(empty.columns.toSeq == Seq("node", "lvl"))
   }
 
+  test("kcorePeel equals the brute-force bounded peel (k=2 and k=3)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 150).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val df = pairs.toDF("u", "v")
+    for (k <- Seq(2, 3); rounds <- Seq(1, 4)) {
+      val got = Graph.kcorePeel(df, "u", "v", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var es = pairs
+      for (_ <- 1 to rounds) {
+        val deg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+          .map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(p => keep(p._1) && keep(p._2))
+      }
+      val want = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      assert(got == want, s"k=$k rounds=$rounds")
+    }
+  }
+
   test("itemPairs equals the self-join + distinct formulation (same edge " +
       "set the graph oracles replay) and emits per-group-unique pairs") {
     import spark.implicits._
