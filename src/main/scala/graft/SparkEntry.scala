@@ -537,18 +537,13 @@ object SparkEntry {
     //    the `edges` view; the analytic tail (deg/ore/wedge/close) stays
     //    SHARED VERBATIM with the DuckDB oracle, whose edges CTE replays
     //    the identical set via the portable self-join. ────────────────────
-    "ext_graph_triangles" -> ((s, dir) => {
-      // multi-consumer tail (deg twice, ore, wedge, close) — the
-      // checkpoint earns its barrier; result is materialized here so the
-      // edge blocks and the temp view can be released NOW instead of
-      // pinning the catalog until the next graph query (r10 advice)
-      val e = copurchaseEdges(s, dir)
-      e.createOrReplaceTempView("edges")
-      val r = s.sql(sqlTrianglesFromEdges).localCheckpoint()
-      s.catalog.dropTempView("edges")
-      operators.Dedup.freeCheckpoints(e)
-      r
-    }),
+    // engine side is Graph.triangleCount (broadcast-oriented node-
+    // iterator — the wedge stream never shuffles); the oracle replays
+    // the identical orientation/wedge/close as portable SQL
+    // (sqlTrianglesTail). TriangleSpec pins engine ≡ brute-force ≡ the
+    // shuffle-join variant.
+    "ext_graph_triangles" -> ((s, dir) =>
+      operators.Graph.triangleCount(copurchaseEdgesRaw(s, dir), "u", "v")),
     // single-consumer: the histogram reads the edge set ONCE, so no
     // checkpoint and no temp view — one linear job: pair distinct
     // (exchange-free past the u-keyed pin), in-row both-orientation
@@ -581,26 +576,19 @@ object SparkEntry {
           copurchasePairs(s, dir), "u", "v", maxDepth = 6)
         .groupBy(col("lvl").cast("int").as("lvl"))
         .agg(count(lit(1)).as("n_nodes"))),
-    // per-node clustering coefficient over the same graph — reuses the
-    // triangle machinery with the wedge source carried through
-    // (sqlClusteringTail doc); multi-consumer tail → checkpointed edges
-    "ext_clustering_coeff" -> ((s, dir) => {
-      val e = copurchaseEdges(s, dir)
-      e.createOrReplaceTempView("edges")
-      val r = s.sql(sqlClusteringFromEdges).localCheckpoint()
-      s.catalog.dropTempView("edges")
-      operators.Dedup.freeCheckpoints(e)
-      r
-    }),
-    // neighbor-degree (assortativity) profile, integer-exact
-    "ext_neighbor_degree" -> ((s, dir) => {
-      val e = copurchaseEdges(s, dir)
-      e.createOrReplaceTempView("edges")
-      val r = s.sql(sqlNeighborDegreeFromEdges).localCheckpoint()
-      s.catalog.dropTempView("edges")
-      operators.Dedup.freeCheckpoints(e)
-      r
-    }),
+    // per-node clustering coefficient — Graph.clusteringCoefficients
+    // (the triangle machinery with the wedge source carried through;
+    // corner counts fold node-sized before anything exchanges); oracle
+    // replays sqlClusteringTail
+    "ext_clustering_coeff" -> ((s, dir) =>
+      operators.Graph.clusteringCoefficients(
+        copurchaseEdgesRaw(s, dir), "u", "v")),
+    // neighbor-degree (assortativity) profile, integer-exact —
+    // Graph.neighborDegreeProfile (broadcast deg lookups over the in-row
+    // both-orientation explode); oracle replays sqlNeighborDegreeTail
+    "ext_neighbor_degree" -> ((s, dir) =>
+      operators.Graph.neighborDegreeProfile(
+        copurchaseEdgesRaw(s, dir), "u", "v")),
     // bounded-pass k-core peel (k=3, 4 rounds): checkpointed loop engine
     // side (Graph.kcorePeel doc — the unrolled-CTE form re-inlines each
     // round's subtree ~3x per level in Catalyst); the oracle replays the
@@ -2348,6 +2336,10 @@ object SparkEntry {
       operators.Graph.pagerankIterationPlan(copurchasePairs(s, dir), "u", "v")),
     "ext_bfs_levels [one pre-checkpoint round]" -> ((s, dir) =>
       operators.Graph.bfsRoundPlan(copurchasePairs(s, dir), "u", "v", 0L)),
+    "ext_graph_triangles [pre-checkpoint edge-iterator]" -> ((s, dir) =>
+      operators.Graph.triangleCountPlan(copurchaseEdgesRaw(s, dir), "u", "v")),
+    "ext_clustering_coeff [pre-checkpoint edge-iterator]" -> ((s, dir) =>
+      operators.Graph.clusteringPlan(copurchaseEdgesRaw(s, dir), "u", "v")),
     "ext_dedup_jaccard_join [pre-checkpoint candidates+verify]" -> ((s, dir) => {
       val reps = operators.Dedup.jaccardReps(t(s, dir, "documents"), "doc_id", "text")
       val sorted = operators.Dedup.jaccardOrderedPrefix(reps, 4, 5)
@@ -4341,19 +4333,10 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism, col("u"))
       .distinct()
 
-  /** [[copurchaseEdgesRaw]] materialized once, for MULTI-consumer tails
-    * (the triangle query reads edges for deg twice, ore, wedge, close —
-    * each reference would re-run the distinct aggregation past the
-    * reused exchange). Single-consumer queries (degree histogram,
-    * pagerank, BFS — each checkpoints or streams the pairs itself) take
-    * the raw frame and skip the barrier. Callers free the blocks after
-    * materializing their result (r10 advice: a pinned temp view carried
-    * the blocks for the whole session). */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    copurchaseEdgesRaw(s, dir).localCheckpoint()
-
   /** Oracle-side co-purchase edges CTE — the portable self-join twin of
-    * [[copurchaseEdges]]; both produce the same distinct (u < v) set. */
+    * [[copurchaseEdgesRaw]]; both produce the same distinct (u < v)
+    * set. (Every graph consumer now checkpoints the edge frame inside
+    * its Graph.* operator, so no shared checkpointed form remains.) */
   private val sqlEdgesSelfJoinCte: String =
     """edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b
@@ -4447,15 +4430,21 @@ object SparkEntry {
     * production loop adds exactly like [[operators.Graph.bfsLevels]]'
     * earlyExit); each round is one aggregate + two semi-joins, all
     * node-keyed. */
+  /** Every round CTE is MATERIALIZED (DuckDB keyword; this string is
+    * oracle-side only — the engine runs [[operators.Graph.kcorePeel]]):
+    * e_r is referenced three times by round r+1, so CTE inlining
+    * recomputes the edges self-join 3^rounds times — the same plan
+    * explosion Catalyst showed, fixed on the engine side by the
+    * checkpointed loop and here by forcing materialization. */
   private def sqlKcorePeelTail(k: Int, rounds: Int): String = {
-    val sb = new StringBuilder(",\ne0 AS (SELECT u, v FROM edges)")
+    val sb = new StringBuilder(",\ne0 AS MATERIALIZED (SELECT u, v FROM edges)")
     for (r <- 1 to rounds) {
       sb.append(s""",
-        |d$r AS (SELECT n, count(*) AS d FROM (
+        |d$r AS MATERIALIZED (SELECT n, count(*) AS d FROM (
         |    SELECT u AS n FROM e${r - 1} UNION ALL SELECT v AS n FROM e${r - 1}) x
         |  GROUP BY n),
-        |n$r AS (SELECT n FROM d$r WHERE d >= $k),
-        |e$r AS (SELECT u, v FROM e${r - 1}
+        |n$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+        |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
         |  WHERE u IN (SELECT n FROM n$r) AND v IN (SELECT n FROM n$r))"""
         .stripMargin)
     }
@@ -4467,13 +4456,8 @@ object SparkEntry {
     sb.toString
   }
 
-  // Spark side runs the shared tail over the pre-built `edges` view; the
-  // DuckDB oracle prepends the self-join CTE to the SAME tail.
-  private val sqlTrianglesFromEdges: String = "WITH " + sqlDegCte + sqlTrianglesTail
-  private val sqlDegreeFromEdges: String = "WITH " + sqlDegCte + sqlDegreeTail
-  private val sqlClusteringFromEdges: String = "WITH " + sqlDegCte + sqlClusteringTail
-  private val sqlNeighborDegreeFromEdges: String =
-    "WITH " + sqlDegCte + sqlNeighborDegreeTail
+  // ORACLE-side strings: the self-join edges CTE prepended to each tail.
+  // The engine runs the Graph.* operators for every graph-family key.
   private val sqlGraphTriangles: String =
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlTrianglesTail
   private val sqlDegreeDistribution: String =

@@ -326,6 +326,179 @@ object Graph {
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
         col("__s"))
 
+  /** Exact triangle count over a DISTINCT undirected edge list (u < v
+    * canonical) — the degree-oriented EDGE-ITERATOR (adjacency
+    * intersection), engineered so the wedge stream — the one
+    * intermediate that dwarfs the graph (41 M wedges over 1.2 M edges on
+    * the co-purchase fixture) — is never generated at all:
+    *  - orientation: edges join the degree table TWICE; deg is
+    *    node-sized (≪ |E|), so both joins are `broadcast()` hash joins —
+    *    one map-only pass over the checkpointed edge blocks. Degree
+    *    orientation bounds every out-degree by O(√|E|) — the
+    *    graph-analytics skew defense, and here also the intersection
+    *    length bound;
+    *  - adjacency: out-edges fold IN-ROW into per-node SORTED neighbor
+    *    arrays (ONE s-keyed exchange of the |E| stream; node-sized
+    *    result, broadcastable);
+    *  - count: each oriented edge (s, t) picks up both endpoints'
+    *    arrays from the broadcast and contributes |N⁺(s) ∩ N⁺(t)| via
+    *    [[org.apache.spark.sql.graft.SortedLongOverlap]] — a codegen'd
+    *    two-cursor primitive merge, zero allocation — summed map-side.
+    *    Each triangle is counted exactly once (orientation makes it a
+    *    transitive triple x→y, x→z, y→z; only the (x, y) edge sees z in
+    *    both out-sets).
+    * Total work is Σ_e (d⁺(s)+d⁺(t)) merge steps with NO wedge-sized
+    * exchange or materialization — measured 14.3 s → ~2 s at sf0.1
+    * against the node-iterator wedge expansion + hash-probe form, whose
+    * 41 M-row generate/probe stages were the whole cost. All-integer →
+    * bit-identical cross-run/partitioning/engine; the DuckDB oracle
+    * replays the same triangle set as the portable wedge/close SQL.
+    * `broadcastAdj = false` swaps the broadcasts for node-keyed shuffle
+    * joins — the billion-edge cluster path where deg/adjacency outgrow
+    * the driver (same semantics, spec-pinned). */
+  def triangleCount(edges: DataFrame, uCol: String, vCol: String,
+                    broadcastAdj: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val result = triangleBody(e, broadcastAdj).localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  private def triangleBody(e: DataFrame, bcast: Boolean): DataFrame =
+    edgesWithAdjacency(e, bcast)
+      .agg(coalesce(sum(org.apache.spark.sql.graft.SortedLongOverlap
+          .of(col("__na"), col("__nb"))), lit(0L))
+        .cast("bigint").as("n_triangles"))
+
+  /** Per-node clustering coefficient over the same adjacency-
+    * intersection machinery as [[triangleCount]], with the intersection
+    * ELEMENTS kept: per oriented edge (s, t), `array_intersect` yields
+    * the closing nodes W, each w ∈ W names a triangle (s, t, w), and
+    * the corner explode is 3 rows per TRIANGLE (≈|△|·3 ≪ wedges) — the
+    * per-node counts fold with a map-side-combined aggregate to a
+    * node-sized frame before anything exchanges. cc(n) =
+    * 2·tri(n) / (d·(d−1)) over nodes with d ≥ 2 — the final division is
+    * the only float op, over integer-derived operands (identical IEEE
+    * both engines; round(6) is belt). Returns
+    * (node, n_tri, degree, clustering). */
+  def clusteringCoefficients(edges: DataFrame, uCol: String, vCol: String,
+                             broadcastAdj: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val result = clusteringBody(e, broadcastAdj).localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  private def clusteringBody(e: DataFrame, bcast: Boolean): DataFrame = {
+    // explode(array_intersect) drops empty/null W in-stage — the
+    // inner-close semantics; per-pair hashing is fine here because the
+    // corner stream it feeds is triangle-sized, not wedge-sized
+    val tri = edgesWithAdjacency(e, bcast)
+      .select(col("s"), col("t"),
+        explode(array_intersect(col("__na"), col("__nb"))).as("w"))
+    val tc = tri.select(explode(array(col("s"), col("t"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    // tc is node-sized after the fold → broadcast into the degree frame
+    // (LEFT: zero-triangle nodes keep n_tri = 0); the final projection
+    // is the SQL tail's expression text verbatim, so the one float
+    // division parses through the same literal/cast path
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    degreeTable(e).filter(col("d") >= 2)
+      .join(hint(tc), Seq("n"), "left")
+      .selectExpr("n AS node", "CAST(COALESCE(t, 0) AS BIGINT) AS n_tri",
+        "CAST(d AS BIGINT) AS degree",
+        "round(2.0 * COALESCE(t, 0) / " +
+          "(CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)), 6) AS clustering")
+  }
+
+  /** Neighbor-degree (assortativity) profile of a DISTINCT undirected
+    * edge list: for each degree class, how many edge ENDS it owns and
+    * the integer sum of its neighbors' degrees — (degree, n_ends,
+    * sum_nbr_degree), INTEGER-exact cross-engine. Both orientations
+    * expand IN-ROW (one explode over the pair stream), both degree
+    * lookups are `broadcast()` hash joins (deg is node-sized), and the
+    * per-degree-class fold partial-combines map-side — so the only
+    * exchanges are the node-sized degree aggregate and the tiny final
+    * group-by, where the portable SQL twin shuffle-joins the 2|E| end
+    * stream against the deg CTE twice. */
+  def neighborDegreeProfile(edges: DataFrame, uCol: String, vCol: String,
+                            broadcastDeg: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val result = neighborDegreeBody(e, broadcastDeg).localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  private def neighborDegreeBody(e: DataFrame, bcast: Boolean): DataFrame = {
+    val deg = degreeTable(e)
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    val nbr = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__p"))
+      .select(col("__p.n").as("n"), col("__p.m").as("m"))
+    nbr
+      .join(hint(deg.select(col("n").as("__dn"), col("d").as("__da"))),
+        col("n") === col("__dn"))
+      .join(hint(deg.select(col("n").as("__dm"), col("d").as("__db"))),
+        col("m") === col("__dm"))
+      .groupBy(col("__da"))
+      .agg(count(lit(1)).as("n_ends"),
+        sum(col("__db")).cast("bigint").as("sum_nbr_degree"))
+      .select(col("__da").as("degree"), col("n_ends"), col("sum_nbr_degree"))
+  }
+
+  /** Degree table of a DISTINCT undirected edge list: (n, d) via the
+    * in-row both-endpoint explode + one node-keyed aggregate. */
+  private def degreeTable(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Degree-oriented edge list (s, t, dt): each edge re-pointed from its
+    * lower-(degree, id) endpoint, carrying the TARGET's degree for the
+    * wedge ordering. The two degree lookups are broadcast hash joins
+    * (deg is node-sized) — map-only over the edge blocks. */
+  private def orientEdges(e: DataFrame, bcast: Boolean): DataFrame = {
+    val deg = degreeTable(e)
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    val fwd = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("u") < col("v"))
+    e.join(hint(deg.select(col("n").as("__na"), col("d").as("__da"))),
+        col("u") === col("__na"))
+      .join(hint(deg.select(col("n").as("__nb"), col("d").as("__db"))),
+        col("v") === col("__nb"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"),
+        when(fwd, col("__db")).otherwise(col("__da")).as("dt"))
+  }
+
+  /** The edge-iterator probe frame: every oriented edge (s, t) decorated
+    * with both endpoints' SORTED out-neighbor arrays —
+    * (s, t, __na = N⁺(s), __nb = N⁺(t); __nb null when t has no
+    * out-edges, which callers treat as the empty intersection). The
+    * adjacency fold is one s-keyed exchange (explicit-count repartition:
+    * the stream is byte-light, the AQE-coalesce shape) to a node-sized
+    * frame; both lookups are broadcast hash joins by default, so the
+    * edge stream itself never exchanges. */
+  private def edgesWithAdjacency(e: DataFrame, bcast: Boolean): DataFrame = {
+    val ore = orientEdges(e, bcast)
+    val adj = ore
+      .repartition(ore.sparkSession.sparkContext.defaultParallelism,
+        col("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("__adj"))
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    ore.select(col("s"), col("t"))
+      .join(hint(adj.select(col("s").as("__js"), col("__adj").as("__na"))),
+        col("s") === col("__js"))
+      .join(hint(adj.select(col("s").as("__jt"), col("__adj").as("__nb"))),
+        col("t") === col("__jt"), "left")
+      .select(col("s"), col("t"), col("__na"), col("__nb"))
+  }
+
   /** BOUNDED-pass k-core peel over a DISTINCT undirected edge list:
     * `rounds` rounds of "drop nodes with degree < k, induce the
     * surviving subgraph", then the surviving per-node degrees —
@@ -376,6 +549,21 @@ object Graph {
     prIteration(e, base, base.withColumn("__pr", lit(1000000L)))
       .select(col("__n").as("node"), col("__pr").as("pagerank"))
   }
+
+  /** PRE-checkpoint triangle-count plan, for the plan audit — the exact
+    * [[triangleBody]] expressions (orientation broadcasts, adjacency
+    * fold, SortedLongOverlap close) with the edge checkpoint omitted so
+    * explain shows the edge-iterator's shape instead of a
+    * `Scan ExistingRDD`. Built for explain, not execution. */
+  def triangleCountPlan(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    triangleBody(edges.select(col(uCol).as("u"), col(vCol).as("v")),
+      bcast = true)
+
+  /** PRE-checkpoint clustering-coefficient plan — [[clusteringBody]]
+    * un-checkpointed, for the plan audit. */
+  def clusteringPlan(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    clusteringBody(edges.select(col(uCol).as("u"), col(vCol).as("v")),
+      bcast = true)
 
   /** PRE-checkpoint round-1 BFS plan, for the plan audit — the exact
     * [[bfsRound]] expressions with the edge/label checkpoints omitted.

@@ -119,4 +119,103 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges == want.map(p => (p._2, p._3)).toSet)
   }
+
+  // random canonical (u < v) edge set + its brute-force triangle triples
+  private def randomGraph(seed: Int, nodes: Int, draws: Int)
+      : (Seq[(Long, Long)], Seq[(Long, Long, Long)]) = {
+    val rnd = new scala.util.Random(seed)
+    val es = (1 to draws)
+      .map(_ => (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val set = es.toSet
+    val ns = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val tris = for {
+      i <- ns.indices; j <- i + 1 until ns.size
+      if set((ns(i), ns(j)))
+      k <- j + 1 until ns.size
+      if set((ns(j), ns(k))) && set((ns(i), ns(k)))
+    } yield (ns(i), ns(j), ns(k))
+    (es, tris)
+  }
+
+  test("triangleCount equals brute-force closed-triple enumeration, " +
+      "broadcast and shuffle-join paths alike") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17)) {
+      val (es, tris) = randomGraph(seed, 25, 400)
+      val df = es.toDF("u", "v")
+      val got = Graph.triangleCount(df, "u", "v").collect()
+      assert(got.length == 1 && got(0).getLong(0) == tris.size.toLong,
+        s"seed=$seed want=${tris.size}")
+      val shuffled = Graph.triangleCount(df, "u", "v", broadcastAdj = false)
+        .collect()(0).getLong(0)
+      assert(shuffled == tris.size.toLong, s"seed=$seed shuffle path")
+    }
+  }
+
+  test("clusteringCoefficients: per-node triangle counts and cc match " +
+      "brute force; zero-triangle d>=2 nodes kept, d<2 nodes dropped") {
+    import spark.implicits._
+    val (es, tris) = randomGraph(7, 20, 150)
+    val df = es.toDF("u", "v")
+    val deg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val triPerNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val want = deg.collect { case (n, d) if d >= 2 =>
+      val t = triPerNode.getOrElse(n, 0L)
+      val cc = BigDecimal(2.0 * t / (d.toDouble * (d.toDouble - 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      n -> ((t, d, cc))
+    }
+    val got = Graph.clusteringCoefficients(df, "u", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((n, (t, d, cc)) <- want) {
+      val (gt, gd, gcc) = got(n)
+      assert(gt == t && gd == d, s"node $n counts")
+      assert(math.abs(gcc - cc) < 2e-6, s"node $n cc $gcc vs $cc")
+    }
+    // shuffle-join path: identical frame
+    val shuffled = Graph
+      .clusteringCoefficients(df, "u", "v", broadcastAdj = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(shuffled == got)
+  }
+
+  test("neighborDegreeProfile matches brute force (degree classes, end " +
+      "counts, neighbor-degree sums), both join paths") {
+    import spark.implicits._
+    val (es, _) = randomGraph(23, 30, 300)
+    val df = es.toDF("u", "v")
+    val deg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val ends = es.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val want = ends.groupBy(p => deg(p._1)).map { case (d, ps) =>
+      d -> ((ps.size.toLong, ps.map(p => deg(p._2)).sum))
+    }
+    for (bcast <- Seq(true, false)) {
+      val got = Graph.neighborDegreeProfile(df, "u", "v", bcast)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == want, s"broadcastDeg=$bcast")
+    }
+  }
+
+  test("triangleCount on a triangle-free and an empty graph is 0") {
+    import spark.implicits._
+    // path graph 1-2-3-4: no triangles
+    assert(Graph.triangleCount(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v"), "u", "v")
+      .collect()(0).getLong(0) == 0L)
+    val empty = spark.range(0)
+      .select($"id".as("u"), $"id".as("v"))
+    assert(Graph.triangleCount(empty, "u", "v").collect()(0).getLong(0) == 0L)
+    assert(Graph.clusteringCoefficients(empty, "u", "v").collect().isEmpty)
+  }
 }
