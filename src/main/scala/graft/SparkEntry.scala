@@ -596,6 +596,18 @@ object SparkEntry {
     "ext_kcore_peel" -> ((s, dir) =>
       operators.Graph.kcorePeel(copurchaseEdgesRaw(s, dir), "u", "v",
         k = 3, rounds = 4)),
+    // degree assortativity (Newman's r): integer moments over the
+    // both-orientation end-degree stream, one fixed double expression —
+    // bit-identical cross-engine (Graph.assortativity doc)
+    "ext_assortativity" -> ((s, dir) =>
+      operators.Graph.assortativity(copurchaseEdgesRaw(s, dir), "u", "v")),
+    // 3 rounds of min-label propagation (bounded-pass CC / community
+    // seeding): label(n) = min node id within 3 hops — persist-chained
+    // fixed loop engine side (Graph.labelPropagate), chained MATERIALIZED
+    // CTEs oracle side; duplicate pairs ride free (min-fold invariant)
+    "ext_label_prop" -> ((s, dir) =>
+      operators.Graph.labelPropagate(copurchasePairs(s, dir), "u", "v",
+        rounds = 3)),
     // rolling EXACT median/p90 over a 15-row trailing frame — the robust
     // telemetry smoother (sorts each frame; both engines interpolate on
     // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
@@ -1933,6 +1945,23 @@ object SparkEntry {
     "ext_cooccurrence" -> ((s, dir) =>
       TextAnalysis.cooccurrence(t(s, dir, "documents"), "text",
         window = 2, minSupport = 10)),
+    // top-30 collocations by pointwise mutual information over the same
+    // pair space (support-gated; marginals over the UNGATED pairs) —
+    // one ln over exact integer counts (TextAnalysis.pmiPairs doc)
+    "ext_token_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(t(s, dir, "documents"), "text",
+        window = 2, minSupport = 50, k = 30)),
+    // MOSS winnowing fingerprints (windowed-min shingle hash selection,
+    // md5-prefix hash family) — in-row array math, zero shuffle
+    "ext_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", shingle = 3, window = 4)),
+    // BM25 top-10 for the fixed query [dup, hash, join]: one corpus scan
+    // for per-doc tf/dl, one scalar stats broadcast, ordered in-row
+    // score fold (the event-entropy IEEE-sequence recipe)
+    "ext_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("dup", "hash", "join"), k = 10)),
 
     // ── §2.9 batch sessionization (the batch twin of session windows,
     //    with per-session stats the streaming form can't backfill) ────────
@@ -2058,6 +2087,12 @@ object SparkEntry {
     "ext_ewma_value" -> ((s, dir) =>
       Temporal.ewma(t(s, dir, "events"), "user_id", "ts",
         Seq("event_id"), "value", alpha = 0.5)),
+    // time-weighted average value per user (step interpolation — each
+    // reading holds until its successor): the VWAP exact-decimal ratio
+    // recipe on the time axis (Temporal.timeWeightedAvg doc)
+    "ext_time_weighted_avg" -> ((s, dir) =>
+      Temporal.timeWeightedAvg(t(s, dir, "events"), Seq("user_id"),
+        "ts", "value", tieCol = "event_id")),
     // cohort retention matrix: users bucketed by first-seen day, distinct
     // active users per (cohort day, day offset) — one pass, one user-id
     // exchange, per-user state bounded by the calendar span
@@ -2741,6 +2776,8 @@ object SparkEntry {
     "ext_clustering_coeff" -> sqlClusteringCoeff,
     "ext_neighbor_degree" -> sqlNeighborDegree,
     "ext_kcore_peel" -> sqlKcorePeel,
+    "ext_assortativity" -> sqlAssortativity,
+    "ext_label_prop" -> sqlLabelProp,
     "ext_jaccard_against_ref" -> sqlJaccardAgainstCte(7, 10),
     // build aggregated per (keys, ts) exactly like the engine side; lag
     // over the per-ts-unique build IS the strict backward as-of
@@ -3729,6 +3766,22 @@ object SparkEntry {
         |SELECT user_id, n_events,
         |  CAST(list_reduce(s, (acc, x) -> acc * 0.5 + x * 0.5) AS DOUBLE) AS ewma
         |FROM l""".stripMargin,
+    // step-interpolated TWAP in INTEGER CENTS (round(v*100) is exact on
+    // 2-dp doubles): the weighted sum stays BIGINT, so both engines'
+    // int64->double conversions round identically — a DECIMAL(38,2) sum
+    // cast to double is 1-ulp engine-divergent past 2^53
+    "ext_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |d AS (SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS span_us,
+        |  CAST(CAST(SUM(CAST(round(value * CAST(100.0 AS DOUBLE)) AS BIGINT) * dt)
+        |       AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+        |FROM d WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin,
     // every pipeline stage replayed: scrub regexes, normalize order
     // (lower → strip → collapse → trim), gate thresholds, dedup-by-min-id
     "ext_corpus_clean" ->
@@ -3852,6 +3905,33 @@ object SparkEntry {
         |  WHERE u.i + v.j <= len(tk))
         |SELECT w1, w2, count(*) AS cnt FROM pr
         |GROUP BY w1, w2 HAVING count(*) >= 10""".stripMargin,
+    // same pair space, UNGATED marginals + one ln over exact integers
+    "ext_token_pmi" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |pr AS (SELECT least(tk[u.i], tk[u.i + v.j]) AS w1,
+        |    greatest(tk[u.i], tk[u.i + v.j]) AS w2
+        |  FROM tk,
+        |  UNNEST(range(1, len(tk) + 1)) u(i),
+        |  UNNEST(range(1, 3)) v(j)
+        |  WHERE u.i + v.j <= len(tk)),
+        |co AS (SELECT w1, w2, count(*) AS cnt FROM pr GROUP BY w1, w2),
+        |m AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        |    SELECT w1 AS w, cnt FROM co UNION ALL SELECT w2 AS w, cnt FROM co) x
+        |  GROUP BY w),
+        |np AS (SELECT CAST(SUM(cnt) AS BIGINT) AS np FROM co)
+        |SELECT co.w1, co.w2, co.cnt, m1.c AS c1, m2.c AS c2,
+        |  round(ln(CAST(co.cnt AS DOUBLE) * CAST(np.np AS DOUBLE)
+        |    / (CAST(m1.c AS DOUBLE) * CAST(m2.c AS DOUBLE))), 6) AS pmi
+        |FROM co
+        |JOIN m m1 ON co.w1 = m1.w
+        |JOIN m m2 ON co.w2 = m2.w
+        |CROSS JOIN np
+        |WHERE co.cnt >= 50
+        |ORDER BY pmi DESC, co.w1, co.w2 LIMIT 30""".stripMargin,
+    "ext_winnow_fingerprints" -> winnowOracleSql,
+    "ext_bm25_topk" -> bm25OracleSql,
     "ext_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS token
@@ -4468,6 +4548,115 @@ object SparkEntry {
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlNeighborDegreeTail
   private val sqlKcorePeel: String =
     "WITH " + sqlEdgesSelfJoinCte + sqlDegCte + sqlKcorePeelTail(3, 4)
+
+  /** Degree assortativity (Newman's r) — integer moments over the
+    * both-orientation end stream, one fixed double expression
+    * (the regression-moments recipe; engine: Graph.assortativity). */
+  private val sqlAssortativity: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte +
+      """,
+        |nd AS (SELECT da.d AS x, db.d AS y FROM (
+        |    SELECT u AS n, v AS m FROM edges
+        |    UNION ALL SELECT v AS n, u AS m FROM edges) e
+        |  JOIN deg da ON e.n = da.n JOIN deg db ON e.m = db.n),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2 FROM nd)
+        |SELECT n AS n_ends,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+        |  AS assortativity
+        |FROM mm""".stripMargin
+
+  /** Bounded min-label propagation, `rounds` chained MATERIALIZED CTE
+    * rounds (each round references its predecessor twice — the kcore
+    * re-inlining lesson; engine: Graph.labelPropagate's persist loop). */
+  private def sqlLabelPropTail(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """,
+        |adj AS MATERIALIZED (SELECT u AS s, v AS t FROM edges
+        |  UNION ALL SELECT v AS s, u AS t FROM edges),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS l FROM adj)"""
+        .stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |l$r AS MATERIALIZED (SELECT n, min(l) AS l FROM (
+        |    SELECT n, l FROM l${r - 1}
+        |    UNION ALL
+        |    SELECT a.t AS n, x.l FROM adj a JOIN l${r - 1} x ON a.s = x.n) q
+        |  GROUP BY n)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n AS node, l AS label FROM l$rounds""".stripMargin)
+    sb.toString
+  }
+
+  private val sqlLabelProp: String =
+    "WITH " + sqlEdgesSelfJoinCte.stripSuffix(",\n") + sqlLabelPropTail(3)
+
+  /** Winnowing twin: same md5-prefix shingle hashes, same windowed-min
+    * selection, DuckDB list dialect (1-based inclusive slices; range()
+    * is end-exclusive where Spark's sequence() is inclusive). */
+  private def winnowOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS l
+       |  FROM documents),
+       |h AS (SELECT doc_id, CASE WHEN len(l) >= 3 THEN
+       |    list_transform(range(1, len(l) - 1),
+       |      i -> CAST(${md5PrefixValueSql(14,
+                "(l[i] || ' ' || l[i+1] || ' ' || l[i+2])")} AS BIGINT))
+       |  ELSE [] END AS hs FROM tk),
+       |f AS (SELECT doc_id, len(hs) AS n_shingles,
+       |  CASE WHEN len(hs) >= 4 THEN
+       |    list_sort(list_distinct(list_transform(range(4, len(hs) + 1),
+       |      i -> list_aggregate(hs[i-3:i], 'min'))))
+       |  ELSE [] END AS fp FROM h)
+       |SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+       |  CAST(len(fp) AS INT) AS n_fp,
+       |  COALESCE(list_aggregate(list_transform(fp, x -> CAST(x AS VARCHAR)),
+       |    'string_agg', ','), '') AS fps
+       |FROM f""".stripMargin
+
+  /** BM25 twin for the fixed query [dup, hash, join]: identical integer
+    * corpus stats, identical per-term IEEE expression, identical ordered
+    * left-fold (list_reduce seeded by a prepended 0.0). */
+  private def bm25OracleSql: String = {
+    val terms = Seq("dup", "hash", "join")
+    val tfArr = terms.map(t =>
+      s"CAST(len(list_filter(l, w -> w = '$t')) AS BIGINT)").mkString(", ")
+    val dfArr = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT)")
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(string_split(lower(coalesce(text,'')), ' '), w -> w <> '') AS l
+       |  FROM documents),
+       |t AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, [$tfArr] AS tf
+       |      FROM d WHERE len(l) > 0),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(dl) AS BIGINT) AS sum_dl, [$dfArr] AS df FROM t)
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT t.doc_id, t.dl,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform([1, 2, 3], i ->
+       |        CASE WHEN t.tf[i] = 0 THEN CAST(0.0 AS DOUBLE)
+       |        ELSE ln(CAST(1.0 AS DOUBLE)
+       |               + (CAST(s.n_docs AS DOUBLE) - CAST(s.df[i] AS DOUBLE)
+       |                  + CAST(0.5 AS DOUBLE))
+       |                 / (CAST(s.df[i] AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |          * (CAST(t.tf[i] AS DOUBLE)
+       |             * (CAST(1.0 AS DOUBLE) + CAST(1.2 AS DOUBLE)))
+       |          / (CAST(t.tf[i] AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |             (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE)
+       |                / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |        END)),
+       |      (acc, x) -> acc + x), 6) AS score
+       |  FROM t, s) q
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
 
   /** Rolling exact median/p90 (15-row trailing frame): Spark `percentile`
     * and DuckDB `quantile_cont` share the sorted linear-interpolation

@@ -432,22 +432,103 @@ object Graph {
     result
   }
 
-  private def neighborDegreeBody(e: DataFrame, bcast: Boolean): DataFrame = {
-    val deg = degreeTable(e)
-    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
-    val nbr = e.select(explode(array(
-        struct(col("u").as("n"), col("v").as("m")),
-        struct(col("v").as("n"), col("u").as("m")))).as("__p"))
-      .select(col("__p.n").as("n"), col("__p.m").as("m"))
-    nbr
-      .join(hint(deg.select(col("n").as("__dn"), col("d").as("__da"))),
-        col("n") === col("__dn"))
-      .join(hint(deg.select(col("n").as("__dm"), col("d").as("__db"))),
-        col("m") === col("__dm"))
+  private def neighborDegreeBody(e: DataFrame, bcast: Boolean): DataFrame =
+    endDegrees(e, bcast)
       .groupBy(col("__da"))
       .agg(count(lit(1)).as("n_ends"),
         sum(col("__db")).cast("bigint").as("sum_nbr_degree"))
       .select(col("__da").as("degree"), col("n_ends"), col("sum_nbr_degree"))
+
+  /** Both-orientation edge-end stream decorated with the endpoint
+    * degrees — (__da = deg(this end), __db = deg(other end)); the two
+    * degree lookups are broadcast hash joins (deg is node-sized). Shared
+    * by [[neighborDegreeProfile]] and [[assortativity]]. */
+  private def endDegrees(e: DataFrame, bcast: Boolean): DataFrame = {
+    val deg = degreeTable(e)
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("m")),
+        struct(col("v").as("n"), col("u").as("m")))).as("__p"))
+      .select(col("__p.n").as("n"), col("__p.m").as("m"))
+      .join(hint(deg.select(col("n").as("__dn"), col("d").as("__da"))),
+        col("n") === col("__dn"))
+      .join(hint(deg.select(col("n").as("__dm"), col("d").as("__db"))),
+        col("m") === col("__dm"))
+      .select(col("__da"), col("__db"))
+  }
+
+  /** Degree assortativity coefficient of a DISTINCT undirected edge
+    * list: the Pearson correlation of (deg(x), deg(y)) over all
+    * 2|E| directed edge ends — Newman's r, THE one-number answer to
+    * "do hubs attach to hubs?". Every moment (n, Σx, Σxy, Σx²) is an
+    * INTEGER sum over the [[endDegrees]] stream (the symmetric marginals
+    * make Σy = Σx, Σy² = Σx²), and r is one fixed IEEE-double expression
+    * over those exact integers — bit-identical cross-engine (the
+    * regression-moments recipe on the degree stream). Returns one row
+    * (n_ends, assortativity). Degenerate variance (regular graph) →
+    * NULL, both engines. */
+  def assortativity(edges: DataFrame, uCol: String, vCol: String,
+                    broadcastDeg: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val result = endDegrees(e, broadcastDeg)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__da")).cast("bigint").as("sx"),
+        sum(col("__da") * col("__db")).cast("bigint").as("sxy"),
+        sum(col("__da") * col("__da")).cast("bigint").as("sx2"))
+      .selectExpr("n AS n_ends",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+          "nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) " +
+          "AS assortativity")
+      .localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  /** Bounded-round MIN-LABEL PROPAGATION over an undirected pair list
+    * (duplicate pairs allowed — the min-fold is multiplicity-invariant,
+    * so the caller skips the distinct): labels start as the node's own
+    * id; each round every node takes the minimum of its own and its
+    * neighbors' labels. After r rounds label(n) = min node id within r
+    * hops — the bounded-pass core of connected components / community
+    * seeding (full CC iterates to fixpoint with a liveness count, the
+    * [[bfsLevels]] earlyExit pattern). Each round is ONE node-keyed
+    * join + one min-aggregate over the label table, exactly the
+    * [[bfsLoopFixed]] shape: persist-marked rounds, AQE off inside the
+    * fixed chain, one straight-line action. Returns (node, label),
+    * integer-exact cross-engine. */
+  def labelPropagate(pairs: DataFrame, uCol: String, vCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      // every node appears as a source in the oriented frame; the
+      // distinct rides the __s partitioning (exchange-free)
+      var lab = e.select(col("__s").as("__n")).distinct()
+        .withColumn("__l", col("__n"))
+      var r = 0
+      while (r < rounds) {
+        val contrib = e
+          .join(lab.select(col("__n").as("__s"), col("__l")), Seq("__s"))
+          .select(col("__t").as("__n"), col("__l"))
+        lab = lab.unionByName(contrib)
+          .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
+          .persist()
+        cached += lab
+        r += 1
+      }
+      lab.select(col("__n").as("node"), col("__l").as("label"))
+        .localCheckpoint()
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    cached.foreach(_.unpersist(blocking = false))
+    Dedup.freeCheckpoints(e)
+    result
   }
 
   /** Degree table of a DISTINCT undirected edge list: (n, d) via the

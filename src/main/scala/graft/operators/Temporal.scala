@@ -269,4 +269,35 @@ object Temporal {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Time-weighted average (TWAP) of `valCol` per key: each observation
+    * holds until the NEXT one (step interpolation), so its weight is the
+    * microsecond gap to the successor; the key's last observation carries
+    * no weight (nothing follows it). Returns (keys, n_intervals,
+    * span_us, twap) — keys with a single observation are absent (no
+    * interval). The monitoring/financial reading of "average value over
+    * time" that the row-mean silently gets wrong under irregular
+    * sampling. Exactness: the 2-dp value becomes INTEGER CENTS
+    * (round(v·100) is exact — no double is ever exactly halfway there),
+    * so the weighted sum is one BIGINT and every engine's int64→double
+    * conversion is the same single rounding. (The first cut summed in
+    * DECIMAL(38,2) and cast — Spark converts decimals to double in one
+    * correctly-rounded step, DuckDB divides an int128-backed double by
+    * the scale: 1-ulp VALUE_MISMATCH on 31/150 users at sf0.01.) One
+    * window sort + one aggregate, both key-partitioned. */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], timeCol: String,
+                      valCol: String, tieCol: String): DataFrame =
+    df.select(keys.map(col) :+ unix_micros(col(timeCol).cast("timestamp"))
+          .as("__t") :+ col(valCol).as("__v") :+ col(tieCol).as("__tb"): _*)
+      .withColumn("__dt", lead(col("__t"), 1).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"), col("__tb"))) - col("__t"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).cast("bigint").as("span_us"),
+        ((sum(expr("CAST(round(__v * CAST(100.0 AS DOUBLE)) AS BIGINT) * __dt"))
+            .cast("bigint").cast("double") /
+          sum(col("__dt")).cast("bigint").cast("double")) /
+          lit(100.0)).as("twap"))
 }

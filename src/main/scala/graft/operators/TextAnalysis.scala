@@ -391,4 +391,136 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minSupport)
   }
+
+  /** Top-k token pairs by pointwise mutual information over the
+    * [[cooccurrence]] pair space — the phrase-mining / collocation score:
+    * pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with all probabilities taken
+    * over PAIR occurrences (p(x,y) = cnt/NP; the marginal c(x) counts
+    * every pair end x owns), so every input to the one ln is an exact
+    * integer and the score is bit-identical cross-engine (single IEEE
+    * division chain, round(6) belt). Support-gated BEFORE ranking
+    * (rare-pair PMI is noise — the classic failure mode); marginals and
+    * NP are computed over the UNGATED pair space. Scale shape: the pair
+    * dictionary is vocab²-bounded; marginals explode its two ends (2
+    * dictionary-sized rows), NP is one scalar broadcast-joined back. */
+  def pmiPairs(docs: DataFrame, textCol: String, window: Int = 2,
+               minSupport: Long = 50, k: Int = 30): DataFrame = {
+    val co = cooccurrence(docs, textCol, window, minSupport = 1)
+      .localCheckpoint() // read 3× (marginals, NP, gated pairs) — tiny
+    val marg = co.select(explode(array(
+        struct(col("w1").as("w"), col("cnt")),
+        struct(col("w2").as("w"), col("cnt")))).as("__m"))
+      .groupBy(col("__m.w").as("w"))
+      .agg(sum(col("__m.cnt")).cast("bigint").as("c"))
+    val np = co.agg(sum(col("cnt")).cast("bigint").as("np"))
+    val result = co.filter(col("cnt") >= minSupport)
+      .join(broadcast(marg.select(col("w").as("__w1"), col("c").as("c1"))),
+        col("w1") === col("__w1"))
+      .join(broadcast(marg.select(col("w").as("__w2"), col("c").as("c2"))),
+        col("w2") === col("__w2"))
+      .crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("cnt"), col("c1"), col("c2"),
+        round(log(col("cnt").cast("double") * col("np").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .localCheckpoint()
+    Dedup.freeCheckpoints(co)
+    result
+  }
+
+  /** Winnowing fingerprints (the MOSS local-minimum selection) per doc:
+    * hash every `shingle`-token shingle (md5-prefix integer — the
+    * oracle-replayable hash family), slide a `window`-shingle window, and
+    * keep each window's MINIMUM hash; the distinct selected hashes are
+    * the doc's fingerprint set. Winnowing's guarantee: any shared run of
+    * `shingle + window − 1` tokens contributes at least one COMMON
+    * fingerprint, with ~2/(window+1) of shingles kept — the
+    * position-robust dedup sketch between exact hashing and minhash.
+    * Everything is IN-ROW array math (no shuffle, no window function):
+    * (doc_id, n_shingles, n_fp, fps ','-joined ascending). Docs with
+    * fewer than `shingle + window − 1` tokens yield zero fingerprints. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         shingle: Int = 3, window: Int = 4): DataFrame = {
+    require(shingle >= 1 && window >= 1, s"bad ($shingle, $window)")
+    val toks = tokenStream(col(textCol))
+    // shingle hashes: md5 prefix (14 hex digits) of the space-joined gram
+    val hashes = when(size(toks) >= shingle,
+      transform(sequence(lit(1), size(toks) - lit(shingle - 1)),
+        i => conv(substring(md5(array_join(
+          slice(toks, i, lit(shingle)), " ")), 1, 14), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+    Query.ensureParallelism(docs)
+      .select(col(idCol), hashes.as("__h"))
+      .select(col(idCol), size(col("__h")).as("n_shingles"),
+        when(size(col("__h")) >= window,
+          array_sort(array_distinct(
+            transform(sequence(lit(window), size(col("__h"))),
+              i => array_min(slice(col("__h"), i - lit(window - 1),
+                lit(window)))))))
+          .otherwise(array().cast("array<long>")).as("__fp"))
+      .select(col(idCol), col("n_shingles"),
+        size(col("__fp")).as("n_fp"),
+        array_join(col("__fp"), ",").as("fps"))
+  }
+
+  /** BM25 top-k retrieval for a fixed term list (Lucene's non-negative
+    * idf variant): score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). Exactness recipe: N,
+    * df, tf, dl are integers; avgdl is ONE division of exact integers;
+    * per-term scores fold in SORTED TERM ORDER via the in-row ordered
+    * aggregate (the event-entropy recipe), so the sum's IEEE sequence is
+    * pinned; round(6) belt. k1 = 1.2, b = 0.75 enter through the same
+    * double literals both engines parse identically. Scale shape: df
+    * and avgdl are term/scalar-sized broadcasts; per-doc tf is an
+    * in-row count over the token array — the corpus is scanned ONCE. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.sorted,
+      s"terms must be non-empty and sorted, got $terms")
+    val toks = tokenStream(col(textCol))
+    val withTf = Query.ensureParallelism(docs)
+      .select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol), size(col("__tk")).cast("long").as("dl"),
+        array(terms.map(t =>
+          size(filter(col("__tk"), w => w === t)).cast("long")): _*)
+          .as("__tf"))
+      .localCheckpoint() // read twice: corpus stats + scoring
+    // corpus stats: one tiny row — N, avgdl, per-term df (array-aggregated
+    // in term order)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"),
+      array(terms.indices.map(i =>
+        sum(when(col("__tf")(i) > 0, 1L).otherwise(0L)).cast("long")): _*)
+        .as("__df"))
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        round(expr(
+          s"""aggregate(
+             |  zip_with(__tf, __df, (tf, df) -> struct(tf AS tf, df AS df)),
+             |  CAST(0.0 AS DOUBLE),
+             |  (acc, x) -> acc + CASE WHEN x.tf = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE ln(CAST(1.0 AS DOUBLE)
+             |            + (CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE)
+             |               + CAST(0.5 AS DOUBLE))
+             |              / (CAST(x.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             |      * (CAST(x.tf AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) + CAST($k1 AS DOUBLE)))
+             |      / (CAST(x.tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+             |         (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+             |          + CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)
+             |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+             |  END)""".stripMargin), 6).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint()
+    Dedup.freeCheckpoints(withTf)
+    scored
+  }
 }
