@@ -28,7 +28,11 @@ object Bench {
     // threshold before measuring anything; if it never does, the JSON
     // carries "load_discounted": true so the artifact names its own
     // invalidity instead of leaving it to post-hoc litigation.
-    val loadThreshold = 1.5
+    // 1.0, not 1.5 (r11 lesson): the judged artifact booted at 1.47 —
+    // "under threshold" by a hair — and ambient then ramped to 4.1
+    // mid-run, poisoning one per-round loop query 5×. Waiting for a
+    // genuinely quiet host costs at most the 5-minute bound.
+    val loadThreshold = 1.0
     def load1(): Double =
       try loadavg().split(" ").head.toDouble catch { case _: Throwable => 0.0 }
     val waitDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
@@ -65,6 +69,12 @@ object Bench {
     // optional name filter (iteration aid: `runMain graft.Bench q1 q2`
     // times just those queries). The driver passes no args — the judged
     // artifact is always the full suite.
+    // a typo'd name must fail loudly, not produce a structurally valid
+    // artifact that measured nothing (r11 advice)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        "names must match SparkEntry.queries keys exactly")
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1))
@@ -127,19 +137,31 @@ object Bench {
     }
     spark.catalog.clearCache()
     val loadStart = loadavg()
-    val results = selected.map { case (name, fn) =>
+    // per-query 1-min loadavg stamps (r11 lesson: one query read 5× its
+    // quiet value during an ambient ramp and the round had to be
+    // re-litigated). The absolute value mid-run includes OUR OWN 32
+    // threads (~5–9 while busy), so no fixed threshold is meaningful —
+    // instead every query carries the load it started under in the full
+    // JSON's "load1" map, and a poisoned reading shows as a spike over
+    // the run's own median after the fact.
+    val resultsL = selected.map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
       // previous query left behind, and force a GC so the ContextCleaner
       // reclaims stale broadcasts/shuffles NOW instead of mid-measurement
       // (cleanup is weak-reference driven; an idle 8g heap never triggers it)
       spark.catalog.clearCache()
       System.gc()
+      val ambientNow = load1()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, ambientNow)
     }
+    val load1ByQuery = resultsL.map { case (k, _, l) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(l))
+    }.mkString("{", ",", "}")
+    val results = resultsL.map { case (k, v, _) => (k, v) }
     // 3-decimal seconds keep the full-JSON line compact (≈3 KB for ~90
     // queries) so tail-limited line capture can still parse it whole
     def s3(v: Double): String =
@@ -153,7 +175,7 @@ object Bench {
     val warmErrJson = warmupErrors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
     // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only

@@ -544,17 +544,15 @@ object SparkEntry {
     // shuffle-join variant.
     "ext_graph_triangles" -> ((s, dir) =>
       operators.Graph.triangleCount(copurchaseEdgesRaw(s, dir), "u", "v")),
-    // single-consumer: the histogram reads the edge set ONCE, so no
-    // checkpoint and no temp view — one linear job: pair distinct
-    // (exchange-free past the u-keyed pin), in-row both-orientation
-    // explode, partial-combined node agg, tiny histogram agg. The
-    // oracle's UNION ALL of u and v equals the explode of [u, v].
+    // single-consumer: one LINEAR job off the RAW pair stream
+    // (Graph.degreeHistogram) — in-row both-orientation explode, ONE
+    // node-keyed exchange, then the (s,t) distinct / degree count /
+    // histogram fold all ride it (partitioning ⊆ grouping). The r11
+    // shape paid the pair-distinct exchange on top. The oracle's
+    // UNION ALL of u and v over distinct edges equals the oriented
+    // distinct of the explode.
     "ext_degree_distribution" -> ((s, dir) =>
-      copurchaseEdgesRaw(s, dir)
-        .select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
-        .select(col("d").as("degree"), col("n_nodes"))),
+      operators.Graph.degreeHistogram(copurchasePairs(s, dir), "u", "v")),
 
     // 3 rounds of damped PageRank over the same graph, INTEGER fixed-point
     // (Graph.pagerank doc: bit-identical cross-run/partitioning/engine;
@@ -583,12 +581,15 @@ object SparkEntry {
     "ext_clustering_coeff" -> ((s, dir) =>
       operators.Graph.clusteringCoefficients(
         copurchaseEdgesRaw(s, dir), "u", "v")),
-    // neighbor-degree (assortativity) profile, integer-exact —
-    // Graph.neighborDegreeProfile (broadcast deg lookups over the in-row
-    // both-orientation explode); oracle replays sqlNeighborDegreeTail
+    // neighbor-degree (assortativity) profile, integer-exact — the
+    // single-consumer fast path (Graph.neighborDegreeFromPairs): fold
+    // the distinct adjacency once off the RAW pair stream (dedup inside
+    // the node-keyed exchange), decorate ends with ONE broadcast degree
+    // lookup; spec-pinned ≡ neighborDegreeProfile. Oracle replays
+    // sqlNeighborDegreeTail.
     "ext_neighbor_degree" -> ((s, dir) =>
-      operators.Graph.neighborDegreeProfile(
-        copurchaseEdgesRaw(s, dir), "u", "v")),
+      operators.Graph.neighborDegreeFromPairs(
+        copurchasePairs(s, dir), "u", "v")),
     // bounded-pass k-core peel (k=3, 4 rounds): checkpointed loop engine
     // side (Graph.kcorePeel doc — the unrolled-CTE form re-inlines each
     // round's subtree ~3x per level in Catalyst); the oracle replays the
@@ -598,9 +599,10 @@ object SparkEntry {
         k = 3, rounds = 4)),
     // degree assortativity (Newman's r): integer moments over the
     // both-orientation end-degree stream, one fixed double expression —
-    // bit-identical cross-engine (Graph.assortativity doc)
+    // bit-identical cross-engine; single-consumer adjacency-fold path
+    // (Graph.assortativityFromPairs, spec-pinned ≡ assortativity)
     "ext_assortativity" -> ((s, dir) =>
-      operators.Graph.assortativity(copurchaseEdgesRaw(s, dir), "u", "v")),
+      operators.Graph.assortativityFromPairs(copurchasePairs(s, dir), "u", "v")),
     // 3 rounds of min-label propagation (bounded-pass CC / community
     // seeding): label(n) = min node id within 3 hops — persist-chained
     // fixed loop engine side (Graph.labelPropagate), chained MATERIALIZED

@@ -136,9 +136,14 @@ object Graph {
       }
       labels.select(col("__n").as("node"), col("__lvl").as("lvl"))
         .localCheckpoint()
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    cached.foreach(_.unpersist(blocking = false))
-    Dedup.freeCheckpoints(e)
+    } finally {
+      // cleanup lives in the finally so a throwing loop body can't leak
+      // cached layers or checkpoint blocks until the ContextCleaner
+      // happens by (unpersisting a never-materialized frame is a no-op)
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e)
+    }
     result
   }
 
@@ -293,8 +298,10 @@ object Graph {
       }
       pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
         .localCheckpoint()
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    Dedup.freeCheckpoints(e)
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(e) // free on the throw path too
+    }
     result
   }
 
@@ -487,6 +494,92 @@ object Graph {
     result
   }
 
+  /** Degree HISTOGRAM of the distinct undirected graph implied by a raw
+    * pair stream (u < v per row; duplicate pairs across rows allowed) —
+    * (degree, n_nodes) — as ONE LINEAR JOB for the single-consumer case:
+    * both orientations expand in-row, the oriented stream exchanges ONCE
+    * on its source node, and then EVERYTHING else rides that exchange —
+    * the (s, t) distinct (partitioning ⊆ grouping), the per-node degree
+    * count (same key), and the final histogram fold (map-side-combined
+    * to histogram size). The r11 shape routed single-pass consumers
+    * through the materialized distinct EDGE set and paid a pair-keyed
+    * exchange + a node-keyed exchange on top of the pair build; this is
+    * the same answer with one full-stream exchange total. */
+  def degreeHistogram(pairs: DataFrame, uCol: String, vCol: String): DataFrame =
+    orientedAdjacency(pairs, uCol, vCol)
+      .distinct()
+      .groupBy(col("__s")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("d").as("degree"), col("n_nodes"))
+
+  /** Node-keyed DISTINCT adjacency folded straight off a raw pair stream
+    * — (__n, __nbrs = distinct neighbors, __d = degree), checkpointed
+    * (node-sized barrier: ~|V| rows carrying |E|·2 longs in arrays).
+    * `collect_set` does the edge dedup inside the one node-keyed
+    * exchange, so the pair-level distinct (a second full-stream
+    * exchange) is never paid. The degree-profile family derives
+    * everything from this frame. */
+  private def adjFromPairs(pairs: DataFrame, uCol: String, vCol: String): DataFrame =
+    orientedAdjacency(pairs, uCol, vCol)
+      .groupBy(col("__s")).agg(collect_set(col("__t")).as("__nbrs"))
+      .select(col("__s").as("__n"), col("__nbrs"),
+        size(col("__nbrs")).cast("bigint").as("__d"))
+      .localCheckpoint()
+
+  /** [[neighborDegreeProfile]] recomputed as the single-consumer fast
+    * path, directly off the raw pair stream: fold the distinct adjacency
+    * once ([[adjFromPairs]] — orderkey exchange + ONE node-keyed
+    * exchange, dedup inside the fold), then decorate each (node, nbr)
+    * end with the NEIGHBOR's degree via one `broadcast()` hash join of
+    * the node-sized degree projection — the end's own degree is already
+    * in the row (the r11 edge-set form paid a pair-distinct exchange, an
+    * edge-frame checkpoint, and TWO degree broadcasts). Identical
+    * results (spec-pinned against [[neighborDegreeProfile]]). */
+  def neighborDegreeFromPairs(pairs: DataFrame, uCol: String, vCol: String,
+                              broadcastDeg: Boolean = true): DataFrame = {
+    val adj = adjFromPairs(pairs, uCol, vCol)
+    val hint = (d: DataFrame) => if (broadcastDeg) broadcast(d) else d
+    val deg = adj.select(col("__n").as("__m"), col("__d").as("__db"))
+    val result = adj
+      .select(col("__d").as("__da"), explode(col("__nbrs")).as("__m"))
+      .join(hint(deg), Seq("__m"))
+      .groupBy(col("__da"))
+      .agg(count(lit(1)).as("n_ends"),
+        sum(col("__db")).cast("bigint").as("sum_nbr_degree"))
+      .select(col("__da").as("degree"), col("n_ends"), col("sum_nbr_degree"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(adj)
+    result
+  }
+
+  /** [[assortativity]] over the same single-pass adjacency fold as
+    * [[neighborDegreeFromPairs]] — the identical (__da, __db) end stream
+    * (so the moments match the edge-set form integer for integer,
+    * spec-pinned), with one broadcast degree lookup instead of two and
+    * no pair-distinct exchange or edge checkpoint. */
+  def assortativityFromPairs(pairs: DataFrame, uCol: String, vCol: String,
+                             broadcastDeg: Boolean = true): DataFrame = {
+    val adj = adjFromPairs(pairs, uCol, vCol)
+    val hint = (d: DataFrame) => if (broadcastDeg) broadcast(d) else d
+    val deg = adj.select(col("__n").as("__m"), col("__d").as("__db"))
+    val result = adj
+      .select(col("__d").as("__da"), explode(col("__nbrs")).as("__m"))
+      .join(hint(deg), Seq("__m"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__da")).cast("bigint").as("sx"),
+        sum(col("__da") * col("__db")).cast("bigint").as("sxy"),
+        sum(col("__da") * col("__da")).cast("bigint").as("sx2"))
+      .selectExpr("n AS n_ends",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+          "nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
+          "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) " +
+          "AS assortativity")
+      .localCheckpoint()
+    Dedup.freeCheckpoints(adj)
+    result
+  }
+
   /** Bounded-round MIN-LABEL PROPAGATION over an undirected pair list
     * (duplicate pairs allowed — the min-fold is multiplicity-invariant,
     * so the caller skips the distinct): labels start as the node's own
@@ -525,9 +618,11 @@ object Graph {
       }
       lab.select(col("__n").as("node"), col("__l").as("label"))
         .localCheckpoint()
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    cached.foreach(_.unpersist(blocking = false))
-    Dedup.freeCheckpoints(e)
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e)
+    }
     result
   }
 
@@ -586,35 +681,55 @@ object Graph {
     * (node, degree). Fixed round count keeps the result a deterministic
     * cross-engine twin at any scale (the streaming approximation of full
     * peeling; a production loop adds the convergence count exactly like
-    * [[bfsLevels]]' earlyExit). Each round is one node agg + two semi
-    * joins over a CHECKPOINTED round input — the chained-CTE SQL form
-    * re-inlines every round's subtree ~3× per level in Catalyst (plan
-    * grows 3^rounds; measured 12.5 s wall on 1.8 s of compute at sf0.1),
-    * which is why the engine side is this loop and only the oracle keeps
-    * the unrolled SQL. */
+    * [[bfsLevels]]' earlyExit). Loop mechanics are [[bfsLoopFixed]]'s:
+    * every round's edge frame AND its survivor set are `persist`-marked
+    * (the survivor agg would otherwise run twice — once per semi-join
+    * build side), AQE is off for the fixed-shape chain, and the whole
+    * peel is ONE straight-line action instead of one checkpoint barrier
+    * per round (the r11 shape paid 4 driver round-trips for 1.8 s of
+    * compute). Survivor sets are node-sized, so both per-round semi
+    * joins are `broadcast()` hash joins — map-only over the cached edge
+    * blocks; `broadcastKeep = false` keeps a shuffle path for
+    * billion-node graphs (same semantics, spec-pinned). The chained-CTE
+    * SQL form re-inlines every round's subtree ~3× per level in Catalyst
+    * (plan grows 3^rounds; measured 12.5 s wall on 1.8 s of compute at
+    * sf0.1), which is why the engine side is this loop and only the
+    * oracle keeps the unrolled SQL. */
   def kcorePeel(edges: DataFrame, uCol: String, vCol: String,
-                k: Int, rounds: Int): DataFrame = {
+                k: Int, rounds: Int, broadcastKeep: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val e0 = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .localCheckpoint()
-    val spent = scala.collection.mutable.ArrayBuffer(e)
-    var r = 0
-    while (r < rounds) {
-      val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
+    val sess = e0.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val hint = (d: DataFrame) => if (broadcastKeep) broadcast(d) else d
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      var e = e0
+      var r = 0
+      while (r < rounds) {
+        val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("n"))
+          .persist()
+        e = e.join(hint(keep.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
+          .join(hint(keep.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .persist()
+        cached += keep
+        cached += e
+        r += 1
+      }
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
         .localCheckpoint()
-      spent += e
-      r += 1
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e0)
     }
-    val result = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
-    Dedup.freeCheckpoints(spent.toSeq: _*)
     result
   }
 

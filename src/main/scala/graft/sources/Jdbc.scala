@@ -83,42 +83,162 @@ object Jdbc {
     * target's throughput instead of sharing one global constant. `append`
     * semantics; at-least-once like taps (a task retry after a partial
     * commit re-sends the partition — [[graft.Transfer.verifyTransfer]] /
-    * repair converges, T3). Exhausted retries (2, like
-    * `lib/taps/utils.rb:103-111`) fail the task loudly. */
+    * repair converges, T3). Per-batch commits bound the target's
+    * transaction size (each batch ≙ one taps POST), which means a Spark
+    * TASK retry re-inserts the rows its predecessor already committed —
+    * on a PK-constrained target (which [[graft.Transfer.pullToJdbc]]
+    * creates) those re-sends surface as duplicate-key violations, so the
+    * failure path degrades to per-row inserts that SWALLOW integrity
+    * violations and keep everything else loud
+    * (`tolerateDuplicates = false` restores fail-fast for targets where
+    * a duplicate key means corruption, not a retry). A batch failure
+    * also taps-style resets the controller 10 → 1 AND reopens the
+    * connection when the old one died mid-batch (the broken-pipe
+    * reconnect of `lib/taps/utils.rb:103-111`); exhausted retries (2)
+    * fail the task loudly.
+    *
+    * Identifiers and nulls follow the target's own truth, the way
+    * Spark's built-in JDBC writer does: the INSERT's column list uses
+    * the CANONICAL names read back from the target (matched
+    * case-insensitively, quoted through the url's `JdbcDialect`), and
+    * NULLs bind via `setNull` with the column's probed
+    * `java.sql.Types` code — `setObject(i, null)` makes many drivers
+    * (PostgreSQL notably) throw "can't infer the SQL type". */
   def writeAdaptive(df: DataFrame, url: String, table: String,
-                    chunkSize: Int = graft.streaming.ChunkSizer.Default): Unit = {
-    val cols = df.schema.fieldNames
-    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val width = cols.length
+                    chunkSize: Int = graft.streaming.ChunkSizer.Default,
+                    tolerateDuplicates: Boolean = true): Unit = {
+    val (insertSql, types) = insertPlan(url, table, df.schema.fieldNames)
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(insertSql)
-          val (written, fin) = adaptiveWriteLoop[Row](rows, (batch, _) => {
-            ps.clearBatch()
-            try {
-              batch.foreach { r =>
-                var i = 0
-                while (i < width) { ps.setObject(i + 1, r.get(i)); i += 1 }
-                ps.addBatch()
-              }
-              ps.executeBatch()
-              conn.commit()
-            } catch {
-              case e: Exception =>
-                try conn.rollback() catch { case _: Exception => () }
-                throw e
-            }
-          }, graft.streaming.ChunkSizer(chunkSize))
-          if (fin.exhausted)
-            throw new java.sql.SQLException(
-              s"adaptive write to $table aborted after retries " +
-                s"($written rows committed in this partition)")
-        } finally conn.close()
+      writePartitionAdaptive(rows, insertSql, types,
+        () => DriverManager.getConnection(url), table, chunkSize,
+        tolerateDuplicates)
+      ()
+    }
+  }
+
+  /** Driver-side probe behind [[writeAdaptive]]: the INSERT statement
+    * (target-canonical column names, dialect-quoted) and the per-column
+    * `java.sql.Types` codes for null binding — both read from the
+    * target's own metadata via a zero-row SELECT, so they are right for
+    * whatever DDL actually created the table. DataFrame columns absent
+    * from the target fail loudly here, before any executor connects. */
+  def insertPlan(url: String, table: String,
+                 cols: Seq[String]): (String, Array[Int]) = {
+    val dialect = JdbcDialects.get(url)
+    val resolved = withConnection(url) { conn =>
+      val rs = conn.prepareStatement(s"SELECT * FROM $table WHERE 1=0")
+        .executeQuery()
+      val md = rs.getMetaData
+      val byLower = (1 to md.getColumnCount).map { i =>
+        md.getColumnName(i).toLowerCase -> ((md.getColumnName(i), md.getColumnType(i)))
+      }.toMap
+      cols.map(c => byLower.getOrElse(c.toLowerCase,
+        throw new java.sql.SQLException(
+          s"column $c not found in $table (target has: " +
+            s"${byLower.keys.toSeq.sorted.mkString(", ")})")))
+    }
+    val insertSql = s"INSERT INTO $table " +
+      s"(${resolved.map(c => dialect.quoteIdentifier(c._1)).mkString(", ")}) " +
+      s"VALUES (${resolved.map(_ => "?").mkString(", ")})"
+    (insertSql, resolved.map(_._2).toArray)
+  }
+
+  /** Integrity-constraint detection across driver spellings: a direct
+    * `SQLIntegrityConstraintViolationException`, any exception in the
+    * chain with SQLState class 23 (integrity constraint violation), or
+    * either buried inside a `BatchUpdateException`'s next-exception
+    * chain (Derby reports batch duplicate keys as XJ208 → 23505). */
+  private def isIntegrityViolation(e: java.sql.SQLException): Boolean = {
+    var cur = e
+    var hops = 0
+    while (cur != null && hops < 10) {
+      if (cur.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException])
+        return true
+      val st = cur.getSQLState
+      if (st != null && st.startsWith("23")) return true
+      cur = cur.getNextException
+      hops += 1
+    }
+    false
+  }
+
+  /** One partition's adaptive write — the executor-side body of
+    * [[writeAdaptive]], with the connection FACTORY injectable so a spec
+    * can hand it connections that die mid-write and watch the loop
+    * reconnect and converge. Failure path per batch: rollback, reopen
+    * the connection if the old one is dead, rethrow into
+    * [[adaptiveWriteLoop]] (which resets the controller and re-chunks
+    * the same rows smaller); duplicate-key violations instead degrade to
+    * per-row inserts that swallow ONLY integrity violations (task-retry
+    * convergence). Returns rows written (duplicates skipped count as
+    * written — they are on the target). */
+  def writePartitionAdaptive(rows: Iterator[Row], insertSql: String,
+                             types: Array[Int], connect: () => Connection,
+                             table: String, chunkSize: Int,
+                             tolerateDuplicates: Boolean): Long = {
+    if (!rows.hasNext) return 0L
+    val width = types.length
+    var conn: Connection = null
+    var ps: java.sql.PreparedStatement = null
+    def reconnect(): Unit = {
+      if (conn != null) try conn.close() catch { case _: Exception => () }
+      conn = connect()
+      conn.setAutoCommit(false)
+      ps = conn.prepareStatement(insertSql)
+    }
+    def bind(r: Row): Unit = {
+      var i = 0
+      while (i < width) {
+        if (r.isNullAt(i)) ps.setNull(i + 1, types(i))
+        else ps.setObject(i + 1, r.get(i))
+        i += 1
       }
+    }
+    reconnect()
+    try {
+      val (written, fin) = adaptiveWriteLoop[Row](rows, (batch, _) => {
+        try {
+          ps.clearBatch()
+          batch.foreach { r => bind(r); ps.addBatch() }
+          ps.executeBatch()
+          conn.commit()
+        } catch {
+          case e: java.sql.SQLException
+              if tolerateDuplicates && isIntegrityViolation(e) =>
+            // a retried task re-sending committed rows: converge row by
+            // row — commit per row so a violation can't poison siblings
+            // on engines that abort the whole txn on any error
+            try conn.rollback() catch { case _: Exception => () }
+            batch.foreach { r =>
+              try { bind(r); ps.execute(); conn.commit() }
+              catch {
+                case re: java.sql.SQLException if isIntegrityViolation(re) =>
+                  try conn.rollback() catch { case _: Exception => () }
+                case other: Exception =>
+                  try conn.rollback() catch { case _: Exception => () }
+                  throw other
+              }
+            }
+          case e: Exception =>
+            try conn.rollback() catch { case _: Exception => () }
+            // taps' broken pipe: a dead connection must be replaced
+            // BEFORE adaptiveWriteLoop retries the same rows smaller
+            val dead = try conn.isClosed || !conn.isValid(2)
+              catch { case _: Exception => true }
+            if (dead) {
+              try reconnect()
+              catch { case _: Exception => () } // retry loop will fail loudly
+            }
+            throw e
+        }
+      }, graft.streaming.ChunkSizer(chunkSize))
+      if (fin.exhausted)
+        throw new java.sql.SQLException(
+          s"adaptive write to $table aborted after retries " +
+            s"($written rows committed in this partition)")
+      written
+    } finally {
+      if (conn != null) try conn.close() catch { case _: Exception => () }
     }
   }
 

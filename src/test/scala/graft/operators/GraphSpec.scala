@@ -94,7 +94,92 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       val want = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
         .map { case (n, xs) => n -> xs.size.toLong }
       assert(got == want, s"k=$k rounds=$rounds")
+      // shuffle semi-join path (billion-node graphs): identical result
+      val shuffled = Graph.kcorePeel(df, "u", "v", k, rounds,
+          broadcastKeep = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shuffled == want, s"k=$k rounds=$rounds shuffle path")
     }
+  }
+
+  test("labelPropagate equals the brute-force r-hop min-label fold, and " +
+      "duplicate pairs change nothing (min-fold multiplicity-invariant)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val nbrs = nodes.map { n =>
+      n -> pairs.collect {
+        case (u, v) if u == n => v
+        case (u, v) if v == n => u
+      }.toSet
+    }.toMap
+    for (rounds <- Seq(1, 3)) {
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds)
+        lab = nodes.map(n =>
+          n -> (nbrs(n).map(lab) + lab(n)).min).toMap
+      val got = Graph.labelPropagate(pairs.toDF("u", "v"), "u", "v", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lab, s"rounds=$rounds")
+      // duplicated pair stream → same labels
+      val dup = (pairs ++ pairs.take(40)).toDF("u", "v")
+      val got2 = Graph.labelPropagate(dup, "u", "v", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == lab, s"rounds=$rounds with duplicate pairs")
+    }
+  }
+
+  test("assortativity equals directly computed Pearson moments; a regular " +
+      "graph (zero degree variance) yields NULL") {
+    import spark.implicits._
+    val (es, _) = randomGraph(31, 28, 260)
+    val deg = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val ends = es.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+      .map { case (a, b) => (deg(a), deg(b)) }
+    val n = ends.size.toDouble
+    val sx = ends.map(_._1).sum.toDouble
+    val sxy = ends.map(p => p._1 * p._2).sum.toDouble
+    val sx2 = ends.map(p => p._1 * p._1).sum.toDouble
+    val want = BigDecimal((n * sxy - sx * sx) / (n * sx2 - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Graph.assortativity(es.toDF("u", "v"), "u", "v").collect()(0)
+    assert(row.getLong(0) == ends.size.toLong)
+    assert(math.abs(row.getDouble(1) - want) < 2e-6)
+    // 4-cycle: every degree is 2 → zero variance → NULL r (both engines)
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(Graph.assortativity(ring, "u", "v").collect()(0).isNullAt(1))
+  }
+
+  test("single-pass pair-stream forms equal the edge-set forms: " +
+      "degreeHistogram / neighborDegreeFromPairs / assortativityFromPairs " +
+      "(duplicate pairs in the stream, both join paths)") {
+    import spark.implicits._
+    val (es, _) = randomGraph(37, 30, 300)
+    // raw pair stream with cross-row duplicates — the itemPairs shape
+    val raw = (es ++ es.take(70)).toDF("u", "v")
+    val edges = es.toDF("u", "v")
+    val wantHist = es.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val gotHist = Graph.degreeHistogram(raw, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist == wantHist)
+    val wantProfile = Graph.neighborDegreeProfile(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (bcast <- Seq(true, false)) {
+      val gotProfile = Graph.neighborDegreeFromPairs(raw, "u", "v", bcast)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(gotProfile == wantProfile, s"broadcastDeg=$bcast")
+    }
+    val wantR = Graph.assortativity(edges, "u", "v").collect()(0)
+    val gotR = Graph.assortativityFromPairs(raw, "u", "v").collect()(0)
+    assert(gotR.getLong(0) == wantR.getLong(0))
+    assert(math.abs(gotR.getDouble(1) - wantR.getDouble(1)) < 1e-9)
   }
 
   test("itemPairs equals the self-join + distinct formulation (same edge " +

@@ -88,6 +88,102 @@ class JdbcRoundtripSpec extends AnyFunSuite with SparkSpec {
     assert(r.head.rows == df.count())
   }
 
+  // -- dynamic-proxy plumbing for the kill-connection fixture ------------
+  private def unwrapInvoke(target: AnyRef, m: java.lang.reflect.Method,
+                           args: Array[AnyRef]): AnyRef =
+    try m.invoke(target, args: _*)
+    catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+
+  /** A Connection that delegates to a real Derby connection but KILLS the
+    * underlying session (close + throw SQLNonTransientConnectionException)
+    * on the (dieAfter+1)-th executeBatch — taps' broken pipe, live. */
+  private def dyingConnection(real: java.sql.Connection, dieAfter: Int): java.sql.Connection = {
+    var batches = 0
+    java.lang.reflect.Proxy.newProxyInstance(
+      classOf[java.sql.Connection].getClassLoader,
+      Array[Class[_]](classOf[java.sql.Connection]),
+      (_, m, a) => {
+        val args = if (a == null) Array.empty[AnyRef] else a
+        val res = unwrapInvoke(real, m, args)
+        if (m.getName == "prepareStatement") {
+          val ps = res.asInstanceOf[java.sql.PreparedStatement]
+          java.lang.reflect.Proxy.newProxyInstance(
+            classOf[java.sql.PreparedStatement].getClassLoader,
+            Array[Class[_]](classOf[java.sql.PreparedStatement]),
+            (_, m2, a2) => {
+              val args2 = if (a2 == null) Array.empty[AnyRef] else a2
+              if (m2.getName == "executeBatch") {
+                batches += 1
+                if (batches > dieAfter) {
+                  try real.rollback() catch { case _: Exception => () }
+                  real.close()
+                  throw new java.sql.SQLNonTransientConnectionException(
+                    "connection died mid-write (test fixture)")
+                }
+              }
+              unwrapInvoke(ps, m2, args2)
+            }).asInstanceOf[AnyRef]
+        } else res
+      }).asInstanceOf[java.sql.Connection]
+  }
+
+  test("writePartitionAdaptive survives a connection killed mid-write: " +
+      "reconnects, resets the controller, converges loss-free — T5 live " +
+      "(the broken-pipe reset of lib/taps/utils.rb:103-111)") {
+    import org.apache.spark.sql.Row
+    Jdbc.dropTableIfExists(url, "die_target")
+    Jdbc.execute(url, "CREATE TABLE die_target (id INT NOT NULL, " +
+      "name VARCHAR(50), val INT, PRIMARY KEY (id))")
+    // a NULL mid-stream also exercises the schema-driven setNull path live
+    val rows = (0 until 100).map(i =>
+      Row(i, if (i % 10 == 3) null else s"name_$i", i * 7))
+    val (insertSql, types) = Jdbc.insertPlan(url, "die_target", Seq("id", "name", "val"))
+    assert(insertSql.contains("\"ID\"")) // dialect-quoted canonical names
+    var connects = 0
+    val factory = () => {
+      connects += 1
+      val real = java.sql.DriverManager.getConnection(url)
+      if (connects == 1) dyingConnection(real, dieAfter = 2) else real
+    }
+    val written = Jdbc.writePartitionAdaptive(rows.iterator, insertSql, types,
+      factory, "die_target", chunkSize = 20, tolerateDuplicates = true)
+    assert(connects == 2, "the loop must have reconnected exactly once")
+    assert(written == 100)
+    assert(Jdbc.queryLong(url, "SELECT count(*) FROM die_target").contains(100L))
+    assert(Jdbc.queryLong(url, "SELECT count(DISTINCT id) FROM die_target").contains(100L))
+    assert(Jdbc.queryLong(url, "SELECT sum(val) FROM die_target")
+      .contains((0 until 100).map(_ * 7L).sum))
+    assert(Jdbc.queryLong(url,
+      "SELECT count(*) FROM die_target WHERE name IS NULL").contains(10L))
+  }
+
+  test("writePartitionAdaptive task-retry convergence: duplicate keys are " +
+      "swallowed row-by-row when tolerated, loud when not — T3 live") {
+    import org.apache.spark.sql.Row
+    Jdbc.dropTableIfExists(url, "dup_target")
+    Jdbc.execute(url, "CREATE TABLE dup_target (id INT NOT NULL, " +
+      "val INT, PRIMARY KEY (id))")
+    val (insertSql, types) = Jdbc.insertPlan(url, "dup_target", Seq("id", "val"))
+    val connect = () => java.sql.DriverManager.getConnection(url)
+    // first attempt commits rows 0..59 then "fails" (simulated by just
+    // stopping); the retried task re-sends the WHOLE partition
+    Jdbc.writePartitionAdaptive((0 until 60).map(i => Row(i, i)).iterator,
+      insertSql, types, connect, "dup_target", 25, tolerateDuplicates = true)
+    val retried = Jdbc.writePartitionAdaptive((0 until 100).map(i => Row(i, i)).iterator,
+      insertSql, types, connect, "dup_target", 25, tolerateDuplicates = true)
+    assert(retried == 100)
+    assert(Jdbc.queryLong(url, "SELECT count(*) FROM dup_target").contains(100L))
+    assert(Jdbc.queryLong(url, "SELECT sum(val) FROM dup_target")
+      .contains((0 until 100).map(_.toLong).sum))
+    // fail-fast mode: the same re-send aborts after controller exhaustion
+    intercept[java.sql.SQLException] {
+      Jdbc.writePartitionAdaptive((0 until 100).map(i => Row(i, i)).iterator,
+        insertSql, types, connect, "dup_target", 25, tolerateDuplicates = false)
+    }
+    // and the loud path committed nothing new
+    assert(Jdbc.queryLong(url, "SELECT count(*) FROM dup_target").contains(100L))
+  }
+
   test("adaptiveWriteLoop drives real batched INSERTs — S5's hot loop live") {
     Jdbc.dropTableIfExists(url, "loop_target")
     val source = Tables.load(spark, src, "customer")
