@@ -610,6 +610,55 @@ object SparkEntry {
     "ext_label_prop" -> ((s, dir) =>
       operators.Graph.labelPropagate(copurchasePairs(s, dir), "u", "v",
         rounds = 3)),
+    // CONNECTED COMPONENTS to FIXPOINT (hash-min label propagation with
+    // the liveness action riding the round materialization) over the
+    // SUPPORT-FILTERED co-purchase graph (pairs sharing ≥ 2 orders —
+    // sparse, genuinely multi-component); output = per-component sizes.
+    // Oracle: recursive-UNION min-reachability (exact at any diameter;
+    // DuckDB dedups per step, so it terminates on cycles). The min-label
+    // always survives the l < t pruning because it is smaller than every
+    // node it must pass through.
+    "ext_graph_components" -> ((s, dir) =>
+      operators.Graph.connectedComponentsMinLabel(
+          copurchaseSupportEdges(s, dir, minSupport = 2), "u", "v")
+        .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))),
+    // closeness/harmonic centrality from the 4 smallest node ids: ONE
+    // multi-source BFS loop (labels keyed (src, node) — batch the seeds,
+    // not the loop), depth ≤ 6; harmonic is kept integer-exact as
+    // Σ 60 div lvl (60 = lcm(1..6), so every reciprocal is exact)
+    "ext_closeness_centrality" -> ((s, dir) =>
+      operators.Graph.multiSourceBfs(copurchasePairs(s, dir), "u", "v",
+          nSources = 4, maxDepth = 6)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("lvl")).cast("bigint").as("sum_dist"),
+          sum(when(col("lvl") > 0, expr("60 div lvl")).otherwise(0L))
+            .cast("bigint").as("harmonic_x60"))),
+    // bounded Bellman-Ford (4 relaxation rounds) from the minimum node
+    // over the SUPPORT-WEIGHTED co-purchase graph: w = 1 + 20 div
+    // support, so frequently co-purchased pairs are cheap hops —
+    // all-integer path costs, bit-identical cross-engine
+    "ext_sssp_bounded" -> ((s, dir) =>
+      operators.Graph.ssspBounded(copurchaseWeightedEdges(s, dir),
+        "u", "v", "w", rounds = 4)),
+    // one k-truss peel round (k=4: drop edges in < 2 triangles), then
+    // the induced support histogram — Graph.trussPeel (edge-iterator
+    // support via the triangle-corner stream; the oracle replays the
+    // rounds with the portable wedge-pair-count formulation)
+    "ext_ktruss" -> ((s, dir) =>
+      operators.Graph.trussPeel(copurchaseEdgesRaw(s, dir), "u", "v",
+        k = 4, rounds = 1)),
+    // top-20 edges by neighborhood Jaccard (common-neighbors link
+    // strength): |N∩| from the triangle-corner stream, one IEEE division
+    // over exact integers, (u, v) tie-break — deterministic top-k cut
+    "ext_edge_jaccard_topk" -> ((s, dir) =>
+      operators.Graph.edgeJaccardTopK(copurchaseEdgesRaw(s, dir), "u", "v",
+        k = 20)),
+    // global clustering summary: wedges (Σ d(d−1)/2, integer), triangles
+    // (edge-iterator), transitivity = 3·△/wedges — one row, one division
+    "ext_transitivity" -> ((s, dir) =>
+      operators.Graph.transitivitySummary(copurchaseEdgesRaw(s, dir),
+        "u", "v")),
     // rolling EXACT median/p90 over a 15-row trailing frame — the robust
     // telemetry smoother (sorts each frame; both engines interpolate on
     // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
@@ -2780,6 +2829,12 @@ object SparkEntry {
     "ext_kcore_peel" -> sqlKcorePeel,
     "ext_assortativity" -> sqlAssortativity,
     "ext_label_prop" -> sqlLabelProp,
+    "ext_graph_components" -> sqlGraphComponents,
+    "ext_closeness_centrality" -> sqlClosenessCentrality,
+    "ext_sssp_bounded" -> sqlSsspBounded,
+    "ext_ktruss" -> sqlKtruss,
+    "ext_edge_jaccard_topk" -> sqlEdgeJaccardTopk,
+    "ext_transitivity" -> sqlTransitivity,
     "ext_jaccard_against_ref" -> sqlJaccardAgainstCte(7, 10),
     // build aggregated per (keys, ts) exactly like the engine side; lag
     // over the per-ts-unique build IS the strict backward as-of
@@ -4415,6 +4470,31 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism, col("u"))
       .distinct()
 
+  /** Co-purchase SUPPORT table (u, v, c): c = number of orders sharing
+    * the pair — one exchange-free count over the per-order-unique pair
+    * stream past the u-keyed pin (partitioning ⊆ grouping). The oracle
+    * twin counts DISTINCT orderkeys off the raw self-join. */
+  private def copurchaseSupport(s: SparkSession, dir: String): DataFrame =
+    copurchasePairs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("u"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+
+  /** The support-thresholded co-purchase subgraph — sparse and genuinely
+    * multi-component at minSupport = 2 (the full graph is one giant
+    * component; thresholding is how market-basket analysis separates
+    * signal pairs from coincidence). */
+  private def copurchaseSupportEdges(s: SparkSession, dir: String,
+                                     minSupport: Int): DataFrame =
+    copurchaseSupport(s, dir).filter(col("c") >= minSupport)
+      .select(col("u"), col("v"))
+
+  /** Support-weighted co-purchase edges (u, v, w): w = 1 + 20 div c —
+    * frequently co-purchased pairs are cheap hops; integer weights keep
+    * bounded Bellman-Ford bit-identical cross-engine. */
+  private def copurchaseWeightedEdges(s: SparkSession, dir: String): DataFrame =
+    copurchaseSupport(s, dir)
+      .select(col("u"), col("v"), expr("CAST(1 + 20 div c AS BIGINT)").as("w"))
+
   /** Oracle-side co-purchase edges CTE — the portable self-join twin of
     * [[copurchaseEdgesRaw]]; both produce the same distinct (u < v)
     * set. (Every graph consumer now checkpoints the edge frame inside
@@ -4572,6 +4652,154 @@ object SparkEntry {
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
         |  AS assortativity
         |FROM mm""".stripMargin
+
+  /** Co-purchase support CTE — orders shared per distinct pair (the
+    * DISTINCT inside guards against a part appearing in several
+    * lineitems of one order; engine: count over per-order-unique
+    * itemPairs). */
+  private val sqlSupportCte: String =
+    """sup AS (SELECT u, v, count(*) AS c FROM (
+      |    SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS u, b.l_partkey AS v
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) p
+      |  GROUP BY u, v),
+      |""".stripMargin
+
+  /** Connected components over the support ≥ 2 subgraph: recursive-UNION
+    * min-reachability — (n, l) pairs accumulate only labels l < n (the
+    * component min is smaller than every node it must pass through, so
+    * the pruning never loses it), exact at ANY diameter (engine:
+    * Graph.connectedComponentsMinLabel's fixpoint loop). */
+  private val sqlGraphComponents: String =
+    "WITH RECURSIVE " + sqlSupportCte +
+      """edges AS (SELECT u, v FROM sup WHERE c >= 2),
+        |de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |r AS (SELECT s AS n, s AS l FROM de
+        |  UNION
+        |  SELECT d.t, r.l FROM r JOIN de d ON d.s = r.n WHERE r.l < d.t),
+        |m AS (SELECT n, min(l) AS l FROM r GROUP BY n)
+        |SELECT l AS component, count(*) AS n_nodes FROM m GROUP BY l""".stripMargin
+
+  /** Multi-source depth-bounded BFS (recursive UNION carrying src), then
+    * closeness/harmonic per source; 60 div lvl is exact for lvl ≤ 6. */
+  private val sqlClosenessCentrality: String =
+    ("WITH RECURSIVE " + sqlEdgesSelfJoinCte +
+      """de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |srcs AS (SELECT n FROM (SELECT u AS n FROM edges
+        |    UNION SELECT v FROM edges) q ORDER BY n LIMIT 4),
+        |bfs AS (SELECT n AS src, n AS node, 0 AS lvl FROM srcs
+        |  UNION
+        |  SELECT b.src, d.t, b.lvl + 1 FROM bfs b JOIN de d ON d.s = b.node
+        |  WHERE b.lvl < 6),
+        |m AS (SELECT src, node, min(lvl) AS lvl FROM bfs GROUP BY src, node)
+        |SELECT src, count(*) AS n_reached,
+        |  CAST(sum(lvl) AS BIGINT) AS sum_dist,
+        |  CAST(sum(CASE WHEN lvl > 0 THEN 60 // lvl ELSE 0 END) AS BIGINT)
+        |    AS harmonic_x60
+        |FROM m GROUP BY src""".stripMargin)
+
+  /** Bounded Bellman-Ford, `rounds` chained MATERIALIZED relaxations
+    * over the support-weighted graph (engine: Graph.ssspBounded). */
+  private def sqlSsspTail(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """we AS MATERIALIZED (
+        |  SELECT u AS s, v AS t, CAST(1 + 20 // c AS BIGINT) AS w FROM sup
+        |  UNION ALL
+        |  SELECT v, u, CAST(1 + 20 // c AS BIGINT) FROM sup),
+        |d0 AS MATERIALIZED (SELECT CAST((SELECT min(u) FROM sup) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS d)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |d$r AS MATERIALIZED (SELECT n, min(d) AS d FROM (
+        |    SELECT n, d FROM d${r - 1}
+        |    UNION ALL
+        |    SELECT e.t AS n, x.d + e.w AS d FROM we e JOIN d${r - 1} x ON e.s = x.n) q
+        |  GROUP BY n)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n AS node, CAST(d AS BIGINT) AS dist FROM d$rounds""".stripMargin)
+    sb.toString
+  }
+
+  private val sqlSsspBounded: String =
+    "WITH " + sqlSupportCte.stripSuffix(",\n") + ",\n" + sqlSsspTail(4)
+
+  /** Per-edge common-neighbor counts via TRIANGLE-CORNER unpivot over a
+    * degree-ORIENTED wedge/close join — the engine's formulation in
+    * portable SQL, suffix-parameterized so a peeled subgraph can replay
+    * it. The naive all-pairs wedge GROUP BY reads the same 41 M wedges
+    * but materializes ~30 M distinct pair groups (measured 44 s / DNF at
+    * sf0.1 in DuckDB); orientation + closing FIRST shrinks the stream to
+    * triangle size before any aggregation (the same 7 s plan the
+    * triangle oracle runs). Expects `e$sfx(u, v)` defined upstream. */
+  private def sqlEdgeSupportCte(sfx: String): String =
+    s"""deg$sfx AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+       |    SELECT u AS n FROM e$sfx UNION ALL SELECT v AS n FROM e$sfx) x
+       |  GROUP BY n),
+       |ore$sfx AS MATERIALIZED (SELECT
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS t,
+       |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN db.d ELSE da.d END AS dt
+       |  FROM e$sfx e JOIN deg$sfx da ON e.u = da.n JOIN deg$sfx db ON e.v = db.n),
+       |tri$sfx AS MATERIALIZED (SELECT wg.s, wg.v, wg.w
+       |  FROM (SELECT a.s AS s, a.t AS v, b.t AS w FROM ore$sfx a JOIN ore$sfx b
+       |        ON a.s = b.s WHERE (a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t)) wg
+       |  JOIN ore$sfx c ON wg.v = c.s AND wg.w = c.t),
+       |cn$sfx AS MATERIALIZED (SELECT ea AS u, eb AS v, count(*) AS sup FROM (
+       |    SELECT least(s, v) AS ea, greatest(s, v) AS eb FROM tri$sfx
+       |    UNION ALL SELECT least(s, w), greatest(s, w) FROM tri$sfx
+       |    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$sfx) x
+       |  GROUP BY ea, eb),
+       |sup$sfx AS (SELECT e.u, e.v, CAST(coalesce(c.sup, 0) AS BIGINT) AS support
+       |  FROM e$sfx e LEFT JOIN cn$sfx c ON c.u = e.u AND c.v = e.v)""".stripMargin
+
+  /** One k-truss peel round + induced support histogram: two passes of
+    * [[sqlEdgeSupportCte]]'s corner-unpivot support (engine:
+    * Graph.trussPeel's identical triangle-corner stream). */
+  private val sqlKtruss: String =
+    "WITH " + sqlEdgesSelfJoinCte +
+      "e0 AS MATERIALIZED (SELECT u, v FROM edges),\n" +
+      sqlEdgeSupportCte("0") + ",\n" +
+      "e1 AS MATERIALIZED (SELECT u, v FROM sup0 WHERE support >= 2),\n" +
+      sqlEdgeSupportCte("1") + "\n" +
+      "SELECT support, count(*) AS n_edges FROM sup1 GROUP BY support"
+
+  /** Top-20 edges by neighborhood Jaccard — corner-unpivot support + the
+    * degree CTE; one IEEE division over exact integers, (u, v)
+    * tie-break. */
+  private val sqlEdgeJaccardTopk: String =
+    "WITH " + sqlEdgesSelfJoinCte +
+      "e0 AS MATERIALIZED (SELECT u, v FROM edges),\n" +
+      sqlEdgeSupportCte("0") + "\n" +
+      """SELECT s.u, s.v, s.support AS common,
+        |  round(CAST(s.support AS DOUBLE)
+        |    / (CAST(da.d AS DOUBLE) + CAST(db.d AS DOUBLE)
+        |       - CAST(s.support AS DOUBLE)), 6) AS jaccard
+        |FROM sup0 s
+        |JOIN deg0 da ON da.n = s.u JOIN deg0 db ON db.n = s.v
+        |ORDER BY jaccard DESC, s.u, s.v LIMIT 20""".stripMargin
+
+  /** Global clustering summary: integer wedge total off the degree CTE +
+    * the shared orientation/wedge/close triangle tail, one division. */
+  private val sqlTransitivity: String =
+    "WITH " + sqlEdgesSelfJoinCte + sqlDegCte +
+      """,
+        |wt AS (SELECT CAST(coalesce(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+        |  AS n_wedges FROM deg),
+        |ore AS (SELECT
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN db.d ELSE da.d END AS dt
+        |  FROM edges e JOIN deg da ON e.u = da.n JOIN deg db ON e.v = db.n),
+        |wedge AS (SELECT a.t AS v, b.t AS w FROM ore a JOIN ore b ON a.s = b.s
+        |          WHERE (a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t)),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM wedge JOIN ore c ON wedge.v = c.s AND wedge.w = c.t)
+        |SELECT wt.n_wedges, tri.n_triangles,
+        |  round(CASE WHEN wt.n_wedges = 0 THEN NULL
+        |    ELSE CAST(3 AS DOUBLE) * CAST(tri.n_triangles AS DOUBLE)
+        |      / CAST(wt.n_wedges AS DOUBLE) END, 6) AS transitivity
+        |FROM wt, tri""".stripMargin
 
   /** Bounded min-label propagation, `rounds` chained MATERIALIZED CTE
     * rounds (each round references its predecessor twice — the kcore

@@ -607,12 +607,7 @@ object Graph {
         .withColumn("__l", col("__n"))
       var r = 0
       while (r < rounds) {
-        val contrib = e
-          .join(lab.select(col("__n").as("__s"), col("__l")), Seq("__s"))
-          .select(col("__t").as("__n"), col("__l"))
-        lab = lab.unionByName(contrib)
-          .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
-          .persist()
+        lab = minLabelRound(e, lab).persist()
         cached += lab
         r += 1
       }
@@ -623,6 +618,292 @@ object Graph {
       cached.foreach(_.unpersist(blocking = false))
       Dedup.freeCheckpoints(e)
     }
+    result
+  }
+
+  /** One min-label round: push every node's label to its neighbors, fold
+    * with the min-aggregate. Shared by [[labelPropagate]] (bounded) and
+    * [[connectedComponentsMinLabel]] (fixpoint). */
+  private def minLabelRound(e: DataFrame, lab: DataFrame): DataFrame = {
+    val contrib = e
+      .join(lab.select(col("__n").as("__s"), col("__l")), Seq("__s"))
+      .select(col("__t").as("__n"), col("__l"))
+    lab.unionByName(contrib)
+      .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
+  }
+
+  /** CONNECTED COMPONENTS by hash-min label propagation to FIXPOINT over
+    * an undirected pair list (duplicate pairs allowed) — (node,
+    * component) with component = min node id in the component. Each
+    * round is [[minLabelRound]]'s node-keyed join + min-fold;
+    * convergence detection rides the SAME action that materializes the
+    * round (the [[bfsLevels]] liveness pattern): labels are monotone
+    * nonincreasing under the min-fold, so an unchanged label SUM (exact
+    * DECIMAL(38,0) — no overflow at any id width) means no label moved.
+    * Hash-min needs O(diameter) rounds — right for the small-diameter
+    * graphs batch analytics feeds it; adversarial long-path graphs want
+    * [[Dedup.connectedComponentsStar]]'s O(log n) star contraction
+    * (same contract, spec-pinned equal). Throws after `maxRounds`
+    * instead of returning a half-converged labeling. */
+  def connectedComponentsMinLabel(edges: DataFrame, uCol: String, vCol: String,
+                                  maxRounds: Int = 50): DataFrame = {
+    val e = orientedAdjacency(edges, uCol, vCol).localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer(e)
+    val zero = lit(0).cast("decimal(38,0)")
+    var lab = e.select(col("__s").as("__n")).distinct()
+      .withColumn("__l", col("__n"))
+      .localCheckpoint(eager = false)
+    spent += lab
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      lab = minLabelRound(e, lab).localCheckpoint(eager = false)
+      spent += lab
+      val s = lab.agg(coalesce(sum(col("__l").cast("decimal(38,0)")), zero))
+        .head().getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      r += 1
+    }
+    if (!converged) {
+      Dedup.freeCheckpoints(spent.toSeq: _*)
+      throw new IllegalStateException(
+        s"connectedComponentsMinLabel did not converge in $maxRounds rounds")
+    }
+    val result = lab.select(col("__n").as("node"), col("__l").as("component"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(spent.toSeq: _*)
+    result
+  }
+
+  /** MULTI-SOURCE bounded BFS over an undirected pair list: hop counts
+    * ≤ `maxDepth` from each of the `nSources` SMALLEST node ids, as one
+    * shared loop — (src, node, lvl). The label table is keyed
+    * (src, node), so one [[bfsLoopFixed]]-shaped persist chain (AQE off,
+    * one straight-line action) walks all sources simultaneously instead
+    * of paying the per-round barrier chain once per source — the
+    * centrality fan-out pattern (closeness/harmonic need BFS from many
+    * seeds; at scale you batch the seeds, not the loop). Integer-exact
+    * cross-engine; the DuckDB twin is the depth-bounded recursive UNION
+    * carrying the src column. */
+  def multiSourceBfs(pairs: DataFrame, uCol: String, vCol: String,
+                     nSources: Int, maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be >= 1, got $nSources")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      // every node appears as a source in the oriented frame; the
+      // distinct rides the __s partitioning (exchange-free)
+      val srcs = e.select(col("__s")).distinct()
+        .orderBy(col("__s")).limit(nSources)
+      var labels = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
+        lit(0).as("__lvl"))
+      var i = 1
+      while (i <= maxDepth) {
+        val frontier = labels.filter(col("__lvl") === i - 1)
+          .select(col("__src"), col("__n").as("__s"))
+        val next = e.join(frontier, Seq("__s"))
+          .select(col("__src"), col("__t").as("__n"), lit(i).as("__lvl"))
+        labels = labels.unionByName(next)
+          .groupBy(col("__src"), col("__n")).agg(min(col("__lvl")).as("__lvl"))
+          .persist()
+        cached += labels
+        i += 1
+      }
+      labels.select(col("__src").as("src"), col("__n").as("node"),
+          col("__lvl").as("lvl"))
+        .localCheckpoint()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e)
+    }
+    result
+  }
+
+  /** Bounded-round single-source shortest paths (Bellman-Ford) over an
+    * undirected WEIGHTED pair list (`wCol` integer weights ≥ 0): after
+    * `rounds` relaxations, (node, dist) = the min-weight path cost from
+    * the graph's minimum node id using ≤ `rounds` hops; nodes not
+    * reached in `rounds` hops are absent. Same loop mechanics as
+    * [[bfsLoopFixed]] (persist-chained rounds, AQE off, one action) with
+    * the min-fold over dist + weight instead of hop counts — all-integer,
+    * bit-identical cross-engine (the DuckDB twin replays the identical
+    * chained relaxations). Both orientations expand in-row with the
+    * weight riding along. */
+  def ssspBounded(wedges: DataFrame, uCol: String, vCol: String,
+                  wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val par = wedges.sparkSession.sparkContext.defaultParallelism
+    val e = wedges.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t"), col(wCol).as("__w")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t"), col(wCol).as("__w"))))
+        .as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+        col("__e.__w").cast("bigint").as("__w"))
+      .repartition(par, col("__s"))
+      .localCheckpoint()
+    // source scalar off the materialized blocks — index-sized
+    val srcRow = e.agg(min(col("__s"))).head()
+    if (srcRow.isNullAt(0)) {
+      Dedup.freeCheckpoints(e)
+      return e.sparkSession.range(0)
+        .select(col("id").as("node"), col("id").as("dist"))
+    }
+    val source = srcRow.getLong(0)
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("__n"), lit(0L).as("__d"))
+      var r = 0
+      while (r < rounds) {
+        val relax = e
+          .join(dist.select(col("__n").as("__s"), col("__d")), Seq("__s"))
+          .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
+        dist = dist.unionByName(relax)
+          .groupBy(col("__n")).agg(min(col("__d")).as("__d"))
+          .persist()
+        cached += dist
+        r += 1
+      }
+      dist.select(col("__n").as("node"), col("__d").as("dist"))
+        .localCheckpoint()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e)
+    }
+    result
+  }
+
+  /** Per-edge TRIANGLE SUPPORT over a DISTINCT undirected edge list —
+    * (u, v, support) with support = |N(u) ∩ N(v)| — via the same
+    * degree-oriented edge-iterator as [[triangleCount]]: each triangle
+    * is discovered exactly once at its oriented (s, t) edge, then its
+    * THREE edges each collect one support count from the
+    * triangle-corner stream (≈|△|·3 rows, never wedge-sized). The
+    * support fold is edge-keyed and broadcast back over the edge list
+    * (support frame ≤ |E|); `broadcastAdj = false` keeps the shuffle
+    * path throughout. Support is what k-truss peels on and what
+    * common-neighbor link prediction ranks by. */
+  def edgeSupport(edges: DataFrame, uCol: String, vCol: String,
+                  broadcastAdj: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val result = edgeSupportBody(e, broadcastAdj).localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  private def edgeSupportBody(e: DataFrame, bcast: Boolean): DataFrame = {
+    val tri = edgesWithAdjacency(e, bcast)
+      .select(col("s"), col("t"),
+        explode(array_intersect(col("__na"), col("__nb"))).as("w"))
+    val sup = tri.select(explode(array(
+        struct(least(col("s"), col("t")).as("u"),
+          greatest(col("s"), col("t")).as("v")),
+        struct(least(col("s"), col("w")).as("u"),
+          greatest(col("s"), col("w")).as("v")),
+        struct(least(col("t"), col("w")).as("u"),
+          greatest(col("t"), col("w")).as("v")))).as("__te"))
+      .select(col("__te.u").as("u"), col("__te.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__sup"))
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
+    e.join(hint(sup), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("__sup"), lit(0L)).cast("bigint").as("support"))
+  }
+
+  /** Bounded-round K-TRUSS peel: `rounds` rounds of "drop edges with
+    * triangle support < k−2", then the support HISTOGRAM of the
+    * surviving induced subgraph — (support, n_edges). The fixed round
+    * count keeps the result a deterministic cross-engine twin (the
+    * [[kcorePeel]] convention, over edges instead of nodes); each round
+    * re-runs [[edgeSupportBody]] on the survivors, so the cost is
+    * rounds+1 edge-iterator passes with no wedge materialization
+    * anywhere. The oracle replays the identical rounds with the
+    * wedge-pair-count formulation (portable SQL has no sorted-array
+    * intersection). */
+  def trussPeel(edges: DataFrame, uCol: String, vCol: String,
+                k: Int, rounds: Int, broadcastAdj: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer(e)
+    var r = 0
+    while (r < rounds) {
+      e = edgeSupportBody(e, broadcastAdj)
+        .filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      spent += e
+      r += 1
+    }
+    val result = edgeSupportBody(e, broadcastAdj)
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(spent.toSeq: _*)
+    result
+  }
+
+  /** Top-k edges by NEIGHBORHOOD JACCARD — (u, v, common, jaccard) with
+    * common = |N(u) ∩ N(v)| (from [[edgeSupport]]'s triangle-corner
+    * stream) and jaccard = common / (d(u) + d(v) − common), the
+    * common-neighbors link-strength ranking. The division is ONE IEEE op
+    * over exact integers (bit-identical cross-engine); ties order by
+    * (u, v), so the top-k cut is deterministic. Degrees broadcast
+    * (node-sized). */
+  def edgeJaccardTopK(edges: DataFrame, uCol: String, vCol: String,
+                      k: Int, broadcastAdj: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val hint = (d: DataFrame) => if (broadcastAdj) broadcast(d) else d
+    val deg = degreeTable(e)
+    val result = edgeSupportBody(e, broadcastAdj)
+      .join(hint(deg.select(col("n").as("__un"), col("d").as("__du"))),
+        col("u") === col("__un"))
+      .join(hint(deg.select(col("n").as("__vn"), col("d").as("__dv"))),
+        col("v") === col("__vn"))
+      .selectExpr("u", "v", "support AS common",
+        "round(CAST(support AS DOUBLE) / (CAST(__du AS DOUBLE) " +
+          "+ CAST(__dv AS DOUBLE) - CAST(support AS DOUBLE)), 6) AS jaccard")
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(k)
+      .localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  /** Global clustering summary — ONE row (n_wedges, n_triangles,
+    * transitivity): n_wedges = Σ d(d−1)/2 (integer, off the node-sized
+    * degree table), n_triangles from the [[triangleCount]] edge-iterator
+    * (shared checkpointed edge frame — the pair build runs once), and
+    * transitivity = 3·△/wedges as one IEEE division over the two exact
+    * integers (NULL on a wedge-free graph, both engines). */
+  def transitivitySummary(edges: DataFrame, uCol: String, vCol: String,
+                          broadcastAdj: Boolean = true): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val wedges = degreeTable(e).agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+        .cast("bigint").as("n_wedges"))
+    val result = wedges.crossJoin(triangleBody(e, broadcastAdj))
+      .selectExpr("n_wedges", "n_triangles",
+        "round(CASE WHEN n_wedges = 0 THEN NULL " +
+          "ELSE CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE) " +
+          "/ CAST(n_wedges AS DOUBLE) END, 6) AS transitivity")
+      .localCheckpoint()
+    Dedup.freeCheckpoints(e)
     result
   }
 

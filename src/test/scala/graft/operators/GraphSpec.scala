@@ -292,6 +292,157 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponentsMinLabel equals brute-force components and the " +
+      "star-contraction variant; duplicate pairs ride free") {
+    import spark.implicits._
+    // several components of different diameters: a path, a cycle, a
+    // clique, an isolated edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),            // path, diameter 4
+      (10L, 11L), (11L, 12L), (10L, 12L),                 // triangle
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L),
+      (30L, 31L))
+    def bruteCC(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      es.flatMap(p => Seq(p._1, p._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    val want = bruteCC(pairs)
+    val got = Graph.connectedComponentsMinLabel(
+        (pairs ++ pairs.take(5)).toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val star = graft.operators.Dedup.connectedComponentsStar(
+        pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == want)
+  }
+
+  test("multiSourceBfs equals per-source bfsLevelsUndirected restricted " +
+      "to the smallest source ids") {
+    import spark.implicits._
+    val (es, _) = randomGraph(41, 30, 120)
+    val df = es.toDF("u", "v")
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val srcs = nodes.take(3)
+    val got = Graph.multiSourceBfs(df, "u", "v", nSources = 3, maxDepth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force BFS per source
+    val nbrs = nodes.map { n =>
+      n -> es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet
+    }.toMap
+    val want = srcs.flatMap { s =>
+      var lvl = Map(s -> 0)
+      var frontier = Set(s)
+      for (i <- 1 to 4) {
+        val next = frontier.flatMap(nbrs).diff(lvl.keySet)
+        next.foreach(n => lvl += n -> i)
+        frontier = next
+      }
+      lvl.map { case (n, l) => (s, n) -> l }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("ssspBounded equals brute-force bounded Bellman-Ford on weighted " +
+      "edges; empty input yields an empty frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val wes = (1 to 120)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+      .map { case (u, v) => (u, v, 1L + rnd.nextInt(9).toLong) }
+    val df = wes.toDF("u", "v", "w")
+    val src = wes.flatMap(e => Seq(e._1, e._2)).min
+    val rounds = 3
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to rounds) {
+      var next = dist
+      wes.foreach { case (u, v, w) =>
+        dist.get(u).foreach(d =>
+          if (!next.get(v).exists(_ <= d + w)) next += v -> (d + w))
+        dist.get(v).foreach(d =>
+          if (!next.get(u).exists(_ <= d + w)) next += u -> (d + w))
+      }
+      dist = next
+    }
+    val got = Graph.ssspBounded(df, "u", "v", "w", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    val empty = Graph.ssspBounded(
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w"), "u", "v", "w", 2)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("node", "dist"))
+  }
+
+  test("edgeSupport equals brute-force common-neighbor counts per edge, " +
+      "both join paths; trussPeel equals the brute-force edge peel") {
+    import spark.implicits._
+    val (es, _) = randomGraph(47, 22, 200)
+    val df = es.toDF("u", "v")
+    val set = es.toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+    def nbrs(edges: Set[(Long, Long)]): Map[Long, Set[Long]] =
+      nodes.map { n =>
+        n -> edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+      }.toMap
+    def bruteSupport(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nb = nbrs(edges)
+      edges.map(e => e -> (nb(e._1) intersect nb(e._2)).size.toLong).toMap
+    }
+    val want = bruteSupport(set)
+    for (bcast <- Seq(true, false)) {
+      val got = Graph.edgeSupport(df, "u", "v", bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"broadcastAdj=$bcast")
+    }
+    // brute truss peel (k=4, 1 round) + induced support histogram
+    val survivors = set.filter(e => want(e) >= 2)
+    val wantHist = bruteSupport(survivors).values
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val gotHist = Graph.trussPeel(df, "u", "v", k = 4, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHist == wantHist)
+  }
+
+  test("edgeJaccardTopK and transitivitySummary equal brute force") {
+    import spark.implicits._
+    val (es, tris) = randomGraph(53, 20, 160)
+    val df = es.toDF("u", "v")
+    val set = es.toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+    val nb = nodes.map { n =>
+      n -> es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet
+    }.toMap
+    val wantJac = es.map { case (u, v) =>
+      val c = (nb(u) intersect nb(v)).size
+      val j = BigDecimal(c.toDouble / (nb(u).size + nb(v).size - c).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (u, v, c.toLong, j)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(10)
+    val gotJac = Graph.edgeJaccardTopK(df, "u", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gotJac.map(t => (t._1, t._2, t._3)).toSeq ==
+      wantJac.map(t => (t._1, t._2, t._3)))
+    gotJac.zip(wantJac).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 2e-6) }
+    val wedges = nodes.map(n => nb(n).size.toLong).map(d => d * (d - 1) / 2).sum
+    val row = Graph.transitivitySummary(df, "u", "v").collect()(0)
+    assert(row.getLong(0) == wedges && row.getLong(1) == tris.size.toLong)
+    val wantT = BigDecimal(3.0 * tris.size / wedges.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(2) - wantT) < 2e-6)
+  }
+
   test("triangleCount on a triangle-free and an empty graph is 0") {
     import spark.implicits._
     // path graph 1-2-3-4: no triangles
