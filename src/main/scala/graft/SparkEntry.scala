@@ -2430,7 +2430,16 @@ object SparkEntry {
       val reps = operators.Dedup.jaccardReps(t(s, dir, "documents"), "doc_id", "text")
       val sorted = operators.Dedup.jaccardOrderedPrefix(reps, 4, 5)
       operators.Dedup.jaccardVerifiedPairs(reps, sorted, 4, 5)
-    }))
+    }),
+    "ext_graph_components / ext_label_prop [one pre-checkpoint min-label round]" ->
+      ((s, dir) =>
+        operators.Graph.minLabelRoundPlan(copurchasePairs(s, dir), "u", "v")),
+    "ext_sssp_bounded [one pre-checkpoint relaxation]" -> ((s, dir) =>
+      operators.Graph.ssspRoundPlan(copurchaseWeightedEdges(s, dir),
+        "u", "v", "w", 0L)),
+    "ext_ktruss / ext_edge_jaccard_topk [pre-checkpoint edge-support]" ->
+      ((s, dir) =>
+        operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")))
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
   def oracleSql: Map[String, String] = Map(

@@ -1053,4 +1053,40 @@ object Graph {
     bfsRound(e, labels0, 1)
       .select(col("__n").as("node"), col("__lvl").as("lvl"))
   }
+
+  /** PRE-checkpoint single min-label round, for the plan audit — the
+    * exact [[minLabelRound]] expressions [[labelPropagate]] and
+    * [[connectedComponentsMinLabel]] iterate, un-checkpointed. */
+  def minLabelRoundPlan(pairs: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol)
+    val lab0 = e.select(col("__s").as("__n")).distinct()
+      .withColumn("__l", col("__n"))
+    minLabelRound(e, lab0)
+      .select(col("__n").as("node"), col("__l").as("label"))
+  }
+
+  /** PRE-checkpoint single Bellman-Ford relaxation, for the plan audit —
+    * the exact round body [[ssspBounded]] iterates, un-checkpointed. */
+  def ssspRoundPlan(wedges: DataFrame, uCol: String, vCol: String,
+                    wCol: String, source: Long): DataFrame = {
+    val e = wedges.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t"), col(wCol).as("__w")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t"), col(wCol).as("__w"))))
+        .as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+        col("__e.__w").cast("bigint").as("__w"))
+    val dist0 = e.sparkSession.range(1)
+      .select(lit(source).as("__n"), lit(0L).as("__d"))
+    val relax = e.join(dist0.select(col("__n").as("__s"), col("__d")), Seq("__s"))
+      .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
+    dist0.unionByName(relax)
+      .groupBy(col("__n")).agg(min(col("__d")).as("__d"))
+      .select(col("__n").as("node"), col("__d").as("dist"))
+  }
+
+  /** PRE-checkpoint edge-support plan ([[edgeSupportBody]]'s
+    * triangle-corner unpivot), for the plan audit. */
+  def edgeSupportPlan(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    edgeSupportBody(edges.select(col(uCol).as("u"), col(vCol).as("v")),
+      bcast = true)
 }
