@@ -736,6 +736,19 @@ object SparkEntry {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
     }),
+    // WINDOWED ordered funnel (view → click within 6h → purchase within
+    // 6h of the click): each stage's entry is the min event time
+    // strictly after the previous stage's AND inside its conversion
+    // window — the real product-analytics funnel ([[ext_funnel_counts]]
+    // is the unwindowed first-occurrence chain; the window is what makes
+    // stages distinguish on a dense event stream). Per-user deepest-
+    // stage histogram, stage 0 = never viewed. Shared verbatim —
+    // min/join/CASE/INTERVAL only; (user_id, ts) is unique in the
+    // fixture so every min is total-order deterministic.
+    "ext_funnel_windowed" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlFunnelWindowed)
+    }),
 
     // WITH RECURSIVE (Spark 4 surface): a 12-month calendar spine LEFT
     // JOINed to order counts — empty months survive (the reporting shape
@@ -2840,6 +2853,7 @@ object SparkEntry {
     "ext_label_prop" -> sqlLabelProp,
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
+    "ext_funnel_windowed" -> sqlFunnelWindowed,
     "ext_sssp_bounded" -> sqlSsspBounded,
     "ext_ktruss" -> sqlKtruss,
     "ext_edge_jaccard_topk" -> sqlEdgeJaccardTopk,
@@ -4809,6 +4823,32 @@ object SparkEntry {
         |    ELSE CAST(3 AS DOUBLE) * CAST(tri.n_triangles AS DOUBLE)
         |      / CAST(wt.n_wedges AS DOUBLE) END, 6) AS transitivity
         |FROM wt, tri""".stripMargin
+
+  /** Windowed ordered funnel view → click (≤ 6 h) → purchase (≤ 6 h),
+    * shared VERBATIM (min / join / CASE / INTERVAL only): stage k's
+    * entry time is the min event time strictly after stage k−1's and
+    * within the conversion window. (user_id, ts) is unique in the
+    * fixture, so every min is total-order deterministic. */
+  private val sqlFunnelWindowed: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |    AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |    AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY e.user_id),
+      |u AS (SELECT user_id FROM events GROUP BY user_id),
+      |st AS (SELECT u.user_id,
+      |    CASE WHEN p.user_id IS NOT NULL THEN 3
+      |         WHEN c.user_id IS NOT NULL THEN 2
+      |         WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM u LEFT JOIN v ON v.user_id = u.user_id
+      |    LEFT JOIN c ON c.user_id = u.user_id
+      |    LEFT JOIN p ON p.user_id = u.user_id)
+      |SELECT stage, count(*) AS n_users FROM st GROUP BY stage""".stripMargin
 
   /** Bounded min-label propagation, `rounds` chained MATERIALIZED CTE
     * rounds (each round references its predecessor twice — the kcore
