@@ -659,6 +659,24 @@ object SparkEntry {
     "ext_transitivity" -> ((s, dir) =>
       operators.Graph.transitivitySummary(copurchaseEdgesRaw(s, dir),
         "u", "v")),
+    // PERSONALIZED PageRank (random walk with restart to the 4 smallest
+    // node ids — the recommendation primitive): integer fixed-point,
+    // seed-only teleport mass, nodes unreachable from seeds hold 0;
+    // same one-barrier loop discipline as ext_pagerank
+    "ext_pagerank_personalized" -> ((s, dir) =>
+      operators.Graph.personalizedPagerank(copurchasePairs(s, dir),
+        "u", "v", iters = 3, nSeeds = 4)),
+    // CUSUM drift detection per user (sequential change detection — the
+    // control-chart complement to the pointwise z-score/MAD outlier
+    // keys): one-sided CUSUM via the WINDOWED identity
+    // s_i = P_i − min(0, min_{j≤i} P_j) over 2^20 fixed-point prefix
+    // sums (exact integers — no recursive fold, no float drift), drift
+    // allowance k = 60, threshold h = 250; per user: max CUSUM +
+    // upward threshold crossings. Shared verbatim.
+    "ext_cusum_drift" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlCusumDrift)
+    }),
     // rolling EXACT median/p90 over a 15-row trailing frame — the robust
     // telemetry smoother (sorts each frame; both engines interpolate on
     // the same sorted definition, round(6) absorbs the (a+b)/2-vs-lerp ulp)
@@ -2854,6 +2872,34 @@ object SparkEntry {
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
     "ext_funnel_windowed" -> sqlFunnelWindowed,
+    "ext_cusum_drift" -> sqlCusumDrift,
+    "ext_pagerank_personalized" -> {
+      // the ext_pagerank oracle with seed-only teleport mass: p0 is
+      // 1 000 000 on the 4 smallest nodes (0 elsewhere), and the base
+      // term is 150 000 only for seeds — everything else identical
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS (SELECT nodes.n,
+           |  CAST(CASE WHEN nodes.n IN (SELECT n FROM seeds)
+           |        THEN 150000 ELSE 0 END
+           |    + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT d.t, SUM(p.pr // o.od) AS c
+           |    FROM de d JOIN $prev p ON d.s = p.n JOIN outd o ON d.s = o.s
+           |    GROUP BY d.t) c ON nodes.n = c.t)""".stripMargin
+      s"""WITH edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+         |outd AS (SELECT s, count(*) AS od FROM de GROUP BY s),
+         |nodes AS (SELECT DISTINCT s AS n FROM de),
+         |seeds AS (SELECT n FROM nodes ORDER BY n LIMIT 4),
+         |p0 AS (SELECT n, CAST(CASE WHEN n IN (SELECT n FROM seeds)
+         |    THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM nodes),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT n AS node, pr AS ppr FROM p3""".stripMargin
+    },
     "ext_sssp_bounded" -> sqlSsspBounded,
     "ext_ktruss" -> sqlKtruss,
     "ext_edge_jaccard_topk" -> sqlEdgeJaccardTopk,
@@ -4823,6 +4869,37 @@ object SparkEntry {
         |    ELSE CAST(3 AS DOUBLE) * CAST(tri.n_triangles AS DOUBLE)
         |      / CAST(wt.n_wedges AS DOUBLE) END, 6) AS transitivity
         |FROM wt, tri""".stripMargin
+
+  /** One-sided CUSUM per user via the windowed identity
+    * s_i = P_i − min(0, min_{j≤i} P_j) over EXACT 2^20 fixed-point
+    * prefix sums (floor(v·2²⁰ + 0.5) is one IEEE product — identical
+    * both engines; everything after is integer). k = 60 (62914560 q),
+    * h = 250 (262144000 q). cs re-cast to BIGINT so DuckDB's HUGEINT
+    * window-SUM widening never reaches the output. Shared verbatim. */
+  private val sqlCusumDrift: String =
+    """WITH q AS (SELECT user_id, ts, event_id,
+      |    CAST(floor(coalesce(value, 0.0) * 1048576 + 0.5) AS BIGINT)
+      |      - 62914560 AS dq
+      |  FROM events),
+      |p AS (SELECT user_id, ts, event_id,
+      |    SUM(dq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      |  FROM q),
+      |s AS (SELECT user_id, ts, event_id,
+      |    CAST(pp - LEAST(CAST(0 AS BIGINT),
+      |      MIN(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |      AS cs
+      |  FROM p),
+      |x AS (SELECT user_id, cs,
+      |    lag(cs, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM s)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(max(cs) AS BIGINT) AS max_cusum_q,
+      |  CAST(SUM(CASE WHEN cs >= 262144000 AND prev < 262144000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+      |FROM x GROUP BY user_id""".stripMargin
 
   /** Windowed ordered funnel view → click (≤ 6 h) → purchase (≤ 6 h),
     * shared VERBATIM (min / join / CASE / INTERVAL only): stage k's

@@ -305,6 +305,58 @@ object Graph {
     result
   }
 
+  /** PERSONALIZED PageRank (the recommendation primitive: random walk
+    * with restart to a SEED SET instead of uniform teleport) over an
+    * undirected pair list, same integer fixed-point discipline as
+    * [[pagerankUndirected]] —
+    * pr₀(n) = 1_000_000·[n ∈ seeds];
+    * pr'(v) = 150_000·[v ∈ seeds] + (17 · Σ_{u→v} pr(u) div od(u)) div 20
+    * — bit-identical cross-run/partitioning/engine. Seeds are the
+    * `nSeeds` smallest node ids (node-sized frame, broadcast into the
+    * base); nodes unreachable from the seed set hold rank 0 instead of
+    * the uniform base — that asymmetry is the whole point of PPR.
+    * Loop mechanics identical to [[pagerankUndirected]] (one checkpoint
+    * barrier, AQE off inside the fixed chain, co-partitioned joins). */
+  def personalizedPagerank(pairs: DataFrame, uCol: String, vCol: String,
+                           iters: Int, nSeeds: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    val e = orientedAdjacency(pairs, uCol, vCol)
+      .distinct()
+      .localCheckpoint()
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      val seeds = outdegBase(e).select(col("__n"))
+        .orderBy(col("__n")).limit(nSeeds)
+        .withColumn("__seed", lit(1))
+      val base = outdegBase(e)
+        .join(broadcast(seeds), Seq("__n"), "left")
+        .select(col("__n"), col("__od"),
+          coalesce(col("__seed"), lit(0)).as("__seed"))
+      var pr = base.withColumn("__pr",
+        when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)))
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(pr.select(col("__n").as("__s"), col("__od"), col("__pr")),
+            Seq("__s"))
+          .groupBy(col("__t"))
+          .agg(sum(expr("__pr div __od")).as("__c"))
+        pr = base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
+          .select(col("__n"), col("__od"), col("__seed"),
+            (when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+              + expr("(17 * __c) div 20")).as("__pr"))
+      }
+      pr.select(col("__n").as("node"), col("__pr").as("ppr"))
+        .localCheckpoint()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(e)
+    }
+    result
+  }
+
   /** Undirected node base = the out-degree aggregate (every node appears
     * as a source; exchange-free over the __s-partitioned edge frame). */
   private def outdegBase(e: DataFrame): DataFrame =

@@ -443,6 +443,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getDouble(2) - wantT) < 2e-6)
   }
 
+  test("personalizedPagerank equals the hand-rolled seed-teleport integer " +
+      "recurrence; non-seed components hold rank 0") {
+    import spark.implicits._
+    val (es, _) = randomGraph(59, 20, 80)
+    // append an isolated component far from the smallest ids: it must
+    // hold 0 through every round (no uniform teleport mass)
+    val pairs = es ++ Seq((900L, 901L), (901L, 902L))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val seeds = nodes.take(3).toSet
+    val nbrs = nodes.map { n =>
+      n -> pairs.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }
+    }.toMap
+    val od = nodes.map(n => n -> nbrs(n).size.toLong).toMap
+    var pr = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (u <- nodes; v <- nbrs(u)) contrib(v) += pr(u) / od(u)
+      pr = nodes.map(n =>
+        n -> ((if (seeds(n)) 150000L else 0L) + 17L * contrib(n) / 20L)).toMap
+    }
+    val got = Graph.personalizedPagerank(pairs.toDF("u", "v"), "u", "v",
+        iters = 3, nSeeds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    assert(got(900L) == 0L && got(901L) == 0L && got(902L) == 0L)
+  }
+
   test("triangleCount on a triangle-free and an empty graph is 0") {
     import spark.implicits._
     // path graph 1-2-3-4: no triangles
