@@ -800,21 +800,18 @@ object Graph {
         col("__e.__w").cast("bigint").as("__w"))
       .repartition(par, col("__s"))
       .localCheckpoint()
-    // source scalar off the materialized blocks — index-sized
-    val srcRow = e.agg(min(col("__s"))).head()
-    if (srcRow.isNullAt(0)) {
-      Dedup.freeCheckpoints(e)
-      return e.sparkSession.range(0)
-        .select(col("id").as("node"), col("id").as("dist"))
-    }
-    val source = srcRow.getLong(0)
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      var dist = e.sparkSession.range(1)
-        .select(lit(source).as("__n"), lit(0L).as("__d"))
+      // the source seed stays LAZY (min over the checkpointed blocks,
+      // filtered empty on a null min — no rows on an empty graph), so
+      // the whole loop including seeding is ONE action with no
+      // separate driver probe
+      var dist = e.agg(min(col("__s")).as("__n"))
+        .filter(col("__n").isNotNull)
+        .select(col("__n"), lit(0L).as("__d"))
       var r = 0
       while (r < rounds) {
         val relax = e
