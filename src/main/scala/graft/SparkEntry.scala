@@ -1362,6 +1362,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("n"))),
+    // WATERMARK late-data accounting, batch REPLAY form: the fixture's
+    // event stream is ts-ordered (zero drops — vacuous), so the replay
+    // models the BOUNDED DISORDER real ingestion has — each event
+    // arrives at ts + a deterministic ±15 min jitter (Knuth
+    // multiplicative hash of event_id; closed-form, both engines). The
+    // watermark after arrival i is max(event time seen) − 10 min, and
+    // an event whose own time is already behind it is what
+    // `withWatermark("ts", "10 minutes")` DROPS (Streams.scala runs the
+    // real streaming side in specs). Output per tumbling window: kept
+    // vs dropped counts. The global arrival-order window IS the stream
+    // replay — one ordered pass, not a batch shuffle at scale.
+    "stream_watermark_late" -> ((s, dir) => {
+      val w = Window
+        .orderBy(expr("unix_micros(CAST(ts AS TIMESTAMP))" +
+            " + (event_id * 2654435761L) % 1800000000L - 900000000L"),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__wm", max(col("ts")).over(w) - expr("INTERVAL 10 MINUTES"))
+        .withColumn("__late", col("ts") < col("__wm"))
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("__late"), 0L).otherwise(1L)).as("n_kept"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("n_kept"), col("n_late"))
+    }),
     "stream_session_counts" -> ((s, dir) =>
       graft.streaming.Streams.sessionCounts(t(s, dir, "events"), "ts", "user_id", "10 minutes")
         .select(col("user_id"),
@@ -3188,6 +3214,21 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1""".stripMargin,
+    // watermark replay: running max event time over the jittered
+    // arrival order, the same 10-minute bound, the same tumbling buckets
+    "stream_watermark_late" ->
+      """WITH a AS (SELECT ts, event_id,
+        |    max(CAST(ts AS TIMESTAMP)) OVER (
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |          + (event_id * 2654435761) % 1800000000 - 900000000,
+        |        event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - INTERVAL '10 minutes' AS wm
+        |  FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS win_start,
+        |  CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < wm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM a GROUP BY 1""".stripMargin,
     // a 10-min window sliding by 5 starts at w ∈ {bucket5(ts)−5min, bucket5(ts)}
     "stream_sliding_counts" ->
       """SELECT strftime(w, '%Y-%m-%d %H:%M') AS win_start, count(*) AS n FROM (
