@@ -643,7 +643,16 @@ object Graph {
     * join + one min-aggregate over the label table, exactly the
     * [[bfsLoopFixed]] shape: persist-marked rounds, AQE off inside the
     * fixed chain, one straight-line action. Returns (node, label),
-    * integer-exact cross-engine. */
+    * integer-exact cross-engine.
+    *
+    * BOUNDED rounds by design: each round references the label table
+    * TWICE (self ∪ contributions), so the persist chain's LOGICAL plan
+    * doubles per round — fine at the single-digit round counts this
+    * serves, pathological past ~15 (Catalyst walks 2^rounds nodes even
+    * though persist truncates physical recompute). Unbounded iteration
+    * belongs to [[connectedComponentsMinLabel]], whose per-round
+    * `localCheckpoint(eager = false)` truncates the LOGICAL plan
+    * too. */
   def labelPropagate(pairs: DataFrame, uCol: String, vCol: String,
                      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
