@@ -767,6 +767,39 @@ object SparkEntry {
       t(s, dir, "events").createOrReplaceTempView("events")
       s.sql(sqlFunnelWindowed)
     }),
+    // autocorrelation of the hourly volume series at lags 1..24 — the
+    // seasonality detector (a daily cycle shows as an ACF spike at 24):
+    // hourly totals in 2^6 fixed point (exact BIGINT), centering scaled
+    // by n so every numerator/denominator term is an exact DECIMAL
+    // product; the single final division is the only IEEE op. Shared
+    // verbatim; the series frame (≤ hours-in-corpus rows) is tiny next
+    // to the scan, so the lag self-join is a no-shuffle broadcast at
+    // any corpus scale.
+    "ext_autocorrelation" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlAutocorrelation)
+    }),
+    // top first-3-event journeys (the path-analysis complement to
+    // [[ext_event_transitions]]'s Markov matrix): per-user prefix via
+    // three conditional mins over one rank window — no ordered
+    // string_agg, so the path assembly is engine-portable; one user-
+    // keyed window + one path-sized exchange. Shared verbatim.
+    "ext_top_paths" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlTopPaths)
+    }),
+    // peak concurrency (max simultaneous user-day activity spans): the
+    // sweep line — ±1 deltas at span ends, one ordered running sum;
+    // ends sort before starts at the same instant (half-open spans), and
+    // within a tie group all deltas are equal so the partial-sum multiset
+    // is order-free. The global ordered sum is one WindowExec over
+    // 2·sessions rows (events are already collapsed); partition the sweep
+    // by day and seed each day with the prior running total when the
+    // span table itself is executor-sized. Shared verbatim.
+    "ext_max_concurrency" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlMaxConcurrency)
+    }),
 
     // WITH RECURSIVE (Spark 4 surface): a 12-month calendar spine LEFT
     // JOINed to order counts — empty months survive (the reporting shape
@@ -2899,6 +2932,9 @@ object SparkEntry {
     "ext_closeness_centrality" -> sqlClosenessCentrality,
     "ext_funnel_windowed" -> sqlFunnelWindowed,
     "ext_cusum_drift" -> sqlCusumDrift,
+    "ext_autocorrelation" -> sqlAutocorrelation,
+    "ext_top_paths" -> sqlTopPaths,
+    "ext_max_concurrency" -> sqlMaxConcurrency,
     "ext_pagerank_personalized" -> {
       // the ext_pagerank oracle with seed-only teleport mass: p0 is
       // 1 000 000 on the 4 smallest nodes (0 elsewhere), and the base
@@ -4941,6 +4977,66 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN cs >= 262144000 AND prev < 262144000
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
       |FROM x GROUP BY user_id""".stripMargin
+
+  /** ACF of the hourly fixed-point volume series, shared verbatim. Every
+    * sum/product is exact (BIGINT hourly totals → DECIMAL(19) centered
+    * values scaled by n, so means never materialize as floats; 19+19 ≤ 38
+    * keeps the cross-products exact in both engines); the one division
+    * runs on identical operands. floor(x·64 + 0.5) is the rounding-mode-
+    * free quantizer ([[sqlCusumDrift]]'s recipe). */
+  private val sqlAutocorrelation: String =
+    """WITH q AS (SELECT date_trunc('hour', ts) AS h,
+      |    CAST(floor(coalesce(value, 0.0) * 64 + 0.5) AS BIGINT) AS qv
+      |  FROM events),
+      |s AS (SELECT h, SUM(qv) AS x FROM q GROUP BY h),
+      |r AS (SELECT CAST(x AS DECIMAL(19,0)) AS x,
+      |    row_number() OVER (ORDER BY h) AS rn FROM s),
+      |g AS (SELECT CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+      |    CAST(COUNT(*) AS DECIMAL(19,0)) AS n FROM r),
+      |d AS (SELECT r.rn, CAST(r.x * g.n - g.sx AS DECIMAL(19,0)) AS c
+      |  FROM r, g),
+      |lags AS (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+      |  UNION ALL SELECT 6 UNION ALL SELECT 12 UNION ALL SELECT 24),
+      |den AS (SELECT SUM(c * c) AS dn FROM d),
+      |num AS (SELECT l.k, SUM(a.c * b.c) AS nm, COUNT(*) AS n_pairs
+      |  FROM lags l, d a, d b WHERE b.rn = a.rn - l.k
+      |  GROUP BY l.k)
+      |SELECT num.k AS lag, CAST(num.n_pairs AS BIGINT) AS n_pairs,
+      |  round(CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE), 6) AS acf
+      |FROM num, den""".stripMargin
+
+  /** Top first-3-event user journeys, shared verbatim: one rank window,
+    * three conditional MAXes (each rn hits once, so MAX = the value) —
+    * no ordered string aggregate, which keeps the path text identical
+    * across engines; users with < 3 events null-propagate out of `||`. */
+  private val sqlTopPaths: String =
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |p AS (SELECT user_id,
+      |    MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+      |    MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+      |    MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p WHERE path IS NOT NULL
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin
+
+  /** Sweep-line peak concurrency over user-day activity spans, shared
+    * verbatim: ±1 at span ends, ordered running sum with (t, delta)
+    * ordering — ends (−1) before starts (+1) at the same instant, and
+    * every tie group is single-delta so partial sums are order-free. */
+  private val sqlMaxConcurrency: String =
+    """WITH s AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |pts AS (SELECT t0 AS t, 1 AS delta FROM s
+      |  UNION ALL SELECT t1, -1 FROM s),
+      |run AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM pts),
+      |m AS (SELECT MAX(conc) AS mc FROM run)
+      |SELECT CAST(m.mc AS INT) AS max_concurrent, MIN(run.t) AS first_at
+      |FROM run, m WHERE run.conc = m.mc GROUP BY m.mc""".stripMargin
 
   /** Windowed ordered funnel view → click (≤ 6 h) → purchase (≤ 6 h),
     * shared VERBATIM (min / join / CASE / INTERVAL only): stage k's
