@@ -666,6 +666,13 @@ object SparkEntry {
     "ext_pagerank_personalized" -> ((s, dir) =>
       operators.Graph.personalizedPagerank(copurchasePairs(s, dir),
         "u", "v", iters = 3, nSeeds = 4)),
+    // HITS top-20 authorities over the customer×part bipartite graph —
+    // exact unnormalized integer recurrence (normalization only rescales
+    // the order), double-checkpointed edge copies so each half-step pays
+    // exactly one exchange; oracle = the same recurrence unrolled
+    "ext_hits_scores" -> ((s, dir) =>
+      operators.Graph.hitsBipartite(custPartPairs(s, dir), "c", "p",
+        iters = 2, topK = 20)),
     // CUSUM drift detection per user (sequential change detection — the
     // control-chart complement to the pointwise z-score/MAD outlier
     // keys): one-sided CUSUM via the WINDOWED identity
@@ -1701,6 +1708,12 @@ object SparkEntry {
     "ext_sample_fixed_k" -> ((s, dir) =>
       Sampling.uniformFixed(t(s, dir, "documents"), "doc_id", 100)
         .select(col("doc_id"), col("source"))),
+    // PPS weighted sample: expected-100 Poisson draw with inclusion
+    // probability ∝ n_chars — exact cross-multiplied integer membership
+    // (no division/float), corpus never shuffled
+    "ext_weighted_sample" -> ((s, dir) =>
+      Sampling.ppsSample(t(s, dir, "documents"), "doc_id", col("n_chars"), 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     // token-budget mixture: 40/30/20/10% TOKEN shares over src0..src3
     // (every other source dropped); thresholds from exact integer math
     "ext_token_budget_mix" -> ((s, dir) =>
@@ -2042,6 +2055,39 @@ object SparkEntry {
       pairs.join(ctx, Seq("w1"))
         .select(col("w1"), col("w2"), col("n"), col("n_w1"))
     }),
+    // per-doc cross-entropy under the corpus add-1 bigram LM (the LM-based
+    // quality filter [[ext_bigram_lm]] is the count table for): model and
+    // scores derive from ONE doc-level bigram table (c2 = Σ_docs cnt,
+    // c1 = Σ_v c2, V = |w1 ∪ w2|); −Σ cnt·ln((c2+1)/(c1+V)) / m folds
+    // per doc in (w1, w2) order — the event-entropy IEEE-sequence recipe,
+    // ln operands are exact-integer ratios. Model tables are dictionary-
+    // sized (broadcast); the corpus is scanned once.
+    "ext_bigram_perplexity" -> ((s, dir) => {
+      val dp = Query.ensureParallelism(t(s, dir, "documents"))
+        .withColumn("__tk", filter(split(lower(col("text")), " "), w => w =!= ""))
+        .filter(size(col("__tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(__tk, 1, size(__tk) - 1), slice(__tk, 2, size(__tk) - 1), " +
+            "(x, y) -> struct(x AS w1, y AS w2))")).as("__p"))
+        .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val c2 = dp.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vv = c2.select(col("w1").as("tkn"))
+        .unionByName(c2.select(col("w2").as("tkn")))
+        .agg(countDistinct(col("tkn")).as("__V"))
+      dp.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .withColumn("__t", -col("cnt").cast("double") *
+          log((col("c2") + 1).cast("double") / (col("c1") + col("__V")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("__t").as("t"))))
+            .as("__l"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("aggregate(__l, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)")
+            / col("n_bigrams").cast("double"), 6).as("cross_entropy"))
+    }),
     // deterministic epoch shuffle: training-set resequencing by id-hash
     // order (every run and every engine deals the same deck) — a global
     // rank over the hash, which at scale is one range exchange
@@ -2080,6 +2126,29 @@ object SparkEntry {
     // like the HLL sketch)
     "ext_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", k = 20)),
+    // count-min sketch probe: build the REAL d=3×w=16 mergeable sketch
+    // (functions.CountMin — no token-level exchange) over the corpus
+    // token stream, then estimate every vocabulary term against its true
+    // count. Cell sums are merge-tree-invariant, so unlike HLL this
+    // sketch key is FULL-oracle: DuckDB recomputes each cell
+    // relationally from the same md5-prefix row hashes. w=16 < |vocab|
+    // forces real collisions (est ≥ true, overcount visible).
+    "ext_countmin_probe" -> ((s, dir) => {
+      val w = 16
+      val toks = Query.ensureParallelism(t(s, dir, "documents"))
+        .select(explode(filter(split(lower(col("text")), " "),
+          t => t =!= "")).as("token"))
+      val sk = toks.agg(graft.functions.CountMin.sketch(col("token"), 3, w).as("__cells"))
+      val bucket = (r: Int) =>
+        (conv(substring(md5(concat(lit(s"cm$r:"), col("token"))), 1, 4), 16, 10)
+          .cast("int") % w)
+      val est = (r: Int) => element_at(col("__cells"), bucket(r) + lit(r * w) + 1)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(sk))
+        .select(col("token"), col("n_true"),
+          least(est(0), est(1), est(2)).as("est"),
+          (least(est(0), est(1), est(2)) - col("n_true")).as("overcount"))
+    }),
     // skip-gram co-occurrence support counts (window 2, support ≥ 10):
     // the exact table under PMI / phrase mining — pair generation in-row,
     // one dictionary-sized exchange
@@ -3057,6 +3126,33 @@ object SparkEntry {
         |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM pairs GROUP BY 1)
         |SELECT p.w1, p.w2, p.n, c.n_w1
         |FROM pairs p JOIN ctx c ON p.w1 = c.w1""".stripMargin,
+    // identical model derivation; the per-doc fold replays in (w1, w2)
+    // order via list(… ORDER BY) + list_reduce with a prepended 0.0 seed
+    "ext_bigram_perplexity" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |pg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |       FROM tk, unnest(range(1, len(tk))) AS r(i)
+        |       WHERE len(tk) >= 2),
+        |dp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM pg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+        |       FROM dp GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS v FROM
+        |       (SELECT w1 AS tkn FROM c2 UNION ALL SELECT w2 FROM c2)),
+        |tm AS (SELECT dp.doc_id, dp.w1, dp.w2, dp.cnt,
+        |    -CAST(dp.cnt AS DOUBLE) *
+        |      ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE)) AS t
+        |  FROM dp JOIN c2 ON dp.w1 = c2.w1 AND dp.w2 = c2.w2
+        |  JOIN c1 ON dp.w1 = c1.w1, vv),
+        |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS m,
+        |      list(t ORDER BY w1, w2) AS l FROM tm GROUP BY doc_id)
+        |SELECT doc_id, m AS n_bigrams,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+        |    (acc, x) -> acc + x) / CAST(m AS DOUBLE), 6) AS cross_entropy
+        |FROM a""".stripMargin,
     "ext_deterministic_shuffle" ->
       """SELECT CAST(row_number() OVER (
         |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
@@ -3162,6 +3258,19 @@ object SparkEntry {
          |${iter("p2", "p3")}
          |SELECT n AS node, pr AS pagerank FROM p3""".stripMargin
     },
+    // the same exact unnormalized HITS recurrence unrolled (h0 ≡ 1 makes
+    // the first authority pass a plain indegree count); BIGINT re-casts
+    // per stage kill DuckDB's HUGEINT SUM widening
+    "ext_hits_scores" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY p),
+        |h1 AS (SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS s
+        |       FROM e JOIN a1 ON e.p = a1.p GROUP BY e.c),
+        |a2 AS (SELECT e.p, CAST(SUM(h1.s) AS BIGINT) AS s
+        |       FROM e JOIN h1 ON e.c = h1.c GROUP BY e.p)
+        |SELECT p AS part, s AS authority FROM a2
+        |ORDER BY s DESC, p LIMIT 20""".stripMargin,
     "ext_funnel_counts" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
@@ -3462,6 +3571,13 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |ORDER BY (${md5PrefixValueSql(4, "CAST(doc_id AS VARCHAR)")}) % 65536, doc_id
          |LIMIT 100""".stripMargin,
+    // same exact cross-multiplied PPS inequality; DuckDB's HUGEINT absorbs
+    // the h·W product
+    "ext_weighted_sample" ->
+      s"""WITH g AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM documents)
+         |SELECT doc_id, source, n_chars FROM documents, g
+         |WHERE (${md5PrefixValueSql(4, "'pps:' || CAST(doc_id AS VARCHAR)")}) * g.w
+         |      < 100 * n_chars * 65536""".stripMargin,
     // same exact integer threshold math as the engine: B = min over
     // targeted sources of tokens*1e6 // ppm, per-source ceiling'd 16-bit
     // threshold, membership by md5 bucket — HUGEINT keeps it exact
@@ -4094,6 +4210,24 @@ object SparkEntry {
         |  w -> w <> '')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
         |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // relational replay of the d=3×w=16 count-min cells: per-row bucket
+    // sums over the same md5-prefix hashes, estimate = min over rows
+    "ext_countmin_probe" ->
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |  w -> w <> '')) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true
+         |      FROM tok GROUP BY 1),
+         |h AS (SELECT token, n_true,
+         |  (${md5PrefixValueSql(4, "'cm0:' || token")}) % 16 AS b0,
+         |  (${md5PrefixValueSql(4, "'cm1:' || token")}) % 16 AS b1,
+         |  (${md5PrefixValueSql(4, "'cm2:' || token")}) % 16 AS b2 FROM c),
+         |s0 AS (SELECT b0, CAST(SUM(n_true) AS BIGINT) AS s FROM h GROUP BY 1),
+         |s1 AS (SELECT b1, CAST(SUM(n_true) AS BIGINT) AS s FROM h GROUP BY 1),
+         |s2 AS (SELECT b2, CAST(SUM(n_true) AS BIGINT) AS s FROM h GROUP BY 1)
+         |SELECT h.token, h.n_true,
+         |  least(s0.s, s1.s, s2.s) AS est,
+         |  least(s0.s, s1.s, s2.s) - h.n_true AS overcount
+         |FROM h JOIN s0 USING (b0) JOIN s1 USING (b1) JOIN s2 USING (b2)""".stripMargin,
     // skip-gram pairs: token i paired with token i+j for j in 1..window,
     // canonical (least, greatest) order, support-gated counts
     "ext_cooccurrence" ->
@@ -4607,6 +4741,14 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey")
       .select(col("u"), col("v"))
+
+  /** Raw customer→part bipartite pairs (orders ⋈ lineitem; duplicates per
+    * repeat purchase — [[operators.Graph.hitsBipartite]] distincts). */
+  private def custPartPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
 
   private def copurchaseEdgesRaw(s: SparkSession, dir: String): DataFrame =
     copurchasePairs(s, dir)

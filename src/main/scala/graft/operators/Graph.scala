@@ -357,6 +357,62 @@ object Graph {
     result
   }
 
+  /** HITS hubs-and-authorities over a BIPARTITE edge list (left = hubs,
+    * right = authorities — e.g. customers × the parts they buy): the
+    * link-analysis complement to PageRank for two-mode graphs, where a
+    * part is authoritative when well-connected customers buy it and a
+    * customer is a good hub when they buy authoritative parts.
+    *
+    * Kept in EXACT integers: h₀ ≡ 1, then per iteration
+    * a(p) = Σ_{c→p} h(c) and h(c) = Σ_{c→p} a(p), UNNORMALIZED —
+    * the per-step L2 normalization of textbook HITS only rescales, so
+    * the top-k ORDER is identical, and dropping it keeps every score an
+    * exact BIGINT (bit-identical cross-run, cross-partitioning, and
+    * cross-engine — the DuckDB oracle unrolls the same recurrence).
+    * Growth is bounded by (max-degree)² per iteration: ~2 iterations per
+    * 19 digits of BIGINT headroom at 10⁵-degree nodes; normalize by the
+    * integer score-sum (div) between iterations beyond that.
+    *
+    * Cluster shape: the distinct edge frame is checkpointed TWICE, once
+    * per join key (hub-partitioned and authority-partitioned — bipartite
+    * iteration alternates keys, so one copy would re-exchange the full
+    * edge stream every round; 2× edge memory buys zero per-round edge
+    * movement). Each half-step then pays exactly ONE exchange (its
+    * aggregation), because the score frame arrives partitioned by the
+    * PREVIOUS aggregation's key — which is the join key. AQE off inside
+    * the fixed-shape chain, one action, cleanup in finally
+    * ([[pagerankUndirected]] discipline). */
+  def hitsBipartite(edges: DataFrame, leftCol: String, rightCol: String,
+                    iters: Int, topK: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val raw = edges.select(col(leftCol).cast("long").as("__c"),
+      col(rightCol).cast("long").as("__p"))
+    // partition-by-subset-then-distinct: HashPartitioning(__c) satisfies
+    // the (__c, __p) distinct's clustering, so each copy pays one exchange
+    val ec = raw.repartition(col("__c")).distinct().localCheckpoint()
+    val ep = raw.repartition(col("__p")).distinct().localCheckpoint()
+    val sess = ec.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      // h0 over the __c-partitioned copy: the distinct is exchange-free
+      var h = ec.select(col("__c")).distinct().withColumn("__hs", lit(1L))
+      var a: DataFrame = null
+      (1 to iters).foreach { _ =>
+        a = ec.join(h, "__c").groupBy(col("__p")).agg(sum(col("__hs")).as("__as"))
+        h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
+      }
+      a.orderBy(col("__as").desc, col("__p").asc).limit(topK)
+        .select(col("__p").as("part"), col("__as").as("authority"))
+        .localCheckpoint()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(ec, ep)
+    }
+    result
+  }
+
   /** Undirected node base = the out-degree aggregate (every node appears
     * as a source; exchange-free over the __s-partitioned edge frame). */
   private def outdegBase(e: DataFrame): DataFrame =

@@ -175,6 +175,36 @@ object Sampling {
       .drop("__src", "__thr")
   }
 
+  /** Probability-proportional-to-size (PPS) Poisson sampling with target
+    * expected size `k`: row i is kept with probability min(1, k·wᵢ/W)
+    * where W = Σw — the weighted generalization of [[uniformFixed]]'s
+    * uniform draw (long documents / heavy partitions get proportionally
+    * more representation, the estimator divides by the known inclusion
+    * probability). Membership is the cross-multiplied EXACT integer
+    * inequality h·W < k·wᵢ·2¹⁶ over the 16-bit salted id-hash — no
+    * division, no float, so the DuckDB oracle replays it bit-for-bit
+    * (HUGEINT on its side) and membership is reproducible run-over-run.
+    * Rows with k·wᵢ ≥ W are kept with certainty (the classic PPS cap;
+    * their excess mass is NOT redistributed, so the realized size runs
+    * slightly under k on skewed weights — the standard Poisson-PPS
+    * tradeoff, chosen over two-pass Sampford rejection).
+    *
+    * Scale shape: one aggregate whose exchange carries ONE row (partial
+    * sums map-side), broadcast back as a 1-row frame, then a pure map
+    * filter — the corpus is never shuffled. Overflow bound: h < 2¹⁶ and
+    * the ANSI multiply throws rather than wraps, so W (and k·w·2¹⁶) must
+    * stay below 2⁴⁷ — i.e. Σw under ~140 T, documented headroom for a
+    * 100 TB corpus weighted by characters ÷ chunk. */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tot = df.agg(sum(weight.cast("long")).as("__W"))
+    val h = conv(substring(md5(concat(lit("pps:"), col(idCol).cast("string"))),
+      1, 4), 16, 10).cast("long")
+    df.crossJoin(broadcast(tot))
+      .filter(h * col("__W") < lit(k.toLong) * weight.cast("long") * lit(65536L))
+      .drop("__W")
+  }
+
   /** Keep the top `frac` fraction of each group by `score` (descending,
     * ties by id): quality-threshold curation expressed as a RANK, not an
     * absolute cutoff — "keep the best 25% of each language" holds the

@@ -484,4 +484,45 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(Graph.triangleCount(empty, "u", "v").collect()(0).getLong(0) == 0L)
     assert(Graph.clusteringCoefficients(empty, "u", "v").collect().isEmpty)
   }
+
+  /** Plain-Scala unnormalized HITS over bipartite pairs. */
+  private def hitsRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    var h = e.map(_._1).distinct.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      a = e.groupBy(_._2).map { case (p, es) => p -> es.map(x => h(x._1)).sum }
+      h = e.groupBy(_._1).map { case (c, es) => c -> es.map(x => a(x._2)).sum }
+    }
+    a
+  }
+
+  test("hitsBipartite matches the brute-force recurrence and tiebreaks by id") {
+    import spark.implicits._
+    // deterministic pseudo-random bipartite graph, 20 hubs x 12 authorities
+    val edges = for {
+      c <- 1L to 20L; p <- 1L to 12L
+      if (c * 7 + p * 13) % 5 != 0
+    } yield (c, p + 100L)
+    val want = hitsRef(edges, 2).toSeq
+      .sortBy { case (p, s) => (-s, p) }.take(5)
+    val got = Graph.hitsBipartite(edges.toDF("c", "p"), "c", "p",
+      iters = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("hitsBipartite is invariant to duplicate input pairs (distinct inside)") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+    val once = Graph.hitsBipartite(edges.toDF("c", "p"), "c", "p", 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dup = Graph.hitsBipartite((edges ++ edges ++ edges).toDF("c", "p"),
+      "c", "p", 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(once == dup)
+    // hand check: a1 = indeg {10:2, 11:1, 12:1}; h1 = {1:3, 2:2, 3:1};
+    // a2 = {10:5, 11:3, 12:1}
+    assert(once == Seq((10L, 5L), (11L, 3L), (12L, 1L)))
+  }
 }

@@ -154,4 +154,28 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .map(i => (i % 10).toDouble).max
     assert(minKept >= maxDropped)
   }
+
+  test("ppsSample: deterministic, partition-invariant, near target size, " +
+    "and certainty rows always kept") {
+    import spark.implicits._
+    // weights 1..200 plus one giant row that trips the k·w >= W cap
+    val rows = (1L to 200L).map(i => (i, i)) :+ (999L, 100000L)
+    val df = rows.toDF("id", "w")
+    val k = 50
+    val a = Sampling.ppsSample(df, "id", col("w"), k)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.ppsSample(df.repartition(7), "id", col("w"), k)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // the capped row (k·w >= W) is in with certainty
+    assert(a.contains(999L))
+    // realized size near the expected Σ min(1, k·w/W) — loose 3-sigma-ish
+    val wsum = rows.map(_._2).sum.toDouble
+    val expected = rows.map { case (_, w) => math.min(1.0, k * w / wsum) }.sum
+    assert(math.abs(a.size - expected) < 15, s"got ${a.size}, expected ~$expected")
+    // heavier rows are kept at a visibly higher rate than light ones
+    val heavy = (150L to 200L).count(a.contains).toDouble / 51
+    val light = (1L to 50L).count(a.contains).toDouble / 50
+    assert(heavy > light)
+  }
 }
