@@ -377,10 +377,15 @@ object Graph {
     * per join key (hub-partitioned and authority-partitioned — bipartite
     * iteration alternates keys, so one copy would re-exchange the full
     * edge stream every round; 2× edge memory buys zero per-round edge
-    * movement). Each half-step then pays exactly ONE exchange (its
-    * aggregation), because the score frame arrives partitioned by the
-    * PREVIOUS aggregation's key — which is the join key. AQE off inside
-    * the fixed-shape chain, one action, cleanup in finally
+    * movement). The second copy is derived from the FIRST checkpoint
+    * (one re-exchange of already-distinct blocks — the upstream join +
+    * distinct runs once, not twice), and the h₀ ≡ 1 first authority
+    * pass collapses to a plain indegree count over the
+    * authority-partitioned copy (no join, exchange-free aggregation).
+    * Every later half-step pays exactly ONE exchange (its aggregation),
+    * because the score frame arrives partitioned by the PREVIOUS
+    * aggregation's key — which is the join key. AQE off inside the
+    * fixed-shape chain, one action, cleanup in finally
     * ([[pagerankUndirected]] discipline). */
   def hitsBipartite(edges: DataFrame, leftCol: String, rightCol: String,
                     iters: Int, topK: Int): DataFrame = {
@@ -389,17 +394,18 @@ object Graph {
     val raw = edges.select(col(leftCol).cast("long").as("__c"),
       col(rightCol).cast("long").as("__p"))
     // partition-by-subset-then-distinct: HashPartitioning(__c) satisfies
-    // the (__c, __p) distinct's clustering, so each copy pays one exchange
+    // the (__c, __p) distinct's clustering, so the copy pays one exchange
     val ec = raw.repartition(col("__c")).distinct().localCheckpoint()
-    val ep = raw.repartition(col("__p")).distinct().localCheckpoint()
+    val ep = ec.repartition(col("__p")).localCheckpoint()
     val sess = ec.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      // h0 over the __c-partitioned copy: the distinct is exchange-free
-      var h = ec.select(col("__c")).distinct().withColumn("__hs", lit(1L))
-      var a: DataFrame = null
-      (1 to iters).foreach { _ =>
+      // iteration 1 with h0 ≡ 1 is the indegree count — exchange-free
+      // over the __p-partitioned copy, no join, no h0 frame at all
+      var a = ep.groupBy(col("__p")).agg(count(lit(1)).cast("bigint").as("__as"))
+      var h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
+      (2 to iters).foreach { _ =>
         a = ec.join(h, "__c").groupBy(col("__p")).agg(sum(col("__hs")).as("__as"))
         h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
       }
