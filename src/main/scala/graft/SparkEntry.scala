@@ -1634,6 +1634,15 @@ object SparkEntry {
       operators.Linkage.linkPairs(
         t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_brand")),
         "p_partkey", "p_name", Seq("p_brand"), minScore = 0.88)),
+    // per-row BEST fuzzy candidate: each part's minimum-edit-distance
+    // block-mate under (p_brand, p_size) blocking, ties to the smaller
+    // id — the merge-suggestion shape (Linkage.nearestByEdit doc: both
+    // directions kept, argmin is a min(struct) fold, never a sort)
+    "ext_edit_nearest" -> ((s, dir) =>
+      operators.Linkage.nearestByEdit(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size")),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"))),
     // transitive clustering: connected components over the verified-pair
     // graph, keep the minimum id per component (oracle = recursive CTE)
     "ext_dedup_drop_neardups_cc" -> ((s, dir) =>
@@ -1951,6 +1960,60 @@ object SparkEntry {
     // D·n1·n2 = max|c1·n2 − c2·n1| as BIGINT, divided once. The only
     // unpartitioned window runs over the VALUE GRID (≤ distinct values —
     // bounded by the measurement's resolution, not the corpus).
+    // exact per-group quantiles (p50/p90/p99 of l_quantity per return
+    // flag) the SCALE way: aggregate to the (group, value) GRID first,
+    // cumulative counts over the grid (window rows bounded by the
+    // measurement's resolution, not the table), then q_p = min value with
+    // cum ≥ ceil(p·n/100) — decided as the exact integer inequality
+    // cum·100 ≥ n·p. No per-group sort of raw rows anywhere, so a 100 TB
+    // group costs one map-side-combined aggregation.
+    "ext_group_quantiles" -> ((s, dir) => {
+      val byv = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byv.withColumn("__cum", sum(col("__c")).over(w))
+      val tot = byv.groupBy(col("l_returnflag")).agg(sum(col("__c")).as("n"))
+      cum.join(broadcast(tot), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(
+          min(when(col("__cum") * 100 >= col("n") * 50, col("l_quantity"))).as("q50"),
+          min(when(col("__cum") * 100 >= col("n") * 90, col("l_quantity"))).as("q90"),
+          min(when(col("__cum") * 100 >= col("n") * 99, col("l_quantity"))).as("q99"))
+    }),
+    // per-source distribution shift: KL(source ‖ corpus) over unigram
+    // token distributions — the drift monitor for a multi-source training
+    // mix (which source's token distribution diverges most from the blend
+    // it feeds). Count tables derive from ONE corpus scan (c_st → c_t,
+    // n_s, N by re-aggregation); every term's ln argument is a ratio of
+    // exact-integer-valued doubles (products in IEEE doubles — bigint
+    // products would overflow at corpus scale, doubles stay exact-input
+    // and correctly rounded, so cross-engine bit-identical), and the
+    // per-source fold runs in token order (the event-entropy recipe).
+    // Per-source state is vocabulary-sized — dictionary-bounded, not
+    // corpus-bounded.
+    "ext_kl_sources" -> ((s, dir) => {
+      val cs = Query.ensureParallelism(t(s, dir, "documents"))
+        .select(col("source"), explode(filter(split(lower(col("text")), " "),
+          w => w =!= "")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cst"))
+      val ct = cs.groupBy(col("token")).agg(sum(col("cst")).as("ct"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("cst")).as("ns"))
+      val nn = ct.agg(sum(col("ct")).as("N"))
+      cs.join(broadcast(ct), "token").join(broadcast(ns), "source")
+        .crossJoin(broadcast(nn))
+        .withColumn("__term",
+          (col("cst").cast("double") / col("ns").cast("double")) *
+            log((col("cst").cast("double") * col("N").cast("double")) /
+              (col("ct").cast("double") * col("ns").cast("double"))))
+        .groupBy(col("source"), col("ns"))
+        .agg(array_sort(collect_list(struct(col("token"), col("__term"))))
+          .as("__l"))
+        .select(col("source"), col("ns").as("n_tokens"),
+          round(expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x.__term)"), 6).as("kl"))
+    }),
     "ext_ks_drift" -> ((s, dir) => {
       val byv = t(s, dir, "events")
         .filter(col("event_type").isin("view", "purchase"))
@@ -2990,6 +3053,16 @@ object SparkEntry {
         |FROM part a JOIN part b ON a.p_brand = b.p_brand
         | AND a.p_partkey < b.p_partkey
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin,
+    // same (p_brand, p_size) blocked self-join, both directions; the
+    // argmin replays as a (dist, candidate-id) window rank — levenshtein
+    // is unit-cost edit distance in both engines
+    "ext_edit_nearest" ->
+      """SELECT a.p_partkey AS id, b.p_partkey AS match_id,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  AND a.p_size = b.p_size AND a.p_partkey <> b.p_partkey
+        |QUALIFY row_number() OVER (PARTITION BY a.p_partkey
+        |  ORDER BY levenshtein(a.p_name, b.p_name), b.p_partkey) = 1""".stripMargin,
     "ext_graph_triangles" -> sqlGraphTriangles,
     "ext_degree_distribution" -> sqlDegreeDistribution,
     "ext_clustering_coeff" -> sqlClusteringCoeff,
@@ -4058,6 +4131,42 @@ object SparkEntry {
          |FROM tok GROUP BY 1, 2""".stripMargin,
     // same value-grid construction: per distinct value counts, running
     // sums in value order, integer numerator max, ONE final division
+    // same value-grid construction; the rank gate replays as the exact
+    // integer inequality cum*100 >= n*p
+    "ext_group_quantiles" ->
+      """WITH byv AS (SELECT l_returnflag AS f, l_quantity AS q,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT f, q, CAST(SUM(c) OVER (PARTITION BY f ORDER BY q
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM byv),
+        |tot AS (SELECT f, CAST(SUM(c) AS BIGINT) AS n FROM byv GROUP BY 1)
+        |SELECT cum.f AS l_returnflag, tot.n AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN q END) AS q50,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN q END) AS q90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN q END) AS q99
+        |FROM cum JOIN tot ON cum.f = tot.f GROUP BY 1, 2""".stripMargin,
+    // identical count derivations and IEEE term arithmetic; the per-source
+    // fold replays in token order via list(… ORDER BY) + list_reduce
+    "ext_kl_sources" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+        |      AS token FROM documents),
+        |cs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cst
+        |       FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(SUM(cst) AS BIGINT) AS ct FROM cs GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM cs GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+        |tm AS (SELECT cs.source, cs.token, ns.ns,
+        |    (CAST(cst AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+        |      ln((CAST(cst AS DOUBLE) * CAST(nn.n AS DOUBLE)) /
+        |         (CAST(ct.ct AS DOUBLE) * CAST(ns.ns AS DOUBLE))) AS term
+        |  FROM cs JOIN ct ON cs.token = ct.token
+        |  JOIN ns ON cs.source = ns.source, nn),
+        |a AS (SELECT source, ns, list(term ORDER BY token) AS l
+        |      FROM tm GROUP BY 1, 2)
+        |SELECT source, ns AS n_tokens,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+        |    (acc, x) -> acc + x), 6) AS kl
+        |FROM a""".stripMargin,
     "ext_ks_drift" ->
       """WITH byv AS (SELECT value,
         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,

@@ -51,4 +51,42 @@ object Linkage {
       .withColumn("lev",
         levenshtein(col("name_a"), col("name_b")).cast("int"))
   }
+
+  /** Per-row NEAREST NEIGHBOR by edit distance within its block: for every
+    * row, the block-mate whose `nameCol` has the minimum Levenshtein
+    * distance (ties by the smaller candidate id — integer-exact, so the
+    * winner is deterministic cross-run and cross-engine). The fuzzy-match
+    * complement of [[linkPairs]]: linkPairs gates by an absolute score
+    * (how MANY pairs clear a bar), this answers "what is each record's
+    * best candidate" — the shape a merge-suggestion / spell-correction
+    * pipeline consumes. Rows whose block contains no other row are absent
+    * (no candidate exists).
+    *
+    * Scale shape: same blocked equi-join as [[linkPairs]] (|block|²
+    * scoring bounded by the blocking design, never a cross product), with
+    * BOTH directions kept (each row needs its own argmin, so the id_a <
+    * id_b halving does not apply), then ONE aggregation — the argmin is a
+    * `min(struct(dist, id))` fold, partial map-side, never a per-block
+    * sort. Parallelism pinned on the block key against AQE's byte-based
+    * coalescing (the scoring stage is byte-light, compute-dense). */
+  def nearestByEdit(df: DataFrame, idCol: String, nameCol: String,
+                    blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "blocking columns required: an unblocked " +
+      "self-join is the cross product this operator exists to avoid")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select((blockCols.map(col) :+
+      col(idCol).as("id")) :+ col(nameCol).as("name_a"): _*)
+      .repartition(par, blockCols.map(col): _*)
+    val b = df.select((blockCols.map(col) :+
+      col(idCol).as("cand")) :+ col(nameCol).as("name_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id") =!= col("cand"))
+      .select(col("id"),
+        struct(levenshtein(col("name_a"), col("name_b")).cast("int")
+          .as("dist"), col("cand").as("match_id")).as("__m"))
+      .groupBy(col("id"))
+      .agg(min(col("__m")).as("__m"))
+      .select(col("id"), col("__m.match_id").as("match_id"),
+        col("__m.dist").as("dist"))
+  }
 }
