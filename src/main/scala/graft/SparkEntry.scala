@@ -634,6 +634,26 @@ object SparkEntry {
           sum(col("lvl")).cast("bigint").as("sum_dist"),
           sum(when(col("lvl") > 0, expr("60 div lvl")).otherwise(0L))
             .cast("bigint").as("harmonic_x60"))),
+    // neighborhood function N(h) from the same 4-seed bounded BFS — the
+    // (hop, pairs-within-h) profile behind effective-diameter estimation
+    // (Palmer/Gibbons/Faloutsos ANF, here exact over the seed sample):
+    // one shared BFS loop, then a grid-sized cumulative window (≤ depth+1
+    // rows — resolution-bounded, never corpus-bounded)
+    "ext_neighborhood_function" -> ((s, dir) => {
+      val byl = operators.Graph.multiSourceBfs(copurchasePairs(s, dir),
+          "u", "v", nSources = 4, maxDepth = 6)
+        .groupBy(col("lvl")).agg(count(lit(1)).as("n_pairs"))
+      byl.withColumn("cum_pairs",
+        sum(col("n_pairs")).over(Window.orderBy(col("lvl"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+    // common-neighbor link prediction over the support ≥ 2 co-purchase
+    // graph: top-20 NON-adjacent part pairs by shared-neighbor count
+    // (Graph.commonNeighborTopK doc — in-row pair generation from sorted
+    // neighbor arrays, one pair-keyed count, anti-join out the edges)
+    "ext_link_prediction" -> ((s, dir) =>
+      operators.Graph.commonNeighborTopK(
+        copurchaseSupportEdges(s, dir, minSupport = 2), "u", "v", topK = 20)),
     // bounded Bellman-Ford (4 relaxation rounds) from the minimum node
     // over the SUPPORT-WEIGHTED co-purchase graph: w = 1 + 20 div
     // support, so frequently co-purchased pairs are cheap hops —
@@ -3072,6 +3092,8 @@ object SparkEntry {
     "ext_label_prop" -> sqlLabelProp,
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
+    "ext_neighborhood_function" -> sqlNeighborhoodFunction,
+    "ext_link_prediction" -> sqlLinkPrediction,
     "ext_funnel_windowed" -> sqlFunnelWindowed,
     "ext_cusum_drift" -> sqlCusumDrift,
     "ext_autocorrelation" -> sqlAutocorrelation,
@@ -5061,6 +5083,42 @@ object SparkEntry {
       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) p
       |  GROUP BY u, v),
       |""".stripMargin
+
+  /** Common-neighbor link prediction over the support ≥ 2 subgraph: wedge
+    * pairs (a < b through a shared center), counted, existing edges
+    * anti-joined out, top-20 with the (count desc, ids) total order —
+    * the engine's in-row pair generation replayed as a wedge self-join
+    * (fine here: the support-filtered graph's Σd² is tiny). */
+  private val sqlLinkPrediction: String =
+    "WITH " + sqlSupportCte +
+      """edges AS (SELECT u, v FROM sup WHERE c >= 2),
+        |de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |cand AS (SELECT a.t AS u, b.t AS v, CAST(count(*) AS BIGINT) AS cn
+        |         FROM de a JOIN de b ON a.s = b.s AND a.t < b.t
+        |         GROUP BY 1, 2),
+        |nc AS (SELECT c.u, c.v, c.cn FROM cand c
+        |       LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+        |       WHERE e.u IS NULL)
+        |SELECT u AS part_u, v AS part_v, cn AS common_neighbors
+        |FROM nc ORDER BY cn DESC, u, v LIMIT 20""".stripMargin
+
+  /** Neighborhood function from the 4-seed depth-6 BFS: per-level pair
+    * counts + the cumulative N(h) — same recursive BFS as closeness. */
+  private val sqlNeighborhoodFunction: String =
+    ("WITH RECURSIVE " + sqlEdgesSelfJoinCte +
+      """de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |srcs AS (SELECT n FROM (SELECT u AS n FROM edges
+        |    UNION SELECT v FROM edges) q ORDER BY n LIMIT 4),
+        |bfs AS (SELECT n AS src, n AS node, 0 AS lvl FROM srcs
+        |  UNION
+        |  SELECT b.src, d.t, b.lvl + 1 FROM bfs b JOIN de d ON d.s = b.node
+        |  WHERE b.lvl < 6),
+        |m AS (SELECT src, node, min(lvl) AS lvl FROM bfs GROUP BY src, node),
+        |byl AS (SELECT lvl, CAST(count(*) AS BIGINT) AS n_pairs
+        |        FROM m GROUP BY lvl)
+        |SELECT lvl, n_pairs, CAST(SUM(n_pairs) OVER (ORDER BY lvl
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+        |FROM byl""".stripMargin)
 
   /** Connected components over the support ≥ 2 subgraph: recursive-UNION
     * min-reachability — (n, l) pairs accumulate only labels l < n (the

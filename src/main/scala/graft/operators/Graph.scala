@@ -419,6 +419,45 @@ object Graph {
     result
   }
 
+  /** LINK PREDICTION by common-neighbor count: the top-k NON-adjacent
+    * node pairs ranked by how many neighbors they share — the classic
+    * "who should be connected" recommender baseline (Liben-Nowell &
+    * Kleinberg 2003), integer-exact so the ranking is deterministic
+    * cross-engine (ties broken by the pair ids).
+    *
+    * Scale shape: neighbor sets fold in ONE node-keyed exchange
+    * (collect_set dedups inside the aggregation — duplicate input pairs
+    * cost nothing extra), candidate pairs are generated IN-ROW from each
+    * sorted neighbor array (a < b canonical by construction, so no
+    * least/greatest pass), then one pair-keyed count and an anti-join
+    * against the canonicalized edge set. Per-node work is d²/2 — the
+    * wedge stream materializes only as the aggregation input, never as
+    * a joined intermediate. Hub hazard: a 10⁵-degree hub emits 5·10⁹
+    * pairs from one row; on hub-heavy graphs cap the center degree
+    * (drop hubs — the standard LP denoising) or go to the
+    * degree-oriented corner formulation ([[trussPeel]]'s edgeSupport)
+    * which bounds per-task work by orientation. */
+  def commonNeighborTopK(pairs: DataFrame, uCol: String, vCol: String,
+                         topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cand = orientedAdjacency(pairs, uCol, vCol)
+      .groupBy(col("__s")).agg(array_sort(collect_set(col("__t"))).as("__nbrs"))
+      .select(explode(expr(
+        "flatten(transform(__nbrs, (x, i) -> " +
+          "transform(slice(__nbrs, i + 2, size(__nbrs)), " +
+          "y -> struct(x AS a, y AS b))))")).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val e = pairs.select(least(col(uCol), col(vCol)).as("a"),
+      greatest(col(uCol), col(vCol)).as("b"))
+    cand.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a").as("part_u"), col("b").as("part_v"),
+        col("common_neighbors"))
+  }
+
   /** Undirected node base = the out-degree aggregate (every node appears
     * as a source; exchange-free over the __s-partitioned edge frame). */
   private def outdegBase(e: DataFrame): DataFrame =

@@ -512,6 +512,35 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("commonNeighborTopK matches brute force, excludes existing edges, " +
+      "and is duplicate-invariant") {
+    import spark.implicits._
+    // deterministic sparse graph on 30 nodes
+    val edges = (for {
+      u <- 1L to 30L; v <- (u + 1) to 30L
+      if (u * 11 + v * 7) % 9 == 0
+    } yield (u, v)).toSeq
+    val eset = edges.toSet
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L
+      if !eset.contains((a, b))
+      cn = (nbrs.getOrElse(a, Set.empty) & nbrs.getOrElse(b, Set.empty)).size
+      if cn > 0
+    } yield (a, b, cn.toLong))
+      .sortBy { case (a, b, cn) => (-cn, a, b) }.take(5)
+    def run(in: Seq[(Long, Long)]) =
+      Graph.commonNeighborTopK(in.toDF("u", "v"), "u", "v", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(edges)
+    assert(got == want)
+    // duplicate pairs and swapped orientations change nothing
+    assert(run(edges ++ edges.map(_.swap) ++ edges) == want)
+    // no returned pair is an existing edge
+    assert(got.forall { case (a, b, _) => !eset.contains((a, b)) })
+  }
+
   test("hitsBipartite is invariant to duplicate input pairs (distinct inside)") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
