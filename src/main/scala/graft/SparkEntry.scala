@@ -1848,6 +1848,13 @@ object SparkEntry {
       val (mn, mx) = Similarity.dimStats(v)
       Similarity.quantizeInt8(v, mn, mx)
     }),
+    // k-means assignment round in int8 CODE space (k = 8 seeds = smallest
+    // ids): exact-BIGINT squared L2, argmin ties to the lower centroid id
+    // — bit-deterministic clustering, unlike float k-means
+    // (Similarity.kmeansAssignInt8 doc: one corpus scan, broadcast
+    // centroids, in-row distance folds, no vector shuffle)
+    "ext_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 8)),
     "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
       t(s, dir, "embeddings")
         .groupBy((col("vec_id") % 4).as("bucket"))
@@ -3803,6 +3810,24 @@ object SparkEntry {
         |  CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5) AS INT) END AS code
         |FROM ex JOIN st ON ex.pos = st.pos""".stripMargin,
 
+    // same affine code arithmetic as the quantize oracle, integer squared
+    // L2 per (vector, centroid), argmin replayed as a (dist, cid) window
+    "ext_kmeans_assign" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+        |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
+        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+        |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+        |      AS BIGINT) END AS code
+        |  FROM ex JOIN st ON ex.pos = st.pos),
+        |cent AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |dist AS (SELECT c.vec_id, ct.cid,
+        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
+        |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2)
+        |SELECT vec_id, cid AS cluster, d AS dist FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin,
     // zipped unnests align value and position; ×2^20 fixed-point is exact
     // in IEEE arithmetic, so summation order and engine cannot matter
     "ext_embedding_centroid_exact" ->

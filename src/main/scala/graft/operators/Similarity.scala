@@ -448,6 +448,55 @@ object Similarity {
   def dequantize(code: Column, mn: Column, mx: Column): Column =
     mn + code.cast("double") * (mx - mn) / lit(255.0)
 
+  /** One k-means ASSIGNMENT round over [[quantizeInt8]] codes: every
+    * vector goes to the centroid (= the code vectors of the `k` smallest
+    * ids — a deterministic seeding, the k-means‖ stand-in) minimizing the
+    * squared L2 distance IN CODE SPACE. Because codes are small integers,
+    * every distance is an exact BIGINT and the argmin (ties to the lower
+    * centroid id) is bit-deterministic cross-run, cross-partitioning and
+    * cross-engine — unlike float k-means, whose tie behavior is
+    * summation-order noise. This is the assignment step a Lloyd's
+    * iteration, an IVF index build, or a balanced-shard layout all share;
+    * int8 distances are also the standard serving trick (4× memory, SIMD).
+    *
+    * Scale shape: calibration stats and the k centroid rows are
+    * index-sized driver collects (documented [[dimStats]] pattern); the
+    * corpus side is ONE scan — encode in-row, broadcast the k×dims
+    * centroid table, k distances per row folded in-row, argmin via a
+    * min(struct) map-side-combined aggregation. No corpus shuffle of
+    * vectors, only (id, dist, cluster) triples. */
+  def kmeansAssignInt8(vecs: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (mins, maxs) = dimStats(vecs, vecCol)
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    def codes(v: Column): Column = transform(v, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)
+          + lit(0.5)).cast("long"))
+    })
+    // centroid seed ids: k-row driver collect (index-sized by design)
+    val seedIds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.get(0))
+    val cents = vecs.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).as("__cid"), codes(col(vecCol)).as("__cc"))
+    Query.ensureParallelism(vecs)
+      .select(col(idCol), codes(col(vecCol)).as("__codes"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), struct(
+        aggregate(zip_with(col("__codes"), col("__cc"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          .as("dist"), col("__cid").as("cluster")).as("__m"))
+      .groupBy(col(idCol))
+      .agg(min(col("__m")).as("__m"))
+      .select(col(idCol), col("__m.cluster").as("cluster"),
+        col("__m.dist").as("dist"))
+  }
+
   def embeddingNearDups(vecs: DataFrame, threshold: Double, bits: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = Query.ensureParallelism(vecs).select(col(idCol), col(vecCol),

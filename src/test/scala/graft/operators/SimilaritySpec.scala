@@ -109,4 +109,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("kmeansAssignInt8 matches brute-force code-space argmin with " +
+      "lower-id ties, under any partitioning") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors; ids 0..11, k = 3 seeds
+    val rows = (0L to 11L).map { i =>
+      (i, (0 until 4).map(d => ((i * 7 + d * 13) % 10).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.dimStats(df)
+    def code(v: Float, d: Int): Long =
+      if (mx(d) == mn(d)) 0L
+      else math.floor((v.toDouble - mn(d)) * 255.0 / (mx(d) - mn(d)) + 0.5).toLong
+    val codes = rows.map { case (i, vs) =>
+      i -> vs.zipWithIndex.map { case (v, d) => code(v, d) }
+    }.toMap
+    val want = rows.map { case (i, _) =>
+      val (d, c) = (0L to 2L).map { c =>
+        (codes(i).zip(codes(c)).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+      }.min
+      (i, c, d)
+    }
+    Seq(df, df.repartition(7)).foreach { in =>
+      val got = Similarity.kmeansAssignInt8(in, k = 3)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want)
+    }
+  }
 }
