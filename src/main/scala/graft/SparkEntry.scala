@@ -1790,6 +1790,15 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(v, v.filter(col("vec_id") < 10), k = 5)
     }),
+    // hybrid-retrieval merge: reciprocal-rank fusion of the float cosine
+    // ranking and the int8 code-space L2 ranking, contributions held
+    // exact as 1000000 div (60 + rank) (Similarity.rankFusionRrf doc —
+    // both rankings broadcast-query scans, merge is ranking-sized)
+    "ext_rank_fusion" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.rankFusionRrf(v, v.filter(col("vec_id") < 10),
+        k = 10, topK = 5)
+    }),
     // integer fixed-point hyperplanes → the whole LSH path (bucketing,
     // probe join, re-rank) is replayed by the DuckDB oracle
     "ext_cosine_topk_lsh" -> ((s, dir) => {
@@ -2400,6 +2409,44 @@ object SparkEntry {
       Temporal.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))),
+    // RFM segmentation: per-user recency/frequency/monetary reduced from
+    // the event grain (ONE exchange), then quintile scores over the USER
+    // grain (orders-of-magnitude smaller than events — the three ntile
+    // sorts run on the reduced table; monetary is fixed-point-exact so
+    // every ntile order is total) and the 125-cell segment histogram
+    "ext_rfm_segments" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__r"), count(lit(1)).as("__f"),
+          sum(floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+            .cast("long")).as("__m"))
+      u.select(
+          ntile(5).over(Window.orderBy(col("__r").desc, col("user_id")))
+            .cast("int").as("r_q"),
+          ntile(5).over(Window.orderBy(col("__f").desc, col("user_id")))
+            .cast("int").as("f_q"),
+          ntile(5).over(Window.orderBy(col("__m").desc, col("user_id")))
+            .cast("int").as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // calendar densification: per-user daily activity with ZERO-filled
+    // missing days across each user's [first, last] span — the spine
+    // every gap-sensitive rollup (forward fill, churn windows, moving
+    // averages over time) joins against. One event-grain exchange builds
+    // the daily counts; the spine generates IN-ROW from the per-user span
+    // (output is span-sized, never a global calendar cross join)
+    "ext_date_spine" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__n"))
+      val spine = d.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        .select(col("user_id"), explode(sequence(col("__d0"), col("__d1")))
+          .as("day"))
+      spine.join(d, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("__n"), lit(0L)).as("n_events"))
+    }),
 
     // ── reconciliation: snapshot diff + per-chunk checksums ──────────────
     // storage-derived CDC: a second snapshot is derived deterministically
@@ -3974,6 +4021,44 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    // both rankings replayed (cosine as above; int8 L2 with the quantize
+    // oracle's code arithmetic), fused as exact 1000000 // (60 + rank)
+    // contributions, full-outer merged, top-5 by (rrf desc, id)
+    "ext_rank_fusion" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |sa0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   round(list_inner_product(q.e, c.e) /
+        |    (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
+        |ra AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sa0),
+        |sa AS (SELECT query_id, neighbor_id,
+        |    CAST(1000000 // (60 + rn) AS BIGINT) AS s FROM ra WHERE rn <= 10),
+        |ex AS (SELECT vec_id, unnest(embedding) AS x,
+        |       unnest(range(len(embedding))) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+        |       max(CAST(x AS DOUBLE)) AS mx FROM ex GROUP BY pos),
+        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+        |    CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+        |      AS BIGINT) END AS code
+        |  FROM ex JOIN st ON ex.pos = st.pos),
+        |qd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM((a.code - b.code) * (a.code - b.code)) AS BIGINT) AS d
+        |  FROM codes a JOIN codes b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |rb AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY d, neighbor_id) AS rn FROM qd),
+        |sb AS (SELECT query_id, neighbor_id,
+        |    CAST(1000000 // (60 + rn) AS BIGINT) AS s FROM rb WHERE rn <= 10),
+        |f AS (SELECT coalesce(sa.query_id, sb.query_id) AS query_id,
+        |    coalesce(sa.neighbor_id, sb.neighbor_id) AS neighbor_id,
+        |    coalesce(sa.s, 0) + coalesce(sb.s, 0) AS rrf
+        |  FROM sa FULL JOIN sb ON sa.query_id = sb.query_id
+        |    AND sa.neighbor_id = sb.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rrf AS BIGINT) AS rrf FROM f
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rrf DESC, neighbor_id) <= 5""".stripMargin,
     // the full LSH path replayed: identical integer bucket bits (see
     // lshBucketSql), bucket equi-join, cosine re-rank, top-5
     "ext_cosine_topk_lsh" ->
@@ -4478,6 +4563,33 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM act a JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // same event→user reduction, fixed-point monetary, and ntile(5) with
+    // the (metric, user_id) total order — ntile is standard-SQL identical
+    "ext_rfm_segments" ->
+      """WITH u AS (SELECT user_id, max(ts) AS r, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(floor(coalesce(value, 0.0) * 1048576) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT
+        |    CAST(ntile(5) OVER (ORDER BY r DESC, user_id) AS INT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INT) AS m_q
+        |  FROM u)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // per-user generate_series spine (timestamps cast back to DATE), left
+    // join the daily counts, zero-fill
+    "ext_date_spine" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS "day",
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min("day") AS d0, max("day") AS d1
+        |       FROM d GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS "day"
+        |  FROM sp)
+        |SELECT s.user_id, s."day" AS "day", coalesce(d.n, 0) AS n_events
+        |FROM spine s LEFT JOIN d USING (user_id, "day")""".stripMargin,
     // same prefix-max break rule as the engine: a 5-min window merges into
     // the island whenever its lo <= the max hi of all prior windows
     // (half-open touch merges); all arithmetic on exact epoch micros

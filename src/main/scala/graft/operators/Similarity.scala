@@ -465,20 +465,33 @@ object Similarity {
     * centroid table, k distances per row folded in-row, argmin via a
     * min(struct) map-side-combined aggregation. No corpus shuffle of
     * vectors, only (id, dist, cluster) triples. */
-  def kmeansAssignInt8(vecs: DataFrame, k: Int,
-                       idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val (mins, maxs) = dimStats(vecs, vecCol)
+  /** Array form of [[quantizeInt8]]'s affine code arithmetic (same IEEE
+    * ops, so the same cross-engine bit-guarantee): vector column → BIGINT
+    * code array, calibration stats baked in as literals. */
+  private def int8CodesCol(mins: Array[Double], maxs: Array[Double])
+                          (v: Column): Column = {
     val mnLit = array(mins.map(lit): _*)
     val mxLit = array(maxs.map(lit): _*)
-    def codes(v: Column): Column = transform(v, (x, i) => {
+    transform(v, (x, i) => {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       when(mx === mn, lit(0L))
         .otherwise(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)
           + lit(0.5)).cast("long"))
     })
+  }
+
+  /** Exact-BIGINT squared L2 between two code arrays. */
+  private def int8Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  def kmeansAssignInt8(vecs: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (mins, maxs) = dimStats(vecs, vecCol)
+    val codes = int8CodesCol(mins, maxs) _
     // centroid seed ids: k-row driver collect (index-sized by design)
     val seedIds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
       .collect().map(_.get(0))
@@ -488,13 +501,59 @@ object Similarity {
       .select(col(idCol), codes(col(vecCol)).as("__codes"))
       .crossJoin(broadcast(cents))
       .select(col(idCol), struct(
-        aggregate(zip_with(col("__codes"), col("__cc"),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-          .as("dist"), col("__cid").as("cluster")).as("__m"))
+        int8Sq(col("__codes"), col("__cc")).as("dist"),
+        col("__cid").as("cluster")).as("__m"))
       .groupBy(col(idCol))
       .agg(min(col("__m")).as("__m"))
       .select(col(idCol), col("__m.cluster").as("cluster"),
         col("__m.dist").as("dist"))
+  }
+
+  /** RECIPROCAL-RANK FUSION of two rankers over the same corpus — the
+    * float cosine ranking ([[bruteForceTopK]]) and the int8 code-space
+    * L2 ranking — the standard way hybrid retrieval merges incomparable
+    * score scales (Cormack/Clarke/Büttcher 2009): each ranker
+    * contributes 1/(60 + rank), here held EXACT as the integer
+    * 1000000 div (60 + rank) so fused scores and ties are
+    * bit-deterministic cross-engine. Candidates missing from one ranking
+    * contribute 0 from it (full outer merge), final top-`topK` per query
+    * ordered (rrf desc, id).
+    *
+    * Scale shape: both rankings are broadcast-query scans of the corpus
+    * (no corpus shuffle; per-query top-k via window over the
+    * query-partitioned score stream), the merge joins two k·|queries|
+    * frames — ranking-sized, not corpus-sized. */
+  def rankFusionRrf(vecs: DataFrame, queries: DataFrame, k: Int, topK: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && topK >= 1, s"k/topK must be >= 1, got $k/$topK")
+    // integer div keeps the contribution exact (Column./ is IEEE division)
+    val a = bruteForceTopK(vecs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(1000000 div (60 + rank) AS BIGINT)").as("__sa"))
+    val (mins, maxs) = dimStats(vecs, vecCol)
+    val codes = int8CodesCol(mins, maxs) _
+    val qc = queries.select(col(idCol).as("query_id"),
+      codes(col(vecCol)).as("__qc"))
+    val cand = Query.ensureParallelism(vecs)
+      .select(col(idCol).as("neighbor_id"), codes(col(vecCol)).as("__cc"))
+    val wb = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("neighbor_id"))
+    val b = cand.join(broadcast(qc), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", int8Sq(col("__qc"), col("__cc")))
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(1000000 div (60 + __rn) AS BIGINT)").as("__sb"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(col("__sa"), lit(0L)) + coalesce(col("__sb"), lit(0L)))
+          .as("rrf"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("__rn", row_number().over(wf))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rrf"))
   }
 
   def embeddingNearDups(vecs: DataFrame, threshold: Double, bits: Int = 8,

@@ -138,4 +138,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(got == want)
     }
   }
+
+  test("rankFusionRrf equals the brute-force fused ranking (both rankers " +
+      "replayed in Scala, integer RRF contributions)") {
+    import spark.implicits._
+    val rows = (0L to 11L).map { i =>
+      (i, (0 until 4).map(d => (((i * 13 + d * 7) % 11) - 5).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Seq(0L, 1L)
+    val k = 4
+    val vecs = rows.toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val mn = (0 until 4).map(d => rows.map(_._2(d)).min.toDouble)
+    val mx = (0 until 4).map(d => rows.map(_._2(d)).max.toDouble)
+    def codes(v: Seq[Float]): Seq[Long] = v.zipWithIndex.map { case (x, d) =>
+      if (mx(d) == mn(d)) 0L
+      else math.floor((x.toDouble - mn(d)) * 255.0 / (mx(d) - mn(d)) + 0.5).toLong
+    }
+    val want = queries.flatMap { q =>
+      val others = rows.map(_._1).filter(_ != q)
+      val ra = others.map(c => (c, cosine(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(k).zipWithIndex
+        .map { case ((c, _), i) => c -> (1000000L / (60 + i + 1)) }.toMap
+      val rb = others.map { c =>
+        (c, codes(vecs(q)).zip(codes(vecs(c)))
+          .map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (c, d) => (d, c) }.take(k).zipWithIndex
+        .map { case ((c, _), i) => c -> (1000000L / (60 + i + 1)) }.toMap
+      (ra.keySet ++ rb.keySet).toSeq
+        .map(c => (q, c, ra.getOrElse(c, 0L) + rb.getOrElse(c, 0L)))
+        .sortBy { case (_, c, s) => (-s, c) }.take(3)
+    }.sortBy(x => (x._1, -x._3, x._2))
+    val got = Similarity.rankFusionRrf(df,
+        df.filter(col("vec_id").isin(queries: _*)), k = k, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, -x._3, x._2)).toSeq
+    assert(got == want)
+  }
 }
