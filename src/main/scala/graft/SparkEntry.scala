@@ -610,6 +610,38 @@ object SparkEntry {
     "ext_label_prop" -> ((s, dir) =>
       operators.Graph.labelPropagate(copurchasePairs(s, dir), "u", "v",
         rounds = 3)),
+    // Newman modularity of the 3-round label-propagation partition, held
+    // EXACT: Q = Σ_c [e_c/m − (d_c/2m)²] surfaces as the per-community
+    // BIGINT numerator q_num = 4m·e_c − d_c² (Q = Σ q_num / 4m²) — no
+    // float sums, so the community-quality score is bit-deterministic.
+    // One label table (node-sized) joined twice into the distinct edge
+    // stream; ANSI throws loudly if 4m·e_c overflows (documented bound:
+    // m < 2³⁰ edges per evaluation at BIGINT). Over the SUPPORT ≥ 2
+    // subgraph — the dense full graph floods to one community in 3
+    // rounds, which grades nothing.
+    "ext_modularity" -> ((s, dir) => {
+      val lab = operators.Graph.labelPropagate(
+        copurchaseSupportEdges(s, dir, minSupport = 2), "u", "v", rounds = 3)
+      val e = copurchaseSupportEdges(s, dir, minSupport = 2)
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val ein = e
+        .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
+        .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
+        .filter(col("__lu") === col("__lv"))
+        .groupBy(col("__lu").as("community"))
+        .agg(count(lit(1)).as("e_in"))
+      lab.join(deg, lab("node") === deg("n"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
+        .join(ein, Seq("community"), "left_outer")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+          (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+            col("d_sum") * col("d_sum")).as("q_num"))
+    }),
     // CONNECTED COMPONENTS to FIXPOINT (hash-min label propagation with
     // the liveness action riding the round materialization) over the
     // SUPPORT-FILTERED co-purchase graph (pairs sharing ≥ 2 orders —
@@ -2429,6 +2461,59 @@ object SparkEntry {
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    // seasonal-naive forecast BACKTEST: per event type, the hourly count
+    // series (zero-filled over each type's [first, last] hour spine —
+    // honest lags need dense series), forecast = the count 24 hours
+    // earlier, error held exact as the integer Σ|actual − forecast|; MAE
+    // is the single rounded division at the end. The eval harness shape
+    // every forecasting pipeline needs before any model beats the naive.
+    "ext_forecast_backtest" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("__n"))
+      val dense = h.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("__h0"), max(col("hr")).as("__h1"))
+        .select(col("event_type"),
+          explode(sequence(col("__h0"), col("__h1"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+        .join(h, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("__n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      dense.withColumn("__f", lag(col("n"), 24).over(w))
+        .filter(col("__f").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("n") - col("__f"))).as("abs_err_sum"))
+        .select(col("event_type"), col("n_hours"), col("abs_err_sum"),
+          round(col("abs_err_sum").cast("double") /
+            col("n_hours").cast("double"), 6).as("mae"))
+    }),
+    // audience overlap: pairwise Jaccard between event types' distinct
+    // USER sets — one distinct pass, an intersection count via the
+    // user-keyed self-join (type_a < type_b), union by
+    // inclusion-exclusion; the only float is the final rounded division
+    "ext_audience_overlap" -> ((s, dir) => {
+      val su = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = su.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = su.select(col("event_type").as("type_a"), col("user_id"))
+        .join(su.select(col("event_type").as("type_b"), col("user_id")),
+          "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+    }),
     // calendar densification: per-user daily activity with ZERO-filled
     // missing days across each user's [first, last] span — the spine
     // every gap-sensitive rollup (forward fill, churn windows, moving
@@ -3144,6 +3229,7 @@ object SparkEntry {
     "ext_kcore_peel" -> sqlKcorePeel,
     "ext_assortativity" -> sqlAssortativity,
     "ext_label_prop" -> sqlLabelProp,
+    "ext_modularity" -> sqlModularity,
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
     "ext_neighborhood_function" -> sqlNeighborhoodFunction,
@@ -4577,6 +4663,40 @@ object SparkEntry {
         |  FROM u)
         |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // same hourly spine (generate_series), lag-24 seasonal-naive, integer
+    // absolute-error sum, one rounded division
+    "ext_forecast_backtest" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |       FROM h GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM sp),
+        |dense AS (SELECT s.event_type, s.hr, coalesce(h.n, 0) AS n
+        |          FROM spine s LEFT JOIN h USING (event_type, hr)),
+        |lagged AS (SELECT event_type, n, lag(n, 24) OVER (
+        |    PARTITION BY event_type ORDER BY hr) AS f FROM dense)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(abs(n - f)) AS BIGINT) AS abs_err_sum,
+        |  round(CAST(SUM(abs(n - f)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mae
+        |FROM lagged WHERE f IS NOT NULL GROUP BY event_type""".stripMargin,
+    // same distinct user sets, self-join intersection, inclusion-exclusion
+    // union, one rounded division
+    "ext_audience_overlap" ->
+      """WITH su AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM su GROUP BY 1),
+        |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM su a JOIN su b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+        |  round(CAST(i.n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+        |FROM inter i JOIN sz sa ON i.type_a = sa.event_type
+        |JOIN sz sb ON i.type_b = sb.event_type""".stripMargin,
     // per-user generate_series spine (timestamps cast back to DATE), left
     // join the daily counts, zero-fill
     "ext_date_spine" ->
@@ -5513,7 +5633,8 @@ object SparkEntry {
   /** Bounded min-label propagation, `rounds` chained MATERIALIZED CTE
     * rounds (each round references its predecessor twice — the kcore
     * re-inlining lesson; engine: Graph.labelPropagate's persist loop). */
-  private def sqlLabelPropTail(rounds: Int): String = {
+  private def sqlLabelPropTail(rounds: Int,
+                               finalSql: Option[String] = None): String = {
     val sb = new StringBuilder(
       """,
         |adj AS MATERIALIZED (SELECT u AS s, v AS t FROM edges
@@ -5528,13 +5649,40 @@ object SparkEntry {
         |    SELECT a.t AS n, x.l FROM adj a JOIN l${r - 1} x ON a.s = x.n) q
         |  GROUP BY n)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT n AS node, l AS label FROM l$rounds""".stripMargin)
+    sb.append(finalSql.getOrElse(s"""
+      |SELECT n AS node, l AS label FROM l$rounds""".stripMargin))
     sb.toString
   }
 
   private val sqlLabelProp: String =
     "WITH " + sqlEdgesSelfJoinCte.stripSuffix(",\n") + sqlLabelPropTail(3)
+
+  /** Newman modularity of the 3-round label-propagation partition over
+    * the co-purchase graph, held exact: per community c the scaled
+    * numerator q_num = 4m·e_c − d_c² (Q = Σ q_num / 4m²) is a plain
+    * BIGINT — no float sums anywhere. Labels replayed via the shared
+    * label-prop CTE chain over the support ≥ 2 subgraph; degree =
+    * out-count over the doubled adj. */
+  private val sqlModularity: String =
+    "WITH " + sqlSupportCte +
+      "edges AS (SELECT u, v FROM sup WHERE c >= 2)" + sqlLabelPropTail(3,
+      finalSql = Some("""
+        |, lab AS (SELECT n, l FROM l3),
+        |deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+        |ein AS (SELECT la.l AS c, CAST(count(*) AS BIGINT) AS e_in
+        |        FROM edges e JOIN lab la ON e.u = la.n
+        |        JOIN lab lb ON e.v = lb.n
+        |        WHERE la.l = lb.l GROUP BY 1),
+        |dc AS (SELECT lab.l AS c, CAST(SUM(deg.d) AS BIGINT) AS d_sum,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM lab JOIN deg ON lab.n = deg.n GROUP BY 1)
+        |SELECT dc.c AS community, dc.n_nodes,
+        |  coalesce(ein.e_in, 0) AS e_in, dc.d_sum,
+        |  CAST(4 * m.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum
+        |    AS BIGINT) AS q_num
+        |FROM dc LEFT JOIN ein ON dc.c = ein.c, m""".stripMargin))
 
   /** Winnowing twin: same md5-prefix shingle hashes, same windowed-min
     * selection, DuckDB list dialect (1-based inclusive slices; range()

@@ -95,4 +95,25 @@ class GraphInvariantSpec extends AnyFunSuite with SparkSpec {
     }
     assert(seeds.forall(s => ppr(s) >= 150000L), "seed teleport floor")
   }
+
+  test("modularity accounting closes over the declared key (sf0.001): " +
+      "Σ d_sum = 2m, Σ e_in <= m, q_num re-derives, singletons have no " +
+      "internal edge") {
+    val rows = graft.SparkEntry.queries("ext_modularity")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // recompute m from the degree identity, then every row's q_num
+    val dSum = rows.map(_._3).sum
+    assert(dSum % 2 == 0, "degree mass is even")
+    val m = dSum / 2
+    assert(rows.map(_._2).sum <= m, "within-community edges bounded by m")
+    rows.foreach { case (_, eIn, dc, qNum) =>
+      assert(qNum == 4L * m * eIn - dc * dc, "q_num identity")
+    }
+    // singleton communities have e_in = 0
+    rows.filter(_._1 == 1L).foreach { case (_, eIn, _, _) =>
+      assert(eIn == 0L, "singleton has no internal edge")
+    }
+  }
 }
