@@ -620,9 +620,12 @@ object SparkEntry {
     // subgraph — the dense full graph floods to one community in 3
     // rounds, which grades nothing.
     "ext_modularity" -> ((s, dir) => {
-      val lab = operators.Graph.labelPropagate(
-        copurchaseSupportEdges(s, dir, minSupport = 2), "u", "v", rounds = 3)
-      val e = copurchaseSupportEdges(s, dir, minSupport = 2)
+      // the support build (full co-purchase pair stream + having) is the
+      // expensive stage — checkpoint it ONCE and share it between the LP
+      // loop and the three modularity consumers; free after the
+      // result-sized output materializes
+      val e = copurchaseSupportEdges(s, dir, minSupport = 2).localCheckpoint()
+      val lab = operators.Graph.labelPropagate(e, "u", "v", rounds = 3)
       val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val m = e.agg(count(lit(1)).as("m"))
@@ -632,7 +635,7 @@ object SparkEntry {
         .filter(col("__lu") === col("__lv"))
         .groupBy(col("__lu").as("community"))
         .agg(count(lit(1)).as("e_in"))
-      lab.join(deg, lab("node") === deg("n"))
+      val result = lab.join(deg, lab("node") === deg("n"))
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
         .join(ein, Seq("community"), "left_outer")
@@ -641,6 +644,9 @@ object SparkEntry {
           coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
           (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
             col("d_sum") * col("d_sum")).as("q_num"))
+        .localCheckpoint()
+      operators.Dedup.freeCheckpoints(e)
+      result
     }),
     // CONNECTED COMPONENTS to FIXPOINT (hash-min label propagation with
     // the liveness action riding the round materialization) over the
