@@ -486,6 +486,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("part_u"), col("part_v"))
         .limit(20)),
+    // A-priori level 3: frequent part TRIPLES — the canonical pair stream
+    // (in-row generation, already a < b) extends by ONE order-keyed
+    // equi-join against the distinct basket items with c > b, then one
+    // support count. Per-basket work is |basket|³/6, bounded by basket
+    // size (never table size); support ≥ 2 gate, deterministic top-20.
+    "ext_itemsets_k3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = operators.Graph.itemPairs(li, "l_orderkey", "l_partkey")
+      pairs.join(li.distinct()
+          .select(col("l_orderkey"), col("l_partkey").as("__w")),
+          "l_orderkey")
+        .filter(col("__w") > col("v"))
+        .groupBy(col("u").as("part_a"), col("v").as("part_b"),
+          col("__w").as("part_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"),
+          col("part_c"))
+        .limit(20)
+    }),
     // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
     // each other — the semantics an inner join silently drops; nullable
     // keys synthesized at value > 450 so both branches are exercised
@@ -818,6 +839,55 @@ object SparkEntry {
         .withColumn("to_type", col("event_type"))
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+    // conditional entropy of the user-journey Markov chain, per source
+    // state: H(Y|X=x) = −Σ_y (n_xy/n_x)·ln(n_xy/n_x) — how predictable
+    // the NEXT event is from the current one (the sequence complement of
+    // ext_event_entropy's marginal). ln args are exact integer ratios;
+    // the per-state fold runs in to_type order (event-entropy recipe);
+    // transition counts reduce at the (from, to) grain — state is
+    // alphabet-squared, never event-count-sized.
+    "ext_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("__n"))
+      val nf = tr.groupBy(col("from_type")).agg(sum(col("__n")).as("n_from"))
+      tr.join(broadcast(nf), "from_type")
+        .withColumn("__t",
+          -(col("__n").cast("double") / col("n_from").cast("double")) *
+            log(col("__n").cast("double") / col("n_from").cast("double")))
+        .groupBy(col("from_type"), col("n_from"))
+        .agg(array_sort(collect_list(struct(col("to_type"), col("__t"))))
+          .as("__l"))
+        .select(col("from_type"), col("n_from"),
+          round(expr("aggregate(__l, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x.__t)"), 6).as("h_cond"))
+    }),
+    // hour-of-day uniformity: Pearson chi-square against the uniform
+    // 24-cell layout, held exact — Σ_h (24·O_h − n)² as BIGINT (absent
+    // hours contribute n² each), the statistic is the single rounded
+    // division num/(24n). ANSI throws if n² overflows (documented bound:
+    // n < 2³¹ events per type per evaluation).
+    "ext_hour_uniformity" -> ((s, dir) => {
+      val o = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("__h"))
+        .agg(count(lit(1)).as("__o"))
+      val n = o.groupBy(col("event_type")).agg(sum(col("__o")).as("n"))
+      o.join(broadcast(n), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum((lit(24L) * col("__o") - col("n")) *
+          (lit(24L) * col("__o") - col("n"))).as("__sp"),
+          count(lit(1)).as("__np"))
+        .select(col("event_type"), col("n"),
+          col("__np").cast("bigint").as("n_hours_active"),
+          (col("__sp") + (lit(24L) - col("__np")) * col("n") * col("n"))
+            .as("chi2_num"))
+        .withColumn("chi2", round(col("chi2_num").cast("double") /
+          (lit(24.0) * col("n").cast("double")), 6))
     }),
     // WINDOWED ordered funnel (view → click within 6h → purchase within
     // 6h of the click): each stage's entry is the min event time
@@ -3424,6 +3494,18 @@ object SparkEntry {
         |SELECT part_u, part_v, count(*) AS support
         |FROM p GROUP BY 1, 2
         |ORDER BY support DESC, part_u, part_v LIMIT 20""".stripMargin,
+    // distinct basket items, a < b < c triple self-join, support >= 2,
+    // deterministic top-20
+    "ext_itemsets_k3" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |tri AS (SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  JOIN li c ON a.o = c.o AND b.p < c.p
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, part_c, support FROM tri
+        |ORDER BY support DESC, part_a, part_b, part_c LIMIT 20""".stripMargin,
     "join_null_safe" ->
       """WITH e AS (SELECT event_id,
         |    CASE WHEN value > 450 THEN NULL ELSE user_id % 10 END AS k
@@ -3531,6 +3613,43 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, event_type AS to_type, count(*) AS n
         |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // same transition counts; exact-ratio ln terms folded in to_type order
+    "ext_transition_entropy" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |tr AS (SELECT from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |nf AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |       FROM tr GROUP BY 1),
+        |tm AS (SELECT tr.from_type, tr.to_type, nf.n_from,
+        |    -(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE)) AS t
+        |  FROM tr JOIN nf USING (from_type)),
+        |a AS (SELECT from_type, n_from, list(t ORDER BY to_type) AS l
+        |      FROM tm GROUP BY 1, 2)
+        |SELECT from_type, n_from,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+        |    (acc, x) -> acc + x), 6) AS h_cond
+        |FROM a""".stripMargin,
+    // same scaled integer chi-square: present-hour terms summed, absent
+    // hours contribute n² each, one rounded division
+    "ext_hour_uniformity" ->
+      """WITH o AS (SELECT event_type, hour(ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+        |      FROM o GROUP BY 1),
+        |s AS (SELECT o.event_type, n.n,
+        |    CAST(SUM((24 * o.o - n.n) * (24 * o.o - n.n)) AS BIGINT) AS sp,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM o JOIN n USING (event_type) GROUP BY 1, 2)
+        |SELECT event_type, n, np AS n_hours_active,
+        |  CAST(sp + (24 - np) * n * n AS BIGINT) AS chi2_num,
+        |  round(CAST(sp + (24 - np) * n * n AS DOUBLE) /
+        |    (24.0 * CAST(n AS DOUBLE)), 6) AS chi2
+        |FROM s""".stripMargin,
     "fn_datetime_pack" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
