@@ -812,6 +812,53 @@ object SparkEntry {
     // conversion funnel (view → later click → later purchase): first-
     // occurrence chaining via three user-keyed min-aggregates, each stage
     // gated on strictly-after the previous stage's first time
+    // DAU / trailing-7-day WAU stickiness per day: daily distinct user
+    // sets reduce the event grain first, then each (day, user) row
+    // fans out IN-ROW to the ≤ 7 window days it serves (the
+    // contribute-forward trick — a range-frame DISTINCT window doesn't
+    // exist in either engine) and one distinct count per window day
+    // lands both numbers. State is (days × users-active-per-week),
+    // never event-count-sized. Stickiness = DAU/WAU, the one rounded
+    // division.
+    "ext_dau_wau" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("wday"), col("user_id"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      // inner join keeps ACTIVE days only; the broadcast max clips the
+      // fan-out days that spill past the calendar (no driver action)
+      val mx = du.agg(max(col("day")).as("__mx"))
+      dau.join(wau, "day").crossJoin(broadcast(mx))
+        .filter(col("day") <= col("__mx"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    }),
+    // FIRST-TOUCH attribution: each user's conversion (any purchase)
+    // credited to their first-ever event type — per-channel user counts
+    // and conversion rate. One user-partitioned window pass picks the
+    // first touch; the converter set reduces to distinct users before
+    // the join (user-sized, broadcastable at any event volume).
+    "ext_first_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ft = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_touch"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("__c", lit(1L))
+      ft.join(conv, Seq("user_id"), "left_outer")
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("__c"), lit(0L))).as("n_converted"))
+        .withColumn("conv_rate", round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 6))
+    }),
     "ext_funnel_counts" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
       val v = e.filter(col("event_type") === "view")
@@ -3613,6 +3660,38 @@ object SparkEntry {
         |  FROM events)
         |SELECT from_type, event_type AS to_type, count(*) AS n
         |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // same daily distinct sets; the contribute-forward fan-out replays as
+    // a 7-day generate_series per (day, user), then distinct counts
+    "ext_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS "day", user_id
+        |            FROM events),
+        |dau AS (SELECT "day", CAST(count(*) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |fan AS (SELECT CAST(unnest(generate_series(CAST("day" AS TIMESTAMP),
+        |      CAST("day" AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS DATE) AS "day", user_id FROM du),
+        |wau AS (SELECT "day", CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM fan GROUP BY 1),
+        |mx AS (SELECT max("day") AS m FROM du)
+        |SELECT dau."day" AS "day", dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING ("day"), mx
+        |WHERE dau."day" <= mx.m""".stripMargin,
+    // same first-row window pick + distinct converter set
+    "ext_first_touch" ->
+      """WITH ft AS (SELECT user_id, event_type AS first_touch FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |  WHERE rn = 1),
+        |cv AS (SELECT DISTINCT user_id FROM events
+        |       WHERE event_type = 'purchase')
+        |SELECT ft.first_touch, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  round(CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate
+        |FROM ft LEFT JOIN cv USING (user_id) GROUP BY 1""".stripMargin,
     // same transition counts; exact-ratio ln terms folded in to_type order
     "ext_transition_entropy" ->
       """WITH l AS (SELECT user_id, event_type,
