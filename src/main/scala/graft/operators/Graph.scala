@@ -393,10 +393,16 @@ object Graph {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val raw = edges.select(col(leftCol).cast("long").as("__c"),
       col(rightCol).cast("long").as("__p"))
-    // partition-by-subset-then-distinct: HashPartitioning(__c) satisfies
-    // the (__c, __p) distinct's clustering, so the copy pays one exchange
-    val ec = raw.repartition(col("__c")).distinct().localCheckpoint()
-    val ep = ec.repartition(col("__p")).localCheckpoint()
+    // partition-by-subset-then-distinct: HashPartitioning(__p) satisfies
+    // the (__c, __p) distinct's clustering, so the base copy pays one
+    // exchange. The __p-keyed copy serves every h-step (iters uses); the
+    // __c-keyed copy serves only the a-steps after the indegree special
+    // case (iters − 1 uses), so below 2 uses it is NOT checkpointed —
+    // the single consumer re-exchanges the checkpointed blocks in-plan
+    // instead of paying a second materialization barrier.
+    val ep = raw.repartition(col("__p")).distinct().localCheckpoint()
+    val ecPlan = ep.repartition(col("__c"))
+    val ec = if (iters > 2) ecPlan.localCheckpoint() else ecPlan
     val sess = ec.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
