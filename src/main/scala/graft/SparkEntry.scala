@@ -486,6 +486,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("support"))
         .orderBy(col("support").desc, col("part_u"), col("part_v"))
         .limit(20)),
+    // association RULES from the pair supports: confidence both ways and
+    // lift for the top-20 support pairs — item supports are part-sized
+    // (broadcast), the basket count is a one-row broadcast, so the rule
+    // table costs the pair count plus two broadcast lookups. Ratios are
+    // exact-integer-valued double divisions, rounded once.
+    "ext_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val sab = operators.Graph.itemPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("u").as("part_a"), col("v").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+      val sa = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("__s"))
+      val nb = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("__N"))
+      sab
+        .join(broadcast(sa.select(col("l_partkey").as("part_a"),
+          col("__s").as("s_a"))), "part_a")
+        .join(broadcast(sa.select(col("l_partkey").as("part_b"),
+          col("__s").as("s_b"))), "part_b")
+        .crossJoin(broadcast(nb))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+        .select(col("part_a"), col("part_b"), col("support"),
+          col("s_a"), col("s_b"),
+          round(col("support").cast("double") / col("s_a").cast("double"), 6)
+            .as("conf_ab"),
+          round(col("support").cast("double") / col("s_b").cast("double"), 6)
+            .as("conf_ba"),
+          round((col("__N").cast("double") * col("support").cast("double")) /
+            (col("s_a").cast("double") * col("s_b").cast("double")), 6)
+            .as("lift"))
+    }),
     // A-priori level 3: frequent part TRIPLES — the canonical pair stream
     // (in-row generation, already a < b) extends by ONE order-keyed
     // equi-join against the distinct basket items with c > b, then one
@@ -2309,6 +2341,59 @@ object SparkEntry {
       pairs.join(ctx, Seq("w1"))
         .select(col("w1"), col("w2"), col("n"), col("n_w1"))
     }),
+    // per-source duplicate-factory report: doc counts, within-source
+    // distinct texts, and how many GLOBAL first-wins exact-dedup
+    // survivors land in each source — the curation stat that drives
+    // source down-weighting. Survivor source rides the min(struct) fold
+    // (doc_id unique ⇒ deterministic); everything is one text-keyed
+    // exchange plus a source-keyed reduction.
+    "ext_dup_rate_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val nd = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"))
+      val surv = d.groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("source"))).as("__m"))
+        .groupBy(col("__m.source").as("source"))
+        .agg(count(lit(1)).as("n_survivors"))
+      nd.join(surv, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          round(lit(1.0) - coalesce(col("n_survivors"), lit(0L))
+            .cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+    }),
+    // Zipf rank-frequency fit: least-squares slope of ln(freq) on
+    // ln(rank) over the vocabulary — the corpus-health diagnostic (a
+    // healthy natural-language mix slopes ≈ −1; template spam flattens
+    // it). ln values snap to 2¹⁰ fixed point (floor is exact), so every
+    // regression sum is an order-free BIGINT — no float fold anywhere —
+    // and the slope is one double expression over five exact aggregates.
+    // Rank is a window over the VOCABULARY (dictionary-sized, never
+    // corpus-sized).
+    "ext_token_zipf_fit" -> ((s, dir) => {
+      val fr = Query.ensureParallelism(t(s, dir, "documents"))
+        .select(explode(filter(split(lower(col("text")), " "),
+          w => w =!= "")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("__f"))
+      val q = fr.select(
+        floor(log(row_number().over(Window.orderBy(col("__f").desc,
+          col("token"))).cast("double")) * lit(1024.0) + lit(0.5))
+          .cast("long").as("__qx"),
+        floor(log(col("__f").cast("double")) * lit(1024.0) + lit(0.5))
+          .cast("long").as("__qy"))
+      q.agg(count(lit(1)).as("n_vocab"),
+          sum(col("__qx")).as("sx"), sum(col("__qy")).as("sy"),
+          sum(col("__qx") * col("__qy")).as("sxy"),
+          sum(col("__qx") * col("__qx")).as("sxx"))
+        .select(col("n_vocab"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          round((col("n_vocab").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n_vocab").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("slope"))
+    }),
     // per-doc cross-entropy under the corpus add-1 bigram LM (the LM-based
     // quality filter [[ext_bigram_lm]] is the count table for): model and
     // scores derive from ONE doc-level bigram table (c2 = Σ_docs cnt,
@@ -3541,6 +3626,27 @@ object SparkEntry {
         |SELECT part_u, part_v, count(*) AS support
         |FROM p GROUP BY 1, 2
         |ORDER BY support DESC, part_u, part_v LIMIT 20""".stripMargin,
+    // same pair supports + part-keyed item supports + basket count, the
+    // identical double ratio expressions
+    "ext_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |sab AS (SELECT a.p AS part_a, b.p AS part_b,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |sa AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM li GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM li),
+        |top AS (SELECT * FROM sab
+        |        ORDER BY support DESC, part_a, part_b LIMIT 20)
+        |SELECT t.part_a, t.part_b, t.support, a.s AS s_a, b.s AS s_b,
+        |  round(CAST(t.support AS DOUBLE) / CAST(a.s AS DOUBLE), 6)
+        |    AS conf_ab,
+        |  round(CAST(t.support AS DOUBLE) / CAST(b.s AS DOUBLE), 6)
+        |    AS conf_ba,
+        |  round((CAST(nb.n AS DOUBLE) * CAST(t.support AS DOUBLE)) /
+        |    (CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)), 6) AS lift
+        |FROM top t JOIN sa a ON t.part_a = a.p
+        |JOIN sa b ON t.part_b = b.p, nb""".stripMargin,
     // distinct basket items, a < b < c triple self-join, support >= 2,
     // deterministic top-20
     "ext_itemsets_k3" ->
@@ -4566,6 +4672,44 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= n * 90 THEN q END) AS q90,
         |  min(CASE WHEN cum * 100 >= n * 99 THEN q END) AS q99
         |FROM cum JOIN tot ON cum.f = tot.f GROUP BY 1, 2""".stripMargin,
+    // survivor source via scalar-key min_by (doc_id unique); same
+    // source-keyed reductions and rounded rate
+    "ext_dup_rate_by_source" ->
+      """WITH nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        |  FROM documents GROUP BY 1),
+        |sv AS (SELECT min_by(source, doc_id) AS source FROM documents
+        |       GROUP BY text),
+        |surv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        |         FROM sv GROUP BY 1)
+        |SELECT nd.source, nd.n_docs, nd.n_distinct,
+        |  coalesce(surv.n_survivors, 0) AS n_survivors,
+        |  round(1.0 - CAST(coalesce(surv.n_survivors, 0) AS DOUBLE) /
+        |    CAST(nd.n_docs AS DOUBLE), 6) AS dup_rate
+        |FROM nd LEFT JOIN surv USING (source)""".stripMargin,
+    // same vocabulary ranking, identical 2^10 fixed-point ln snap, the
+    // five exact BIGINT sums and one double slope expression
+    "ext_token_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '')) AS token FROM documents),
+        |fr AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+        |       FROM tok GROUP BY 1),
+        |q AS (SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC, token)
+        |      AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT) AS qx,
+        |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT)
+        |      AS qy
+        |  FROM fr)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+        |  CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+        |  CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+        |  round((CAST(count(*) AS DOUBLE) * CAST(SUM(qx * qy) AS DOUBLE) -
+        |    CAST(SUM(qx) AS DOUBLE) * CAST(SUM(qy) AS DOUBLE)) /
+        |    (CAST(count(*) AS DOUBLE) * CAST(SUM(qx * qx) AS DOUBLE) -
+        |     CAST(SUM(qx) AS DOUBLE) * CAST(SUM(qx) AS DOUBLE)), 6)
+        |    AS slope
+        |FROM q""".stripMargin,
     // identical count derivations and IEEE term arithmetic; the per-source
     // fold replays in token order via list(… ORDER BY) + list_reduce
     "ext_kl_sources" ->
