@@ -492,14 +492,16 @@ object SparkEntry {
     // table costs the pair count plus two broadcast lookups. Ratios are
     // exact-integer-valued double divisions, rounded once.
     "ext_assoc_rules" -> ((s, dir) => {
+      // no pre-distinct: itemPairs dedups inside its collect_set, and the
+      // support sides use countDistinct — one less full-table exchange
       val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
       val sab = operators.Graph.itemPairs(li, "l_orderkey", "l_partkey")
         .groupBy(col("u").as("part_a"), col("v").as("part_b"))
         .agg(count(lit(1)).as("support"))
-      val sa = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("__s"))
-      val nb = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("__N"))
+      val sa = li.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_orderkey")).as("__s"))
+      val nb = li.agg(countDistinct(col("l_orderkey")).as("__N"))
       sab
         .join(broadcast(sa.select(col("l_partkey").as("part_a"),
           col("__s").as("s_a"))), "part_a")
