@@ -2671,6 +2671,64 @@ object SparkEntry {
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    // 2-D SKYLINE (Pareto frontier): the parts no other part dominates on
+    // (smaller-or-equal size, higher price) — computed on the SIZE GRID:
+    // best price per size (one exchange), then a strictly-increasing
+    // frontier filter via a running max over the grid window (≤ |sizes|
+    // rows — resolution-bounded). The classic "best tradeoff" query,
+    // O(n) + grid instead of the naive O(n²) dominance self-join.
+    "ext_skyline_2d" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val g = p.groupBy(col("p_size"))
+        .agg(max(col("p_retailprice")).as("best_price"))
+      val cnt = p.groupBy(col("p_size"),
+        col("p_retailprice").as("best_price")).agg(count(lit(1)).as("n_parts"))
+      val w = Window.orderBy(col("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("__rm", max(col("best_price")).over(w))
+        .filter(col("__rm").isNull || col("best_price") > col("__rm"))
+        .join(cnt, Seq("p_size", "best_price"))
+        .select(col("p_size"), col("best_price"), col("n_parts"))
+    }),
+    // single change-point detection over the active-hour count series:
+    // the split maximizing between-segment variance — V(i) = S_i²/i +
+    // (S−S_i)²/(N−i) from integer prefix sums over the HOUR GRID (one
+    // exchange + a grid-sized window), argmax deterministic via the
+    // (V desc, hour) total order. The binary-segmentation primitive
+    // under every changepoint pipeline.
+    "ext_change_point" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("__n"))
+      val wo = Window.orderBy(col("hr"))
+      val wall = Window.partitionBy(lit(1))
+      // NOTE: analyzer resolution is case-insensitive — "__N"/"__n" are
+      // the SAME column to withColumn (it would replace, not add), so
+      // the totals get distinct spellings
+      val cum = h
+        .withColumn("__i", row_number().over(wo))
+        .withColumn("__s", sum(col("__n")).over(wo
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__tn", count(lit(1)).over(wall))
+        .withColumn("__ts", sum(col("__n")).over(wall))
+        .filter(col("__i") < col("__tn"))
+        .withColumn("__v",
+          col("__s").cast("double") * col("__s").cast("double") /
+            col("__i").cast("double") +
+          (col("__ts") - col("__s")).cast("double") *
+            (col("__ts") - col("__s")).cast("double") /
+            (col("__tn") - col("__i")).cast("double"))
+      cum.withColumn("__rn", row_number().over(
+          Window.orderBy(col("__v").desc, col("hr"))))
+        .filter(col("__rn") === 1)
+        .select(col("hr").as("split_hr"),
+          col("__i").cast("bigint").as("n_hours_before"),
+          (col("__tn") - col("__i")).cast("bigint").as("n_hours_after"),
+          round(col("__s").cast("double") / col("__i").cast("double"), 6)
+            .as("mean_before"),
+          round((col("__ts") - col("__s")).cast("double") /
+            (col("__tn") - col("__i")).cast("double"), 6).as("mean_after"))
+    }),
     // seasonal-naive forecast BACKTEST: per event type, the hourly count
     // series (zero-filled over each type's [first, last] hour spine —
     // honest lags need dense series), forecast = the count 24 hours
@@ -5013,6 +5071,43 @@ object SparkEntry {
         |  FROM u)
         |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users
         |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // same size-grid best price, running-max frontier filter, exact join
+    // back for the point counts
+    "ext_skyline_2d" ->
+      """WITH g AS (SELECT p_size, max(p_retailprice) AS best_price
+        |           FROM part GROUP BY 1),
+        |cnt AS (SELECT p_size, p_retailprice AS best_price,
+        |        CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1, 2),
+        |f AS (SELECT p_size, best_price,
+        |    max(best_price) OVER (ORDER BY p_size
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM g)
+        |SELECT f.p_size, f.best_price, cnt.n_parts
+        |FROM f JOIN cnt USING (p_size, best_price)
+        |WHERE f.rm IS NULL OR f.best_price > f.rm""".stripMargin,
+    // same integer prefix sums over the active-hour grid, identical V
+    // expression, (V desc, hour) argmax
+    "ext_change_point" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |cum AS (SELECT hr,
+        |    CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS i,
+        |    CAST(SUM(n) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS s,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS ss
+        |  FROM h),
+        |v AS (SELECT *,
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(i AS DOUBLE) +
+        |    CAST(ss - s AS DOUBLE) * CAST(ss - s AS DOUBLE) /
+        |      CAST(nn - i AS DOUBLE) AS v
+        |  FROM cum WHERE i < nn)
+        |SELECT hr AS split_hr, i AS n_hours_before,
+        |  nn - i AS n_hours_after,
+        |  round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(ss - s AS DOUBLE) / CAST(nn - i AS DOUBLE), 6)
+        |    AS mean_after
+        |FROM v QUALIFY row_number() OVER (ORDER BY v DESC, hr) = 1""".stripMargin,
     // same hourly spine (generate_series), lag-24 seasonal-naive, integer
     // absolute-error sum, one rounded division
     "ext_forecast_backtest" ->
