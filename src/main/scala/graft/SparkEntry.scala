@@ -872,6 +872,51 @@ object SparkEntry {
           round(col("dau").cast("double") / col("wau").cast("double"), 6)
             .as("stickiness"))
     }),
+    // GROWTH ACCOUNTING: every active (user, day) classified new /
+    // retained / resurrected from the user's previous active day, plus
+    // synthesized "churned" rows on the day after an activity run ends —
+    // the DAU decomposition every growth dashboard opens with. One
+    // distinct pass to the (user, day) grain, one user-partitioned
+    // window, integer counts out.
+    "ext_growth_accounting" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val lab = du
+        .withColumn("__prev", lag(col("day"), 1).over(w))
+        .withColumn("__next", lead(col("day"), 1).over(w))
+      val active = lab.select(col("day"),
+        when(col("__prev").isNull, lit("new"))
+          .when(datediff(col("day"), col("__prev")) === 1, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+      val mx = du.agg(max(col("day")).as("__mx"))
+      val churned = lab
+        .filter(col("__next").isNull ||
+          datediff(col("__next"), col("day")) > 1)
+        .select(date_add(col("day"), 1).as("day"), lit("churned").as("status"))
+        .crossJoin(broadcast(mx))
+        .filter(col("day") <= col("__mx"))
+        .select(col("day"), col("status"))
+      active.unionByName(churned)
+        .groupBy(col("day"), col("status"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    // consecutive-day activity STREAK distribution: gaps-and-islands at
+    // the day grain (island key = day − row_number, the classic
+    // date-arithmetic trick), then the per-length histogram — how sticky
+    // usage runs are. Per-user state is active-day-sized.
+    "ext_streak_lengths" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      du.withColumn("__grp",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("__len").as("streak_len"))
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // FIRST-TOUCH attribution: each user's conversion (any purchase)
     // credited to their first-ever event type — per-channel user counts
     // and conversion rate. One user-partitioned window pass picks the
@@ -3844,6 +3889,41 @@ object SparkEntry {
         |    AS stickiness
         |FROM dau JOIN wau USING ("day"), mx
         |WHERE dau."day" <= mx.m""".stripMargin,
+    // same (user, day) grain, lag/lead classification, synthesized churn
+    // rows clipped at the calendar max
+    "ext_growth_accounting" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS "day", user_id
+        |            FROM events),
+        |lab AS (SELECT "day", user_id,
+        |    lag("day") OVER (PARTITION BY user_id ORDER BY "day") AS prev,
+        |    lead("day") OVER (PARTITION BY user_id ORDER BY "day") AS nxt
+        |  FROM du),
+        |active AS (SELECT "day",
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev, "day") = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM lab),
+        |mx AS (SELECT max("day") AS m FROM du),
+        |churned AS (SELECT "day" + 1 AS "day", 'churned' AS status
+        |  FROM lab, mx
+        |  WHERE (nxt IS NULL OR date_diff('day', "day", nxt) > 1)
+        |    AND "day" + 1 <= mx.m),
+        |u AS (SELECT * FROM active UNION ALL SELECT * FROM churned)
+        |SELECT "day" AS "day", status, CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    // same island key (day − row_number) and per-length histogram
+    "ext_streak_lengths" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS "day", user_id
+        |            FROM events),
+        |g AS (SELECT user_id,
+        |    "day" - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY "day") AS INT) AS grp
+        |  FROM du),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |       FROM g GROUP BY 1, 2)
+        |SELECT len AS streak_len, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM st GROUP BY 1""".stripMargin,
     // same first-row window pick + distinct converter set
     "ext_first_touch" ->
       """WITH ft AS (SELECT user_id, event_type AS first_touch FROM (
