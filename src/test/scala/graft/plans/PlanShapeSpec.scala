@@ -311,4 +311,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val nCust = graft.Tables.load(spark, sf, "customer").count()
     assert(dist == nCust, s"every customer must land in exactly one bucket: $dist != $nCust")
   }
+
+  test("kmeans assignment: centroids broadcast, vectors never shuffled " +
+      "(the only exchange carries the (id, dist, cluster) argmin)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("ext_kmeans_assign")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"centroid table must broadcast even with auto-broadcast off:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"no vector-side shuffle join allowed:\n${p.take(1500)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("PPS weighted sample: the corpus side is never exchanged — one " +
+      "1-row aggregate broadcasts back, then a pure map filter") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("ext_weighted_sample")
+      // the only exchange allowed is the single-row total's partial agg
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"corpus must not shuffle (got $exchanges exchanges):\n${p.take(1500)}")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"the scalar total must broadcast:\n${p.take(1500)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("association rules: item supports and basket count reach the pair " +
+      "stream as broadcasts (pair side never re-shuffles for the lookups)") {
+    val p = planOf("ext_assoc_rules")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both support lookups must be broadcast joins:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap merge:\n${p.take(1500)}")
+  }
 }
