@@ -2230,6 +2230,34 @@ object SparkEntry {
     // D·n1·n2 = max|c1·n2 − c2·n1| as BIGINT, divided once. The only
     // unpartitioned window runs over the VALUE GRID (≤ distinct values —
     // bounded by the measurement's resolution, not the corpus).
+    // PIVOT (long → wide): monthly quantity totals spread into one
+    // column per return flag via the real Dataset.pivot operator with
+    // EXPLICIT pivot values — at scale the values list is what keeps
+    // pivot a single pass (no distinct-discovery job) and the plan a
+    // plain two-phase aggregate. Quantities are whole numbers, so the
+    // double sums are exact regardless of fold order.
+    "ext_pivot_monthly" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))),
+    // UNPIVOT (wide → long): three measure columns melt into
+    // (metric, v) rows via the real Dataset.unpivot operator, then
+    // per-metric profile stats — count/min/max exact, the sum in 2²⁰
+    // fixed point (order-free BIGINT). The melt is a zero-shuffle
+    // in-row expansion; only the metric-keyed aggregate exchanges.
+    "ext_unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "metric", "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          sum(floor(col("v") * lit(1048576.0)).cast("long"))
+            .as("sum_fp20"))),
     // exact per-group quantiles (p50/p90/p99 of l_quantity per return
     // flag) the SCALE way: aggregate to the (group, value) GRID first,
     // cumulative counts over the grid (window rows bounded by the
@@ -4799,6 +4827,28 @@ object SparkEntry {
          |FROM tok GROUP BY 1, 2""".stripMargin,
     // same value-grid construction: per distinct value counts, running
     // sums in value order, integer numerator max, ONE final division
+    // pivot replayed as FILTER-ed conditional aggregates with the same
+    // explicit value columns (absent cells NULL both sides)
+    "ext_pivot_monthly" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  SUM(l_quantity) FILTER (WHERE l_returnflag = 'A') AS "A",
+        |  SUM(l_quantity) FILTER (WHERE l_returnflag = 'N') AS "N",
+        |  SUM(l_quantity) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // unpivot replayed as the UNION ALL long form; fixed-point sum is
+    // order-free
+    "ext_unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n, min(v) AS min_v,
+        |  max(v) AS max_v,
+        |  CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_fp20
+        |FROM u GROUP BY 1""".stripMargin,
     // same value-grid construction; the rank gate replays as the exact
     // integer inequality cum*100 >= n*p
     "ext_group_quantiles" ->
