@@ -872,6 +872,65 @@ object SparkEntry {
           round(col("dau").cast("double") / col("wau").cast("double"), 6)
             .as("stickiness"))
     }),
+    // A/B test readout: users hash-split into two cohorts (parity — any
+    // deterministic hash works), conversion = ever purchased, and the
+    // 2×2 chi-square statistic N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — cells
+    // exact BIGINTs from one user-grain reduction, the statistic a
+    // single double expression over them (the squared cross term
+    // overflows BIGINT at ~2³¹ users, so it stays in IEEE doubles of
+    // exact inputs).
+    "ext_ab_chi2" -> ((s, dir) => {
+      // conversion = a HIGH-VALUE purchase (> 150): on this fixture every
+      // user purchases SOMETHING, which degenerates the 2×2 (b = d = 0)
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("__conv"))
+        .select(pmod(col("user_id"), lit(2)).as("__grp"), col("__conv"))
+      val cells = u.agg(
+        sum(when(col("__grp") === 0 && col("__conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("__grp") === 0 && col("__conv") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("__grp") === 1 && col("__conv") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("__grp") === 1 && col("__conv") === 0, 1L)
+          .otherwise(0L)).as("d"))
+      val denom = (col("a") + col("b")).cast("double") *
+        (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") *
+        (col("b") + col("d")).cast("double")
+      val cross = col("a").cast("double") * col("d").cast("double") -
+        col("b").cast("double") * col("c").cast("double")
+      cells.select(col("a"), col("b"), col("c"), col("d"),
+        // a zero marginal makes the statistic undefined → NULL, not a
+        // division error (ANSI) or inf (DuckDB)
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("a") + col("b") + col("c") + col("d")).cast("double") *
+              cross * cross / denom, 6)).as("chi2"))
+    }),
+    // revenue concentration by part decile (the Pareto table behind
+    // "the top 10% of parts drive X% of revenue"): per-part revenue in
+    // exact cents (floor(x·100 + 0.5) — same expression both engines),
+    // ntile(10) over the PART grain (orders-of-magnitude smaller than
+    // lineitem), integer share numerators, one rounded division
+    "ext_revenue_deciles" -> ((s, dir) => {
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("__rev"))
+      val d = pr.select(col("__rev"),
+        ntile(10).over(Window.orderBy(col("__rev").desc, col("l_partkey")))
+          .cast("int").as("decile"))
+      val tot = pr.agg(sum(col("__rev")).as("__tot"))
+      d.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("__rev")).as("revenue_c"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_parts"), col("revenue_c"),
+          round(col("revenue_c").cast("double") / col("__tot").cast("double"),
+            6).as("rev_share"))
+    }),
     // GROWTH ACCOUNTING: every active (user, day) classified new /
     // retained / resurrected from the user's previous active day, plus
     // synthesized "churned" rows on the day after an activity run ends —
@@ -3917,6 +3976,50 @@ object SparkEntry {
         |    AS stickiness
         |FROM dau JOIN wau USING ("day"), mx
         |WHERE dau."day" <= mx.m""".stripMargin,
+    // same parity split, user-grain conversion reduction, identical
+    // double chi-square expression over exact cells
+    "ext_ab_chi2" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) = 0.0
+        |    THEN NULL
+        |    ELSE round(CAST(a + b + c + d AS DOUBLE) *
+        |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+        |       CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+        |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+        |       CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+        |      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6) END
+        |    AS chi2
+        |FROM cells""".stripMargin,
+    // same cents fixed point, part-grain ntile, integer share numerators
+    "ext_revenue_deciles" ->
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT rev, CAST(ntile(10) OVER (ORDER BY rev DESC, l_partkey)
+        |      AS INT) AS decile FROM pr),
+        |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM pr)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_c,
+        |  round(CAST(SUM(rev) AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+        |    AS rev_share
+        |FROM d, tot GROUP BY decile, tot.t""".stripMargin,
     // same (user, day) grain, lag/lead classification, synthesized churn
     // rows clipped at the calendar max
     "ext_growth_accounting" ->
