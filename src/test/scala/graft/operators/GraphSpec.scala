@@ -541,6 +541,29 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall { case (a, b, _) => !eset.contains((a, b)) })
   }
 
+  test("hitsBipartite edge cases: iters = 1 is the plain indegree ranking; " +
+      "empty input yields empty output") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (1L, 12L))
+    val got = Graph.hitsBipartite(edges.toDF("c", "p"), "c", "p",
+        iters = 1, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 3L), (11L, 2L), (12L, 1L)))
+    val empty = Seq.empty[(Long, Long)].toDF("c", "p")
+    assert(Graph.hitsBipartite(empty, "c", "p", 2, 5).collect().isEmpty)
+  }
+
+  test("commonNeighborTopK: empty and all-adjacent graphs yield empty " +
+      "(no non-edge candidates)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Graph.commonNeighborTopK(empty, "u", "v", 5).collect().isEmpty)
+    // complete graph on 4 nodes: every wedge pair is already an edge
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("u", "v")
+    assert(Graph.commonNeighborTopK(k4, "u", "v", 5).collect().isEmpty)
+  }
+
   test("hitsBipartite is invariant to duplicate input pairs (distinct inside)") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))

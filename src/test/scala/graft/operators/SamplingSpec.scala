@@ -178,4 +178,16 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val light = (1L to 50L).count(a.contains).toDouble / 50
     assert(heavy > light)
   }
+
+  test("ppsSample edge cases: k >= population keeps everything with " +
+      "certainty; empty input stays empty") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i)).toDF("id", "w")
+    // k*w >= W for every row once k >= sum(w)/min(w) = 210
+    val all = Sampling.ppsSample(df, "id", col("w"), 210)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == (1L to 20L).toSet)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Sampling.ppsSample(empty, "id", col("w"), 5).collect().isEmpty)
+  }
 }

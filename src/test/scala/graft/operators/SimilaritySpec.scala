@@ -139,6 +139,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kmeansAssignInt8 edge cases: k larger than the corpus still " +
+      "assigns every vector (self-assignment at distance 0)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssignInt8(df, k = 10)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every vector is its own centroid: dist 0, cluster = own id
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
   test("rankFusionRrf equals the brute-force fused ranking (both rankers " +
       "replayed in Scala, integer RRF contributions)") {
     import spark.implicits._
