@@ -3220,7 +3220,10 @@ object SparkEntry {
         "u", "v", "w", 0L)),
     "ext_ktruss / ext_edge_jaccard_topk [pre-checkpoint edge-support]" ->
       ((s, dir) =>
-        operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")))
+        operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")),
+    "ext_hits_scores [pre-checkpoint indegree + first hub fold]" ->
+      ((s, dir) =>
+        operators.Graph.hitsRoundPlan(custPartPairs(s, dir), "c", "p")))
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
   def oracleSql: Map[String, String] = Map(

@@ -464,6 +464,20 @@ object Graph {
         col("common_neighbors"))
   }
 
+  /** One pre-checkpoint HITS half-step pair (indegree a₀ then the first
+    * hub fold) for the plan audit only — the real loop reads its edge
+    * copies off localCheckpoints, which render as opaque
+    * `Scan ExistingRDD`; this shows the un-checkpointed round shape
+    * ([[hitsBipartite]] executes the same joins/aggregations). */
+  def hitsRoundPlan(edges: DataFrame, leftCol: String,
+                    rightCol: String): DataFrame = {
+    val ep = edges.select(col(leftCol).cast("long").as("__c"),
+        col(rightCol).cast("long").as("__p"))
+      .repartition(col("__p")).distinct()
+    val a = ep.groupBy(col("__p")).agg(count(lit(1)).cast("bigint").as("__as"))
+    ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
+  }
+
   /** Undirected node base = the out-degree aggregate (every node appears
     * as a source; exchange-free over the __s-partitioned edge frame). */
   private def outdegBase(e: DataFrame): DataFrame =
