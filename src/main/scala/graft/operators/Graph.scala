@@ -408,12 +408,14 @@ object Graph {
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       // iteration 1 with h0 ≡ 1 is the indegree count — exchange-free
-      // over the __p-partitioned copy, no join, no h0 frame at all
+      // over the __p-partitioned copy, no join, no h0 frame at all.
+      // The hub half-step is built only where a LATER authority step
+      // consumes it (rounds 2..iters) — the returned frame derives from
+      // `a` alone, so a trailing h would be dead plan construction.
       var a = ep.groupBy(col("__p")).agg(count(lit(1)).cast("bigint").as("__as"))
-      var h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
       (2 to iters).foreach { _ =>
+        val h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
         a = ec.join(h, "__c").groupBy(col("__p")).agg(sum(col("__hs")).as("__as"))
-        h = ep.join(a, "__p").groupBy(col("__c")).agg(sum(col("__as")).as("__hs"))
       }
       a.orderBy(col("__as").desc, col("__p").asc).limit(topK)
         .select(col("__p").as("part"), col("__as").as("authority"))

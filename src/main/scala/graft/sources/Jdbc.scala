@@ -88,8 +88,10 @@ object Jdbc {
     * TASK retry re-inserts the rows its predecessor already committed —
     * on a PK-constrained target (which [[graft.Transfer.pullToJdbc]]
     * creates) those re-sends surface as duplicate-key violations, so the
-    * failure path degrades to per-row inserts that SWALLOW integrity
-    * violations and keep everything else loud
+    * failure path degrades to per-row inserts that SWALLOW duplicate
+    * keys ONLY (SQLState 23505/23001 — the one violation a task retry
+    * can manufacture) and keep everything else loud, including other
+    * integrity violations (NOT NULL/CHECK/FK mean bad data, not a retry)
     * (`tolerateDuplicates = false` restores fail-fast for targets where
     * a duplicate key means corruption, not a retry). A batch failure
     * also taps-style resets the controller 10 → 1 AND reopens the
@@ -125,19 +127,39 @@ object Jdbc {
   def insertPlan(url: String, table: String,
                  cols: Seq[String]): (String, Array[Int]) = {
     val dialect = JdbcDialects.get(url)
-    val resolved = withConnection(url) { conn =>
-      val rs = conn.prepareStatement(s"SELECT * FROM $table WHERE 1=0")
-        .executeQuery()
-      val md = rs.getMetaData
-      val byLower = (1 to md.getColumnCount).map { i =>
-        md.getColumnName(i).toLowerCase -> ((md.getColumnName(i), md.getColumnType(i)))
-      }.toMap
-      cols.map(c => byLower.getOrElse(c.toLowerCase,
-        throw new java.sql.SQLException(
-          s"column $c not found in $table (target has: " +
-            s"${byLower.keys.toSeq.sorted.mkString(", ")})")))
+    // The table identifier goes through the same dialect as the columns,
+    // but quoting an identifier the DDL created UNQUOTED breaks on
+    // case-folding engines (Derby folds unquoted names to upper case, so
+    // "graft_rt" ≠ GRAFT_RT) — probe the raw spelling first, and fall
+    // back to the per-part dialect-quoted form for case-sensitive or
+    // reserved-word table names. The INSERT reuses whichever spelling
+    // the target accepted.
+    val quoted = table.split('.').map(dialect.quoteIdentifier).mkString(".")
+    val spellings = if (quoted == table) Seq(table) else Seq(table, quoted)
+    val (tableSql, resolved) = withConnection(url) { conn =>
+      def probe(t: String) = {
+        val rs = conn.prepareStatement(s"SELECT * FROM $t WHERE 1=0")
+          .executeQuery()
+        val md = rs.getMetaData
+        val byLower = (1 to md.getColumnCount).map { i =>
+          md.getColumnName(i).toLowerCase -> ((md.getColumnName(i), md.getColumnType(i)))
+        }.toMap
+        t -> cols.map(c => byLower.getOrElse(c.toLowerCase,
+          throw new java.sql.SQLException(
+            s"column $c not found in $t (target has: " +
+              s"${byLower.keys.toSeq.sorted.mkString(", ")})")))
+      }
+      spellings.tail.foldLeft(scala.util.Try(probe(spellings.head))) {
+        (acc, t) => acc.recoverWith {
+          // only a MISSING-table failure falls through to the quoted
+          // spelling; a column mismatch on a found table stays loud
+          case e: java.sql.SQLSyntaxErrorException => scala.util.Try(probe(t))
+          case e: java.sql.SQLException if !e.getMessage.contains("column") =>
+            scala.util.Try(probe(t))
+        }
+      }.get
     }
-    val insertSql = s"INSERT INTO $table " +
+    val insertSql = s"INSERT INTO $tableSql " +
       s"(${resolved.map(c => dialect.quoteIdentifier(c._1)).mkString(", ")}) " +
       s"VALUES (${resolved.map(_ => "?").mkString(", ")})"
     (insertSql, resolved.map(_._2).toArray)
@@ -147,7 +169,9 @@ object Jdbc {
     * `SQLIntegrityConstraintViolationException`, any exception in the
     * chain with SQLState class 23 (integrity constraint violation), or
     * either buried inside a `BatchUpdateException`'s next-exception
-    * chain (Derby reports batch duplicate keys as XJ208 → 23505). */
+    * chain (Derby reports batch duplicate keys as XJ208 → 23505). Used
+    * only to pick the per-row CONVERGENCE path; what that path may
+    * silently skip is the strictly narrower [[isDuplicateKey]]. */
   private def isIntegrityViolation(e: java.sql.SQLException): Boolean = {
     var cur = e
     var hops = 0
@@ -156,6 +180,25 @@ object Jdbc {
         return true
       val st = cur.getSQLState
       if (st != null && st.startsWith("23")) return true
+      cur = cur.getNextException
+      hops += 1
+    }
+    false
+  }
+
+  /** UNIQUE-key violation specifically: SQLState 23505 (ANSI unique
+    * violation — Derby, PostgreSQL, H2, HSQLDB) or 23001 (H2's
+    * referential/unique legacy code), walked through the same
+    * next-exception chain. A Spark task retry re-sending committed rows
+    * can ONLY manufacture duplicate keys; NOT NULL / CHECK / FK
+    * violations (23502/23503/23513/…) mean the DATA is bad and must
+    * stay loud — swallowing them would be silent row loss. */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean = {
+    var cur = e
+    var hops = 0
+    while (cur != null && hops < 10) {
+      val st = cur.getSQLState
+      if (st == "23505" || st == "23001") return true
       cur = cur.getNextException
       hops += 1
     }
@@ -194,6 +237,20 @@ object Jdbc {
         i += 1
       }
     }
+    // taps' broken pipe: every failure exit runs this BEFORE the
+    // exception reaches adaptiveWriteLoop, so the retry never starts on
+    // a dead connection (shared by the batch path AND the per-row path)
+    def repairAndRethrow(e: Exception): Nothing = {
+      try conn.rollback() catch { case _: Exception => () }
+      val dead = try conn.isClosed || !conn.isValid(2)
+        catch { case _: Exception => true }
+      if (dead) {
+        try reconnect()
+        catch { case _: Exception => () } // retry loop will fail loudly
+      }
+      throw e
+    }
+    var lastFailure: Exception = null
     reconnect()
     try {
       val (written, fin) = adaptiveWriteLoop[Row](rows, (batch, _) => {
@@ -207,35 +264,33 @@ object Jdbc {
               if tolerateDuplicates && isIntegrityViolation(e) =>
             // a retried task re-sending committed rows: converge row by
             // row — commit per row so a violation can't poison siblings
-            // on engines that abort the whole txn on any error
+            // on engines that abort the whole txn on any error. Only
+            // DUPLICATE KEYS are skipped silently (they are on the
+            // target); any other integrity violation is bad data and
+            // rethrows loudly.
             try conn.rollback() catch { case _: Exception => () }
             batch.foreach { r =>
               try { bind(r); ps.execute(); conn.commit() }
               catch {
-                case re: java.sql.SQLException if isIntegrityViolation(re) =>
+                case re: java.sql.SQLException if isDuplicateKey(re) =>
                   try conn.rollback() catch { case _: Exception => () }
                 case other: Exception =>
-                  try conn.rollback() catch { case _: Exception => () }
-                  throw other
+                  lastFailure = other
+                  repairAndRethrow(other)
               }
             }
           case e: Exception =>
-            try conn.rollback() catch { case _: Exception => () }
-            // taps' broken pipe: a dead connection must be replaced
-            // BEFORE adaptiveWriteLoop retries the same rows smaller
-            val dead = try conn.isClosed || !conn.isValid(2)
-              catch { case _: Exception => true }
-            if (dead) {
-              try reconnect()
-              catch { case _: Exception => () } // retry loop will fail loudly
-            }
-            throw e
+            lastFailure = e
+            repairAndRethrow(e)
         }
       }, graft.streaming.ChunkSizer(chunkSize))
-      if (fin.exhausted)
-        throw new java.sql.SQLException(
+      if (fin.exhausted) {
+        val abort = new java.sql.SQLException(
           s"adaptive write to $table aborted after retries " +
             s"($written rows committed in this partition)")
+        if (lastFailure != null) abort.initCause(lastFailure)
+        throw abort
+      }
       written
     } finally {
       if (conn != null) try conn.close() catch { case _: Exception => () }

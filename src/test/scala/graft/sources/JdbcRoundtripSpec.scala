@@ -184,6 +184,59 @@ class JdbcRoundtripSpec extends AnyFunSuite with SparkSpec {
     assert(Jdbc.queryLong(url, "SELECT count(*) FROM dup_target").contains(100L))
   }
 
+  test("tolerateDuplicates swallows ONLY duplicate keys: a NOT NULL " +
+      "violation in the per-row convergence path stays loud with the " +
+      "real cause chained — no silent row loss") {
+    import org.apache.spark.sql.Row
+    Jdbc.dropTableIfExists(url, "nn_target")
+    Jdbc.execute(url, "CREATE TABLE nn_target (id INT NOT NULL, " +
+      "val INT NOT NULL, PRIMARY KEY (id))")
+    val (insertSql, types) = Jdbc.insertPlan(url, "nn_target", Seq("id", "val"))
+    val connect = () => java.sql.DriverManager.getConnection(url)
+    // row 7 violates NOT NULL — an integrity violation a task retry can
+    // NOT have caused; it must abort even in duplicate-tolerant mode
+    val rows = (0 until 20).map(i => Row(i, if (i == 7) null else i))
+    val ex = intercept[java.sql.SQLException] {
+      Jdbc.writePartitionAdaptive(rows.iterator, insertSql, types,
+        connect, "nn_target", 25, tolerateDuplicates = true)
+    }
+    // the retry-exhausted abort carries the real failure as its cause
+    def states(t: Throwable): Seq[String] = {
+      val own = t match {
+        case s: java.sql.SQLException =>
+          Iterator.iterate(s)(_.getNextException).takeWhile(_ != null)
+            .take(10).flatMap(e => Option(e.getSQLState)).toSeq
+        case _ => Seq.empty
+      }
+      own ++ Option(t.getCause).toSeq.flatMap(states)
+    }
+    assert(states(ex).exists(_.startsWith("23")),
+      s"expected an integrity-violation SQLState in the chain, got $ex")
+    // and the bad row never landed as "written"
+    assert(Jdbc.queryLong(url,
+      "SELECT count(*) FROM nn_target WHERE id = 7").contains(0L))
+  }
+
+  test("insertPlan resolves case-sensitive (quoted-DDL) table names via " +
+      "the dialect-quoted fallback, and the INSERT actually lands") {
+    import org.apache.spark.sql.Row
+    try Jdbc.execute(url, "DROP TABLE \"Mixed_Case\"")
+    catch { case _: java.sql.SQLException => () }
+    Jdbc.execute(url, "CREATE TABLE \"Mixed_Case\" (id INT NOT NULL, " +
+      "val INT, PRIMARY KEY (id))")
+    // raw spelling folds to MIXED_CASE and misses; the plan must fall
+    // back to the dialect-quoted identifier and keep using it
+    val (insertSql, types) = Jdbc.insertPlan(url, "Mixed_Case", Seq("id", "val"))
+    assert(insertSql.startsWith("INSERT INTO \"Mixed_Case\""), insertSql)
+    val connect = () => java.sql.DriverManager.getConnection(url)
+    val written = Jdbc.writePartitionAdaptive(
+      (0 until 10).map(i => Row(i, i)).iterator, insertSql, types,
+      connect, "Mixed_Case", 25, tolerateDuplicates = true)
+    assert(written == 10)
+    assert(Jdbc.queryLong(url,
+      "SELECT count(*) FROM \"Mixed_Case\"").contains(10L))
+  }
+
   test("adaptiveWriteLoop drives real batched INSERTs — S5's hot loop live") {
     Jdbc.dropTableIfExists(url, "loop_target")
     val source = Tables.load(spark, src, "customer")
