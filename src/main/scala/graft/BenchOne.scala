@@ -53,11 +53,16 @@ object BenchOne {
     }
     def timed(label: String): Unit = {
       counters.reset()
+      val (sys0, self0) = Bench.cpuJiffies()
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      val (sys1, self1) = Bench.cpuJiffies()
+      val amb = if (sys0 < 0 || wall <= 0) -1.0
+        else ((sys1 - sys0) - (self1 - self0)) / 100.0 / wall
       Thread.sleep(300) // listener bus is async — let the tail events drain
-      println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  loadavg=${Bench.loadavg()}")
+      println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  " +
+        f"ambientCores=$amb%.2f loadavg=${Bench.loadavg()}")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
       spark.catalog.clearCache()
       System.gc()
