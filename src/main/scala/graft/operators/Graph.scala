@@ -500,13 +500,22 @@ object Graph {
   }
 
   private def orientedAdjacency(pairs: DataFrame, uCol: String,
-                                vCol: String): DataFrame =
+                                vCol: String,
+                                partitionByTarget: Boolean = false): DataFrame = {
+    // partitionByTarget: broadcast-frontier loops want the edges
+    // co-located by the CONTRIBUTION TARGET — the per-round candidate
+    // fold groupBy(__n = __t) then rides this partitioning through the
+    // alias and the whole round is exchange-free. Frontier-shuffle loops
+    // (bcastFrontier = false) want __s so the delta equi-join is
+    // co-located instead.
+    val key = if (partitionByTarget) "__t" else "__s"
     pairs.select(explode(array(
         struct(col(uCol).as("__s"), col(vCol).as("__t")),
         struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
-        col("__s"))
+        col(key))
+  }
 
   /** Exact triangle count over a DISTINCT undirected edge list (u < v
     * canonical) — the degree-oriented EDGE-ITERATOR (adjacency
@@ -777,25 +786,40 @@ object Graph {
     * `localCheckpoint(eager = false)` truncates the LOGICAL plan
     * too. */
   def labelPropagate(pairs: DataFrame, uCol: String, vCol: String,
-                     rounds: Int): DataFrame = {
+                     rounds: Int, bcastFrontier: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val e = orientedAdjacency(pairs, uCol, vCol,
+      partitionByTarget = bcastFrontier).localCheckpoint()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      // every node appears as a source in the oriented frame; the
-      // distinct rides the __s partitioning (exchange-free)
-      var lab = e.select(col("__s").as("__n")).distinct()
-        .withColumn("__l", col("__n"))
+      // every node appears on BOTH sides of the oriented frame, so the
+      // seed reads whichever side the edges are co-located by and the
+      // distinct is exchange-free — and on the broadcast path the seed
+      // (and every later round) arrives partitioned by __n for the merge.
+      // FRONTIER DELTA (r12 verdict): only labels that CHANGED last round
+      // push this round — an unchanged node's contribution was already
+      // folded into its neighbors when it last changed, so re-pushing it
+      // is a no-op by the min-fold's idempotence. Round 0 seeds the delta
+      // with every node (all labels fresh); the seed is persist-marked
+      // because round 1 reads it twice (label side + delta side).
+      val seedSide = if (bcastFrontier) "__t" else "__s"
+      var merged = e.select(col(seedSide).as("__n")).distinct()
+        .select(col("__n"), col("__n").as("__l"), lit(true).as("__chg"))
+        .persist()
+      cached += merged
       var r = 0
       while (r < rounds) {
-        lab = minLabelRound(e, lab).persist()
-        cached += lab
+        merged = minLabelDeltaRound(e,
+          merged.select(col("__n"), col("__l")),
+          merged.filter(col("__chg")).select(col("__n"), col("__l")),
+          bcastFrontier).persist()
+        cached += merged
         r += 1
       }
-      lab.select(col("__n").as("node"), col("__l").as("label"))
+      merged.select(col("__n").as("node"), col("__l").as("label"))
         .localCheckpoint()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
@@ -806,8 +830,9 @@ object Graph {
   }
 
   /** One min-label round: push every node's label to its neighbors, fold
-    * with the min-aggregate. Shared by [[labelPropagate]] (bounded) and
-    * [[connectedComponentsMinLabel]] (fixpoint). */
+    * with the min-aggregate. The pre-r13 FULL-TABLE shape, kept for the
+    * plan audit and the spec equivalence pin — the production loops use
+    * [[minLabelDeltaRound]]. */
   private def minLabelRound(e: DataFrame, lab: DataFrame): DataFrame = {
     val contrib = e
       .join(lab.select(col("__n").as("__s"), col("__l")), Seq("__s"))
@@ -816,38 +841,85 @@ object Graph {
       .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
   }
 
+  /** One FRONTIER-DELTA min-label round — the [[minLabelRound]] fold with
+    * the full-table exchange cut out. [[minLabelRound]]'s
+    * `lab ∪ contrib → groupBy` re-exchanges the ENTIRE label table every
+    * round (the union discards `lab`'s hash partitioning); here only the
+    * CHANGED rows travel: `delta` shuffles to the edge frame's __s
+    * partitioning (delta-sized), the candidate fold shuffles the
+    * delta-neighborhood contribution stream (never the label table), and
+    * the merge join sees both sides already partitioned by __n (lab from
+    * the previous round's output, candidates from their own fold) — zero
+    * label-table movement. Returns (__n, __l, __chg): the merged labels
+    * plus the changed-this-round flag the caller filters the next delta
+    * from. Equivalent to the full fold by induction: an unchanged node's
+    * push is a replay of the round it last changed, already absorbed by
+    * every neighbor (min-fold idempotence); spec-pinned equal to
+    * [[minLabelRound]] chains in GraphSpec. */
+  private def minLabelDeltaRound(e: DataFrame, lab: DataFrame,
+                                 delta: DataFrame,
+                                 bcastFrontier: Boolean = true): DataFrame = {
+    // ONE exchange per round (the candidate fold): the node-sized
+    // frontier BROADCASTS into the __s-partitioned edge frame (map-only
+    // push — the kcore survivor-set pattern; `bcastFrontier = false`
+    // keeps a spec-pinned shuffled-hash path for billion-node graphs
+    // where even the frontier doesn't broadcast), and the merge join is
+    // pinned SHUFFLED HASH so both sides arrive hash-partitioned by __n
+    // — no sort of either table, no second exchange, no broadcast-build
+    // job for the label side. Measured: an all-SHJ round paid one extra
+    // delta exchange per round, and a sort-merge round re-sorted the
+    // full label table.
+    val d = delta.select(col("__n").as("__s"), col("__l"))
+    val dSide = if (bcastFrontier) broadcast(d) else d.hint("shuffle_hash")
+    val cand = e.join(dSide, Seq("__s"))
+      .select(col("__t").as("__n"), col("__l"))
+      .groupBy(col("__n")).agg(min(col("__l")).as("__c"))
+    lab.join(cand.hint("shuffle_hash"), Seq("__n"), "left")
+      .select(col("__n"),
+        least(col("__l"), coalesce(col("__c"), col("__l"))).as("__l"),
+        (col("__c").isNotNull && col("__c") < col("__l")).as("__chg"))
+  }
+
   /** CONNECTED COMPONENTS by hash-min label propagation to FIXPOINT over
     * an undirected pair list (duplicate pairs allowed) — (node,
     * component) with component = min node id in the component. Each
-    * round is [[minLabelRound]]'s node-keyed join + min-fold;
-    * convergence detection rides the SAME action that materializes the
-    * round (the [[bfsLevels]] liveness pattern): labels are monotone
-    * nonincreasing under the min-fold, so an unchanged label SUM (exact
-    * DECIMAL(38,0) — no overflow at any id width) means no label moved.
+    * round is [[minLabelDeltaRound]]'s frontier-delta join + min-fold
+    * (only changed labels travel); convergence detection rides the SAME
+    * action that materializes the round (the [[bfsLevels]] liveness
+    * pattern): labels are monotone nonincreasing under the min-fold, so
+    * a zero changed-row count means no label moved.
     * Hash-min needs O(diameter) rounds — right for the small-diameter
     * graphs batch analytics feeds it; adversarial long-path graphs want
     * [[Dedup.connectedComponentsStar]]'s O(log n) star contraction
     * (same contract, spec-pinned equal). Throws after `maxRounds`
     * instead of returning a half-converged labeling. */
   def connectedComponentsMinLabel(edges: DataFrame, uCol: String, vCol: String,
-                                  maxRounds: Int = 50): DataFrame = {
-    val e = orientedAdjacency(edges, uCol, vCol).localCheckpoint()
+                                  maxRounds: Int = 50,
+                                  bcastFrontier: Boolean = true): DataFrame = {
+    val e = orientedAdjacency(edges, uCol, vCol,
+      partitionByTarget = bcastFrontier).localCheckpoint()
     val spent = scala.collection.mutable.ArrayBuffer(e)
-    val zero = lit(0).cast("decimal(38,0)")
-    var lab = e.select(col("__s").as("__n")).distinct()
+    val seedSide = if (bcastFrontier) "__t" else "__s"
+    var lab = e.select(col(seedSide).as("__n")).distinct()
       .withColumn("__l", col("__n"))
       .localCheckpoint(eager = false)
     spent += lab
-    var prevSum: Option[java.math.BigDecimal] = None
+    // frontier delta (see [[minLabelDeltaRound]]): convergence is now a
+    // COUNT of the changed rows — it rides the same action that
+    // materializes the round's checkpoint blocks (replacing the pre-r13
+    // full-table label-sum compare), and reads zero when the round was a
+    // no-op, which under the min-fold's monotonicity means fixpoint.
+    var delta = lab
     var converged = false
     var r = 0
     while (r < maxRounds && !converged) {
-      lab = minLabelRound(e, lab).localCheckpoint(eager = false)
-      spent += lab
-      val s = lab.agg(coalesce(sum(col("__l").cast("decimal(38,0)")), zero))
-        .head().getDecimal(0)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
+      val merged = minLabelDeltaRound(e, lab, delta, bcastFrontier)
+        .localCheckpoint(eager = false)
+      spent += merged
+      val changed = merged.filter(col("__chg")).count()
+      lab = merged.select(col("__n"), col("__l"))
+      delta = merged.filter(col("__chg")).select(col("__n"), col("__l"))
+      converged = changed == 0L
       r += 1
     }
     if (!converged) {
@@ -921,16 +993,21 @@ object Graph {
     * chained relaxations). Both orientations expand in-row with the
     * weight riding along. */
   def ssspBounded(wedges: DataFrame, uCol: String, vCol: String,
-                  wCol: String, rounds: Int): DataFrame = {
+                  wCol: String, rounds: Int,
+                  bcastFrontier: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val par = wedges.sparkSession.sparkContext.defaultParallelism
+    // co-location choice as in [[orientedAdjacency]]: target-partitioned
+    // for the broadcast-frontier path (exchange-free candidate fold),
+    // source-partitioned for the shuffle twin
+    val eKey = if (bcastFrontier) "__t" else "__s"
     val e = wedges.select(explode(array(
         struct(col(uCol).as("__s"), col(vCol).as("__t"), col(wCol).as("__w")),
         struct(col(vCol).as("__s"), col(uCol).as("__t"), col(wCol).as("__w"))))
         .as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
         col("__e.__w").cast("bigint").as("__w"))
-      .repartition(par, col("__s"))
+      .repartition(par, col(eKey))
       .localCheckpoint()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
@@ -944,15 +1021,39 @@ object Graph {
       var dist = e.agg(min(col("__s")).as("__n"))
         .filter(col("__n").isNotNull)
         .select(col("__n"), lit(0L).as("__d"))
+      // FRONTIER DELTA (r12 verdict): pre-r13 every relaxation paid a
+      // `dist ∪ relax → groupBy` exchange of the FULL distance table;
+      // now only nodes whose distance IMPROVED last round relax their
+      // neighbors, the candidate fold shuffles the delta-neighborhood
+      // stream, and the full-outer merge sees both sides partitioned by
+      // __n (dist from the previous merge, candidates from their fold).
+      // Correct for Bellman-Ford because an unimproved node's relaxation
+      // replays the round it last improved — already folded into every
+      // neighbor's min.
+      var delta = dist
       var r = 0
       while (r < rounds) {
-        val relax = e
-          .join(dist.select(col("__n").as("__s"), col("__d")), Seq("__s"))
+        // join strategy pins as in [[minLabelDeltaRound]]: the frontier
+        // broadcasts into the __s-partitioned edges (shuffled-hash twin
+        // for billion-node graphs), and the merge sees both sides
+        // __n-partitioned
+        val d = delta.select(col("__n").as("__s"), col("__d"))
+        val dSide = if (bcastFrontier) broadcast(d) else d.hint("shuffle_hash")
+        val cand = e.join(dSide, Seq("__s"))
           .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
-        dist = dist.unionByName(relax)
-          .groupBy(col("__n")).agg(min(col("__d")).as("__d"))
+          .groupBy(col("__n")).agg(min(col("__d")).as("__c"))
+        // full outer: candidates may REACH nodes dist has never seen
+        // (least() skips NULLs, so the merged distance is total)
+        val merged = dist.join(cand.hint("shuffle_hash"), Seq("__n"), "full_outer")
+          .select(col("__n"),
+            least(col("__d"), col("__c")).as("__d2"),
+            (col("__d").isNull ||
+              (col("__c").isNotNull && col("__c") < col("__d"))).as("__chg"))
           .persist()
-        cached += dist
+        cached += merged
+        dist = merged.select(col("__n"), col("__d2").as("__d"))
+        delta = merged.filter(col("__chg"))
+          .select(col("__n"), col("__d2").as("__d"))
         r += 1
       }
       dist.select(col("__n").as("node"), col("__d").as("dist"))
@@ -1236,18 +1337,22 @@ object Graph {
   }
 
   /** PRE-checkpoint single min-label round, for the plan audit — the
-    * exact [[minLabelRound]] expressions [[labelPropagate]] and
-    * [[connectedComponentsMinLabel]] iterate, un-checkpointed. */
+    * exact [[minLabelDeltaRound]] expressions [[labelPropagate]] and
+    * [[connectedComponentsMinLabel]] iterate, un-checkpointed (round 1,
+    * where the delta is the full seed table — later rounds shrink the
+    * delta side of the same shape). */
   def minLabelRoundPlan(pairs: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = orientedAdjacency(pairs, uCol, vCol)
-    val lab0 = e.select(col("__s").as("__n")).distinct()
+    val e = orientedAdjacency(pairs, uCol, vCol, partitionByTarget = true)
+    val lab0 = e.select(col("__t").as("__n")).distinct()
       .withColumn("__l", col("__n"))
-    minLabelRound(e, lab0)
-      .select(col("__n").as("node"), col("__l").as("label"))
+    minLabelDeltaRound(e, lab0, lab0)
+      .select(col("__n").as("node"), col("__l").as("label"),
+        col("__chg").as("changed"))
   }
 
   /** PRE-checkpoint single Bellman-Ford relaxation, for the plan audit —
-    * the exact round body [[ssspBounded]] iterates, un-checkpointed. */
+    * the exact frontier-delta merge body [[ssspBounded]] iterates,
+    * un-checkpointed. */
   def ssspRoundPlan(wedges: DataFrame, uCol: String, vCol: String,
                     wCol: String, source: Long): DataFrame = {
     val e = wedges.select(explode(array(
@@ -1258,11 +1363,14 @@ object Graph {
         col("__e.__w").cast("bigint").as("__w"))
     val dist0 = e.sparkSession.range(1)
       .select(lit(source).as("__n"), lit(0L).as("__d"))
-    val relax = e.join(dist0.select(col("__n").as("__s"), col("__d")), Seq("__s"))
+    val cand = e.join(dist0.select(col("__n").as("__s"), col("__d")), Seq("__s"))
       .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
-    dist0.unionByName(relax)
-      .groupBy(col("__n")).agg(min(col("__d")).as("__d"))
-      .select(col("__n").as("node"), col("__d").as("dist"))
+      .groupBy(col("__n")).agg(min(col("__d")).as("__c"))
+    dist0.join(cand, Seq("__n"), "full_outer")
+      .select(col("__n").as("node"),
+        least(col("__d"), col("__c")).as("dist"),
+        (col("__d").isNull ||
+          (col("__c").isNotNull && col("__c") < col("__d"))).as("changed"))
   }
 
   /** PRE-checkpoint edge-support plan ([[edgeSupportBody]]'s

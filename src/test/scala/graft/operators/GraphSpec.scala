@@ -130,6 +130,12 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       val got2 = Graph.labelPropagate(dup, "u", "v", rounds)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got2 == lab, s"rounds=$rounds with duplicate pairs")
+      // billion-node twin: the shuffled-frontier path (no broadcast,
+      // source-partitioned edges) folds to the same labels
+      val got3 = Graph.labelPropagate(pairs.toDF("u", "v"), "u", "v", rounds,
+          bcastFrontier = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got3 == lab, s"rounds=$rounds with bcastFrontier=false")
     }
   }
 
@@ -319,6 +325,10 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         (pairs ++ pairs.take(5)).toDF("u", "v"), "u", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    val gotShuffle = Graph.connectedComponentsMinLabel(
+        pairs.toDF("u", "v"), "u", "v", bcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShuffle == want, "bcastFrontier=false twin")
     val star = graft.operators.Dedup.connectedComponentsStar(
         pairs.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -378,6 +388,10 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val got = Graph.ssspBounded(df, "u", "v", "w", rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == dist)
+    val gotShuffle = Graph.ssspBounded(df, "u", "v", "w", rounds,
+        bcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShuffle == dist, "bcastFrontier=false twin")
     val empty = Graph.ssspBounded(
       Seq.empty[(Long, Long, Long)].toDF("u", "v", "w"), "u", "v", "w", 2)
     assert(empty.collect().isEmpty)
