@@ -1262,36 +1262,70 @@ object Graph {
                 k: Int, rounds: Int, broadcastKeep: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e0 = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    // r13 rebuild: peel on the DEGREE TABLE with a dead-node frontier
+    // instead of re-inducing the edge frame every round. The edge frame
+    // is built ONCE (both orientations, co-located by contribution
+    // target on the broadcast path — [[orientedAdjacency]] discipline)
+    // and never rebuilt: a dead endpoint simply has no degree row, so
+    // the induced subgraph is implicit. Per round:
+    //   newly-dead = deg rows < k  (frontier — shrinks fast),
+    //   loss       = e ⋈ broadcast(newly-dead) folded by target, riding
+    //                the edge partitioning (zero exchange),
+    //   deg'       = survivors ⋈ loss (shuffled-hash, both sides
+    //                __n-partitioned — zero exchange), d − lost.
+    // Each edge decrements its other endpoint exactly once (its dead
+    // endpoint leaves deg the same round it pushes), edges between
+    // already-dead nodes resolve to no surviving row, and a survivor
+    // orphaned to degree 0 is dropped at the end exactly like the
+    // induced-subgraph formulation drops nodes with no surviving edges.
+    // `broadcastKeep = false` keeps a source-partitioned shuffled-hash
+    // twin for billion-node graphs (spec-pinned equal). The pre-r13
+    // shape paid one full degree aggregate + two semi-joins + an edge
+    // rebuild per round.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    val eKey = if (broadcastKeep) "__t" else "__s"
+    val e = edges.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
+      .repartition(par, col(eKey))
       .localCheckpoint()
-    val sess = e0.sparkSession
+    val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val hint = (d: DataFrame) => if (broadcastKeep) broadcast(d) else d
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      var e = e0
+      // full degrees off whichever side the edges are co-located by
+      // (both orientations are present, so either side counts every
+      // incident edge) — rides the partitioning, zero exchange; persisted
+      // because every round reads it twice (frontier + survivors)
+      var deg = e.groupBy(col(eKey)).agg(count(lit(1)).as("__d"))
+        .select(col(eKey).as("__n"), col("__d"))
+        .persist()
+      cached += deg
       var r = 0
       while (r < rounds) {
-        val keep = e.select(explode(array(col("u"), col("v"))).as("n"))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select(col("n"))
+        val dead = deg.filter(col("__d") < k).select(col("__n").as("__s"))
+        val dSide = if (broadcastKeep) broadcast(dead)
+          else dead.hint("shuffle_hash")
+        val loss = e.join(dSide, Seq("__s"))
+          .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+          .select(col("__t").as("__n"), col("__c"))
+        deg = deg.filter(col("__d") >= k)
+          .join(loss.hint("shuffle_hash"), Seq("__n"), "left")
+          .select(col("__n"),
+            (col("__d") - coalesce(col("__c"), lit(0L))).as("__d"))
           .persist()
-        e = e.join(hint(keep.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
-          .join(hint(keep.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v"))
-          .persist()
-        cached += keep
-        cached += e
+        cached += deg
         r += 1
       }
-      e.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      deg.filter(col("__d") > 0)
+        .select(col("__n").as("node"), col("__d").as("degree"))
         .localCheckpoint()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
-      Dedup.freeCheckpoints(e0)
+      Dedup.freeCheckpoints(e)
     }
     result
   }
