@@ -491,35 +491,14 @@ object SparkEntry {
     // (broadcast), the basket count is a one-row broadcast, so the rule
     // table costs the pair count plus two broadcast lookups. Ratios are
     // exact-integer-valued double divisions, rounded once.
-    "ext_assoc_rules" -> ((s, dir) => {
+    "ext_assoc_rules" -> ((s, dir) =>
       // no pre-distinct: itemPairs dedups inside its collect_set, and the
-      // support sides use countDistinct — one less full-table exchange
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val sab = operators.Graph.itemPairs(li, "l_orderkey", "l_partkey")
-        .groupBy(col("u").as("part_a"), col("v").as("part_b"))
-        .agg(count(lit(1)).as("support"))
-      val sa = li.groupBy(col("l_partkey"))
-        .agg(countDistinct(col("l_orderkey")).as("__s"))
-      val nb = li.agg(countDistinct(col("l_orderkey")).as("__N"))
-      sab
-        .join(broadcast(sa.select(col("l_partkey").as("part_a"),
-          col("__s").as("s_a"))), "part_a")
-        .join(broadcast(sa.select(col("l_partkey").as("part_b"),
-          col("__s").as("s_b"))), "part_b")
-        .crossJoin(broadcast(nb))
-        .orderBy(col("support").desc, col("part_a"), col("part_b"))
-        .limit(20)
-        .select(col("part_a"), col("part_b"), col("support"),
-          col("s_a"), col("s_b"),
-          round(col("support").cast("double") / col("s_a").cast("double"), 6)
-            .as("conf_ab"),
-          round(col("support").cast("double") / col("s_b").cast("double"), 6)
-            .as("conf_ba"),
-          round((col("__N").cast("double") * col("support").cast("double")) /
-            (col("s_a").cast("double") * col("s_b").cast("double")), 6)
-            .as("lift"))
-    }),
+      // support sides use countDistinct — one less full-table exchange.
+      // The operator carries a broadcastSupport=false shuffled-hash twin
+      // for catalogs that outgrow the item-support broadcast (plan-pinned)
+      operators.Graph.assocRules(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", topK = 20)),
     // A-priori level 3: frequent part TRIPLES — the canonical pair stream
     // (in-row generation, already a < b) extends by ONE order-keyed
     // equi-join against the distinct basket items with c > b, then one

@@ -53,6 +53,48 @@ object Graph {
           "y -> struct(x AS u, y AS v))))")).as("__e"))
       .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
 
+  /** ASSOCIATION RULES from pair supports: confidence both ways and lift
+    * for the top-`topK` support pairs — pair supports from the in-row
+    * [[itemPairs]] stream (one exchange, per-group-unique pairs so no
+    * dedup), item supports from one item-keyed countDistinct, the basket
+    * count a one-row broadcast scalar. The two item-support lookups
+    * BROADCAST by default (the item side is catalog-dimension-sized);
+    * `broadcastSupport = false` keeps a shuffled-hash path for catalogs
+    * that outgrow a broadcast at 100× SF — the pair stream exchanges on
+    * the item key it already carries, no sort of either side
+    * (spec-pinned in PlanShapeSpec). Ratios are exact-integer-valued
+    * double divisions, rounded once — cross-engine stable. */
+  def assocRules(items: DataFrame, orderCol: String, itemCol: String,
+                 topK: Int, broadcastSupport: Boolean = true): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val li = items.select(col(orderCol), col(itemCol))
+    val sab = itemPairs(li, orderCol, itemCol)
+      .groupBy(col("u").as("part_a"), col("v").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    val sa = li.groupBy(col(itemCol))
+      .agg(countDistinct(col(orderCol)).as("__s"))
+    val nb = li.agg(countDistinct(col(orderCol)).as("__N"))
+    val side = (d: DataFrame) =>
+      if (broadcastSupport) broadcast(d) else d.hint("shuffle_hash")
+    sab
+      .join(side(sa.select(col(itemCol).as("part_a"), col("__s").as("s_a"))),
+        "part_a")
+      .join(side(sa.select(col(itemCol).as("part_b"), col("__s").as("s_b"))),
+        "part_b")
+      .crossJoin(broadcast(nb))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("s_a"), col("s_b"),
+        round(col("support").cast("double") / col("s_a").cast("double"), 6)
+          .as("conf_ab"),
+        round(col("support").cast("double") / col("s_b").cast("double"), 6)
+          .as("conf_ba"),
+        round((col("__N").cast("double") * col("support").cast("double")) /
+          (col("s_a").cast("double") * col("s_b").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** Breadth-first levels from `source` over a DIRECTED edge list
     * (`srcCol`, `dstCol`; undirected graphs pass both orientations):
     * (node, lvl) with lvl = min hop count ≤ `maxDepth`; unreachable nodes

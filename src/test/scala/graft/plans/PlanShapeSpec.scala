@@ -253,6 +253,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange"), s"no shuffle for a driver-sized top-k:\n${p.take(1500)}")
   }
 
+  test("assoc rules: item-support lookups broadcast by default; the " +
+      "broadcastSupport=false twin joins shuffled-hash (no sort, no " +
+      "broadcast of a 100x-SF catalog dimension)") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    // nothing auto-broadcasts: the asserted shapes are the hinted ones
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bc = graft.operators.Graph.assocRules(li, "l_orderkey",
+        "l_partkey", 20).queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(bc).size >= 2,
+        s"default path must broadcast both item-support sides:\n${bc.take(1500)}")
+      val sh = graft.operators.Graph.assocRules(li, "l_orderkey",
+        "l_partkey", 20, broadcastSupport = false)
+        .queryExecution.executedPlan.toString
+      assert("ShuffledHashJoin".r.findAllIn(sh).size >= 2,
+        s"twin must shuffled-hash both support joins:\n${sh.take(1500)}")
+      // the one-row basket-count scalar rides a broadcast NESTED-LOOP
+      // cross join in both paths; no HASH join may broadcast in the twin
+      assert(!sh.contains("BroadcastHashJoin"),
+        s"item-support sides must not broadcast in the twin:\n${sh.take(1500)}")
+      // and the two paths agree on the answer
+      val a = graft.operators.Graph.assocRules(li, "l_orderkey", "l_partkey", 20)
+        .collect().map(_.toSeq).toSeq
+      val b = graft.operators.Graph.assocRules(li, "l_orderkey", "l_partkey", 20,
+        broadcastSupport = false).collect().map(_.toSeq).toSeq
+      assert(a == b, "broadcast and shuffled twins must return identical rules")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("Q6: date range + residual predicates reach the Parquet scan") {
     // the single-scan filter-aggregate lives or dies on pushdown at 100 TB:
     // the shipdate range must appear in PushedFilters (row-group pruning
