@@ -520,6 +520,36 @@ object SparkEntry {
           col("part_c"))
         .limit(20)
     }),
+    // FP-GROWTH conditional pattern base: anchor on the TOP support pair
+    // (deterministic — support desc, then part ids), restrict to the
+    // baskets containing BOTH anchor items (two broadcast semi-joins —
+    // the anchor's basket list is support-sized), and count every other
+    // item in those baskets. This is the conditional-count step frequent-
+    // itemset growth iterates; per-order quads are fixture-degenerate
+    // (all support 1 at sf0.1), so the conditional form is the k≥4
+    // surface that actually carries signal.
+    "ext_conditional_basket" -> ((s, dir) => {
+      val lid = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val top = operators.Graph.itemPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__s"))
+        .orderBy(col("__s").desc, col("u"), col("v")).limit(1)
+        .select(col("u"), col("v"))
+      val ou = lid.join(broadcast(top.select(col("u").as("l_partkey"))),
+        "l_partkey").select(col("l_orderkey"))
+      val ov = lid.join(broadcast(top.select(col("v").as("l_partkey"))),
+        "l_partkey").select(col("l_orderkey"))
+      val both = ou.join(ov, Seq("l_orderkey"), "left_semi")
+      lid.join(broadcast(both), Seq("l_orderkey"), "left_semi")
+        .join(broadcast(top), lid("l_partkey") === col("u") ||
+          lid("l_partkey") === col("v"), "left_anti")
+        .groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part"))
+        .limit(20)
+    }),
     // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
     // each other — the semantics an inner join silently drops; nullable
     // keys synthesized at value > 450 so both branches are exercised
@@ -682,6 +712,76 @@ object SparkEntry {
       operators.Dedup.freeCheckpoints(e)
       result
     }),
+    // WEIGHTED Newman modularity over the same LP partition: weights are
+    // the co-purchase support counts, strength replaces degree, and the
+    // scaled numerator stays a plain BIGINT — q_num = 4W·w_in_c − S_c²
+    // (Q = Σ q_num / 4W²); same shared-checkpoint discipline as
+    // ext_modularity (ONE support build feeds the LP loop, the strength
+    // fold, and the in-community weight sum)
+    "ext_weighted_modularity" -> ((s, dir) => {
+      val ew = copurchaseSupport(s, dir).filter(col("c") >= 2)
+        .select(col("u"), col("v"), col("c").cast("bigint").as("w"))
+        .localCheckpoint()
+      val lab = operators.Graph.labelPropagate(
+        ew.select(col("u"), col("v")), "u", "v", rounds = 3)
+      val strength = ew.select(explode(array(
+          struct(col("u").as("n"), col("w")),
+          struct(col("v").as("n"), col("w")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.w").as("w"))
+        .groupBy(col("n")).agg(sum(col("w")).as("st"))
+      val wtot = ew.agg(sum(col("w")).as("W"))
+      val win = ew
+        .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
+        .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
+        .filter(col("__lu") === col("__lv"))
+        .groupBy(col("__lu").as("community"))
+        .agg(sum(col("w")).as("w_in"))
+      val result = lab.join(strength, lab("node") === strength("n"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("st")).as("s_sum"))
+        .join(win, Seq("community"), "left_outer")
+        .crossJoin(broadcast(wtot))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("w_in"), lit(0L)).as("w_in"), col("s_sum"),
+          (lit(4L) * col("W") * coalesce(col("w_in"), lit(0L)) -
+            col("s_sum") * col("s_sum")).as("q_num"))
+        .localCheckpoint()
+      operators.Dedup.freeCheckpoints(ew)
+      result
+    }),
+    // BIPARTITE PROJECTION with cosine link strength: customer×part
+    // bipartite pairs project onto part-part co-occurrence counts (in-row
+    // pair generation per customer basket — Graph.itemPairs, one
+    // exchange, never the quadratic self-join), then cosine =
+    // co / √(n_u·n_v) over exact integer counts (one IEEE sqrt+division,
+    // rounded once — cross-engine stable), deterministic top-20
+    "ext_bipartite_projection" -> ((s, dir) => {
+      val cp = custPartPairs(s, dir)
+      val co = operators.Graph.itemPairs(cp, "c", "p")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      val n = cp.select(col("c"), col("p")).distinct()
+        .groupBy(col("p")).agg(count(lit(1)).as("__n"))
+      co
+        .join(broadcast(n.select(col("p").as("u"), col("__n").as("n_u"))), "u")
+        .join(broadcast(n.select(col("p").as("v"), col("__n").as("n_v"))), "v")
+        .select(col("u"), col("v"), col("co"), col("n_u"), col("n_v"),
+          round(col("co").cast("double") /
+            sqrt((col("n_u") * col("n_v")).cast("double")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+    // weighted-degree (STRENGTH) histogram over the support-weighted
+    // graph: strength = Σ incident support counts, bucketed by
+    // power-of-2 (⌊log2⌋+1 = length(bin(n)) — exact cross-engine)
+    "ext_strength_distribution" -> ((s, dir) =>
+      copurchaseSupport(s, dir)
+        .select(explode(array(
+          struct(col("u").as("n"), col("c")),
+          struct(col("v").as("n"), col("c")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.c").as("c"))
+        .groupBy(col("n")).agg(sum(col("c")).cast("bigint").as("st"))
+        .groupBy(length(bin(col("st"))).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("st")).as("strength_sum"))),
     // CONNECTED COMPONENTS to FIXPOINT (hash-min label propagation with
     // the liveness action riding the round materialization) over the
     // SUPPORT-FILTERED co-purchase graph (pairs sharing ≥ 2 orders —
@@ -706,6 +806,15 @@ object SparkEntry {
           sum(col("lvl")).cast("bigint").as("sum_dist"),
           sum(when(col("lvl") > 0, expr("60 div lvl")).otherwise(0L))
             .cast("bigint").as("harmonic_x60"))),
+    // shortest-path COUNTS from the 4 smallest nodes (σ — the integer
+    // FORWARD pass of Brandes' betweenness, the hard distributed half):
+    // level-synchronous fold over the (src, node)-keyed label table,
+    // depth ≤ 4, exact BIGINT path counts; DISTINCT edges (a duplicate
+    // pair would be a parallel path). Oracle = the identical fold as
+    // chained materialized CTEs.
+    "ext_path_counts" -> ((s, dir) =>
+      operators.Graph.pathCounts(copurchaseEdgesRaw(s, dir), "u", "v",
+        nSources = 4, maxDepth = 4)),
     // neighborhood function N(h) from the same 4-seed bounded BFS — the
     // (hop, pairs-within-h) profile behind effective-diameter estimation
     // (Palmer/Gibbons/Faloutsos ANF, here exact over the seed sample):
@@ -2136,6 +2245,14 @@ object SparkEntry {
     // centroids, in-row distance folds, no vector shuffle)
     "ext_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 8)),
+    // Lloyd's ROUND TWO in the same int8 code space: assign → floored-
+    // integer-mean centroid update (sum div n, the PQ training rule) →
+    // reassign; exact BIGINT throughout, oracle replays both assignments
+    // and the update set-wise (Similarity.kmeansRound2Int8 doc: one
+    // checkpointed encode pass, broadcast centroids both rounds, update
+    // exchange is k·dims-sized)
+    "ext_kmeans_round2" -> ((s, dir) =>
+      Similarity.kmeansRound2Int8(t(s, dir, "embeddings"), k = 8)),
     "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
       t(s, dir, "embeddings")
         .groupBy((col("vec_id") % 4).as("bucket"))
@@ -3612,6 +3729,22 @@ object SparkEntry {
     "ext_assortativity" -> sqlAssortativity,
     "ext_label_prop" -> sqlLabelProp,
     "ext_modularity" -> sqlModularity,
+    "ext_weighted_modularity" -> sqlWeightedModularity,
+    "ext_conditional_basket" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |top AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 ORDER BY count(*) DESC, u, v LIMIT 1),
+        |ob AS MATERIALIZED (SELECT o FROM li JOIN top ON li.p = top.u
+        |  INTERSECT SELECT o FROM li JOIN top ON li.p = top.v)
+        |SELECT li.p AS part, CAST(count(*) AS BIGINT) AS support
+        |FROM li JOIN ob ON li.o = ob.o, top
+        |WHERE li.p <> top.u AND li.p <> top.v
+        |GROUP BY 1 ORDER BY support DESC, part LIMIT 20""".stripMargin,
+    "ext_bipartite_projection" -> sqlBipartiteProjection,
+    "ext_path_counts" -> sqlPathCounts(4, 4),
+    "ext_strength_distribution" -> sqlStrengthDistribution,
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
     "ext_neighborhood_function" -> sqlNeighborhoodFunction,
@@ -4523,6 +4656,32 @@ object SparkEntry {
         |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
         |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2)
         |SELECT vec_id, cid AS cluster, d AS dist FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin,
+    // round two: both assignments + the floored-integer-mean update
+    // replayed set-wise (codes are non-negative, so // equals div)
+    "ext_kmeans_round2" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+        |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
+        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+        |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+        |      AS BIGINT) END AS code
+        |  FROM ex JOIN st ON ex.pos = st.pos),
+        |cent0 AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |d0 AS (SELECT c.vec_id, ct.cid,
+        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
+        |  FROM codes c JOIN cent0 ct ON c.pos = ct.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM d0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |cent1 AS (SELECT a1.cid, c.pos,
+        |    CAST(SUM(c.code) // COUNT(*) AS BIGINT) AS ccode
+        |  FROM codes c JOIN a1 ON c.vec_id = a1.vec_id GROUP BY 1, 2),
+        |d1 AS (SELECT c.vec_id, ct.cid,
+        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
+        |  FROM codes c JOIN cent1 ct ON c.pos = ct.pos GROUP BY 1, 2)
+        |SELECT vec_id, cid AS cluster, d AS dist FROM d1
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin,
     // zipped unnests align value and position; ×2^20 fixed-point is exact
     // in IEEE arithmetic, so summation order and engine cannot matter
@@ -6070,6 +6229,37 @@ object SparkEntry {
         |    AS harmonic_x60
         |FROM m GROUP BY src""".stripMargin)
 
+  /** Brandes forward pass (σ shortest-path counts) as chained
+    * MATERIALIZED CTEs — one per level, replaying Graph.pathCounts'
+    * exact fold: keep an existing (smaller-level) label, else SUM the
+    * frontier contributions; BIGINT casts per level kill HUGEINT SUM
+    * widening. */
+  private def sqlPathCounts(nSources: Int, maxDepth: Int): String = {
+    val sb = new StringBuilder("WITH " + sqlEdgesSelfJoinCte +
+      s"""de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+         |srcs AS (SELECT n FROM (SELECT u AS n FROM edges
+         |    UNION SELECT v FROM edges) q ORDER BY n LIMIT $nSources),
+         |s0 AS MATERIALIZED (SELECT n AS src, n AS node, 0 AS lvl,
+         |  CAST(1 AS BIGINT) AS sig FROM srcs)""".stripMargin)
+    for (i <- 1 to maxDepth) {
+      sb.append(s""",
+        |s$i AS MATERIALIZED (SELECT src, node, min(lvl) AS lvl,
+        |    CASE WHEN min(lvl) < $i
+        |      THEN CAST(SUM(CASE WHEN lvl < $i THEN sig ELSE 0 END) AS BIGINT)
+        |      ELSE CAST(SUM(CASE WHEN lvl = $i THEN sig ELSE 0 END) AS BIGINT)
+        |    END AS sig
+        |  FROM (SELECT src, node, lvl, sig FROM s${i - 1}
+        |        UNION ALL
+        |        SELECT b.src, d.t, $i, b.sig FROM s${i - 1} b
+        |        JOIN de d ON d.s = b.node WHERE b.lvl = ${i - 1}) q
+        |  GROUP BY src, node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT src, node, CAST(lvl AS INT) AS lvl, sig AS paths
+      |FROM s$maxDepth""".stripMargin)
+    sb.toString
+  }
+
   /** Bounded Bellman-Ford, `rounds` chained MATERIALIZED relaxations
     * over the support-weighted graph (engine: Graph.ssspBounded). */
   private def sqlSsspTail(rounds: Int): String = {
@@ -6343,6 +6533,61 @@ object SparkEntry {
         |  CAST(4 * m.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum
         |    AS BIGINT) AS q_num
         |FROM dc LEFT JOIN ein ON dc.c = ein.c, m""".stripMargin))
+
+  /** Weighted Newman modularity over the same LP partition — weights =
+    * support counts, strength replaces degree, BIGINT casts kill
+    * DuckDB's HUGEINT SUM widening (engine: ext_weighted_modularity). */
+  private val sqlWeightedModularity: String =
+    "WITH " + sqlSupportCte +
+      "edges AS (SELECT u, v FROM sup WHERE c >= 2)" + sqlLabelPropTail(3,
+      finalSql = Some("""
+        |, lab AS (SELECT n, l FROM l3),
+        |ew AS (SELECT u, v, CAST(c AS BIGINT) AS w FROM sup WHERE c >= 2),
+        |st AS (SELECT n, CAST(SUM(w) AS BIGINT) AS st FROM (
+        |    SELECT u AS n, w FROM ew UNION ALL SELECT v, w FROM ew) x
+        |  GROUP BY n),
+        |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM ew),
+        |win AS (SELECT la.l AS c, CAST(SUM(e.w) AS BIGINT) AS w_in
+        |        FROM ew e JOIN lab la ON e.u = la.n
+        |        JOIN lab lb ON e.v = lb.n
+        |        WHERE la.l = lb.l GROUP BY 1),
+        |sc AS (SELECT lab.l AS c, CAST(SUM(st.st) AS BIGINT) AS s_sum,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM lab JOIN st ON lab.n = st.n GROUP BY 1)
+        |SELECT sc.c AS community, sc.n_nodes,
+        |  CAST(coalesce(win.w_in, 0) AS BIGINT) AS w_in, sc.s_sum,
+        |  CAST(4 * wt.W * coalesce(win.w_in, 0) - sc.s_sum * sc.s_sum
+        |    AS BIGINT) AS q_num
+        |FROM sc LEFT JOIN win ON sc.c = win.c, wt""".stripMargin))
+
+  /** Bipartite projection cosine twin: distinct customer×part pairs,
+    * quadratic self-join per customer (the oracle's portable form of the
+    * in-row pair stream), exact-integer counts into one rounded IEEE
+    * cosine. */
+  private val sqlBipartiteProjection: String =
+    """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |co AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS co
+      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p GROUP BY 1, 2),
+      |n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY p)
+      |SELECT co.u, co.v, co.co, nu.n AS n_u, nv.n AS n_v,
+      |  round(CAST(co.co AS DOUBLE) / sqrt(CAST(nu.n * nv.n AS DOUBLE)), 6)
+      |    AS cosine
+      |FROM co JOIN n nu ON co.u = nu.p JOIN n nv ON co.v = nv.p
+      |ORDER BY cosine DESC, co.u, co.v LIMIT 20""".stripMargin
+
+  /** Strength histogram twin: power-of-2 buckets via length(bin(n)) ⟷
+    * DuckDB bit_length trick is not portable — length(bin(..)) exists in
+    * both engines with identical ⌊log2⌋+1 semantics for positive ints. */
+  private val sqlStrengthDistribution: String =
+    "WITH " + sqlSupportCte.stripSuffix(",\n") + """
+      |, st AS (SELECT n, CAST(SUM(c) AS BIGINT) AS st FROM (
+      |    SELECT u AS n, c FROM sup UNION ALL SELECT v, c FROM sup) x
+      |  GROUP BY n)
+      |SELECT CAST(length(bin(st)) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(st) AS BIGINT) AS strength_sum
+      |FROM st GROUP BY 1""".stripMargin
 
   /** Winnowing twin: same md5-prefix shingle hashes, same windowed-min
     * selection, DuckDB list dialect (1-based inclusive slices; range()

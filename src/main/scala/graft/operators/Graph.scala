@@ -1024,6 +1024,67 @@ object Graph {
     result
   }
 
+  /** SHORTEST-PATH COUNTS from the `nSources` smallest node ids — the
+    * integer FORWARD pass of Brandes' betweenness algorithm (Brandes
+    * 2001): (src, node, lvl, paths) with lvl = min hop count ≤
+    * `maxDepth` and paths = σ(src, node), the number of distinct
+    * shortest paths, which on the level-DAG folds as
+    * σ(n) = Σ_{pred p: lvl(p)=lvl(n)−1} σ(p). All-integer (BIGINT) —
+    * bit-identical cross-engine; the DuckDB twin replays the identical
+    * level-synchronous fold as chained CTEs. Loop mechanics are
+    * [[multiSourceBfs]]'s ((src, node)-keyed labels, persist-marked
+    * rounds, AQE off, one action); the per-round fold keeps an existing
+    * label over candidates (its level is smaller) and otherwise SUMS the
+    * frontier contributions — the one-row-per-key invariant makes the
+    * conditional-sum split exact. Input must be a DISTINCT edge list:
+    * unlike the min-folds, σ SUMS over edges, so a duplicate pair is a
+    * parallel path and doubles the count. */
+  def pathCounts(pairs: DataFrame, uCol: String, vCol: String,
+                 nSources: Int, maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be >= 1, got $nSources")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      val srcs = e.select(col("__s")).distinct()
+        .orderBy(col("__s")).limit(nSources)
+      var labels = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
+        lit(0).as("__lvl"), lit(1L).as("__sig"))
+      var i = 1
+      while (i <= maxDepth) {
+        val frontier = labels.filter(col("__lvl") === i - 1)
+          .select(col("__src"), col("__n").as("__s"), col("__sig"))
+        val cand = e.join(frontier, Seq("__s"))
+          .select(col("__src"), col("__t").as("__n"), lit(i).as("__lvl"),
+            col("__sig"))
+        labels = labels.unionByName(cand)
+          .groupBy(col("__src"), col("__n"))
+          .agg(min(col("__lvl")).as("__ml"),
+            sum(when(col("__lvl") < i, col("__sig")).otherwise(lit(0L)))
+              .as("__so"),
+            sum(when(col("__lvl") === i, col("__sig")).otherwise(lit(0L)))
+              .as("__sn"))
+          .select(col("__src"), col("__n"), col("__ml").as("__lvl"),
+            when(col("__ml") < i, col("__so")).otherwise(col("__sn"))
+              .as("__sig"))
+          .persist()
+        cached += labels
+        i += 1
+      }
+      labels.select(col("__src").as("src"), col("__n").as("node"),
+          col("__lvl").as("lvl"), col("__sig").as("paths"))
+        .localCheckpoint()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(e)
+    }
+    result
+  }
+
   /** Bounded-round single-source shortest paths (Bellman-Ford) over an
     * undirected WEIGHTED pair list (`wCol` integer weights ≥ 0): after
     * `rounds` relaxations, (node, dist) = the min-weight path cost from

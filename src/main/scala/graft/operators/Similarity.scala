@@ -509,6 +509,60 @@ object Similarity {
         col("__m.dist").as("dist"))
   }
 
+  /** Lloyd's k-means ROUND TWO in int8 code space — one full
+    * assign → centroid-update → reassign cycle over
+    * [[kmeansAssignInt8]]'s exact-integer formulation: round-1
+    * assignment to the first-k seed centroids, centroid update as the
+    * per-(cluster, dim) FLOORED integer mean of member codes
+    * (`sum div n` — exact for the non-negative code range, the same
+    * update rule the PQ training uses), then reassignment against the
+    * updated centroids. Everything BIGINT — bit-deterministic
+    * cross-run, cross-partitioning, and cross-engine (the oracle
+    * replays both assignments and the update set-wise).
+    *
+    * Scale shape: one corpus encode pass (checkpointed — both
+    * assignment passes read the coded blocks, never the raw vectors
+    * twice), centroids broadcast in both rounds (k·dims literals), the
+    * update one (cluster, dim)-keyed exchange of code partials —
+    * k·dims-sized output, corpus never re-shuffled. Ties break toward
+    * the smaller cluster id in both rounds (min struct). */
+  def kmeansRound2Int8(vecs: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (mins, maxs) = dimStats(vecs, vecCol)
+    val codes = int8CodesCol(mins, maxs) _
+    val seedIds = vecs.select(col(idCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.get(0))
+    val coded = Query.ensureParallelism(vecs)
+      .select(col(idCol), codes(col(vecCol)).as("__codes"))
+      .localCheckpoint()
+    val cents0 = coded.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).as("__cid"), col("__codes").as("__cc"))
+    def assign(cents: DataFrame): DataFrame = coded
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("__codes"), struct(
+        int8Sq(col("__codes"), col("__cc")).as("dist"),
+        col("__cid").as("cluster")).as("__m"))
+      .groupBy(col(idCol))
+      .agg(min(col("__m")).as("__m"), first(col("__codes")).as("__codes"))
+      .select(col(idCol), col("__m.cluster").as("cluster"),
+        col("__m.dist").as("dist"), col("__codes"))
+    val cents1 = assign(cents0)
+      .select(col("cluster").as("__cid"),
+        posexplode(col("__codes")).as(Seq("__pos", "__code")))
+      .groupBy(col("__cid"), col("__pos"))
+      .agg(expr("CAST(sum(__code) div count(*) AS BIGINT)").as("__nc"))
+      .groupBy(col("__cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(__pos, __nc)))," +
+        " x -> x.__nc)").as("__cc"))
+    val result = assign(cents1)
+      .select(col(idCol), col("cluster"), col("dist"))
+      .localCheckpoint()
+    graft.operators.Dedup.freeCheckpoints(coded)
+    result
+  }
+
   /** RECIPROCAL-RANK FUSION of two rankers over the same corpus — the
     * float cosine ranking ([[bruteForceTopK]]) and the int8 code-space
     * L2 ranking — the standard way hybrid retrieval merges incomparable

@@ -361,6 +361,39 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("pathCounts equals brute-force shortest-path counting (Brandes " +
+      "forward pass) from the smallest sources; duplicate pairs fold in") {
+    import spark.implicits._
+    val (es, _) = randomGraph(53, 24, 150)
+    val df = es.toDF("u", "v")
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val srcs = nodes.take(3)
+    val nbrs = nodes.map { n =>
+      n -> es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    }.toMap
+    val maxDepth = 4
+    val want = srcs.flatMap { s =>
+      var lvl = Map(s -> 0)
+      var sig = Map(s -> 1L)
+      var frontier = Seq(s)
+      for (i <- 1 to maxDepth) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach(p => nbrs(p).foreach { n =>
+          if (!lvl.contains(n))
+            contrib(n) = contrib.getOrElse(n, 0L) + sig(p)
+        })
+        contrib.foreach { case (n, c) => lvl += n -> i; sig += n -> c }
+        frontier = contrib.keys.toSeq
+      }
+      lvl.map { case (n, l) => (s, n) -> ((l, sig(n))) }
+    }.toMap
+    val got = Graph.pathCounts(df, "u", "v", nSources = 3, maxDepth = maxDepth)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
   test("ssspBounded equals brute-force bounded Bellman-Ford on weighted " +
       "edges; empty input yields an empty frame") {
     import spark.implicits._

@@ -139,6 +139,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kmeansRound2Int8 matches the brute-force assign/update/reassign " +
+      "cycle (floored integer-mean centroids), under any partitioning") {
+    import spark.implicits._
+    val rows = (0L to 11L).map { i =>
+      (i, (0 until 4).map(d => ((i * 7 + d * 13) % 10).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.dimStats(df)
+    def code(v: Float, d: Int): Long =
+      if (mx(d) == mn(d)) 0L
+      else math.floor((v.toDouble - mn(d)) * 255.0 / (mx(d) - mn(d)) + 0.5).toLong
+    val codes = rows.map { case (i, vs) =>
+      i -> vs.zipWithIndex.map { case (v, d) => code(v, d) }
+    }.toMap
+    def assignTo(cents: Map[Long, Seq[Long]]): Map[Long, (Long, Long)] =
+      rows.map { case (i, _) =>
+        val (d, c) = cents.toSeq.map { case (cid, cc) =>
+          (codes(i).zip(cc).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min
+        i -> ((c, d))
+      }.toMap
+    val cents0 = (0L to 2L).map(c => c -> codes(c)).toMap
+    val a1 = assignTo(cents0)
+    val cents1 = a1.groupBy(_._2._1).map { case (cid, members) =>
+      val mcodes = members.keys.toSeq.map(codes)
+      cid -> (0 until 4).map(d => mcodes.map(_(d)).sum / mcodes.size)
+    }
+    val a2 = assignTo(cents1)
+    val want = rows.map { case (i, _) => (i, a2(i)._1, a2(i)._2) }
+    Seq(df, df.repartition(7)).foreach { in =>
+      val got = Similarity.kmeansRound2Int8(in, k = 3)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want)
+    }
+  }
+
   test("kmeansAssignInt8 edge cases: k larger than the corpus still " +
       "assigns every vector (self-assignment at distance 0)") {
     import spark.implicits._
