@@ -2744,6 +2744,110 @@ object SparkEntry {
 
     // ── §2.9 batch sessionization (the batch twin of session windows,
     //    with per-session stats the streaming form can't backfill) ────────
+    // KAPLAN-MEIER survival over SESSION durations (product-limit
+    // estimator, Kaplan & Meier 1958): duration in whole minutes between
+    // a session's first and last event, right-CENSORED when the session
+    // is still open in the corpus' final hour (user lifetimes are
+    // degenerate on this fixture — every user stays active to the end).
+    // The survival curve is a cumulative product over event times — made
+    // cross-engine exact by the ordered IN-ROW fold recipe (the step
+    // table is minute-grid-sized, so every row carries the full sorted
+    // step list and folds its own prefix product; fold order pinned by
+    // the sorted array, one round(…,6) absorbs ulp). n_at_risk is a
+    // reverse cumulative count — all integer.
+    "ext_survival_km" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("__mts"))
+      val u = Temporal.sessionize(ev, "user_id", "ts",
+          Seq("event_id"), gapUs = 600L * 1000 * 1000)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(unix_micros(`__l`) - unix_micros(`__f`)) div 60000000")
+            .as("dm"),
+          when(col("__l") > col("__mts") - expr("INTERVAL 1 HOURS"), 1L)
+            .otherwise(0L).as("__cen"))
+      val g = u.groupBy(col("dm"))
+        .agg(sum(lit(1L) - col("__cen")).as("d"), sum(col("__cen")).as("c"))
+      val r = g.select(col("dm"), col("d"), col("c"),
+        sum(col("d") + col("c")).over(Window.orderBy(col("dm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("n_risk"))
+      val steps = r.filter(col("d") > 0)
+        .agg(sort_array(collect_list(struct(col("dm").as("t"),
+          col("d").as("sd"), col("n_risk").as("sn")))).as("__a"))
+      r.filter(col("d") > 0)
+        .crossJoin(broadcast(steps))
+        .select(col("dm").as("duration_m"), col("d").as("n_ended"),
+          col("c").as("n_censored"), col("n_risk"),
+          round(expr("aggregate(filter(__a, x -> x.t <= dm), CAST(1.0 AS DOUBLE), " +
+            "(acc, x) -> acc * (1.0 - CAST(x.sd AS DOUBLE) / CAST(x.sn AS DOUBLE)))"), 6)
+            .as("survival"))
+    }),
+    // JOHNSON-LINDENSTRAUSS random projection (dimensionality reduction
+    // for ANN pre-filtering): 8 pseudo-random integer hyperplanes from a
+    // closed-form Knuth multiplicative hash (no RNG — the oracle replays
+    // the same constants), embeddings in ×2^20 fixed point, projections
+    // exact BIGINT dot products. One corpus scan, no shuffle beyond the
+    // (vec, plane) fold; planes are formulas, not data.
+    "ext_random_projection" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)").as("x"))
+        .select(col("vec_id"), col("pos"), col("x"),
+          explode(sequence(lit(0), lit(7))).as("plane"))
+        .groupBy(col("vec_id"), col("plane"))
+        .agg(sum(expr("((2654435761 * (plane * 1000 + pos + 1)) % 1000003 " +
+          "- 501001) * x")).as("proj"))),
+    // cross-source CONTAMINATION MATRIX (training-mix audit): distinct
+    // 3-grams per source, gram → sorted source set folded in ONE
+    // gram-keyed exchange, source pairs generated IN-ROW (sources are
+    // few; the gram stream never self-joins), shared-gram counts +
+    // n-gram Jaccard per source pair. The pairwise overlap table is what
+    // decides which sources need cross-dedup before mixing.
+    "ext_contamination_matrix" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"),
+          expr("filter(split(lower(coalesce(text, '')), ' '), w -> w <> '')")
+            .as("__tk"))
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(__tk) >= 3 THEN transform(sequence(0, size(__tk) - 3), " +
+            "i -> concat_ws(' ', __tk[i], __tk[i+1], __tk[i+2])) " +
+            "ELSE array() END")).as("gram"))
+        .distinct()
+      val n = g.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      g.groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("source"))).as("__srcs"))
+        .select(explode(expr("flatten(transform(__srcs, (x, i) -> " +
+          "transform(slice(__srcs, i + 2, size(__srcs)), " +
+          "y -> struct(x AS a, y AS b))))")).as("__p"))
+        .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .join(broadcast(n.select(col("source").as("src_a"), col("__n").as("n_a"))),
+          "src_a")
+        .join(broadcast(n.select(col("source").as("src_b"), col("__n").as("n_b"))),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          col("n_a"), col("n_b"),
+          round(col("shared_grams").cast("double") /
+            (col("n_a") + col("n_b") - col("shared_grams")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+    // session-duration percentiles (p50/p90/p99 + count): the sessionize
+    // output folded to one row — percentile ⟷ quantile_cont under
+    // round(…,6) (the established midpoint-ulp recipe)
+    "ext_session_percentiles" -> ((s, dir) => {
+      val d = Temporal.sessionize(t(s, dir, "events"), "user_id", "ts",
+          Seq("event_id"), gapUs = 600L * 1000 * 1000)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+          .as("__dur"))
+      d.agg(count(lit(1)).as("n_sessions"),
+        round(expr("percentile(__dur, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(__dur, 0.9)"), 6).as("p90_s"),
+        round(expr("percentile(__dur, 0.99)"), 6).as("p99_s"))
+    }),
     "ext_sessionize" -> ((s, dir) =>
       Temporal.sessionize(t(s, dir, "events"), "user_id", "ts",
         Seq("event_id"), gapUs = 600L * 1000 * 1000)
@@ -5404,6 +5508,83 @@ object SparkEntry {
         |WHERE r.rn <= 8 GROUP BY r.token, dfx.df""".stripMargin,
     // same gaps-and-islands break rule as stream_session_counts, plus
     // per-session stats (count, exact decimal value sum, integer duration)
+    // product-limit fold replayed in-row: DuckDB folds the same sorted
+    // step list with list_reduce (seed prepended), one round absorbs ulp
+    "ext_survival_km" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |brks AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sg AS (SELECT user_id, ts,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS sess_no
+        |  FROM brks),
+        |mx AS (SELECT max(ts) AS mts FROM e),
+        |u AS (SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+        |      AS BIGINT) AS dm,
+        |    CASE WHEN max(ts) > (SELECT mts FROM mx) - INTERVAL '1 hour'
+        |      THEN 1 ELSE 0 END AS cen
+        |  FROM sg GROUP BY user_id, sess_no),
+        |g AS (SELECT dm, CAST(SUM(1 - cen) AS BIGINT) AS d,
+        |      CAST(SUM(cen) AS BIGINT) AS c FROM u GROUP BY dm),
+        |r AS (SELECT dm, d, c, CAST(SUM(d + c) OVER (ORDER BY dm DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk FROM g),
+        |steps AS (SELECT list(struct_pack(t := dm, sd := d, sn := n_risk)
+        |    ORDER BY dm) AS a FROM r WHERE d > 0)
+        |SELECT r.dm AS duration_m, r.d AS n_ended, r.c AS n_censored,
+        |  r.n_risk,
+        |  round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(list_filter(steps.a, x -> x.t <= r.dm),
+        |      x -> 1.0 - CAST(x.sd AS DOUBLE) / CAST(x.sn AS DOUBLE))),
+        |    (acc, v) -> acc * v), 6) AS survival
+        |FROM r, steps WHERE r.d > 0""".stripMargin,
+    "ext_random_projection" ->
+      """SELECT vec_id, plane,
+        |  CAST(SUM(((2654435761 * (plane * 1000 + pos + 1)) % 1000003
+        |    - 501001) * x) AS BIGINT) AS proj
+        |FROM (SELECT vec_id, pos, CAST(floor(CAST(v AS DOUBLE) * 1048576)
+        |        AS BIGINT) AS x, unnest(range(8)) AS plane
+        |      FROM (SELECT vec_id, unnest(embedding) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings))
+        |GROUP BY 1, 2""".stripMargin,
+    "ext_contamination_matrix" ->
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split(lower(coalesce(text, '')), ' '),
+        |      w -> w <> '') AS tk FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS gram FROM tk),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS shared_grams
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.src_a, sh.src_b, sh.shared_grams, na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(sh.shared_grams AS DOUBLE)
+        |    / CAST(na.n + nb.n - sh.shared_grams AS DOUBLE), 6) AS jaccard
+        |FROM sh JOIN n na ON sh.src_a = na.source
+        |JOIN n nb ON sh.src_b = nb.source""".stripMargin,
+    "ext_session_percentiles" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |d AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS sess_no
+        |  FROM d),
+        |sd AS (SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+        |    AS BIGINT) AS dur FROM g GROUP BY user_id, sess_no)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(quantile_cont(dur, 0.5), 6) AS p50_s,
+        |  round(quantile_cont(dur, 0.9), 6) AS p90_s,
+        |  round(quantile_cont(dur, 0.99), 6) AS p99_s
+        |FROM sd""".stripMargin,
     "ext_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),
