@@ -815,6 +815,19 @@ object SparkEntry {
     "ext_path_counts" -> ((s, dir) =>
       operators.Graph.pathCounts(copurchaseEdgesRaw(s, dir), "u", "v",
         nSources = 4, maxDepth = 4)),
+    // bounded ECCENTRICITY from the same 4-seed BFS loop: per source the
+    // max hop count within depth 6, the reach, and the farthest node
+    // (max node id at the eccentric level — struct-max argmax, ties to
+    // the larger id, deterministic cross-engine)
+    "ext_eccentricity" -> ((s, dir) =>
+      operators.Graph.multiSourceBfs(copurchasePairs(s, dir), "u", "v",
+          nSources = 4, maxDepth = 6)
+        .groupBy(col("src"))
+        .agg(max(col("lvl")).as("ecc"),
+          count(lit(1)).as("n_reached"),
+          max(struct(col("lvl"), col("node"))).as("__m"))
+        .select(col("src"), col("ecc"), col("n_reached"),
+          col("__m.node").as("farthest"))),
     // neighborhood function N(h) from the same 4-seed bounded BFS — the
     // (hop, pairs-within-h) profile behind effective-diameter estimation
     // (Palmer/Gibbons/Faloutsos ANF, here exact over the seed sample):
@@ -2744,6 +2757,55 @@ object SparkEntry {
 
     // ── §2.9 batch sessionization (the batch twin of session windows,
     //    with per-session stats the streaming form can't backfill) ────────
+    // GINI coefficient of customer revenue concentration (the
+    // inequality metric behind "top-x% of customers drive y% of
+    // revenue"): per-customer totals in whole currency units (floored —
+    // exact BIGINT), the rank formula G = Σ(2i−n−1)xᵢ / (n·Σx) over the
+    // (value, custkey) total order. Tie-safe: permuting equal values
+    // leaves the weight-sum invariant. One exchange + two windows over
+    // the customer-sized frame; BIGINT headroom to ~sf10 (DECIMAL
+    // accumulation is the 100× swap).
+    "ext_gini_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val r = cust.select(col("x"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"),
+        sum(col("x")).over(Window.partitionBy()).as("tot"))
+      r.agg(max(col("n")).as("n_customers"),
+        max(col("tot")).as("total_units"),
+        round(sum((lit(2L) * col("rn") - col("n") - lit(1L)) * col("x"))
+            .cast("double") /
+          (max(col("n")).cast("double") * max(col("tot")).cast("double")), 6)
+          .as("gini"))
+    }),
+    // ROBUST outlier counts per event type: median and MAD over a
+    // ×1024 fixed-point grid (power-of-two scale — the float→grid map is
+    // IEEE-exact, and every median/midpoint lands on a ¼-unit grid, so
+    // the 5·MAD threshold comparison is hash-exact cross-engine, not
+    // just round-absorbed)
+    "ext_mad_by_type" -> ((s, dir) => {
+      val v = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(floor(value * 1024) AS BIGINT)").as("__v"))
+      val med = v.groupBy(col("event_type"))
+        .agg(expr("percentile(__v, 0.5)").as("__med"))
+      val dev = v.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("__med"),
+          abs(col("__v").cast("double") - col("__med")).as("__dev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(first(col("__med")).as("__med"),
+          expr("percentile(__dev, 0.5)").as("__mad"))
+      dev.select(col("event_type"), col("__dev"))
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(first(col("__med")), 6).as("median_fp"),
+          round(first(col("__mad")), 6).as("mad_fp"),
+          count(lit(1)).as("n"),
+          sum(when(col("__dev") > lit(5.0) * col("__mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
     // KAPLAN-MEIER survival over SESSION durations (product-limit
     // estimator, Kaplan & Meier 1958): duration in whole minutes between
     // a session's first and last event, right-CENSORED when the session
@@ -3848,6 +3910,38 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY support DESC, part LIMIT 20""".stripMargin,
     "ext_bipartite_projection" -> sqlBipartiteProjection,
     "ext_path_counts" -> sqlPathCounts(4, 4),
+    "ext_eccentricity" -> sqlEccentricity,
+    "ext_gini_revenue" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER () AS BIGINT) AS tot
+        |  FROM cust)
+        |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(max(tot) AS BIGINT) AS total_units,
+        |  round(CAST(SUM((2 * rn - n - 1) * x) AS DOUBLE)
+        |    / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE)), 6) AS gini
+        |FROM r""".stripMargin,
+    "ext_mad_by_type" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 1024) AS BIGINT) AS fv FROM events),
+        |med AS (SELECT event_type, quantile_cont(fv, 0.5) AS med
+        |        FROM v GROUP BY event_type),
+        |dev AS (SELECT v.event_type, med.med,
+        |    abs(CAST(fv AS DOUBLE) - med) AS dv
+        |  FROM v JOIN med ON v.event_type = med.event_type),
+        |mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, round(max(dev.med), 6) AS median_fp,
+        |  round(max(mad.mad), 6) AS mad_fp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN dev.dv > 5.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type""".stripMargin,
     "ext_strength_distribution" -> sqlStrengthDistribution,
     "ext_graph_components" -> sqlGraphComponents,
     "ext_closeness_centrality" -> sqlClosenessCentrality,
@@ -6440,6 +6534,25 @@ object SparkEntry {
       |FROM s$maxDepth""".stripMargin)
     sb.toString
   }
+
+  /** Bounded eccentricity twin — the closeness CTE's bfs plus an argmax
+    * at the eccentric level (max node id, matching Spark's struct-max). */
+  private val sqlEccentricity: String =
+    ("WITH RECURSIVE " + sqlEdgesSelfJoinCte +
+      """de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |srcs AS (SELECT n FROM (SELECT u AS n FROM edges
+        |    UNION SELECT v FROM edges) q ORDER BY n LIMIT 4),
+        |bfs AS (SELECT n AS src, n AS node, 0 AS lvl FROM srcs
+        |  UNION
+        |  SELECT b.src, d.t, b.lvl + 1 FROM bfs b JOIN de d ON d.s = b.node
+        |  WHERE b.lvl < 6),
+        |m AS (SELECT src, node, min(lvl) AS lvl FROM bfs GROUP BY src, node),
+        |agg AS (SELECT src, CAST(max(lvl) AS INT) AS ecc,
+        |        CAST(count(*) AS BIGINT) AS n_reached FROM m GROUP BY src)
+        |SELECT a.src, a.ecc, a.n_reached,
+        |  CAST(max(mm.node) AS BIGINT) AS farthest
+        |FROM agg a JOIN m mm ON mm.src = a.src AND mm.lvl = a.ecc
+        |GROUP BY a.src, a.ecc, a.n_reached""".stripMargin)
 
   /** Bounded Bellman-Ford, `rounds` chained MATERIALIZED relaxations
     * over the support-weighted graph (engine: Graph.ssspBounded). */
