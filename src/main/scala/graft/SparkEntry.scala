@@ -2757,6 +2757,45 @@ object SparkEntry {
 
     // ── §2.9 batch sessionization (the batch twin of session windows,
     //    with per-session stats the streaming form can't backfill) ────────
+    // COHORT LTV matrix: weekly cumulative revenue per first-seen-day
+    // cohort — the lifetime-value curve product analytics reads cohort
+    // health from. Value in ×1024 fixed point (exact BIGINT), cumulative
+    // via a per-cohort window over the week offset; the matrix is
+    // calendar×weeks-sized (grid, never user-sized). First-seen join
+    // broadcasts the user-sized cohort map.
+    "ext_cohort_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("ts").cast("date").as("d"),
+        expr("CAST(floor(value * 1024) AS BIGINT)").as("v"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      val g = ev.join(broadcast(first), "user_id")
+        .select(col("c0"), expr("datediff(d, c0) div 7").as("wk"),
+          col("v"), col("user_id"))
+        .groupBy(col("c0"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(col("v")).as("rev_fp"))
+      g.select(date_format(col("c0"), "yyyy-MM-dd").as("cohort_day"),
+        col("wk"), col("n_active"), col("rev_fp"),
+        sum(col("rev_fp")).over(Window.partitionBy(col("c0"))
+          .orderBy(col("wk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_rev_fp"))
+    }),
+    // order→ship latency quantiles per order priority (the operational
+    // SLA read): integer day gaps, percentile ⟷ quantile_cont under
+    // round(…,6)
+    "ext_ship_latency" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("bigint").as("__lat"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(__lat, 0.5)"), 6).as("p50_d"),
+          round(expr("percentile(__lat, 0.9)"), 6).as("p90_d"),
+          max(col("__lat")).as("max_d"))),
     // GINI coefficient of customer revenue concentration (the
     // inequality metric behind "top-x% of customers drive y% of
     // revenue"): per-customer totals in whole currency units (floored —
@@ -3911,6 +3950,29 @@ object SparkEntry {
     "ext_bipartite_projection" -> sqlBipartiteProjection,
     "ext_path_counts" -> sqlPathCounts(4, 4),
     "ext_eccentricity" -> sqlEccentricity,
+    "ext_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 1024) AS BIGINT) AS v FROM events),
+        |f AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY user_id),
+        |g AS (SELECT f.c0,
+        |    CAST(date_diff('day', f.c0, ev.d) // 7 AS BIGINT) AS wk,
+        |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+        |    CAST(SUM(ev.v) AS BIGINT) AS rev_fp
+        |  FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT strftime(c0, '%Y-%m-%d') AS cohort_day, wk, n_active, rev_fp,
+        |  CAST(SUM(rev_fp) OVER (PARTITION BY c0 ORDER BY wk
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_fp
+        |FROM g""".stripMargin,
+    "ext_ship_latency" ->
+      """WITH l AS (SELECT o.o_orderpriority,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(li.l_shipdate AS DATE)) AS BIGINT) AS lat
+        |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(lat, 0.5), 6) AS p50_d,
+        |  round(quantile_cont(lat, 0.9), 6) AS p90_d,
+        |  CAST(max(lat) AS BIGINT) AS max_d
+        |FROM l GROUP BY o_orderpriority""".stripMargin,
     "ext_gini_revenue" ->
       """WITH cust AS (SELECT o_custkey,
         |    CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x

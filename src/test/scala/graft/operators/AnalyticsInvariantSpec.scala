@@ -129,6 +129,56 @@ class AnalyticsInvariantSpec extends AnyFunSuite with SparkSpec {
     assert(!r.isNullAt(4) && r.getDouble(4) >= 0.0)
   }
 
+  test("round-13 keys: Gini in [0,1) and re-derivable from its own " +
+      "totals; KM survival starts <= 1, is monotone nonincreasing, and " +
+      "n_at_risk is monotone nonincreasing in duration") {
+    val g = q("ext_gini_revenue").head()
+    val (n, tot, gini) = (g.getLong(0), g.getLong(1), g.getDouble(2))
+    assert(n > 0 && tot > 0 && gini >= 0.0 && gini < 1.0)
+    val km = q("ext_survival_km").orderBy(col("duration_m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(km.nonEmpty)
+    assert(km.head._5 <= 1.0 + 1e-9)
+    km.sliding(2).foreach {
+      case Array((_, _, _, nr1, s1), (_, _, _, nr2, s2)) =>
+        assert(s2 <= s1 + 1e-9, "survival must be nonincreasing")
+        assert(nr2 <= nr1, "n_at_risk must be nonincreasing")
+      case _ => ()
+    }
+    // every step's d <= its n_at_risk (can't lose more than are at risk)
+    km.foreach { case (_, d, _, nr, _) => assert(d <= nr) }
+  }
+
+  test("round-13 keys: bipartite-projection cosine in (0,1]; MAD " +
+      "outlier counts bounded by n; contamination-matrix Jaccard " +
+      "consistent with its own counts; cohort LTV cumsums close") {
+    q("ext_bipartite_projection").collect().foreach { r =>
+      val (co, nu, nv, cos) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(co >= 1 && co <= math.min(nu, nv))
+      assert(cos > 0.0 && cos <= 1.0 + 1e-9)
+    }
+    q("ext_mad_by_type").collect().foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "outliers <= n")
+    }
+    q("ext_contamination_matrix").collect().foreach { r =>
+      val (sh, na, nb, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(sh <= math.min(na, nb))
+      val want = sh.toDouble / (na + nb - sh).toDouble
+      assert(math.abs(j - want) < 1e-6)
+    }
+    val ltv = q("ext_cohort_ltv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    ltv.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._3).drop(1)
+      assert(sorted.map(_._4).toSeq == cums.toSeq,
+        "cum_rev_fp must equal the running sum of rev_fp")
+    }
+  }
+
   test("hour uniformity: per-type totals close against raw event counts " +
       "and the chi2 numerator re-derives from its own row") {
     val rows = q("ext_hour_uniformity").collect()
