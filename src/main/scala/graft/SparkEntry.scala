@@ -2803,7 +2803,11 @@ object SparkEntry {
     // (value, custkey) total order. Tie-safe: permuting equal values
     // leaves the weight-sum invariant. One exchange + two windows over
     // the customer-sized frame; BIGINT headroom to ~sf10 (DECIMAL
-    // accumulation is the 100× swap).
+    // accumulation is the 100× swap). The unpartitioned rank window is
+    // single-partition by construction — correct here because the frame
+    // is CUSTOMER-dimension-sized after the aggregate; a fact-sized Gini
+    // at 100× swaps to global-sort range partitions + per-partition row
+    // offsets (zipWithIndex over sortWithinPartitions), same formula.
     "ext_gini_revenue" -> ((s, dir) => {
       val cust = t(s, dir, "orders")
         .groupBy(col("o_custkey"))

@@ -394,6 +394,46 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("pathCounts edge cases: maxDepth = 0 is the seed rows only; " +
+      "nSources beyond the node count uses every node; empty input " +
+      "yields empty output") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val d0 = Graph.pathCounts(df, "u", "v", nSources = 2, maxDepth = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(d0.toSet == Set((1L, 1L, 0, 1L), (2L, 2L, 0, 1L)))
+    val all = Graph.pathCounts(df, "u", "v", nSources = 99, maxDepth = 1)
+      .collect()
+    assert(all.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    val empty = Graph.pathCounts(Seq.empty[(Long, Long)].toDF("u", "v"),
+      "u", "v", 3, 2)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("src", "node", "lvl", "paths"))
+  }
+
+  test("assocRules: rules re-derive from their own supports and both " +
+      "directions' confidences are consistent with lift") {
+    import spark.implicits._
+    // small basket fixture with a known strong pair
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L), (5L, 20L), (5L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val rows = Graph.assocRules(li, "l_orderkey", "l_partkey", topK = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2)) == (10L, 20L, 3L))
+    rows.foreach { r =>
+      val (s, sa, sb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (cab, cba, lift) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(math.abs(cab - s.toDouble / sa) < 1e-6)
+      assert(math.abs(cba - s.toDouble / sb) < 1e-6)
+      // lift = N * conf_ab / s_b (N = 5 baskets)
+      assert(math.abs(lift - 5.0 * s / (sa.toDouble * sb)) < 1e-5)
+    }
+  }
+
   test("ssspBounded equals brute-force bounded Bellman-Ford on weighted " +
       "edges; empty input yields an empty frame") {
     import spark.implicits._

@@ -188,6 +188,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
   }
 
+  test("kmeansRound2Int8 edge cases: k beyond the corpus keeps " +
+      "self-assignment stable through the update round (centroids = the " +
+      "points themselves, round 2 re-assigns identically)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansRound2Int8(df, k = 10)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
   test("rankFusionRrf equals the brute-force fused ranking (both rankers " +
       "replayed in Scala, integer RRF contributions)") {
     import spark.implicits._
