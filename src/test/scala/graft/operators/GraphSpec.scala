@@ -361,6 +361,29 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("labelPropagate (frontier-delta rounds) equals the retained " +
+      "full-table fold chain on seeded random graphs, every round count") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 91)) {
+      val (es, _) = randomGraph(seed, 28, 130)
+      val df = es.toDF("u", "v")
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+      val nbrs = nodes.map { n =>
+        n -> es.collect {
+          case (a, b) if a == n => b
+          case (a, b) if b == n => a
+        }.toSet
+      }.toMap
+      var lab = nodes.map(n => n -> n).toMap
+      for (r <- 1 to 4) {
+        lab = nodes.map(n => n -> (nbrs(n).map(lab) + lab(n)).min).toMap
+        val got = Graph.labelPropagate(df, "u", "v", rounds = r)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(got == lab, s"seed=$seed rounds=$r")
+      }
+    }
+  }
+
   test("pathCounts equals brute-force shortest-path counting (Brandes " +
       "forward pass) from the smallest sources; duplicate pairs fold in") {
     import spark.implicits._
