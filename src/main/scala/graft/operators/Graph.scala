@@ -43,14 +43,17 @@ object Graph {
     // byte-based coalescing would run the final agg + pair emit on 1-2
     // tasks (skill-book shape). The aggregation reuses this exchange —
     // same keys — so the pin costs no extra shuffle.
+    // pair expansion via the native SortedPairs kernel — the HOF chain
+    // (flatten(transform(…slice…))) interprets its lambdas per element
+    // and allocates a slice per outer item; the kernel is one compiled
+    // loop, spec-pinned element-equal (SortedPairsSpec)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism,
         col(groupCol))
       .groupBy(col(groupCol))
       .agg(array_sort(collect_set(col(itemCol))).as("__items"))
-      .select(col(groupCol), explode(expr(
-        "flatten(transform(__items, (x, i) -> " +
-          "transform(slice(__items, i + 2, size(__items)), " +
-          "y -> struct(x AS u, y AS v))))")).as("__e"))
+      .select(col(groupCol),
+        explode(org.apache.spark.sql.graft.SortedPairs.of(col("__items")))
+          .as("__e"))
       .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
 
   /** ASSOCIATION RULES from pair supports: confidence both ways and lift
