@@ -31,10 +31,13 @@ object Bench {
     try {
       val sys = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .trim.split("\\s+").drop(1).map(_.toLong)
-      // cpu: user nice system idle iowait irq softirq steal …
-      // busy = everything except idle(3) and iowait(4)
+      // cpu: user nice system idle iowait irq softirq steal guest guest_nice
+      // busy = user+nice+system+irq+softirq+steal — idle(3)/iowait(4) are
+      // not work, and guest(8)/guest_nice(9) are ALREADY folded into
+      // user/nice by the kernel, so counting them double-counts VM time
+      // and can spuriously trip the ambient retry (r13 advice)
       val busy = sys.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v
+        case (v, i) if i != 3 && i != 4 && i < 8 => v
       }.sum
       val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
       // comm may contain spaces — split after the LAST ')'

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
  * Iterative graph computation on plain DataFrames — the PageRank loop every
@@ -36,7 +37,14 @@ object Graph {
     * edge set is one `.distinct()` away. At 100 TB the same holds as long
     * as baskets stay bounded — a hub group (one key containing millions
     * of items) would need the quadratic output capped upstream, which is
-    * true of every pair-emitting formulation including the self-join. */
+    * true of every pair-emitting formulation including the self-join.
+    *
+    * Element types: integral `itemCol` types ride the native
+    * [[org.apache.spark.sql.graft.SortedPairs]] kernel (int/smallint
+    * implicit-cast to long — `u`/`v` are always BIGINT on that path);
+    * any other orderable type (string, date, …) falls back to the
+    * element-equal HOF expansion the kernel replaced, preserving the
+    * element type. */
   def itemPairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     // explicit-count repartition on the GROUP key: the basket stream is
     // byte-light but the in-row expansion is compute-dense, so AQE's
@@ -47,14 +55,26 @@ object Graph {
     // (flatten(transform(…slice…))) interprets its lambdas per element
     // and allocates a slice per outer item; the kernel is one compiled
     // loop, spec-pinned element-equal (SortedPairsSpec)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col(groupCol))
-      .groupBy(col(groupCol))
-      .agg(array_sort(collect_set(col(itemCol))).as("__items"))
-      .select(col(groupCol),
-        explode(org.apache.spark.sql.graft.SortedPairs.of(col("__items")))
-          .as("__e"))
-      .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
+    {
+      val integralItems = df.schema(itemCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      def pairsOf(items: Column): Column =
+        if (integralItems) org.apache.spark.sql.graft.SortedPairs.of(items)
+        else // HOF fallback for non-integral element types (string, date):
+          // element-equal to the kernel, interpreted per element — fine for
+          // the rare non-long caller, spec-pinned in SortedPairsSpec
+          flatten(transform(items, (x, i) =>
+            transform(slice(items, i + lit(2), size(items)),
+              y => struct(x.as("u"), y.as("v")))))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col(groupCol))
+        .groupBy(col(groupCol))
+        .agg(array_sort(collect_set(col(itemCol))).as("__items"))
+        .select(col(groupCol), explode(pairsOf(col("__items"))).as("__e"))
+        .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
+    }
 
   /** ASSOCIATION RULES from pair supports: confidence both ways and lift
     * for the top-`topK` support pairs — pair supports from the in-row

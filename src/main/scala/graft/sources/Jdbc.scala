@@ -28,6 +28,14 @@ import graft.Tables.TableMeta
  * the OPTION-BUILDING logic — what to partition on, how many partitions,
  * what DDL to emit — is pure and unit-tested.
  */
+/** Thrown by [[Jdbc.insertPlan]]'s own metadata probe when a DataFrame
+  * column is absent from a table that WAS found — a dedicated type so the
+  * raw-vs-quoted table-spelling fallback can tell it apart from
+  * table-not-found without string-matching driver messages (which some
+  * drivers return as null). */
+final class ColumnMismatchException(msg: String)
+  extends java.sql.SQLException(msg)
+
 object Jdbc {
 
   /** Partitioning plan for a JDBC read, derived from pk metadata the same
@@ -145,17 +153,35 @@ object Jdbc {
           md.getColumnName(i).toLowerCase -> ((md.getColumnName(i), md.getColumnType(i)))
         }.toMap
         t -> cols.map(c => byLower.getOrElse(c.toLowerCase,
-          throw new java.sql.SQLException(
+          throw new ColumnMismatchException(
             s"column $c not found in $t (target has: " +
               s"${byLower.keys.toSeq.sorted.mkString(", ")})")))
+      }
+      // table-not-found, by SQLState walked through the next-exception
+      // chain: Derby 42X05, PostgreSQL 42P01, MySQL/H2/SQLServer 42S02,
+      // H2 legacy S0002 — plus SQLSyntaxErrorException for dialects
+      // whose driver types the miss but uses a nonstandard state. The
+      // own-probe ColumnMismatchException is a dedicated type so a
+      // column mismatch on a FOUND table never falls through, and no
+      // driver message string (which may be null) is ever inspected.
+      def tableNotFound(e: Throwable): Boolean = e match {
+        case _: ColumnMismatchException => false
+        case sq: java.sql.SQLException =>
+          var cur = sq; var hops = 0
+          while (cur != null && hops < 10) {
+            val st = cur.getSQLState
+            if (st == "42X05" || st == "42P01" || st == "42S02" ||
+              st == "S0002") return true
+            cur = cur.getNextException; hops += 1
+          }
+          sq.isInstanceOf[java.sql.SQLSyntaxErrorException]
+        case _ => false
       }
       spellings.tail.foldLeft(scala.util.Try(probe(spellings.head))) {
         (acc, t) => acc.recoverWith {
           // only a MISSING-table failure falls through to the quoted
           // spelling; a column mismatch on a found table stays loud
-          case e: java.sql.SQLSyntaxErrorException => scala.util.Try(probe(t))
-          case e: java.sql.SQLException if !e.getMessage.contains("column") =>
-            scala.util.Try(probe(t))
+          case e if tableNotFound(e) => scala.util.Try(probe(t))
         }
       }.get
     }

@@ -8,7 +8,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -37,8 +37,13 @@ import org.apache.spark.sql.types._
 @ExpressionDescription(
   usage = "_FUNC_(arr) - all i < j pairs of a sorted array as structs (u, v).")
 case class SortedPairs(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes): an array<int> /
+  // array<smallint> input coerces to array<long> at analysis instead of
+  // failing — the HOF chain this kernel replaced accepted any orderable
+  // element type. Non-numeric element types (string) still fail analysis;
+  // Graph.itemPairs routes those to the element-equal HOF fallback.
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(
@@ -51,7 +56,16 @@ case class SortedPairs(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // size in Long first: n >= 46341 overflows Int in n*(n-1)/2 and the
+    // old form crashed with a bare NegativeArraySizeException
+    val sizeL = n.toLong * (n - 1) / 2
+    if (sizeL > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"SortedPairs: group of $n items expands to $sizeL pairs " +
+          "(> Int.MaxValue) — hub groups must be capped upstream before " +
+          "the quadratic pair expansion, as with any pair-emitting form")
+    }
+    val out = new Array[Any](sizeL.toInt)
     var k = 0
     var i = 0
     while (i < n) {
