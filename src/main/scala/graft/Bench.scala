@@ -185,52 +185,100 @@ object Bench {
     // names its own invalid entries instead of smuggling them into the
     // total.
     val ambientLimit = 3.0
+    // r13 blind spot (judged artifact median 1.71×/worst 7.5× inflated
+    // while stamping poisoned:[]): ambient-cores only sees CPU
+    // COMPETITION. Whole-guest slowdown — cgroup CPU quota, hypervisor
+    // steal the guest doesn't surface, IO/memory pressure — shrinks
+    // system-busy and own-jiffies together while wall inflates, so
+    // ambient reads ≈ 0. Two orthogonal signals it can't hide from
+    // (BenchProbe): a fixed-work CANARY thread spinning during each
+    // measurement (calibrated/observed work rate — an 8-core cgroup
+    // quota measured canary 1.77–2.30 while ambient read a "clean"
+    // 0.23) and the PSI cpu stall fraction (same experiment: 0.35–0.53
+    // vs ≤ 0.05 quiet). Thresholds from the validation pairs: quiet
+    // full-suite ceiling canary 1.27 (barrier-heavy loop queries burst
+    // all 32 cores and briefly crowd the canary) / psi 0.03; throttled
+    // kept readings 1.36–1.58 / 0.29–0.36. PSI at 0.25 is the primary
+    // quota/contention detector (10× separation); the canary at 1.5
+    // catches the PSI-invisible class (unsurfaced hypervisor steal —
+    // the r13 judged artifact was median 1.71× inflated, which lands
+    // ≥ 1.7 on this scale). task_sec/cpu_sec are stamped per query so
+    // starvation is also adjudicable post-hoc: throttled runs showed
+    // task_sec 2–3× with cpu_sec constant.
+    val canaryLimit = 1.5
+    val psiLimit = 0.25
     val maxRetriesTotal = 40
     var retriesUsed = 0
     val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val poisonedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val clock = new BenchProbe.TaskClock
+    spark.sparkContext.addSparkListener(clock)
+    // calibrate the canary's solo work rate now: post-warm-up the Spark
+    // threads are idle and the boot load gate vouched for the host
+    System.gc()
+    BenchProbe.calibrate()
+    case class Attempt(dt: Double, amb: Double, canary: Double, psi: Double,
+                       taskSec: Double, cpuSec: Double) {
+      // a reading is UNHEALTHY if any orthogonal signal tripped: foreign
+      // cores (competition), slowed canary (quota/steal/any whole-guest
+      // class), or CPU-pressure stalls
+      def unhealthy: Boolean = amb > ambientLimit ||
+        canary > canaryLimit || psi > psiLimit
+    }
     val resultsL = selected.map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
       // previous query left behind, and force a GC so the ContextCleaner
       // reclaims stale broadcasts/shuffles NOW instead of mid-measurement
       // (cleanup is weak-reference driven; an idle 8g heap never triggers it)
-      def timeOnce(): (Double, Double) = {
+      def timeOnce(): Attempt = {
         spark.catalog.clearCache()
         System.gc()
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val (run0, cpu0, _) = clock.snapshot()
         val (sys0, self0) = cpuJiffies()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ((), dt, canary, psi) = BenchProbe.observe {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        }
         val (sys1, self1) = cpuJiffies()
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val (run1, cpu1, _) = clock.snapshot()
         val amb = if (sys0 < 0 || sys1 < 0 || dt <= 0) -1.0
           else ((sys1 - sys0) - (self1 - self0)) / 100.0 / dt
-        (dt, amb)
+        Attempt(dt, amb, canary, psi,
+          (run1 - run0) / 1e3, (cpu1 - cpu0) / 1e9)
       }
       val ambientNow = load1()
       var attempts = List(timeOnce())
       // retry only readings that are both poisoned AND big enough for the
       // poisoning to matter (the ~0.3 s floor swamps anything smaller)
-      while (attempts.head._2 > ambientLimit && attempts.head._1 > 0.5 &&
+      while (attempts.head.unhealthy && attempts.head.dt > 0.5 &&
              attempts.size <= 2 && retriesUsed < maxRetriesTotal) {
         retriesUsed += 1
         if (!retriedNames.contains(name)) retriedNames += name
-        System.err.println(f"[bench] $name read ${attempts.head._1}%.2f s " +
-          f"under ${attempts.head._2}%.1f ambient cores — retrying")
+        System.err.println(f"[bench] $name read ${attempts.head.dt}%.2f s " +
+          f"under ambient=${attempts.head.amb}%.1f cores " +
+          f"canary=${attempts.head.canary}%.2f psi=${attempts.head.psi}%.2f" +
+          " — retrying")
         attempts = timeOnce() :: attempts
       }
-      val (dt, amb) = attempts.minBy(_._1)
-      if (amb > ambientLimit && dt > 0.5) poisonedNames += name
-      (name, dt, ambientNow, amb)
+      val best = attempts.minBy(_.dt)
+      if (best.unhealthy && best.dt > 0.5) poisonedNames += name
+      (name, best, ambientNow)
     }
-    val load1ByQuery = resultsL.map { case (k, _, l, _) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(l))
-    }.mkString("{", ",", "}")
-    val ambByQuery = resultsL.map { case (k, _, _, a) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(a))
-    }.mkString("{", ",", "}")
-    val results = resultsL.map { case (k, v, _, _) => (k, v) }
+    def healthMap(f: ((String, Attempt, Double)) => Double): String =
+      resultsL.map { case t @ (k, _, _) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(f(t)))
+      }.mkString("{", ",", "}")
+    val load1ByQuery = healthMap(_._3)
+    val ambByQuery = healthMap(_._2.amb)
+    val canaryByQuery = healthMap(_._2.canary)
+    val psiByQuery = healthMap(_._2.psi)
+    val taskSecByQuery = healthMap(_._2.taskSec)
+    val cpuSecByQuery = healthMap(_._2.cpuSec)
+    val results = resultsL.map { case (k, a, _) => (k, a.dt) }
     // 3-decimal seconds keep the full-JSON line compact (≈3 KB for ~90
     // queries) so tail-limited line capture can still parse it whole
     def s3(v: Double): String =
@@ -245,8 +293,8 @@ object Bench {
       .mkString("[", ",", "]")
     def names(b: scala.collection.mutable.ArrayBuffer[String]): String =
       b.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"queries":$qs,"sf":"$sfDir"}"""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"canary_ratio":$canaryByQuery,"psi_stall":$psiByQuery,"task_sec":$taskSecByQuery,"cpu_sec":$cpuSecByQuery,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
     // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only

@@ -13,12 +13,15 @@ object BenchOne {
   private class Counters extends SparkListener {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMillis = new AtomicLong
+    val cpuNanos = new AtomicLong; val gcMillis = new AtomicLong
     val perStage = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]
     override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.incrementAndGet()
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       tasks.addAndGet(e.stageInfo.numTasks)
       taskMillis.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+      cpuNanos.addAndGet(e.stageInfo.taskMetrics.executorCpuTime)
+      gcMillis.addAndGet(e.stageInfo.taskMetrics.jvmGCTime)
       perStage.add((e.stageInfo.name.take(90), e.stageInfo.numTasks,
         e.stageInfo.taskMetrics.executorRunTime))
     }
@@ -28,8 +31,11 @@ object BenchOne {
         .map { case (nm, t, ms) => f"\n    ${ms / 1e3}%7.1fs $t%4d tasks  $nm" }.mkString
     }
     def snap(): String =
-      f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMillis.get / 1e3}%.1fs"
-    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMillis.set(0); perStage.clear() }
+      f"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+        f"taskTime=${taskMillis.get / 1e3}%.1fs cpuTime=${cpuNanos.get / 1e9}%.1fs " +
+        f"gc=${gcMillis.get / 1e3}%.1fs"
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)
+      taskMillis.set(0); cpuNanos.set(0); gcMillis.set(0); perStage.clear() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -54,19 +60,22 @@ object BenchOne {
     def timed(label: String): Unit = {
       counters.reset()
       val (sys0, self0) = Bench.cpuJiffies()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
+      val ((), wall, canary, psi) = BenchProbe.observe {
+        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       val (sys1, self1) = Bench.cpuJiffies()
       val amb = if (sys0 < 0 || wall <= 0) -1.0
         else ((sys1 - sys0) - (self1 - self0)) / 100.0 / wall
-      Thread.sleep(300) // listener bus is async — let the tail events drain
+      // listener bus is async — drain the tail events before snapshotting
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  " +
-        f"ambientCores=$amb%.2f loadavg=${Bench.loadavg()}")
+        f"ambientCores=$amb%.2f canaryRatio=$canary%.2f psiStall=$psi%.2f " +
+        f"loadavg=${Bench.loadavg()}")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
       spark.catalog.clearCache()
       System.gc()
     }
+    BenchProbe.calibrate()
     timed("cold")
     // SPARK_GRAFT_REPS warm repeats (default 1): on a host with bursty
     // interference the MINIMUM of several warm runs is the comparable
