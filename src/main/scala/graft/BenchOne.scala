@@ -71,7 +71,13 @@ object BenchOne {
       println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  " +
         f"ambientCores=$amb%.2f canaryRatio=$canary%.2f psiStall=$psi%.2f " +
         f"loadavg=${Bench.loadavg()}")
-      if (sys.env.contains("SPARK_GRAFT_STAGES")) println("[bench-one] top stages:" + counters.topStages(8))
+      // SPARK_GRAFT_STAGES=N dumps the top-N stages by task time (any
+      // non-numeric value = 8) — N large enough gives the full per-stage
+      // timeline of a query for the scheduler-floor decomposition
+      sys.env.get("SPARK_GRAFT_STAGES").foreach { n =>
+        println("[bench-one] top stages:" +
+          counters.topStages(n.toIntOption.getOrElse(8)))
+      }
       spark.catalog.clearCache()
       System.gc()
     }

@@ -813,8 +813,10 @@ object SparkEntry {
     // pair would be a parallel path). Oracle = the identical fold as
     // chained materialized CTEs.
     "ext_path_counts" -> ((s, dir) =>
-      operators.Graph.pathCounts(copurchaseEdgesRaw(s, dir), "u", "v",
-        nSources = 4, maxDepth = 4)),
+      // raw (undistincted) pair stream: the dedup rides the loop's own
+      // oriented partitioning (dedupEdges) — one exchange, not two
+      operators.Graph.pathCounts(copurchasePairs(s, dir), "u", "v",
+        nSources = 4, maxDepth = 4, dedupEdges = true)),
     // bounded ECCENTRICITY from the same 4-seed BFS loop: per source the
     // max hop count within depth 6, the reach, and the farthest node
     // (max node id at the eccentric level — struct-max argmax, ties to

@@ -137,7 +137,7 @@ object Graph {
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
       .repartition(par, col("__s"))
-      .localCheckpoint()
+      .ckpt()
     bfsLoop(e, source, maxDepth)
   }
 
@@ -153,7 +153,7 @@ object Graph {
     * on the null min). */
   def bfsLevelsUndirected(pairs: DataFrame, uCol: String, vCol: String,
                           maxDepth: Int, earlyExit: Boolean = false): DataFrame = {
-    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val e = orientedAdjacency(pairs, uCol, vCol).ckpt()
     // one scalar off the materialized blocks — index-sized, not a re-run
     val srcRow = e.agg(min(col("__s"))).head()
     if (srcRow.isNullAt(0)) {
@@ -200,7 +200,7 @@ object Graph {
         i += 1
       }
       labels.select(col("__n").as("node"), col("__lvl").as("lvl"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       // cleanup lives in the finally so a throwing loop body can't leak
       // cached layers or checkpoint blocks until the ContextCleaner
@@ -234,7 +234,7 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     var labels = e.sparkSession.range(1)
       .select(lit(source).as("__n"), lit(0).as("__lvl"))
-      .localCheckpoint()
+      .ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e, labels)
     // early exit on a dead frontier — a diameter-3 graph pays 3 rounds,
     // not maxDepth; the label count comes from the SAME job that
@@ -252,7 +252,7 @@ object Graph {
     }
     val result = labels
       .select(col("__n").as("node"), col("__lvl").as("lvl"))
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(spent.toSeq: _*)
     result
   }
@@ -274,15 +274,16 @@ object Graph {
     // blocks don't survive executor loss; a long-running production loop
     // swaps in reliable checkpointing, same shape (the CC precedent).
     // both loop inputs are checkpointed PRE-PARTITIONED on their join
-    // keys: localCheckpoint preserves outputPartitioning in the
-    // LogicalRDD, so every iteration's edge join reads e co-located on
-    // __s and the restore join reads base co-located on __n — the
-    // exchanges happen once here, not once per round (the bucketed-join
-    // recipe applied to an iterative loop).
+    // keys via ckpt() (plain localCheckpoint under AQE would capture
+    // UnknownPartitioning — see checkpointPartitioned), so every
+    // iteration's edge join reads e co-located on __s and the restore
+    // join reads base co-located on __n — the exchanges happen once
+    // here, not once per round (the bucketed-join recipe applied to an
+    // iterative loop).
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
       .repartition(par, col("__s"))
-      .localCheckpoint()
+      .ckpt()
     // outdeg is FOLDED into the node frame once, before the loop: the
     // score frame carries (__n, __od, __pr), so each iteration joins the
     // edge list against ONE frame instead of scores-then-outdeg — one
@@ -295,7 +296,7 @@ object Graph {
       .join(outd.withColumnRenamed("__s", "__n"), Seq("__n"), "left")
       .select(col("__n"), coalesce(col("__od"), lit(0L)).as("__od"))
       .repartition(par, col("__n"))
-      .localCheckpoint()
+      .ckpt()
     var pr = base.withColumn("__pr", lit(1000000L))
     (1 to iters).foreach { _ =>
       val contrib = e
@@ -310,7 +311,7 @@ object Graph {
     // be freed NOW (they're invisible to catalog.clearCache and would
     // otherwise starve the next memory-hungry job — the r5 leak lesson)
     val result = pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(e, base)
     result
   }
@@ -346,7 +347,7 @@ object Graph {
     // exchange for nothing.
     val e = orientedAdjacency(pairs, uCol, vCol)
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     // AQE OFF for the iteration chain (restored in finally): fixed-shape
     // node-keyed exchanges over a checkpointed co-partitioned edge frame
     // — adaptivity has nothing to decide and would turn each of the
@@ -362,7 +363,7 @@ object Graph {
         pr = prIteration(e, base, pr)
       }
       pr.select(col("__n").as("node"), col("__pr").as("pagerank"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       Dedup.freeCheckpoints(e) // free on the throw path too
@@ -388,7 +389,7 @@ object Graph {
     require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
     val e = orientedAdjacency(pairs, uCol, vCol)
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
@@ -414,7 +415,7 @@ object Graph {
               + expr("(17 * __c) div 20")).as("__pr"))
       }
       pr.select(col("__n").as("node"), col("__pr").as("ppr"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       Dedup.freeCheckpoints(e)
@@ -465,9 +466,9 @@ object Graph {
     // case (iters − 1 uses), so below 2 uses it is NOT checkpointed —
     // the single consumer re-exchanges the checkpointed blocks in-plan
     // instead of paying a second materialization barrier.
-    val ep = raw.repartition(col("__p")).distinct().localCheckpoint()
+    val ep = raw.repartition(col("__p")).distinct().ckpt()
     val ecPlan = ep.repartition(col("__c"))
-    val ec = if (iters > 2) ecPlan.localCheckpoint() else ecPlan
+    val ec = if (iters > 2) ecPlan.ckpt() else ecPlan
     val sess = ec.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
@@ -484,7 +485,7 @@ object Graph {
       }
       a.orderBy(col("__as").desc, col("__p").asc).limit(topK)
         .select(col("__p").as("part"), col("__as").as("authority"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       Dedup.freeCheckpoints(ec, ep)
@@ -564,6 +565,33 @@ object Graph {
         (lit(150000L) + expr("(17 * __c) div 20")).as("__pr"))
   }
 
+  /** Eager localCheckpoint that PRESERVES the frame's hash partitioning.
+    * Under AQE the checkpoint captures `UnknownPartitioning(0)` — the
+    * adaptive plan reports no final partitioning into the LogicalRDD —
+    * so every downstream "rides the partitioning" fold or co-located
+    * join silently re-exchanges the checkpointed frame. Compiling and
+    * executing the checkpoint with AQE off keeps the physical
+    * HashPartitioning on the scan (verified: the per-round candidate
+    * fold over a target-partitioned edge frame goes from
+    * exchange-per-round to zero-exchange). Used for EVERY eager
+    * checkpoint in this file — harmless on result frames that are only
+    * read back, and AQE contributes nothing to these checkpoint jobs
+    * anyway (their plans end in explicit fixed-count repartitions). */
+  private[graft] def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val was = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally sess.conf.set("spark.sql.adaptive.enabled", was)
+  }
+
+  /** `.ckpt()` = [[checkpointPartitioned]] in method position — the
+    * drop-in for `.localCheckpoint()` wherever the checkpointed frame's
+    * partitioning is (or may later be) relied on. */
+  private[graft] implicit class CkptOps(private val df: DataFrame) {
+    def ckpt(): DataFrame = checkpointPartitioned(df)
+  }
+
   private def orientedAdjacency(pairs: DataFrame, uCol: String,
                                 vCol: String,
                                 partitionByTarget: Boolean = false): DataFrame = {
@@ -615,8 +643,8 @@ object Graph {
   def triangleCount(edges: DataFrame, uCol: String, vCol: String,
                     broadcastAdj: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
-    val result = triangleBody(e, broadcastAdj).localCheckpoint()
+      .ckpt()
+    val result = triangleBody(e, broadcastAdj).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -641,8 +669,8 @@ object Graph {
   def clusteringCoefficients(edges: DataFrame, uCol: String, vCol: String,
                              broadcastAdj: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
-    val result = clusteringBody(e, broadcastAdj).localCheckpoint()
+      .ckpt()
+    val result = clusteringBody(e, broadcastAdj).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -682,8 +710,8 @@ object Graph {
   def neighborDegreeProfile(edges: DataFrame, uCol: String, vCol: String,
                             broadcastDeg: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
-    val result = neighborDegreeBody(e, broadcastDeg).localCheckpoint()
+      .ckpt()
+    val result = neighborDegreeBody(e, broadcastDeg).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -726,7 +754,7 @@ object Graph {
   def assortativity(edges: DataFrame, uCol: String, vCol: String,
                     broadcastDeg: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
+      .ckpt()
     val result = endDegrees(e, broadcastDeg)
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(col("__da")).cast("bigint").as("sx"),
@@ -738,7 +766,7 @@ object Graph {
           "nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) " +
           "AS assortativity")
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -773,7 +801,7 @@ object Graph {
       .groupBy(col("__s")).agg(collect_set(col("__t")).as("__nbrs"))
       .select(col("__s").as("__n"), col("__nbrs"),
         size(col("__nbrs")).cast("bigint").as("__d"))
-      .localCheckpoint()
+      .ckpt()
 
   /** [[neighborDegreeProfile]] recomputed as the single-consumer fast
     * path, directly off the raw pair stream: fold the distinct adjacency
@@ -796,7 +824,7 @@ object Graph {
       .agg(count(lit(1)).as("n_ends"),
         sum(col("__db")).cast("bigint").as("sum_nbr_degree"))
       .select(col("__da").as("degree"), col("n_ends"), col("sum_nbr_degree"))
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(adj)
     result
   }
@@ -824,7 +852,7 @@ object Graph {
           "nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
           "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) " +
           "AS assortativity")
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(adj)
     result
   }
@@ -854,7 +882,7 @@ object Graph {
                      rounds: Int, bcastFrontier: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = orientedAdjacency(pairs, uCol, vCol,
-      partitionByTarget = bcastFrontier).localCheckpoint()
+      partitionByTarget = bcastFrontier).ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -885,7 +913,7 @@ object Graph {
         r += 1
       }
       merged.select(col("__n").as("node"), col("__l").as("label"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
@@ -962,7 +990,7 @@ object Graph {
                                   maxRounds: Int = 50,
                                   bcastFrontier: Boolean = true): DataFrame = {
     val e = orientedAdjacency(edges, uCol, vCol,
-      partitionByTarget = bcastFrontier).localCheckpoint()
+      partitionByTarget = bcastFrontier).ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e)
     val seedSide = if (bcastFrontier) "__t" else "__s"
     var lab = e.select(col(seedSide).as("__n")).distinct()
@@ -993,7 +1021,7 @@ object Graph {
         s"connectedComponentsMinLabel did not converge in $maxRounds rounds")
     }
     val result = lab.select(col("__n").as("node"), col("__l").as("component"))
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(spent.toSeq: _*)
     result
   }
@@ -1012,7 +1040,7 @@ object Graph {
                      nSources: Int, maxDepth: Int): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
-    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val e = orientedAdjacency(pairs, uCol, vCol).ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1038,7 +1066,7 @@ object Graph {
       }
       labels.select(col("__src").as("src"), col("__n").as("node"),
           col("__lvl").as("lvl"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
@@ -1054,52 +1082,126 @@ object Graph {
     * shortest paths, which on the level-DAG folds as
     * σ(n) = Σ_{pred p: lvl(p)=lvl(n)−1} σ(p). All-integer (BIGINT) —
     * bit-identical cross-engine; the DuckDB twin replays the identical
-    * level-synchronous fold as chained CTEs. Loop mechanics are
-    * [[multiSourceBfs]]'s ((src, node)-keyed labels, persist-marked
-    * rounds, AQE off, one action); the per-round fold keeps an existing
-    * label over candidates (its level is smaller) and otherwise SUMS the
-    * frontier contributions — the one-row-per-key invariant makes the
-    * conditional-sum split exact. Input must be a DISTINCT edge list:
-    * unlike the min-folds, σ SUMS over edges, so a duplicate pair is a
-    * parallel path and doubles the count. */
+    * level-synchronous fold as chained CTEs.
+    *
+    * FRONTIER-DELTA rounds (r14 verdict — a sum-fold merges like a
+    * min-fold): only the frontier's contributions travel. The pre-r15
+    * shape unioned the FULL (src, node) state with the candidate stream
+    * and re-aggregated everything each round; here the round's
+    * candidates pre-aggregate per (src, node) — a frontier-neighborhood
+    * -sized exchange that rides the target-partitioned edge frame's
+    * alias (__n = __t) exchange-free, exactly [[minLabelDeltaRound]]'s
+    * candidate fold — then ANTI-merge against the visited keys: a
+    * candidate hitting an existing key is dropped (BFS discovers at the
+    * min level — the old conditional-sum's "keep existing" arm), the
+    * survivors are the round's discoveries at level i with σ = the
+    * pre-aggregated sum (the "sum the frontier" arm), and state only
+    * ever UNIONS them in — it is never re-aggregated. Same loop
+    * mechanics otherwise (persist-marked rounds, AQE off, one
+    * straight-line action).
+    *
+    * The frontier (the round's newly discovered (src, node, σ) rows —
+    * bounded by nSources × |V|, a few MB at any realistic nSources)
+    * BROADCASTS into the TARGET-partitioned edge frame, so the
+    * candidate fold's groupBy rides the alias partitioning (__n = __t,
+    * partitioning ⊆ grouping) — the candidate stream, the one
+    * intermediate that dwarfs the state (Σ frontier degrees), never
+    * exchanges at all. Unlike the min-folds, σ SUMS over edges, so a
+    * duplicate pair is a parallel path and doubles the count: the input
+    * must be DISTINCT, either upstream (default contract) or via
+    * `dedupEdges = true`, which accepts a raw pair stream and dedups ON
+    * the oriented target-partitioned frame — the distinct rides
+    * HashPartitioning(__t) ⊆ {__s, __t} (exchange-free), replacing the
+    * caller-side repartition + distinct EXCHANGE of the whole pair
+    * stream with an in-place agg pass — one full exchange of the pair
+    * stream instead of two. */
   def pathCounts(pairs: DataFrame, uCol: String, vCol: String,
-                 nSources: Int, maxDepth: Int): DataFrame = {
+                 nSources: Int, maxDepth: Int,
+                 dedupEdges: Boolean = false,
+                 bcastVisited: Boolean = true): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
-    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
+    val oriented = orientedAdjacency(pairs, uCol, vCol,
+      partitionByTarget = true)
+    val e = checkpointPartitioned(
+      if (dedupEdges) oriented.distinct() else oriented)
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      val srcs = e.select(col("__s")).distinct()
+      // every node appears on the __t side of the oriented frame and the
+      // edges are __t-partitioned, so the seed distinct is exchange-free
+      val srcs = e.select(col("__t").as("__s")).distinct()
         .orderBy(col("__s")).limit(nSources)
-      var labels = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
-        lit(0).as("__lvl"), lit(1L).as("__sig"))
+      // EAGER localCheckpoint per round (not lazy persist): each round's
+      // plan references the previous round TWICE (push side + visited
+      // side), and the two async broadcast-build futures would otherwise
+      // race to materialize the same uncached plan — concurrent
+      // first-readers of an InMemoryRelation each compute it, and the
+      // recompute cascades through the round chain (measured 3× CPU).
+      // Checkpoint blocks are computed exactly once, in round order.
+      val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var state = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
+          lit(0).as("__lvl"), lit(1L).as("__sig"))
+        .ckpt()
+      spent += state
+      // the frontier is the rows DISCOVERED last round (all new at seed).
+      // The round's level is carried as a COLUMN from the frontier
+      // (lvl + 1), not a lit(i) literal: a baked-in literal makes each
+      // round's generated code a distinct class, so every round runs
+      // JIT-cold — with identical plan text all rounds share one codegen
+      // class, hot from round 2 (measured: the big rounds at first-run
+      // speed were the dominant loop cost).
+      var frontier = state
       var i = 1
       while (i <= maxDepth) {
-        val frontier = labels.filter(col("__lvl") === i - 1)
-          .select(col("__src"), col("__n").as("__s"), col("__sig"))
-        val cand = e.join(frontier, Seq("__s"))
-          .select(col("__src"), col("__t").as("__n"), lit(i).as("__lvl"),
-            col("__sig"))
-        labels = labels.unionByName(cand)
+        // candidate fold: the frontier broadcasts into the
+        // __t-partitioned edges (map-only push); the (src, node) sum
+        // rides the alias partitioning — zero exchange for the round's
+        // dominant stream. min(__lvl) is exact: every frontier row
+        // carries the same level within a round.
+        val d = frontier.select(col("__src"), col("__n").as("__s"),
+          col("__sig"), col("__lvl"))
+        val cand = e.join(broadcast(d), Seq("__s"))
+          .select(col("__src"), col("__t").as("__n"), col("__sig"),
+            col("__lvl"))
           .groupBy(col("__src"), col("__n"))
-          .agg(min(col("__lvl")).as("__ml"),
-            sum(when(col("__lvl") < i, col("__sig")).otherwise(lit(0L)))
-              .as("__so"),
-            sum(when(col("__lvl") === i, col("__sig")).otherwise(lit(0L)))
-              .as("__sn"))
-          .select(col("__src"), col("__n"), col("__ml").as("__lvl"),
-            when(col("__ml") < i, col("__so")).otherwise(col("__sn"))
-              .as("__sig"))
-          .persist()
-        cached += labels
+          .agg(sum(col("__sig")).as("__c"),
+            (min(col("__lvl")) + 1).as("__nl"))
+        // delta merge as an ANTI against the visited keys: candidates
+        // hitting an existing (src, node) are discarded (their level is
+        // smaller by BFS — the "keep existing" arm); the survivors ARE
+        // this round's discoveries, σ already summed. On the broadcast
+        // path the anti runs IN the fold's stage (no exchange, no join
+        // of the state table) — a whole round is one riding stage plus
+        // its two driver broadcast builds, and state is only ever
+        // UNIONED, never re-aggregated or re-shuffled. `bcastVisited =
+        // false` is the 100×-scale twin for graphs where nSources × |V|
+        // outgrows a broadcast: a shuffled-hash anti (state exchanges
+        // per round, delta-merge asymptotics unchanged) — spec-pinned
+        // equal in GraphSpec.
+        val vis = state.select(col("__src"), col("__n"))
+        val visSide = if (bcastVisited) broadcast(vis)
+          else vis.hint("shuffle_hash")
+        val newRows = cand.join(visSide, Seq("__src", "__n"), "left_anti")
+          .select(col("__src"), col("__n"), col("__nl").as("__lvl"),
+            col("__c").as("__sig"))
+          .ckpt()
+        spent += newRows
+        frontier = newRows
+        state = state.unionByName(newRows)
         i += 1
       }
-      labels.select(col("__src").as("src"), col("__n").as("node"),
+      // coalesce the union-of-rounds (1 + rounds × par cached parts)
+      // back to par partitions — no exchange, just fewer tiny tasks for
+      // the result checkpoint and its consumers
+      val out = state.select(col("__src").as("src"), col("__n").as("node"),
           col("__lvl").as("lvl"), col("__sig").as("paths"))
-        .localCheckpoint()
+        .coalesce(sess.sparkContext.defaultParallelism)
+        .ckpt()
+      Dedup.freeCheckpoints(spent.toSeq: _*)
+      out
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
@@ -1134,7 +1236,7 @@ object Graph {
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
         col("__e.__w").cast("bigint").as("__w"))
       .repartition(par, col(eKey))
-      .localCheckpoint()
+      .ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1183,7 +1285,7 @@ object Graph {
         r += 1
       }
       dist.select(col("__n").as("node"), col("__d").as("dist"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
@@ -1205,8 +1307,8 @@ object Graph {
   def edgeSupport(edges: DataFrame, uCol: String, vCol: String,
                   broadcastAdj: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
-    val result = edgeSupportBody(e, broadcastAdj).localCheckpoint()
+      .ckpt()
+    val result = edgeSupportBody(e, broadcastAdj).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -1245,20 +1347,20 @@ object Graph {
     require(k >= 2, s"k must be >= 2, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
+      .ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e)
     var r = 0
     while (r < rounds) {
       e = edgeSupportBody(e, broadcastAdj)
         .filter(col("support") >= k - 2)
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .ckpt()
       spent += e
       r += 1
     }
     val result = edgeSupportBody(e, broadcastAdj)
       .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(spent.toSeq: _*)
     result
   }
@@ -1274,7 +1376,7 @@ object Graph {
                       k: Int, broadcastAdj: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
+      .ckpt()
     val hint = (d: DataFrame) => if (broadcastAdj) broadcast(d) else d
     val deg = degreeTable(e)
     val result = edgeSupportBody(e, broadcastAdj)
@@ -1287,7 +1389,7 @@ object Graph {
           "+ CAST(__dv AS DOUBLE) - CAST(support AS DOUBLE)), 6) AS jaccard")
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(k)
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -1301,7 +1403,7 @@ object Graph {
   def transitivitySummary(edges: DataFrame, uCol: String, vCol: String,
                           broadcastAdj: Boolean = true): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
-      .localCheckpoint()
+      .ckpt()
     val wedges = degreeTable(e).agg(
       coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
         .cast("bigint").as("n_wedges"))
@@ -1310,7 +1412,7 @@ object Graph {
         "round(CASE WHEN n_wedges = 0 THEN NULL " +
           "ELSE CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE) " +
           "/ CAST(n_wedges AS DOUBLE) END, 6) AS transitivity")
-      .localCheckpoint()
+      .ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -1415,7 +1517,7 @@ object Graph {
         struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"))
       .repartition(par, col(eKey))
-      .localCheckpoint()
+      .ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1447,7 +1549,7 @@ object Graph {
       }
       deg.filter(col("__d") > 0)
         .select(col("__n").as("node"), col("__d").as("degree"))
-        .localCheckpoint()
+        .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))

@@ -417,6 +417,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("pathCounts twins: dedupEdges=true on a duplicated raw pair " +
+      "stream equals the default on the distinct input, and " +
+      "bcastVisited=false (shuffled-hash anti) matches row-for-row") {
+    import spark.implicits._
+    val (es, _) = randomGraph(41, 19, 120)
+    val distinctDf = es.distinct.toDF("u", "v")
+    // duplicate every third pair — dedupEdges must collapse them or the
+    // σ sums double (a dup pair is a parallel path)
+    val rawDf = (es ++ es.zipWithIndex.collect { case (p, i) if i % 3 == 0 => p })
+      .toDF("u", "v")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    val base = key(Graph.pathCounts(distinctDf, "u", "v", 3, 4))
+    assert(key(Graph.pathCounts(rawDf, "u", "v", 3, 4,
+      dedupEdges = true)) == base)
+    assert(key(Graph.pathCounts(distinctDf, "u", "v", 3, 4,
+      bcastVisited = false)) == base)
+  }
+
   test("pathCounts edge cases: maxDepth = 0 is the seed rows only; " +
       "nSources beyond the node count uses every node; empty input " +
       "yields empty output") {
