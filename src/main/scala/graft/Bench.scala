@@ -147,13 +147,30 @@ object Bench {
     var prevPass = Double.MaxValue
     var pass = 0
     var settled = false
+    // registered BEFORE warm-up: the warm passes double as the per-key
+    // CPU REFERENCE ENVELOPE (r14 adjudication: two compute-dense
+    // codegen'd kernels burned 3–7× their quiet CPU in-sitting — real
+    // CPU, so ambient/canary/PSI all read clean; the only same-JVM,
+    // same-data reference no host class can fake is the sitting's OWN
+    // warm-up pass). Min across passes = the JIT-hot floor.
+    val clock = new BenchProbe.TaskClock
+    spark.sparkContext.addSparkListener(clock)
+    val warmCpu = scala.collection.mutable.Map.empty[String, Double]
     while (pass < 4 && !settled && System.nanoTime() < warmDeadline) {
       val t0 = System.nanoTime()
       // deadline checked per QUERY too: on a loaded host a single pass can
       // exceed the whole budget, and a between-pass check alone would let it
-      selected.foreach { case (_, fn) =>
+      selected.foreach { case (name, fn) =>
         if (System.nanoTime() < warmDeadline)
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          try {
+            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            val (_, c0, _) = clock.snapshot()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+            val (_, c1, _) = clock.snapshot()
+            val cpu = (c1 - c0) / 1e9
+            warmCpu(name) = warmCpu.get(name).fold(cpu)(math.min(_, cpu))
+          }
           catch { case _: Throwable => () }
       }
       val t = (System.nanoTime() - t0) / 1e9
@@ -207,23 +224,29 @@ object Bench {
     // task_sec 2–3× with cpu_sec constant.
     val canaryLimit = 1.5
     val psiLimit = 0.25
+    // per-key warm-up CPU envelope (r14 blind class — in-JVM degradation
+    // burns REAL cpu, invisible to every host-side signal): a measured
+    // reading whose task CPU exceeds 2.5× the sitting's own JIT-hot
+    // warm-up reference for the same key is unhealthy. Gated on a 0.5 s
+    // reference floor so the ~0.3 s/query fixed cost can't trip it.
+    val cpuEnvelopeLimit = 2.5
     val maxRetriesTotal = 40
     var retriesUsed = 0
     val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val poisonedNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    val clock = new BenchProbe.TaskClock
-    spark.sparkContext.addSparkListener(clock)
     // calibrate the canary's solo work rate now: post-warm-up the Spark
     // threads are idle and the boot load gate vouched for the host
     System.gc()
     BenchProbe.calibrate()
     case class Attempt(dt: Double, amb: Double, canary: Double, psi: Double,
-                       taskSec: Double, cpuSec: Double) {
+                       taskSec: Double, cpuSec: Double, cpuEnv: Double,
+                       jitMs: Long, ccPct: Double) {
       // a reading is UNHEALTHY if any orthogonal signal tripped: foreign
       // cores (competition), slowed canary (quota/steal/any whole-guest
-      // class), or CPU-pressure stalls
+      // class), CPU-pressure stalls, or task CPU blown past the sitting's
+      // own warm-up envelope (in-JVM degradation: JIT/code-cache)
       def unhealthy: Boolean = amb > ambientLimit ||
-        canary > canaryLimit || psi > psiLimit
+        canary > canaryLimit || psi > psiLimit || cpuEnv > cpuEnvelopeLimit
     }
     val resultsL = selected.map { case (name, fn) =>
       // queries are measured independently: drop any persisted data a
@@ -236,18 +259,24 @@ object Bench {
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         val (run0, cpu0, _) = clock.snapshot()
         val (sys0, self0) = cpuJiffies()
+        val jit0 = BenchProbe.jitCompileMillis()
         val ((), dt, canary, psi) = BenchProbe.observe {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         }
+        val jit1 = BenchProbe.jitCompileMillis()
         val (sys1, self1) = cpuJiffies()
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         val (run1, cpu1, _) = clock.snapshot()
         val amb = if (sys0 < 0 || sys1 < 0 || dt <= 0) -1.0
           else ((sys1 - sys0) - (self1 - self0)) / 100.0 / dt
-        Attempt(dt, amb, canary, psi,
-          (run1 - run0) / 1e3, (cpu1 - cpu0) / 1e9)
+        val cpuSec = (cpu1 - cpu0) / 1e9
+        val cpuRef = warmCpu.getOrElse(name, -1.0)
+        val cpuEnv = if (cpuRef > 0.5) cpuSec / cpuRef else -1.0
+        Attempt(dt, amb, canary, psi, (run1 - run0) / 1e3, cpuSec, cpuEnv,
+          if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0,
+          BenchProbe.codeCacheUsedPct())
       }
       val ambientNow = load1()
       var attempts = List(timeOnce())
@@ -259,8 +288,8 @@ object Bench {
         if (!retriedNames.contains(name)) retriedNames += name
         System.err.println(f"[bench] $name read ${attempts.head.dt}%.2f s " +
           f"under ambient=${attempts.head.amb}%.1f cores " +
-          f"canary=${attempts.head.canary}%.2f psi=${attempts.head.psi}%.2f" +
-          " — retrying")
+          f"canary=${attempts.head.canary}%.2f psi=${attempts.head.psi}%.2f " +
+          f"cpuEnv=${attempts.head.cpuEnv}%.2f — retrying")
         attempts = timeOnce() :: attempts
       }
       val best = attempts.minBy(_.dt)
@@ -278,6 +307,10 @@ object Bench {
     val psiByQuery = healthMap(_._2.psi)
     val taskSecByQuery = healthMap(_._2.taskSec)
     val cpuSecByQuery = healthMap(_._2.cpuSec)
+    val cpuWarmByQuery = healthMap(t => warmCpu.getOrElse(t._1, -1.0))
+    val cpuEnvByQuery = healthMap(_._2.cpuEnv)
+    val jitMsByQuery = healthMap(_._2.jitMs.toDouble)
+    val ccPctByQuery = healthMap(_._2.ccPct)
     val results = resultsL.map { case (k, a, _) => (k, a.dt) }
     // 3-decimal seconds keep the full-JSON line compact (≈3 KB for ~90
     // queries) so tail-limited line capture can still parse it whole
@@ -293,8 +326,8 @@ object Bench {
       .mkString("[", ",", "]")
     def names(b: scala.collection.mutable.ArrayBuffer[String]): String =
       b.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
-    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"canary_ratio":$canaryByQuery,"psi_stall":$psiByQuery,"task_sec":$taskSecByQuery,"cpu_sec":$cpuSecByQuery,"queries":$qs,"sf":"$sfDir"}"""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"cpu_envelope_limit":$cpuEnvelopeLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
+    val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"canary_ratio":$canaryByQuery,"psi_stall":$psiByQuery,"task_sec":$taskSecByQuery,"cpu_sec":$cpuSecByQuery,"cpu_warm":$cpuWarmByQuery,"cpu_env":$cpuEnvByQuery,"jit_ms":$jitMsByQuery,"codecache_pct":$ccPctByQuery,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
     // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only

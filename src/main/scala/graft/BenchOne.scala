@@ -70,6 +70,7 @@ object BenchOne {
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       println(f"[bench-one] $q $label $wall%.2f s  (${counters.snap()})  " +
         f"ambientCores=$amb%.2f canaryRatio=$canary%.2f psiStall=$psi%.2f " +
+        f"codecache=${BenchProbe.codeCacheUsedPct() * 100}%.0f%% " +
         f"loadavg=${Bench.loadavg()}")
       // SPARK_GRAFT_STAGES=N dumps the top-N stages by task time (any
       // non-numeric value = 8) — N large enough gives the full per-stage

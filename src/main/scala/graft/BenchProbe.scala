@@ -48,10 +48,6 @@ object BenchProbe {
 
   // ---- canary ----------------------------------------------------------
 
-  private val canaryIters = new AtomicLong(0L)
-  @volatile private var canaryRun = false
-  @volatile private var canaryThread: Thread = null
-
   /** One batch of pure-register work (2^16 xorshift64 steps) — no memory
     * traffic, no syscalls: its wall time moves ONLY with effective CPU
     * speed available to this thread. Returns the state so the loop can't
@@ -66,44 +62,48 @@ object BenchProbe {
     x
   }
 
-  private def startCanary(): Unit = {
-    canaryIters.set(0L)
-    canaryRun = true
-    val t = new Thread(() => {
+  /** One canary = one thread + its OWN counter + its OWN stop flag.
+    * Per-instance state (not object-level shared fields) so a prior
+    * canary that outlived `stop()`'s bounded join can never resume into
+    * a later measurement window and inflate its observed rate — an
+    * orphan increments a counter nobody reads and exits on its own
+    * (still-true) flag's next check. */
+  private final class Canary {
+    val iters = new AtomicLong(0L)
+    @volatile var run = true
+    private val thread = new Thread(() => {
       var s = System.nanoTime() | 1L
-      while (canaryRun) {
+      while (run) {
         s = spinBatch(s)
-        canaryIters.incrementAndGet()
+        iters.incrementAndGet()
       }
       // publish the final state so JIT can't elide the work
       if (s == 42L) System.err.println("")
     }, "graft-bench-canary")
-    t.setDaemon(true)
-    t.setPriority(Thread.NORM_PRIORITY)
-    canaryThread = t
-    t.start()
-  }
-
-  private def stopCanary(): Long = {
-    canaryRun = false
-    val t = canaryThread
-    if (t != null) t.join(1000)
-    canaryIters.get()
+    thread.setDaemon(true)
+    thread.setPriority(Thread.NORM_PRIORITY)
+    thread.start()
+    def stop(): Long = { run = false; thread.join(1000); iters.get() }
   }
 
   /** Calibrated solo batch rate (batches/sec), measured at boot on the
-    * (load-gated) quiet host: max of 3 × 200 ms solo runs. */
+    * (load-gated) quiet host: max of 3 × 200 ms solo runs, after one
+    * DISCARDED warm-up run so C2 has compiled spinBatch before any
+    * sample — a JIT-cold calibration undershoots the steady-state rate,
+    * biasing every later canary_ratio below 1 and desensitizing the
+    * throttle threshold. */
   @volatile private var calibratedRate: Double = -1.0
 
   def calibrate(): Double = {
-    val rates = (1 to 3).map { _ =>
-      startCanary()
+    def sample(): Double = {
+      val c = new Canary
       val t0 = System.nanoTime()
       Thread.sleep(200)
-      val n = stopCanary()
+      val n = c.stop()
       n.toDouble / ((System.nanoTime() - t0) / 1e9)
     }
-    calibratedRate = rates.max
+    sample() // discarded JIT warm-up
+    calibratedRate = (1 to 3).map(_ => sample()).max
     calibratedRate
   }
 
@@ -115,13 +115,13 @@ object BenchProbe {
     * unavailable. */
   def observe[A](body: => A): (A, Double, Double, Double) = {
     val psi0 = psiCpuTotalMicros()
-    startCanary()
+    val c = new Canary
     val t0 = System.nanoTime()
     val out =
       try body
-      finally { canaryRun = false }
+      finally { c.run = false }
     val wall = (System.nanoTime() - t0) / 1e9
-    val n = stopCanary()
+    val n = c.stop()
     val psi1 = psiCpuTotalMicros()
     val rate = if (wall > 0) n.toDouble / wall else -1.0
     val ratio =
@@ -131,6 +131,45 @@ object BenchProbe {
       else ((psi1 - psi0) / 1e6) / wall
     (out, wall, ratio, psiStall)
   }
+
+  // ---- JIT / code-cache health ------------------------------------------
+
+  /** Cumulative JIT compilation time (ms) — per-query deltas localize
+    * "the JVM spent this query recompiling the world" sittings; -1 when
+    * the bean is unavailable or doesn't support timing. */
+  def jitCompileMillis(): Long =
+    try {
+      val b = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (b != null && b.isCompilationTimeMonitoringSupported)
+        b.getTotalCompilationTime
+      else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Worst CodeHeap pool occupancy (used/max, 0–1) under the segmented
+    * code cache; -1 when no CodeHeap pools are exposed. The r14 sitting
+    * stamped two compute-dense codegen'd kernels at 3–7× their quiet
+    * CPU with every host signal clean — the fitting in-JVM class is
+    * code-cache exhaustion de-optimizing exactly the hot generated
+    * loops ('non-profiled nmethods' filling disables C2 while tiny
+    * canary loops stay compiled). A marathon's artifact should carry
+    * the occupancy so that class is adjudicable from the JSON alone. */
+  def codeCacheUsedPct(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      // "CodeHeap '…'" pools under the segmented cache (≥ 240 MB);
+      // ONE "CodeCache" pool when the reservation is small enough that
+      // the JVM silently de-segments it (validated with the 36 MB
+      // pressure run, where the CodeHeap-only match read -1)
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName.replace(" ", "").startsWith("CodeCache"))
+      val pcts = pools.flatMap { p =>
+        val u = p.getUsage
+        if (u == null || u.getMax <= 0) None
+        else Some(u.getUsed.toDouble / u.getMax)
+      }
+      if (pcts.isEmpty) -1.0 else pcts.max
+    } catch { case _: Throwable => -1.0 }
 
   // ---- Spark task clock -------------------------------------------------
 

@@ -529,26 +529,38 @@ object SparkEntry {
     // (all support 1 at sf0.1), so the conditional form is the k≥4
     // surface that actually carries signal.
     "ext_conditional_basket" -> ((s, dir) => {
-      val lid = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val top = operators.Graph.itemPairs(
+      // ONE pair-stream pass (r14 verdict fusion): the per-order sorted
+      // pair stream checkpoints once, and the top-pair probe, the
+      // orders-with-both set AND the conditional supports all read the
+      // same blocks. The old shape re-derived a distinct (order, part)
+      // projection three times next to the pair scan. Supports come
+      // from the pair stream itself: given u ∈ o, p ∈ o ⟺ the pair
+      // (min(p,u), max(p,u)) is in o's per-order-unique pairs — so the
+      // parts co-bought with the top pair are exactly the OTHER
+      // endpoints of o's pairs touching u, minus v.
+      val ps = operators.Graph.checkpointPartitioned(
+        operators.Graph.itemPairs(
           t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey")
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__s"))
+          "l_orderkey", "l_partkey"))
+      val top = ps.groupBy(col("u"), col("v")).agg(count(lit(1)).as("__s"))
         .orderBy(col("__s").desc, col("u"), col("v")).limit(1)
-        .select(col("u"), col("v"))
-      val ou = lid.join(broadcast(top.select(col("u").as("l_partkey"))),
-        "l_partkey").select(col("l_orderkey"))
-      val ov = lid.join(broadcast(top.select(col("v").as("l_partkey"))),
-        "l_partkey").select(col("l_orderkey"))
-      val both = ou.join(ov, Seq("l_orderkey"), "left_semi")
-      lid.join(broadcast(both), Seq("l_orderkey"), "left_semi")
-        .join(broadcast(top), lid("l_partkey") === col("u") ||
-          lid("l_partkey") === col("v"), "left_anti")
-        .groupBy(col("l_partkey").as("part"))
-        .agg(count(lit(1)).as("support"))
-        .orderBy(col("support").desc, col("part"))
-        .limit(20)
+        .select(col("u").as("__tu"), col("v").as("__tv"))
+      val both = ps.join(broadcast(top), col("u") === col("__tu") &&
+          col("v") === col("__tv"), "left_semi")
+        .select(col("l_orderkey"))
+      val res = operators.Graph.checkpointPartitioned(
+        ps.join(broadcast(both), Seq("l_orderkey"), "left_semi")
+          .crossJoin(broadcast(top))
+          .filter(col("u") === col("__tu") || col("v") === col("__tu"))
+          .select(when(col("u") === col("__tu"), col("v")).otherwise(col("u"))
+            .as("part"), col("__tv"))
+          .filter(col("part") =!= col("__tv"))
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("part"))
+          .limit(20))
+      operators.Dedup.freeCheckpoints(ps)
+      res
     }),
     // null-safe equi-join (<=> ⟷ IS NOT DISTINCT FROM): NULL keys MATCH
     // each other — the semantics an inner join silently drops; nullable
@@ -816,6 +828,13 @@ object SparkEntry {
       // raw (undistincted) pair stream: the dedup rides the loop's own
       // oriented partitioning (dedupEdges) — one exchange, not two
       operators.Graph.pathCounts(copurchasePairs(s, dir), "u", "v",
+        nSources = 4, maxDepth = 4, dedupEdges = true)),
+    // the BACKWARD half completing Brandes: sampled betweenness from
+    // the same 4 seeds — level-descending dependency accumulation
+    // δ(v) = σv/σw·(1+δw) in ×2^20 integer fixed point (floor-division
+    // recurrence replayed verbatim by the DuckDB twin → hash-exact)
+    "ext_betweenness_sampled" -> ((s, dir) =>
+      operators.Graph.betweennessSampled(copurchasePairs(s, dir), "u", "v",
         nSources = 4, maxDepth = 4, dedupEdges = true)),
     // bounded ECCENTRICITY from the same 4-seed BFS loop: per source the
     // max hop count within depth 6, the reach, and the farthest node
@@ -2914,32 +2933,44 @@ object SparkEntry {
     // n-gram Jaccard per source pair. The pairwise overlap table is what
     // decides which sources need cross-dedup before mixing.
     "ext_contamination_matrix" -> ((s, dir) => {
-      val g = t(s, dir, "documents")
-        .select(col("source"),
-          expr("filter(split(lower(coalesce(text, '')), ' '), w -> w <> '')")
-            .as("__tk"))
-        .select(col("source"), explode(expr(
-          "CASE WHEN size(__tk) >= 3 THEN transform(sequence(0, size(__tk) - 3), " +
-            "i -> concat_ws(' ', __tk[i], __tk[i+1], __tk[i+2])) " +
-            "ELSE array() END")).as("gram"))
-        .distinct()
+      // FUSED (r14 verdict): the distinct (source, gram) projection —
+      // the expensive tokenize + 3-gram pass — materializes ONCE,
+      // pinned on HashPartitioning(gram) so the distinct
+      // (clustering {source, gram} ⊇ {gram}) AND the gram → sources
+      // fold both ride one exchange; the per-source totals re-read the
+      // checkpointed blocks with a partial-agg-shrunk source exchange.
+      // The old shape recomputed the whole gram pass per consumer.
+      val g = operators.Graph.checkpointPartitioned(
+        t(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(lower(coalesce(text, '')), ' '), w -> w <> '')")
+              .as("__tk"))
+          .select(col("source"), explode(expr(
+            "CASE WHEN size(__tk) >= 3 THEN transform(sequence(0, size(__tk) - 3), " +
+              "i -> concat_ws(' ', __tk[i], __tk[i+1], __tk[i+2])) " +
+              "ELSE array() END")).as("gram"))
+          .repartition(s.sparkContext.defaultParallelism, col("gram"))
+          .distinct())
       val n = g.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-      g.groupBy(col("gram"))
-        .agg(sort_array(collect_set(col("source"))).as("__srcs"))
-        .select(explode(expr("flatten(transform(__srcs, (x, i) -> " +
-          "transform(slice(__srcs, i + 2, size(__srcs)), " +
-          "y -> struct(x AS a, y AS b))))")).as("__p"))
-        .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
-        .agg(count(lit(1)).as("shared_grams"))
-        .join(broadcast(n.select(col("source").as("src_a"), col("__n").as("n_a"))),
-          "src_a")
-        .join(broadcast(n.select(col("source").as("src_b"), col("__n").as("n_b"))),
-          "src_b")
-        .select(col("src_a"), col("src_b"), col("shared_grams"),
-          col("n_a"), col("n_b"),
-          round(col("shared_grams").cast("double") /
-            (col("n_a") + col("n_b") - col("shared_grams")).cast("double"), 6)
-            .as("jaccard"))
+      val res = operators.Graph.checkpointPartitioned(
+        g.groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("source"))).as("__srcs"))
+          .select(explode(expr("flatten(transform(__srcs, (x, i) -> " +
+            "transform(slice(__srcs, i + 2, size(__srcs)), " +
+            "y -> struct(x AS a, y AS b))))")).as("__p"))
+          .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .join(broadcast(n.select(col("source").as("src_a"), col("__n").as("n_a"))),
+            "src_a")
+          .join(broadcast(n.select(col("source").as("src_b"), col("__n").as("n_b"))),
+            "src_b")
+          .select(col("src_a"), col("src_b"), col("shared_grams"),
+            col("n_a"), col("n_b"),
+            round(col("shared_grams").cast("double") /
+              (col("n_a") + col("n_b") - col("shared_grams")).cast("double"), 6)
+              .as("jaccard")))
+      operators.Dedup.freeCheckpoints(g)
+      res
     }),
     // session-duration percentiles (p50/p90/p99 + count): the sessionize
     // output folded to one row — percentile ⟷ quantile_cont under
@@ -3955,6 +3986,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY support DESC, part LIMIT 20""".stripMargin,
     "ext_bipartite_projection" -> sqlBipartiteProjection,
     "ext_path_counts" -> sqlPathCounts(4, 4),
+    "ext_betweenness_sampled" -> sqlBetweenness(4, 4, 20),
     "ext_eccentricity" -> sqlEccentricity,
     "ext_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
@@ -6577,7 +6609,10 @@ object SparkEntry {
     * exact fold: keep an existing (smaller-level) label, else SUM the
     * frontier contributions; BIGINT casts per level kill HUGEINT SUM
     * widening. */
-  private def sqlPathCounts(nSources: Int, maxDepth: Int): String = {
+  /** The forward Brandes CTE chain (levels + σ, chained MATERIALIZED
+    * folds) shared by the path-counts and betweenness twins — ends with
+    * `s$maxDepth(src, node, lvl, sig)` defined, no final SELECT. */
+  private def sqlPathCountsCtes(nSources: Int, maxDepth: Int): String = {
     val sb = new StringBuilder("WITH " + sqlEdgesSelfJoinCte +
       s"""de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
          |srcs AS (SELECT n FROM (SELECT u AS n FROM edges
@@ -6597,9 +6632,48 @@ object SparkEntry {
         |        JOIN de d ON d.s = b.node WHERE b.lvl = ${i - 1}) q
         |  GROUP BY src, node)""".stripMargin)
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def sqlPathCounts(nSources: Int, maxDepth: Int): String =
+    sqlPathCountsCtes(nSources, maxDepth) + s"""
       |SELECT src, node, CAST(lvl AS INT) AS lvl, sig AS paths
-      |FROM s$maxDepth""".stripMargin)
+      |FROM s$maxDepth""".stripMargin
+
+  /** Backward Brandes dependency accumulation over the forward chain —
+    * the identical level-descending floor-division recurrence as
+    * [[operators.Graph.betweennessSampled]]: per node
+    * c = (SCALE + δ) // σ, δ(v) = σ(v) · Σ_{succ w} c(w), walked from
+    * the deepest level (δ = 0) up to level 1, then summed per node.
+    * All-integer, so the key is hash-exact cross-engine; BIGINT
+    * re-casts on every SUM keep DuckDB's HUGEINT widening out. */
+  private def sqlBetweenness(nSources: Int, maxDepth: Int,
+                             scaleBits: Int): String = {
+    val scale = 1L << scaleBits
+    val sb = new StringBuilder(sqlPathCountsCtes(nSources, maxDepth))
+    sb.append(s""",
+      |bw$maxDepth AS MATERIALIZED (SELECT src, node, sig,
+      |    CAST(0 AS BIGINT) AS delta,
+      |    CAST($scale AS BIGINT) // sig AS c
+      |  FROM s$maxDepth WHERE lvl = $maxDepth)""".stripMargin)
+    for (l <- (maxDepth - 1) to 1 by -1) {
+      sb.append(s""",
+        |bw$l AS MATERIALIZED (SELECT st.src, st.node, st.sig,
+        |    st.sig * COALESCE(f.f, 0) AS delta,
+        |    (CAST($scale AS BIGINT) + st.sig * COALESCE(f.f, 0)) // st.sig AS c
+        |  FROM (SELECT src, node, sig FROM s$maxDepth WHERE lvl = $l) st
+        |  LEFT JOIN (SELECT b.src, d.s AS node, CAST(SUM(b.c) AS BIGINT) AS f
+        |             FROM bw${l + 1} b JOIN de d ON d.t = b.node
+        |             GROUP BY b.src, d.s) f
+        |    ON f.src = st.src AND f.node = st.node)""".stripMargin)
+    }
+    val union = (1 to maxDepth)
+      .map(l => s"SELECT node, delta FROM bw$l")
+      .mkString("\n        UNION ALL\n        ")
+    sb.append(s"""
+      |SELECT node, CAST(SUM(delta) AS BIGINT) AS betweenness
+      |FROM ($union) q
+      |GROUP BY node""".stripMargin)
     sb.toString
   }
 

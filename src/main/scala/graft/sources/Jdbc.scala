@@ -177,13 +177,24 @@ object Jdbc {
           sq.isInstanceOf[java.sql.SQLSyntaxErrorException]
         case _ => false
       }
-      spellings.tail.foldLeft(scala.util.Try(probe(spellings.head))) {
+      val first = scala.util.Try(probe(spellings.head))
+      spellings.tail.foldLeft(first) {
         (acc, t) => acc.recoverWith {
           // only a MISSING-table failure falls through to the quoted
           // spelling; a column mismatch on a found table stays loud
           case e if tableNotFound(e) => scala.util.Try(probe(t))
         }
-      }.get
+      } match {
+        case scala.util.Success(v) => v
+        case scala.util.Failure(e) => first match {
+          // when every spelling fails, surface the RAW-spelling error
+          // (the root cause the caller named) with the fallback probe's
+          // failure attached as suppressed — not the other way round
+          case scala.util.Failure(f) if !(f eq e) =>
+            f.addSuppressed(e); throw f
+          case _ => throw e
+        }
+      }
     }
     val insertSql = s"INSERT INTO $tableSql " +
       s"(${resolved.map(c => dialect.quoteIdentifier(c._1)).mkString(", ")}) " +

@@ -417,6 +417,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("betweennessSampled equals brute-force Brandes with the same " +
+      "fixed-point floor-division recurrence; shuffled-hash twin matches") {
+    import spark.implicits._
+    val (es, _) = randomGraph(67, 22, 130)
+    val df = es.toDF("u", "v")
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val srcs = nodes.take(3)
+    val nbrs = nodes.map { n =>
+      n -> es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    }.toMap
+    val maxDepth = 4
+    val scale = 1L << 20
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    srcs.foreach { s =>
+      // forward: levels + sigma
+      var lvl = Map(s -> 0)
+      var sig = Map(s -> 1L)
+      var frontier = Seq(s)
+      for (i <- 1 to maxDepth) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach(p => nbrs(p).foreach { n =>
+          if (!lvl.contains(n)) contrib(n) = contrib.getOrElse(n, 0L) + sig(p)
+        })
+        contrib.foreach { case (n, c) => lvl += n -> i; sig += n -> c }
+        frontier = contrib.keys.toSeq
+      }
+      // backward: c = (SCALE + delta) div sigma, delta = sigma * sum c(succ)
+      val c = scala.collection.mutable.Map.empty[Long, Long]
+      for (l <- maxDepth to 1 by -1) {
+        lvl.collect { case (n, `l`) => n }.foreach { n =>
+          val f = nbrs(n).filter(w => lvl.get(w).contains(l + 1))
+            .map(c).sum
+          val delta = sig(n) * f
+          c(n) = (scale + delta) / sig(n)
+          want(n) = want.getOrElse(n, 0L) + delta
+        }
+      }
+    }
+    def key(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = key(Graph.betweennessSampled(df, "u", "v", 3, maxDepth))
+    assert(got == want.toMap)
+    assert(key(Graph.betweennessSampled(df, "u", "v", 3, maxDepth,
+      bcastDelta = false)) == want.toMap)
+  }
+
   test("pathCounts twins: dedupEdges=true on a duplicated raw pair " +
       "stream equals the default on the distinct input, and " +
       "bcastVisited=false (shuffled-hash anti) matches row-for-row") {
@@ -640,6 +686,11 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       iters = 2, topK = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want)
+    // the co-partitioned shuffle twin (node dims past broadcast range)
+    val gotShuffle = Graph.hitsBipartite(edges.toDF("c", "p"), "c", "p",
+      iters = 2, topK = 5, broadcastScores = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotShuffle == want)
   }
 
   test("commonNeighborTopK matches brute force, excludes existing edges, " +

@@ -2,6 +2,7 @@
 # Direct-JVM BenchOne runner — no sbt process alive during measurement.
 cd /root/repo
 exec java -Xmx100g -XX:+UseG1GC \
+  -XX:ReservedCodeCacheSize="${SPARK_GRAFT_CODECACHE:-512m}" \
   --add-exports=java.base/sun.nio.ch=ALL-UNNAMED \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
