@@ -836,6 +836,60 @@ object SparkEntry {
     "ext_betweenness_sampled" -> ((s, dir) =>
       operators.Graph.betweennessSampled(copurchasePairs(s, dir), "u", "v",
         nSources = 4, maxDepth = 4, dedupEdges = true)),
+    // ONE Louvain move level over the support-weighted co-purchase
+    // graph: singleton-community argmax with the exact integer score
+    // 2m·w_ij − k_i·k_j — no floats, no iteration; the community
+    // histogram after one level is the mixing signal
+    "ext_louvain_level" -> ((s, dir) =>
+      operators.Graph.louvainFirstLevel(copurchaseSupport(s, dir),
+        "u", "v", "c")),
+    // FW-BW pivot SCC over the DIRECTED purchase-sequence graph (the
+    // one fixture graph with real cycles): the strongly connected
+    // component of the minimum part = fwd-reach ∩ bwd-reach, both hop
+    // distances carried
+    "ext_scc_pivot" -> ((s, dir) =>
+      operators.Graph.sccPivot(itemTransitions(s, dir), "u", "v",
+        maxDepth = 40)),
+    // WEIGHTED personalized PageRank: restart mass on the 4 smallest
+    // nodes, contributions split by co-purchase support weight —
+    // (pr·w) div W per edge, exact BIGINT
+    "ext_ppr_weighted" -> ((s, dir) =>
+      operators.Graph.weightedPersonalizedPagerank(copurchaseSupport(s, dir),
+        "u", "v", "c", iters = 3, nSeeds = 4)),
+    // RESOURCE-ALLOCATION link prediction (degree-discounted common
+    // neighbors, 2^20 div deg(z) integer shares) over the support ≥ 2
+    // subgraph — the ranking the plain common-neighbor count gets wrong
+    // on hub-heavy graphs
+    "ext_resource_allocation" -> ((s, dir) =>
+      operators.Graph.resourceAllocationTopK(
+        copurchaseSupportEdges(s, dir, minSupport = 2), "u", "v", topK = 20)),
+    // STRENGTH assortativity: Newman's r over weighted degrees — the
+    // integer-moments recipe of ext_assortativity with strength
+    // replacing degree
+    "ext_strength_assortativity" -> ((s, dir) => {
+      val sup = copurchaseSupport(s, dir)
+      val str = sup.select(explode(array(
+          struct(col("u").as("n"), col("c")),
+          struct(col("v").as("n"), col("c")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.c").as("c"))
+        .groupBy(col("n")).agg(sum(col("c")).as("st"))
+      sup.select(explode(array(
+          struct(col("u").as("n"), col("v").as("m")),
+          struct(col("v").as("n"), col("u").as("m")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.m").as("m"))
+        .join(broadcast(str.select(col("n"), col("st").as("x"))), "n")
+        .join(broadcast(str.select(col("n").as("m"), col("st").as("y"))), "m")
+        .agg(count(lit(1)).cast("bigint").as("n_ends"),
+          sum(col("x")).cast("bigint").as("sx"),
+          sum(col("x") * col("y")).cast("bigint").as("sxy"),
+          sum(col("x") * col("x")).cast("bigint").as("sx2"))
+        .selectExpr("n_ends",
+          "round((CAST(n_ends AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+            "nullif(CAST(n_ends AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) " +
+            "AS strength_assortativity")
+    }),
     // bounded ECCENTRICITY from the same 4-seed BFS loop: per source the
     // max hop count within depth 6, the reach, and the farthest node
     // (max node id at the eccentric level — struct-max argmax, ties to
@@ -3987,6 +4041,11 @@ object SparkEntry {
     "ext_bipartite_projection" -> sqlBipartiteProjection,
     "ext_path_counts" -> sqlPathCounts(4, 4),
     "ext_betweenness_sampled" -> sqlBetweenness(4, 4, 20),
+    "ext_louvain_level" -> sqlLouvainLevel,
+    "ext_scc_pivot" -> sqlSccPivot(40),
+    "ext_ppr_weighted" -> sqlWppr(3, 4),
+    "ext_resource_allocation" -> sqlResourceAllocation,
+    "ext_strength_assortativity" -> sqlStrengthAssortativity,
     "ext_eccentricity" -> sqlEccentricity,
     "ext_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
@@ -6324,6 +6383,24 @@ object SparkEntry {
         "l_orderkey", "l_partkey")
       .select(col("u"), col("v"))
 
+  /** DIRECTED item-transition edges: within each order, the parts in
+    * line-number sequence, edge = consecutive (part, next-part) —
+    * the purchase-sequence graph (it has real cycles, unlike the
+    * bipartite frames, so it's the SCC fixture). The window orders by
+    * (l_linenumber, l_partkey) because (l_orderkey, l_linenumber) is
+    * NOT unique in the fixture; identical rows permute freely without
+    * changing the distinct edge set. */
+  private def itemTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("__next", lead(col("l_partkey"), 1).over(w))
+      .filter(col("__next").isNotNull && col("__next") =!= col("l_partkey"))
+      .select(col("l_partkey").as("u"), col("__next").as("v"))
+      .distinct()
+  }
+
   /** Raw customer→part bipartite pairs (orders ⋈ lineitem; duplicates per
     * repeat purchase — [[operators.Graph.hitsBipartite]] distincts). */
   private def custPartPairs(s: SparkSession, dir: String): DataFrame =
@@ -6534,6 +6611,123 @@ object SparkEntry {
       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) p
       |  GROUP BY u, v),
       |""".stripMargin
+
+  /** One Louvain move level — the engine's integer argmax
+    * (2m·w − k_i·k_j, ties to the smaller neighbor) replayed as a
+    * row_number window over the scored oriented edge stream. */
+  private val sqlLouvainLevel: String =
+    "WITH " + sqlSupportCte +
+      """we AS (SELECT u AS s, v AS t, CAST(c AS BIGINT) AS w FROM sup
+        |  UNION ALL SELECT v, u, CAST(c AS BIGINT) FROM sup),
+        |wd AS MATERIALIZED (SELECT s AS n, CAST(SUM(w) AS BIGINT) AS k
+        |  FROM we GROUP BY s),
+        |m AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM wd),
+        |sc AS MATERIALIZED (SELECT e.s, e.t, m.m2 * e.w - a.k * b.k AS score
+        |  FROM we e CROSS JOIN m
+        |  JOIN wd a ON a.n = e.s JOIN wd b ON b.n = e.t)
+        |SELECT s AS node,
+        |  CASE WHEN score > 0 THEN t ELSE s END AS community
+        |FROM (SELECT s, t, score,
+        |        row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn
+        |      FROM sc) q
+        |WHERE rn = 1""".stripMargin
+
+  /** FW-BW pivot SCC twin: two depth-capped recursive UNION BFS CTEs
+    * over the distinct purchase-sequence edges (lead window identical
+    * to the engine's), min-folded levels, inner-joined. */
+  private def sqlSccPivot(cap: Int): String =
+    s"""WITH RECURSIVE tr AS (SELECT DISTINCT u, v FROM (
+       |    SELECT l_partkey AS u,
+       |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |        ORDER BY l_linenumber, l_partkey) AS v
+       |    FROM lineitem) q WHERE v IS NOT NULL AND u <> v),
+       |piv AS (SELECT least((SELECT min(u) FROM tr),
+       |                     (SELECT min(v) FROM tr)) AS p),
+       |fwd AS (SELECT p AS node, 0 AS lvl FROM piv
+       |  UNION
+       |  SELECT t.v, f.lvl + 1 FROM fwd f JOIN tr t ON t.u = f.node
+       |  WHERE f.lvl < $cap),
+       |fm AS (SELECT node, min(lvl) AS lf FROM fwd GROUP BY node),
+       |bwd AS (SELECT p AS node, 0 AS lvl FROM piv
+       |  UNION
+       |  SELECT t.u, b.lvl + 1 FROM bwd b JOIN tr t ON t.v = b.node
+       |  WHERE b.lvl < $cap),
+       |bm AS (SELECT node, min(lvl) AS lb FROM bwd GROUP BY node)
+       |SELECT fm.node, CAST(fm.lf AS INT) AS lvl_fwd,
+       |  CAST(bm.lb AS INT) AS lvl_bwd
+       |FROM fm JOIN bm ON bm.node = fm.node""".stripMargin
+
+  /** Weighted personalized PageRank twin — the identical per-edge
+    * (pr·w) // W floor-division recurrence unrolled as chained
+    * MATERIALIZED CTEs, BIGINT re-cast per round. */
+  private def sqlWppr(iters: Int, nSeeds: Int): String = {
+    val sb = new StringBuilder("WITH " + sqlSupportCte +
+      s"""we AS (SELECT u AS s, v AS t, CAST(c AS BIGINT) AS w FROM sup
+         |  UNION ALL SELECT v, u, CAST(c AS BIGINT) FROM sup),
+         |wd AS MATERIALIZED (SELECT s AS n, CAST(SUM(w) AS BIGINT) AS wk
+         |  FROM we GROUP BY s),
+         |seeds AS (SELECT n FROM wd ORDER BY n LIMIT $nSeeds),
+         |p0 AS MATERIALIZED (SELECT wd.n, wd.wk,
+         |    CASE WHEN s.n IS NULL THEN 0 ELSE 1 END AS seed,
+         |    CAST(CASE WHEN s.n IS NULL THEN 0 ELSE 1000000 END AS BIGINT) AS pr
+         |  FROM wd LEFT JOIN seeds s ON s.n = wd.n)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (SELECT b.n, b.wk, b.seed,
+        |    CAST(CASE WHEN b.seed = 1 THEN 150000 ELSE 0 END
+        |      + (17 * c.c) // 20 AS BIGINT) AS pr
+        |  FROM p${i - 1} b
+        |  JOIN (SELECT e.t AS n, CAST(SUM((x.pr * e.w) // x.wk) AS BIGINT) AS c
+        |        FROM we e JOIN p${i - 1} x ON e.s = x.n GROUP BY e.t) c
+        |    ON c.n = b.n)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n AS node, pr AS wppr FROM p$iters""".stripMargin)
+    sb.toString
+  }
+
+  /** Resource-allocation link prediction twin: wedge self-join with the
+    * center's integer 2^20 // deg share summed per candidate pair. */
+  private val sqlResourceAllocation: String =
+    "WITH " + sqlSupportCte +
+      """edges AS (SELECT u, v FROM sup WHERE c >= 2),
+        |de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS MATERIALIZED (SELECT s AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM de GROUP BY s),
+        |cand AS (SELECT a.t AS u, b.t AS v,
+        |    CAST(SUM(1048576 // g.d) AS BIGINT) AS ra,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM de a JOIN de b ON a.s = b.s AND a.t < b.t
+        |  JOIN deg g ON g.n = a.s
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT c.u, c.v, c.ra, c.cn FROM cand c
+        |       LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+        |       WHERE e.u IS NULL)
+        |SELECT u AS part_u, v AS part_v, ra AS ra_scaled,
+        |  cn AS common_neighbors
+        |FROM nc ORDER BY ra DESC, u, v LIMIT 20""".stripMargin
+
+  /** Strength assortativity twin — the assortativity moments with
+    * weighted degree replacing degree. */
+  private val sqlStrengthAssortativity: String =
+    "WITH " + sqlSupportCte +
+      """stx AS MATERIALIZED (SELECT n, CAST(SUM(c) AS BIGINT) AS st FROM (
+        |    SELECT u AS n, c FROM sup UNION ALL SELECT v, c FROM sup) q
+        |  GROUP BY n),
+        |nd AS (SELECT a.st AS x, b.st AS y FROM (
+        |    SELECT u AS n, v AS m FROM sup UNION ALL SELECT v, u FROM sup) e
+        |  JOIN stx a ON e.n = a.n JOIN stx b ON e.m = b.n),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2 FROM nd)
+        |SELECT n AS n_ends,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+        |  AS strength_assortativity
+        |FROM mm""".stripMargin
 
   /** Common-neighbor link prediction over the support ≥ 2 subgraph: wedge
     * pairs (a < b through a shared center), counted, existing edges

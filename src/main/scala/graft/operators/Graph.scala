@@ -521,6 +521,174 @@ object Graph {
     result
   }
 
+  /** ONE LEVEL of Louvain community detection over a weighted pair list
+    * — the first-pass move phase with every node starting in its own
+    * singleton community: node i moves to neighbor j's community when
+    * the modularity gain is positive, taking the argmax neighbor. With
+    * singleton communities the gain comparison reduces to the exact
+    * INTEGER score 2m·w_ij − k_i·k_j (the 1/2m² normalization only
+    * rescales), so the whole level is one broadcast-decorated pass over
+    * the oriented edge stream + a struct-min argmax riding the source
+    * partitioning — no iteration, no floats, bit-identical cross-engine
+    * (the DuckDB twin replays the argmax as a row_number window). Ties
+    * break to the smaller neighbor id; score ≤ 0 everywhere → node
+    * stays. Returns (node, community). */
+  def louvainFirstLevel(wpairs: DataFrame, uCol: String, vCol: String,
+                        wCol: String): DataFrame = {
+    val par = wpairs.sparkSession.sparkContext.defaultParallelism
+    val e = wpairs.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t"),
+          col(wCol).cast("bigint").as("__w")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t"),
+          col(wCol).cast("bigint").as("__w")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+        col("__e.__w").as("__w"))
+      .repartition(par, col("__s"))
+      .ckpt()
+    // weighted degree (strength) — rides the __s partitioning
+    val wd = e.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
+    val m2 = wd.agg(sum(col("__k")).as("__m2"))
+    val result = e
+      .join(broadcast(wd.select(col("__s"), col("__k").as("__ki"))), "__s")
+      .join(broadcast(wd.select(col("__s").as("__t"), col("__k").as("__kj"))),
+        "__t")
+      .crossJoin(broadcast(m2))
+      .select(col("__s"), col("__t"),
+        (col("__m2") * col("__w") - col("__ki") * col("__kj")).as("__sc"))
+      // argmax neighbor, ties to the smaller id: min over (−score, j)
+      .groupBy(col("__s"))
+      .agg(min(struct((-col("__sc")).as("s"), col("__t").as("j"))).as("__b"))
+      .select(col("__s").as("node"),
+        when(col("__b.s") < 0, col("__b.j")).otherwise(col("__s"))
+          .as("community"))
+      .ckpt()
+    Dedup.freeCheckpoints(e)
+    result
+  }
+
+  /** The pivot step of forward-backward SCC decomposition over a
+    * DIRECTED edge list: the strongly connected component containing
+    * the graph's minimum node id = fwd-reach(pivot) ∩ bwd-reach(pivot)
+    * (Fleischer/Hendrickson/Pinar's FW-BW kernel — the step every
+    * parallel SCC algorithm recurses on). Both reaches are the bounded
+    * level-synchronous [[bfsLevels]] loop (early exit on a dead
+    * frontier, so a small-diameter SCC pays its diameter, not
+    * `maxDepth`); output rows carry both hop distances. The DuckDB twin
+    * runs two depth-capped recursive UNION BFS CTEs and min-folds the
+    * levels. */
+  def sccPivot(dedges: DataFrame, srcCol: String, dstCol: String,
+               maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val d = dedges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__t"))
+    // index-sized scalar (the bfsLevelsUndirected precedent)
+    val row = d.agg(least(min(col("__s")), min(col("__t")))).head()
+    if (row.isNullAt(0))
+      return d.limit(0).select(col("__s").as("node"),
+        lit(0).as("lvl_fwd"), lit(0).as("lvl_bwd"))
+    val pivot = row.getLong(0)
+    val fwd = bfsLevels(d, "__s", "__t", pivot, maxDepth)
+    val bwd = bfsLevels(d, "__t", "__s", pivot, maxDepth)
+    fwd.select(col("node"), col("lvl").as("lvl_fwd"))
+      .join(bwd.select(col("node"), col("lvl").as("lvl_bwd")), Seq("node"))
+  }
+
+  /** WEIGHTED personalized PageRank — [[personalizedPagerank]] with
+    * edge-weight-proportional contribution splits:
+    * pr'(v) = 150_000·[v ∈ seeds]
+    *        + (17 · Σ_{u→v} (pr(u)·w(u,v) div W(u))) div 20,
+    * W(u) = Σ_t w(u,t) the strength. The per-edge floor division keeps
+    * every score an exact BIGINT (sums of integers are fold-order-free),
+    * so the DuckDB twin unrolls the identical recurrence — bit-identical
+    * cross-engine. Same loop mechanics as the unweighted operator (one
+    * checkpoint barrier, AQE off, co-partitioned joins). */
+  def weightedPersonalizedPagerank(wpairs: DataFrame, uCol: String,
+                                   vCol: String, wCol: String,
+                                   iters: Int, nSeeds: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    val par = wpairs.sparkSession.sparkContext.defaultParallelism
+    val e = wpairs.select(explode(array(
+        struct(col(uCol).as("__s"), col(vCol).as("__t"),
+          col(wCol).cast("bigint").as("__w")),
+        struct(col(vCol).as("__s"), col(uCol).as("__t"),
+          col(wCol).cast("bigint").as("__w")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+        col("__e.__w").as("__w"))
+      .repartition(par, col("__s"))
+      .ckpt()
+    val sess = e.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val result = try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      val wd = e.groupBy(col("__s")).agg(sum(col("__w")).as("__wk"))
+        .select(col("__s").as("__n"), col("__wk"))
+      val seeds = wd.select(col("__n")).orderBy(col("__n")).limit(nSeeds)
+        .withColumn("__seed", lit(1))
+      val base = wd.join(broadcast(seeds), Seq("__n"), "left")
+        .select(col("__n"), col("__wk"),
+          coalesce(col("__seed"), lit(0)).as("__seed"))
+        .repartition(par, col("__n"))
+        .ckpt()
+      var pr = base.withColumn("__pr",
+        when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)))
+      (1 to iters).foreach { _ =>
+        val contrib = e
+          .join(pr.select(col("__n").as("__s"), col("__wk"), col("__pr")),
+            Seq("__s"))
+          .groupBy(col("__t"))
+          .agg(sum(expr("(__pr * __w) div __wk")).as("__c"))
+        pr = base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
+          .select(col("__n"), col("__wk"), col("__seed"),
+            (when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+              + expr("(17 * __c) div 20")).as("__pr"))
+      }
+      pr.select(col("__n").as("node"), col("__pr").as("wppr"))
+        .ckpt()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(e)
+    }
+    result
+  }
+
+  /** LINK PREDICTION by RESOURCE ALLOCATION index (Zhou/Lü/Zhang 2009):
+    * top-k non-adjacent pairs by Σ_{z ∈ N(a)∩N(b)} 1/deg(z), the
+    * degree-discounted sibling of [[commonNeighborTopK]] — a shared hub
+    * neighbor counts for little, a shared low-degree neighbor for a lot.
+    * Kept EXACT: each center z contributes the integer
+    * 2^scaleBits div deg(z), summed per pair (fold-order-free), so the
+    * ranking is deterministic cross-engine with no float division.
+    * Same scale shape as the common-neighbor operator: neighbor sets
+    * fold once, candidate pairs expand IN-ROW with the center's share
+    * riding along, one pair-keyed sum, anti-join against the edge set.
+    * Input must be a DISTINCT pair list (deg(z) = |N(z)|). */
+  def resourceAllocationTopK(pairs: DataFrame, uCol: String, vCol: String,
+                             topK: Int, scaleBits: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits must be in [1, 40], got $scaleBits")
+    val scale = 1L << scaleBits
+    val cand = orientedAdjacency(pairs, uCol, vCol)
+      .groupBy(col("__s")).agg(array_sort(collect_set(col("__t"))).as("__nbrs"))
+      .select(expr(s"$scale div size(__nbrs)").as("__ra"),
+        explode(expr(
+          "flatten(transform(__nbrs, (x, i) -> " +
+            "transform(slice(__nbrs, i + 2, size(__nbrs)), " +
+            "y -> struct(x AS a, y AS b))))")).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"), col("__ra"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__ra")).as("ra_scaled"),
+        count(lit(1)).as("common_neighbors"))
+    val e = pairs.select(least(col(uCol), col(vCol)).as("a"),
+      greatest(col(uCol), col(vCol)).as("b"))
+    cand.join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_scaled").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a").as("part_u"), col("b").as("part_v"),
+        col("ra_scaled"), col("common_neighbors"))
+  }
+
   /** LINK PREDICTION by common-neighbor count: the top-k NON-adjacent
     * node pairs ranked by how many neighbors they share — the classic
     * "who should be connected" recommender baseline (Liben-Nowell &

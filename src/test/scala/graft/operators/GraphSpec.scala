@@ -417,6 +417,81 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("louvainFirstLevel: integer argmax matches brute force; ties go " +
+      "to the smaller neighbor; all-negative scores stay put") {
+    import spark.implicits._
+    val wes = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 4L), (3L, 4L, 2L),
+      (4L, 5L, 7L), (2L, 5L, 1L))
+    val df = wes.toDF("u", "v", "w")
+    val nbrs = wes.flatMap { case (u, v, w) => Seq(u -> (v, w), v -> (u, w)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val k = nbrs.map { case (n, xs) => n -> xs.map(_._2).sum }
+    val m2 = k.values.sum
+    val want = nbrs.map { case (n, xs) =>
+      val scored = xs.map { case (j, w) => (m2 * w - k(n) * k(j), j) }
+      val best = scored.minBy { case (s, j) => (-s, j) }
+      n -> (if (best._1 > 0) best._2 else n)
+    }
+    val got = Graph.louvainFirstLevel(df, "u", "v", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("sccPivot: the pivot's SCC is exactly fwd ∩ bwd reach with hop " +
+      "distances; nodes outside the SCC are absent; empty input is empty") {
+    import spark.implicits._
+    // cycle 1→2→3→1 (the pivot SCC), escape 3→4, cycle 4→5→4 (separate)
+    val d = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+      .toDF("s", "t")
+    val got = Graph.sccPivot(d, "s", "t", maxDepth = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 0, 0), (2L, 1, 2), (3L, 2, 1)))
+    val empty = Graph.sccPivot(Seq.empty[(Long, Long)].toDF("s", "t"),
+      "s", "t", 5)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("node", "lvl_fwd", "lvl_bwd"))
+  }
+
+  test("weightedPersonalizedPagerank with uniform weights equals the " +
+      "unweighted operator (the scale cancels inside the floor)") {
+    import spark.implicits._
+    val (es, _) = randomGraph(91, 20, 110)
+    val pairs = es.toDF("u", "v")
+    val wpairs = es.map { case (u, v) => (u, v, 7L) }.toDF("u", "v", "w")
+    val want = Graph.personalizedPagerank(pairs, "u", "v", iters = 3,
+        nSeeds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.weightedPersonalizedPagerank(wpairs, "u", "v", "w",
+        iters = 3, nSeeds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("resourceAllocationTopK matches brute force over non-adjacent " +
+      "pairs with integer 2^20 div deg shares") {
+    import spark.implicits._
+    val (es, _) = randomGraph(29, 18, 90)
+    val eset = es.toSet
+    val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val want = (for {
+      a <- nbrs.keys; b <- nbrs.keys
+      if a < b && !eset((a, b))
+      common = nbrs(a) & nbrs(b)
+      if common.nonEmpty
+    } yield ((a, b), (common.toSeq.map(z => 1048576L / nbrs(z).size).sum,
+        common.size.toLong))).toMap
+    val wantTop = want.toSeq
+      .sortBy { case ((a, b), (ra, _)) => (-ra, a, b) }.take(10)
+      .map { case ((a, b), (ra, cn)) => (a, b, ra, cn) }
+    val got = Graph.resourceAllocationTopK(es.toDF("u", "v"), "u", "v",
+        topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == wantTop)
+  }
+
   test("betweennessSampled equals brute-force Brandes with the same " +
       "fixed-point floor-division recurrence; shuffled-hash twin matches") {
     import spark.implicits._
