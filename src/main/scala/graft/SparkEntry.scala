@@ -698,27 +698,37 @@ object SparkEntry {
     "ext_modularity" -> ((s, dir) => {
       // the support build (full co-purchase pair stream + having) is the
       // expensive stage — checkpoint it ONCE and share it between the LP
-      // loop and the three modularity consumers; free after the
-      // result-sized output materializes
+      // loop and the modularity fold; free after the result-sized output
+      // materializes. r15 fusion: ONE endpoint-label pass over the edge
+      // stream replaces the old deg fold + two-label-join e_in pipeline +
+      // separate m aggregate — each edge contributes two (own-label,
+      // partner-label) endpoint rows, so per community d_sum = count and
+      // in2 = count[lu = lv] = 2·e_in, and since Σ_c d_sum = 2m the
+      // numerator 4m·e_in = (Σ_c d_sum)·in2 falls out of a window over
+      // the community-sized frame — no m broadcast, no second edge pass,
+      // all arithmetic exact BIGINT.
       val e = copurchaseSupportEdges(s, dir, minSupport = 2).localCheckpoint()
       val lab = operators.Graph.labelPropagate(e, "u", "v", rounds = 3)
-      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val m = e.agg(count(lit(1)).as("m"))
-      val ein = e
-        .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
-        .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
-        .filter(col("__lu") === col("__lv"))
-        .groupBy(col("__lu").as("community"))
-        .agg(count(lit(1)).as("e_in"))
-      val result = lab.join(deg, lab("node") === deg("n"))
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
-        .join(ein, Seq("community"), "left_outer")
-        .crossJoin(broadcast(m))
+      val labB = broadcast(lab) // node-sized, checkpointed (at-scale: the
+      // label table of a 100 TB graph is node-sized — the same class the
+      // graph loops broadcast, with spec-pinned shuffle twins there)
+      val ends = e.select(explode(array(
+          struct(col("u").as("n"), col("v").as("p")),
+          struct(col("v").as("n"), col("u").as("p")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.p").as("p"))
+        .join(labB.select(col("node").as("n"), col("label").as("__ln")), "n")
+        .join(labB.select(col("node").as("p"), col("label").as("__lp")), "p")
+      val comm = ends.groupBy(col("__ln").as("community"))
+        .agg(count(lit(1)).as("d_sum"),
+          count(when(col("__ln") === col("__lp"), 1)).as("__in2"))
+      val nn = lab.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val result = comm.join(nn.hint("shuffle_hash"), Seq("community"))
         .select(col("community"), col("n_nodes"),
-          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
-          (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          expr("__in2 div 2").as("e_in"), col("d_sum"),
+          (sum(col("d_sum")).over(w) * col("__in2") -
             col("d_sum") * col("d_sum")).as("q_num"))
         .localCheckpoint()
       operators.Dedup.freeCheckpoints(e)
@@ -727,35 +737,37 @@ object SparkEntry {
     // WEIGHTED Newman modularity over the same LP partition: weights are
     // the co-purchase support counts, strength replaces degree, and the
     // scaled numerator stays a plain BIGINT — q_num = 4W·w_in_c − S_c²
-    // (Q = Σ q_num / 4W²); same shared-checkpoint discipline as
-    // ext_modularity (ONE support build feeds the LP loop, the strength
-    // fold, and the in-community weight sum)
+    // (Q = Σ q_num / 4W²); same shared-checkpoint + single-pass
+    // discipline as ext_modularity
     "ext_weighted_modularity" -> ((s, dir) => {
+      // same r15 single-pass fusion as ext_modularity, weight-carrying:
+      // per community s_sum = Σ endpoint w, in2w = Σ endpoint w [lu = lv]
+      // = 2·w_in, and 4W·w_in = (Σ_c s_sum)·in2w since Σ_c s_sum = 2W
       val ew = copurchaseSupport(s, dir).filter(col("c") >= 2)
         .select(col("u"), col("v"), col("c").cast("bigint").as("w"))
         .localCheckpoint()
       val lab = operators.Graph.labelPropagate(
         ew.select(col("u"), col("v")), "u", "v", rounds = 3)
-      val strength = ew.select(explode(array(
-          struct(col("u").as("n"), col("w")),
-          struct(col("v").as("n"), col("w")))).as("__e"))
-        .select(col("__e.n").as("n"), col("__e.w").as("w"))
-        .groupBy(col("n")).agg(sum(col("w")).as("st"))
-      val wtot = ew.agg(sum(col("w")).as("W"))
-      val win = ew
-        .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
-        .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
-        .filter(col("__lu") === col("__lv"))
-        .groupBy(col("__lu").as("community"))
-        .agg(sum(col("w")).as("w_in"))
-      val result = lab.join(strength, lab("node") === strength("n"))
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("st")).as("s_sum"))
-        .join(win, Seq("community"), "left_outer")
-        .crossJoin(broadcast(wtot))
+      val labB = broadcast(lab) // node-sized, checkpointed
+      val ends = ew.select(explode(array(
+          struct(col("u").as("n"), col("v").as("p"), col("w")),
+          struct(col("v").as("n"), col("u").as("p"), col("w")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.p").as("p"),
+          col("__e.w").as("w"))
+        .join(labB.select(col("node").as("n"), col("label").as("__ln")), "n")
+        .join(labB.select(col("node").as("p"), col("label").as("__lp")), "p")
+      val comm = ends.groupBy(col("__ln").as("community"))
+        .agg(sum(col("w")).as("s_sum"),
+          sum(when(col("__ln") === col("__lp"), col("w"))
+            .otherwise(lit(0L))).as("__in2w"))
+      val nn = lab.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val result = comm.join(nn.hint("shuffle_hash"), Seq("community"))
         .select(col("community"), col("n_nodes"),
-          coalesce(col("w_in"), lit(0L)).as("w_in"), col("s_sum"),
-          (lit(4L) * col("W") * coalesce(col("w_in"), lit(0L)) -
+          expr("__in2w div 2").as("w_in"), col("s_sum"),
+          (sum(col("s_sum")).over(wnd) * col("__in2w") -
             col("s_sum") * col("s_sum")).as("q_num"))
         .localCheckpoint()
       operators.Dedup.freeCheckpoints(ew)
