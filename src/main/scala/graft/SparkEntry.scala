@@ -2063,6 +2063,23 @@ object SparkEntry {
     // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
     "ext_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // KEEP-BEST exact dedup: duplicate groups at NORMALIZED-text
+    // granularity (case/punctuation/whitespace-insensitive — the
+    // production canonicalization) keep the longest RAW text (most
+    // formatting preserved), ties to the smaller doc_id — one exchange,
+    // the argmax rides the group fold as a struct-max (no window, no
+    // second pass over the corpus)
+    "ext_dedup_keep_best" -> ((s, dir) =>
+      Query.ensureParallelism(t(s, dir, "documents"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          operators.TextAnalysis.normalize(col("text")).as("__nt"))
+        .groupBy(col("__nt"))
+        .agg(max(struct(length(col("text")).as("l"),
+            (-col("doc_id")).as("negid"))).as("__b"),
+          count(lit(1)).as("n_dups"))
+        .select(md5(col("__nt")).as("h"), (-col("__b.negid")).as("keep_id"),
+          col("n_dups"), col("__b.l").as("kept_len"))),
     // clone-FAMILY size distribution at token-SET granularity (the first
     // chart of any dedup audit: how much of the corpus is singletons vs
     // boilerplate families) — same set collapse as the jaccard join's rep
@@ -2120,6 +2137,15 @@ object SparkEntry {
     // complement to the LSH families; integer similarity gate
     "ext_dedup_jaccard_join" -> ((s, dir) =>
       Dedup.jaccardJoinExact(t(s, dir, "documents"), "doc_id", "text", 4, 5)),
+    // EXACT-recall set-CONTAINMENT self-join at θ = 9/10: every ORDERED
+    // doc pair with |A∩B| ≥ ⌈0.9·|A|⌉ — the "a is subsumed by b" dedup
+    // primitive jaccard misses when the container dwarfs the contained
+    // doc (Dedup.containmentJoinExact: probe-side-only prefix filter,
+    // one-directional size prune, asymmetric-α positional filter +
+    // SortedContainGate merge verify)
+    "ext_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoinExact(t(s, dir, "documents"), "doc_id", "text",
+        9, 10)),
     // multi-threshold dedup planning from ONE pipeline run: exact pair
     // counts at θ ∈ {0.7, 0.8, 0.9} derived from the θ=0.7 VERIFIED REP
     // pairs with integer gates (100·i ≥ t·(|A|+|B|−i)) and member-count
@@ -4001,6 +4027,10 @@ object SparkEntry {
         |SELECT id_a, id_b, inter_size, size_a, size_b,
         |  CAST(inter_size AS DOUBLE)/(size_a + size_b - inter_size) AS jaccard
         |FROM allp""".stripMargin),
+    // containment replay: probe-side prefix vs container-side FULL token
+    // list, one-directional size prune, den·i ≥ num·la exact gate,
+    // ORDERED member expansion, clone families at containment 1
+    "ext_containment_join" -> sqlContainmentJoin(9, 10),
     // the same pipeline run once at θ=7/10, counted at three tighter
     // thresholds from the SAME pair set (integer gates — no re-run)
     "ext_jaccard_threshold_sweep" -> (jaccardPipelineCte(7, 10) +
@@ -4944,6 +4974,21 @@ object SparkEntry {
     "ext_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+    // keep-best replay: same normalize chain as ext_text_normalize, the
+    // struct-argmax replayed as a (length DESC, doc_id) row_number window
+    "ext_dedup_keep_best" ->
+      """WITH n AS (SELECT doc_id, text, trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT nt, doc_id, length(text) AS l,
+        |    row_number() OVER (PARTITION BY nt
+        |      ORDER BY length(text) DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY nt) AS c
+        |  FROM n)
+        |SELECT md5(nt) AS h, doc_id AS keep_id, c AS n_dups,
+        |  CAST(l AS INT) AS kept_len
+        |FROM r WHERE rn = 1""".stripMargin,
     "ext_clone_size_histogram" ->
       """WITH g AS (SELECT
         |    CAST(list_sort(list_distinct(list_filter(
@@ -6257,6 +6302,52 @@ object SparkEntry {
        |           sz AS size_a, sz AS size_b
        |         FROM s2 WHERE ma < mb),
        |allp AS (SELECT * FROM crossed UNION ALL SELECT * FROM same)""".stripMargin
+
+  /** Containment twin of [[jaccardPipelineCte]]
+    * (Dedup.containmentJoinExact): the probe (contained) side keeps the
+    * prefix cut, the build (container) side exposes its FULL ordered
+    * token list, the size prune is one-directional, the gate is
+    * den·i ≥ num·la, pairs stay ORDERED, and clone families contribute
+    * all ordered pairs at containment 1. */
+  private def sqlContainmentJoin(num: Int, den: Int): String =
+    s"""WITH tkd AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+       |reps AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |           first(ts) AS ts, len(first(ts)) AS sz
+       |         FROM tkd GROUP BY CAST(ts AS VARCHAR)),
+       |tok AS (SELECT rep, unnest(ts) AS token FROM reps),
+       |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+       |srt AS (SELECT t.rep, list(t.token ORDER BY d.df, t.token) AS ots,
+       |          count(*) AS sz
+       |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep),
+       |pfx AS (SELECT rep, ots, sz,
+       |    unnest(ots[1:(CAST(sz AS INT) - CAST(($num*sz + $den - 1)//$den AS INT) + 1)]) AS ptok
+       |  FROM srt),
+       |ful AS (SELECT rep, ots, sz, unnest(ots) AS ptok FROM srt),
+       |rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb,
+       |    CAST(len(list_intersect(a.ots, b.ots)) AS BIGINT) AS i,
+       |    CAST(a.sz AS BIGINT) AS la, CAST(b.sz AS BIGINT) AS lb
+       |  FROM pfx a JOIN ful b ON a.ptok = b.ptok AND a.rep <> b.rep
+       |  WHERE $num*a.sz <= $den*b.sz
+       |    AND $den*len(list_intersect(a.ots, b.ots)) >= $num*a.sz),
+       |c1 AS (SELECT rp.*, unnest(r1.members) AS ma
+       |       FROM rp JOIN reps r1 ON rp.ra = r1.rep),
+       |c2 AS (SELECT c1.i, c1.la, c1.lb, c1.ma, unnest(r2.members) AS mb
+       |       FROM c1 JOIN reps r2 ON c1.rb = r2.rep),
+       |crossed AS (SELECT ma AS id_a, mb AS id_b, i AS inter_size,
+       |    la AS size_a, lb AS size_b
+       |  FROM c2),
+       |s1 AS (SELECT CAST(sz AS BIGINT) AS sz, members, unnest(members) AS ma
+       |       FROM reps WHERE len(members) > 1),
+       |s2 AS (SELECT sz, ma, unnest(members) AS mb FROM s1),
+       |same AS (SELECT ma AS id_a, mb AS id_b, sz AS inter_size,
+       |           sz AS size_a, sz AS size_b
+       |         FROM s2 WHERE ma <> mb)
+       |SELECT id_a, id_b, inter_size, size_a, size_b,
+       |  CAST(inter_size AS DOUBLE)/size_a AS containment
+       |FROM (SELECT * FROM crossed UNION ALL SELECT * FROM same)""".stripMargin
 
   /** Cross-corpus twin of [[jaccardPipelineCte]] (Dedup.jaccardJoinAgainst):
     * rep collapse PER SIDE (incoming = doc_id % 13 <> 0, reference = 0),

@@ -1420,4 +1420,96 @@ object Dedup {
     freeCheckpoints(reps, sorted)
     result
   }
+
+  /** EXACT-recall set-CONTAINMENT self-join: every ORDERED doc pair
+    * (a, b) with |tokens(a) ∩ tokens(b)| ≥ ⌈θ·|tokens(a)|⌉ — the
+    * "document a is subsumed by document b" dedup primitive (boilerplate
+    * wrappers, quote posts, partial mirrors), which jaccard misses
+    * whenever the container is much larger than the contained doc.
+    *
+    * Same scale skeleton as [[jaccardJoinExact]] — rep collapse, rarest-
+    * first global token order, prefix-filtered candidate join, fused
+    * merge verify, in-row member expansion — with the CONTAINMENT
+    * asymmetries: (1) the prefix cut applies to the PROBE (contained)
+    * side only — p = sz − ⌈θ·sz⌉ + 1, the same slice
+    * [[jaccardOrderedPrefix]] already computes — while the build
+    * (container) side exposes ALL its ordered tokens (any superset
+    * qualifies, so no size-symmetric cut exists); (2) the size prune is
+    * one-directional (den·|B| ≥ num·|A|); (3) the positional filter
+    * bounds overlap by min(sa − pa, sb − pb) ≥ α = ⌈num·sa/den⌉ — exact
+    * by the same minimal-shared-token argument, which holds on the build
+    * side too because B's array is ordered by the SAME global order, so
+    * every intersection token sits at-or-after the minimal one in both
+    * arrays; (4) verify is [[SortedContainGate]], the asymmetric-α twin
+    * of the jaccard gate; (5) pairs stay ORDERED (no canonicalization —
+    * (a⊆b) and (b⊆a) are different facts), and clone families contribute
+    * all ordered pairs at containment 1. Candidate volume stays
+    * rep-level and prefix-bounded — nothing all-pairs, the 100 TB story
+    * of the jaccard join unchanged. */
+  def containmentJoinExact(docs: DataFrame, idCol: String, textCol: String,
+                           thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
+    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
+    val salts = 8
+    // probe = contained side: PREFIX tokens only, one salt per row
+    val pa = sorted.select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+      .repartition(par, col("__ptok"), col("__salt"))
+    // build = container side: ALL ordered tokens, replicated to all salts
+    val pb = sorted.select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+        posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val candIds = pa.join(pb, Seq("__ptok", "__salt"))
+      .filter(col("__ra") =!= col("__rb"))
+      .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+      .filter(lit(thetaDen) *
+        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+        lit(thetaNum) * col("__sa"))
+      .select(col("__ra"), col("__rb"))
+      .repartition(par, col("__ra"), col("__rb"))
+      .distinct()
+    val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+      size(col("__ts")).cast("long").as("__la"))
+    val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+      size(col("__ts")).cast("long").as("__lb"))
+    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+      .withColumn("__i", org.apache.spark.sql.graft.SortedContainGate.of(
+        col("__ta"), col("__tb"), thetaNum, thetaDen))
+      .filter(col("__i") >= 0L)
+      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    // ordered member expansion — contained ids from ra, container ids
+    // from rb, NO least/greatest swap
+    val repsA = reps.select(col("__rep").as("__ra"), col("__members").as("__mas"))
+    val repsB = reps.select(col("__rep").as("__rb"), col("__members").as("__mbs"))
+    val cross = repPairs.join(repsA, Seq("__ra")).join(repsB, Seq("__rb"))
+      .select(col("__i"), col("__la"), col("__lb"),
+        explode(col("__mas")).as("__ma"), col("__mbs"))
+      .select(col("__i"), col("__la"), col("__lb"), col("__ma"),
+        explode(col("__mbs")).as("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        col("__i").as("inter_size"), col("__la").as("size_a"),
+        col("__lb").as("size_b"))
+    // clone families: identical sets ⇒ containment 1 both ways — all
+    // ordered pairs
+    val same = reps
+      .filter(size(col("__members")) > 1)
+      .select(size(col("__ts")).cast("long").as("__sz"),
+        explode(col("__members")).as("__ma"), col("__members").as("__mbs"))
+      .select(col("__sz"), col("__ma"), explode(col("__mbs")).as("__mb"))
+      .filter(col("__ma") =!= col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        col("__sz").as("inter_size"), col("__sz").as("size_a"),
+        col("__sz").as("size_b"))
+    val result = cross.unionByName(same)
+      .withColumn("containment",
+        col("inter_size").cast("double") / col("size_a"))
+      .localCheckpoint()
+    freeCheckpoints(reps, sorted)
+    result
+  }
 }

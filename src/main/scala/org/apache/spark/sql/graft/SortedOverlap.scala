@@ -179,3 +179,86 @@ object SortedLongOverlap {
     ExpressionUtils.column(SortedLongOverlap(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/**
+ * CONTAINMENT twin of [[SortedOverlapGate]]: the verify step of the exact
+ * set-containment join, fused into one merge pass. Inputs are two
+ * lexicographically sorted, distinct-element `array<string>` token sets;
+ * output is the intersection size o when the containment gate
+ * den·o ≥ num·|A| passes (c(A ⊆ B) = |A∩B|/|A| ≥ num/den, LEFT side
+ * contained), and −1 when it fails. The early-exit bound is the same
+ * remaining-elements argument with the asymmetric α = ⌈num·|A|/den⌉ —
+ * a pair whose residual merge can no longer reach α aborts immediately.
+ * Exact by construction for the same reason as the jaccard gate; the
+ * shared spec pins equality against `array_intersect` + integer gate.
+ */
+@ExpressionDescription(
+  usage = "sorted_contain_gate(a, b) - intersection size of two sorted " +
+    "string arrays, or -1 when the containment theta gate (on the left " +
+    "array) fails.")
+case class SortedContainGate(left: Expression, right: Expression,
+                             thetaNum: Int, thetaDen: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+    s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    // α = smallest overlap satisfying den·o ≥ num·la
+    val alpha = (thetaNum.toLong * la + thetaDen - 1) / thetaDen
+    var i = 0; var j = 0; var o = 0L
+    while (i < la && j < lb) {
+      if (o + math.min(la - i, lb - j) < alpha) return -1L
+      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (c == 0) { o += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    if (o >= alpha) o else -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val alpha = ctx.freshName("alpha")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val o = ctx.freshName("o")
+      val c = ctx.freshName("c")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |long $alpha = (${thetaNum}L * $la + ${thetaDen} - 1) / ${thetaDen};
+         |int $i = 0; int $j = 0; long $o = 0L;
+         |while ($i < $la && $j < $lb) {
+         |  long $rem = ($la - $i) < ($lb - $j) ? ($la - $i) : ($lb - $j);
+         |  if ($o + $rem < $alpha) { $o = -1L; break; }
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $o++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($o >= $alpha) ? $o : -1L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedContainGate =
+    copy(left = l, right = r)
+}
+
+object SortedContainGate {
+  /** Column form — usable without any registry. */
+  def of(a: Column, b: Column, thetaNum: Int, thetaDen: Int): Column =
+    ExpressionUtils.column(SortedContainGate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      thetaNum, thetaDen))
+}

@@ -64,6 +64,45 @@ class SortedOverlapSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CONTAINMENT gate equals size(array_intersect) + asymmetric " +
+      "integer gate den*i >= num*la on every ORDERED pair, interpreted " +
+      "AND codegen") {
+    import org.apache.spark.sql.graft.SortedContainGate
+    for ((num, den) <- Seq((9, 10), (4, 5), (1, 1), (1, 3))) {
+      val pairs = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.id") =!= col("b.id")) // ordered: both orientations
+        .select(col("a.ts").as("ta"), col("b.ts").as("tb"))
+      val cmp = pairs.select(
+        SortedContainGate.of(col("ta"), col("tb"), num, den).as("got"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("i"),
+        size(col("ta")).cast("long").as("la"))
+        .withColumn("want",
+          when(lit(den.toLong) * col("i") >= lit(num.toLong) * col("la"),
+            col("i")).otherwise(lit(-1L)))
+      assert(cmp.filter(col("got") =!= col("want")).count() == 0,
+        s"theta $num/$den")
+    }
+  }
+
+  test("containment gate interpreted eval agrees with scala brute force") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.SortedContainGate
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val rnd = new scala.util.Random(31)
+    val vocab = ('a' to 'n').map(_.toString)
+    def mk(xs: Seq[String]) = Literal.create(xs, ArrayType(StringType))
+    for (_ <- 1 to 200; (num, den) <- Seq((9, 10), (1, 2))) {
+      val a = Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .distinct.sorted
+      val o = a.toSet.intersect(b.toSet).size.toLong
+      val want = if (den * o >= num * a.size) o else -1L
+      val got = SortedContainGate(mk(a), mk(b), num, den).eval(null)
+      assert(got == want, s"$a in $b at $num/$den: $got != $want")
+    }
+  }
+
   test("null input yields null; disjoint and identical sets hit both ends") {
     val sq = spark
     import sq.implicits._

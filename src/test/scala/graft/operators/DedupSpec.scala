@@ -517,6 +517,58 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containmentJoinExact equals brute-force all-ORDERED-pairs " +
+      "containment (no missed, no spurious) on a hand corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "e d c b a"),       // same set → c = 1 both ways
+      (3L, "a b c"),                              // fully inside 1/2/4
+      (4L, "a b c d e f g"),                      // superset of 1/2/3
+      (5L, "x y z"), (6L, "z y x w"),             // 5 in 6 (3/3), not 6 in 5
+      (7L, "q r")                                 // alone
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinExact(corpus, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sets = corpus.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      if 10 * inter >= 9 * sets(a).size
+    } yield (a, b) -> ((inter.toLong, sets(a).size.toLong, sets(b).size.toLong))).toMap
+    assert(got == want)
+    // the asymmetry is real: 5 ⊆ 6 qualifies, 6 ⊆ 5 does not
+    assert(got.contains((5L, 6L)) && !got.contains((6L, 5L)))
+    // clone family surfaces both orientations
+    assert(got.contains((1L, 2L)) && got.contains((2L, 1L)))
+  }
+
+  test("containmentJoinExact equals brute force on seeded random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val resolved = (1L to 60L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = resolved.toDF("doc_id", "text")
+      val got = Dedup.containmentJoinExact(df, "doc_id", "text", 4, 5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sets = resolved.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        inter = (sets(a) & sets(b)).size
+        if 5 * inter >= 4 * sets(a).size
+      } yield (a, b)).toSet
+      assert(got == want, s"seed $seed: ${got.diff(want).size} spurious, " +
+        s"${want.diff(got).size} missed of ${want.size}")
+    }
+  }
+
   test("jaccardJoinAgainst equals brute-force cross-corpus jaccard " +
       "(no missed pair, no spurious pair, clone groups on both sides)") {
     import spark.implicits._
