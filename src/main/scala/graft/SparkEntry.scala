@@ -3648,6 +3648,11 @@ object SparkEntry {
     "ext_sssp_bounded [one pre-checkpoint relaxation]" -> ((s, dir) =>
       operators.Graph.ssspRoundPlan(copurchaseWeightedEdges(s, dir),
         "u", "v", "w", 0L)),
+    "ext_path_counts / ext_betweenness_sampled [one pre-checkpoint " +
+      "frontier-delta round: broadcast push, alias-riding sigma fold, " +
+      "anti-join delta merge]" -> ((s, dir) =>
+        operators.Graph.pathCountsRoundPlan(copurchasePairs(s, dir),
+          "u", "v")),
     "ext_ktruss / ext_edge_jaccard_topk [pre-checkpoint edge-support]" ->
       ((s, dir) =>
         operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")),

@@ -1859,6 +1859,33 @@ object Graph {
     result
   }
 
+  /** PRE-checkpoint single-round Brandes-forward plan, for the plan
+    * audit — the exact [[pathCountsLoop]] round-1 expressions (frontier
+    * broadcast into the __t-partitioned oriented frame, alias-riding
+    * (src, node) σ-sum fold, anti-join delta merge against the visited
+    * keys) with the checkpoint barriers omitted so explain shows the
+    * loop body instead of a `Scan ExistingRDD`. Built for explain, not
+    * execution. */
+  def pathCountsRoundPlan(pairs: DataFrame, uCol: String,
+                          vCol: String): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol, partitionByTarget = true)
+      .distinct()
+    val srcs = e.select(col("__t").as("__s")).distinct()
+      .orderBy(col("__s")).limit(4)
+    val state = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
+      lit(0).as("__lvl"), lit(1L).as("__sig"))
+    val d = state.select(col("__src"), col("__n").as("__s"),
+      col("__sig"), col("__lvl"))
+    val cand = e.join(broadcast(d), Seq("__s"))
+      .select(col("__src"), col("__t").as("__n"), col("__sig"), col("__lvl"))
+      .groupBy(col("__src"), col("__n"))
+      .agg(sum(col("__sig")).as("__c"), (min(col("__lvl")) + 1).as("__nl"))
+    cand.join(broadcast(state.select(col("__src"), col("__n"))),
+        Seq("__src", "__n"), "left_anti")
+      .select(col("__src"), col("__n"), col("__nl").as("lvl"),
+        col("__c").as("paths"))
+  }
+
   /** PRE-checkpoint single-iteration PageRank plan, for the plan audit
     * (PLANS.md): the exact [[prIteration]]/[[outdegBase]] expressions one
     * [[pagerankUndirected]] round runs, with the checkpoint barriers
