@@ -160,8 +160,14 @@ object Bench {
       val t0 = System.nanoTime()
       // deadline checked per QUERY too: on a loaded host a single pass can
       // exceed the whole budget, and a between-pass check alone would let it
+      // pass 0 is NOT optional: a key skipped by the deadline is measured
+      // COLD (first-run janino + JIT, multi-second on loop keys) AND has
+      // no cpu_warm reference, silencing the envelope gate — a loaded
+      // r15a sitting cut pass 0 at ~148/310 keys and the 162-key cold
+      // tail inflated the headline ~35%. The deadline only bounds the
+      // adaptive REPEAT passes.
       selected.foreach { case (name, fn) =>
-        if (System.nanoTime() < warmDeadline)
+        if (pass == 0 || System.nanoTime() < warmDeadline)
           try {
             org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
             val (_, c0, _) = clock.snapshot()
@@ -326,7 +332,12 @@ object Bench {
       .mkString("[", ",", "]")
     def names(b: scala.collection.mutable.ArrayBuffer[String]): String =
       b.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"cpu_envelope_limit":$cpuEnvelopeLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_errors":$warmErrJson"""
+    // keys that never completed a warm-up run (exception every pass):
+    // their measured wall is FIRST-RUN (compile-inclusive) and their
+    // envelope gate was silent — the artifact must name them
+    val warmupCold = scala.collection.mutable.ArrayBuffer(
+      selected.collect { case (n, _) if !warmCpu.contains(n) => n }: _*)
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"cpu_envelope_limit":$cpuEnvelopeLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_cold":${names(warmupCold)},"warmup_errors":$warmErrJson"""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"canary_ratio":$canaryByQuery,"psi_stall":$psiByQuery,"task_sec":$taskSecByQuery,"cpu_sec":$cpuSecByQuery,"cpu_warm":$cpuWarmByQuery,"cpu_env":$cpuEnvByQuery,"jit_ms":$jitMsByQuery,"codecache_pct":$ccPctByQuery,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
