@@ -1572,13 +1572,19 @@ object Graph {
           .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
           .groupBy(col("__n")).agg(min(col("__d")).as("__c"))
         // full outer: candidates may REACH nodes dist has never seen
-        // (least() skips NULLs, so the merged distance is total)
+        // (least() skips NULLs, so the merged distance is total).
+        // EAGER checkpoint per round, not lazy persist (the pathCounts
+        // lesson applied here r15): each round's broadcast-build job
+        // re-walked the LAZY persisted chain before it was cached —
+        // 53 completed stages for a 4-round loop, ~30 of them
+        // recomputed broadcast-side stages. Eager rounds compute each
+        // frame exactly once, in round order (measured 3.3 → 2.4 s).
         val merged = dist.join(cand.hint("shuffle_hash"), Seq("__n"), "full_outer")
           .select(col("__n"),
             least(col("__d"), col("__c")).as("__d2"),
             (col("__d").isNull ||
               (col("__c").isNotNull && col("__c") < col("__d"))).as("__chg"))
-          .persist()
+          .ckpt()
         cached += merged
         dist = merged.select(col("__n"), col("__d2").as("__d"))
         delta = merged.filter(col("__chg"))
@@ -1589,7 +1595,7 @@ object Graph {
         .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      cached.foreach(_.unpersist(blocking = false))
+      Dedup.freeCheckpoints(cached.toSeq: _*)
       Dedup.freeCheckpoints(e)
     }
     result
