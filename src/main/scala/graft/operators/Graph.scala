@@ -137,7 +137,7 @@ object Graph {
     val par = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
       .repartition(par, col("__s"))
-      .ckpt()
+      .localCheckpoint()
     bfsLoop(e, source, maxDepth)
   }
 
@@ -153,7 +153,7 @@ object Graph {
     * on the null min). */
   def bfsLevelsUndirected(pairs: DataFrame, uCol: String, vCol: String,
                           maxDepth: Int, earlyExit: Boolean = false): DataFrame = {
-    val e = orientedAdjacency(pairs, uCol, vCol).ckpt()
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     // one scalar off the materialized blocks — index-sized, not a re-run
     val srcRow = e.agg(min(col("__s"))).head()
     if (srcRow.isNullAt(0)) {
@@ -200,7 +200,7 @@ object Graph {
         i += 1
       }
       labels.select(col("__n").as("node"), col("__lvl").as("lvl"))
-        .ckpt()
+        .localCheckpoint()
     } finally {
       // cleanup lives in the finally so a throwing loop body can't leak
       // cached layers or checkpoint blocks until the ContextCleaner
@@ -234,7 +234,7 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     var labels = e.sparkSession.range(1)
       .select(lit(source).as("__n"), lit(0).as("__lvl"))
-      .ckpt()
+      .localCheckpoint()
     val spent = scala.collection.mutable.ArrayBuffer(e, labels)
     // early exit on a dead frontier — a diameter-3 graph pays 3 rounds,
     // not maxDepth; the label count comes from the SAME job that
@@ -252,7 +252,7 @@ object Graph {
     }
     val result = labels
       .select(col("__n").as("node"), col("__lvl").as("lvl"))
-      .ckpt()
+      .localCheckpoint()
     Dedup.freeCheckpoints(spent.toSeq: _*)
     result
   }
@@ -1236,7 +1236,7 @@ object Graph {
                      nSources: Int, maxDepth: Int): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
-    val e = orientedAdjacency(pairs, uCol, vCol).ckpt()
+    val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1262,7 +1262,7 @@ object Graph {
       }
       labels.select(col("__src").as("src"), col("__n").as("node"),
           col("__lvl").as("lvl"))
-        .ckpt()
+        .localCheckpoint()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       cached.foreach(_.unpersist(blocking = false))
