@@ -2188,6 +2188,18 @@ object SparkEntry {
     }),
     // EXACT-recall cross-corpus jaccard join at θ = 7/10: every
     // (incoming, reference) doc pair over the threshold — the audit-grade
+    // ASYMMETRIC containment drop: remove incoming (%13 != 0) docs whose
+    // token set is >= 9/10-contained in ANY reference (%13 == 0) doc —
+    // the "quoted from the reference corpus" decontamination filter
+    // jaccard cross-dedup misses when the reference doc dwarfs the
+    // quote; returns SURVIVING incoming ids, drop decided at rep level
+    "ext_dedup_drop_contained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentDropAgainst(
+        docs.filter(col("doc_id") % 13 === 0),
+        docs.filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", 9, 10)
+    }),
     // exact twin of ext_dedup_drop_against_ref's LSH screen
     // (Dedup.jaccardJoinAgainst doc: per-side rep collapse, one global
     // token order over both sides, prefix + positional pruning)
@@ -4190,6 +4202,7 @@ object SparkEntry {
     "ext_edge_jaccard_topk" -> sqlEdgeJaccardTopk,
     "ext_transitivity" -> sqlTransitivity,
     "ext_jaccard_against_ref" -> sqlJaccardAgainstCte(7, 10),
+    "ext_dedup_drop_contained" -> sqlContainmentDrop(9, 10),
     // build aggregated per (keys, ts) exactly like the engine side; lag
     // over the per-ts-unique build IS the strict backward as-of
     "ext_asof_grouped" ->
@@ -6353,6 +6366,39 @@ object SparkEntry {
        |SELECT id_a, id_b, inter_size, size_a, size_b,
        |  CAST(inter_size AS DOUBLE)/size_a AS containment
        |FROM (SELECT * FROM crossed UNION ALL SELECT * FROM same)""".stripMargin
+
+  /** Cross-corpus containment-drop replay (Dedup.containmentDropAgainst):
+    * per-side rep collapse, one global set-df order, incoming-side
+    * prefix vs reference-side FULL token list, den·i ≥ num·la gate,
+    * survivors = incoming members of un-dropped reps. */
+  private def sqlContainmentDrop(num: Int, den: Int): String =
+    s"""WITH tkd AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS ts
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+       |repsI AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |            first(ts) AS ts, len(first(ts)) AS sz
+       |          FROM tkd WHERE doc_id % 13 <> 0 GROUP BY CAST(ts AS VARCHAR)),
+       |repsR AS (SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+       |            first(ts) AS ts, len(first(ts)) AS sz
+       |          FROM tkd WHERE doc_id % 13 = 0 GROUP BY CAST(ts AS VARCHAR)),
+       |allreps AS (SELECT rep, ts, 0 AS corp FROM repsI
+       |            UNION ALL SELECT rep, ts, 1 AS corp FROM repsR),
+       |tok AS (SELECT rep, corp, unnest(ts) AS token FROM allreps),
+       |dfx AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+       |srt AS (SELECT t.rep, t.corp, list(t.token ORDER BY d.df, t.token) AS ots,
+       |          count(*) AS sz
+       |        FROM tok t JOIN dfx d USING (token) GROUP BY t.rep, t.corp),
+       |pfx AS (SELECT rep, ots, sz,
+       |    unnest(ots[1:(CAST(sz AS INT) - CAST(($num*sz + $den - 1)//$den AS INT) + 1)]) AS ptok
+       |  FROM srt WHERE corp = 0),
+       |ful AS (SELECT rep, ots, sz, unnest(ots) AS ptok FROM srt WHERE corp = 1),
+       |dropped AS (SELECT DISTINCT a.rep
+       |  FROM pfx a JOIN ful b ON a.ptok = b.ptok
+       |  WHERE $num*a.sz <= $den*b.sz
+       |    AND $den*len(list_intersect(a.ots, b.ots)) >= $num*a.sz)
+       |SELECT unnest(members) AS doc_id
+       |FROM repsI WHERE rep NOT IN (SELECT rep FROM dropped)""".stripMargin
 
   /** Cross-corpus twin of [[jaccardPipelineCte]] (Dedup.jaccardJoinAgainst):
     * rep collapse PER SIDE (incoming = doc_id % 13 <> 0, reference = 0),

@@ -1512,4 +1512,72 @@ object Dedup {
     freeCheckpoints(reps, sorted)
     result
   }
+
+  /** ASYMMETRIC cross-corpus CONTAINMENT drop: remove every incoming
+    * doc whose token set is ≥ θ-contained in ANY reference doc — the
+    * benchmark-decontamination / "quoted-from-the-reference-corpus"
+    * filter that jaccard-based cross-dedup misses whenever the reference
+    * doc is much larger than the quote. Returns the SURVIVING incoming
+    * doc ids; the reference is never dropped and incoming-internal dups
+    * are untouched (that's the self-join families' job).
+    *
+    * Scale skeleton = [[jaccardJoinAgainst]] × [[containmentJoinExact]]:
+    * rep collapse PER SIDE, ONE global set-df token order over both
+    * sides' reps, prefix cut on the INCOMING (contained/probe) side
+    * only, the reference (container/build) side exposing ALL its
+    * ordered tokens, one-directional size prune, asymmetric-α
+    * positional filter, [[SortedContainGate]] merge verify, and the
+    * drop decided at REP level (an anti-join against the dropped rep
+    * set — the doc-level pair expansion is never materialized, the
+    * dropNearDups discipline). Identical cross-side sets drop at
+    * containment 1 through the same candidate path (a full prefix
+    * match always meets). */
+  def containmentDropAgainst(reference: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
+    val par = incoming.sparkSession.sparkContext.defaultParallelism
+    val reps = jaccardReps(incoming, idCol, textCol).withColumn("__corp", lit(0))
+      .unionByName(
+        jaccardReps(reference, idCol, textCol).withColumn("__corp", lit(1)))
+      .localCheckpoint()
+    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
+      .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
+      .localCheckpoint()
+    val salts = 8
+    val pa = sorted.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val pb = sorted.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+        posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(par, col("__ptok"), col("__salt"))
+    val candIds = pa.join(pb, Seq("__ptok", "__salt"))
+      .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+      .filter(lit(thetaDen) *
+        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+        lit(thetaNum) * col("__sa"))
+      .select(col("__ra"), col("__rb"))
+      .repartition(par, col("__ra"), col("__rb"))
+      .distinct()
+    val arrA = reps.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__ts").as("__ta"))
+    val arrB = reps.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__ts").as("__tb"))
+    val droppedReps = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+      .filter(org.apache.spark.sql.graft.SortedContainGate.of(
+        col("__ta"), col("__tb"), thetaNum, thetaDen) >= 0L)
+      .select(col("__ra")).distinct()
+    val result = reps.filter(col("__corp") === 0)
+      .join(droppedReps.withColumnRenamed("__ra", "__rep"),
+        Seq("__rep"), "left_anti")
+      .select(explode(col("__members")).as("doc_id"))
+      .localCheckpoint()
+    freeCheckpoints(reps, sorted)
+    result
+  }
 }

@@ -569,6 +569,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containmentDropAgainst equals brute-force cross-corpus " +
+      "containment drop on seeded random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val mk = (n: Int) => (1L to n.toLong).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val inc = mk(40); val ref = mk(25).map { case (i, t) => (i + 1000L, t) }
+      val got = Dedup.containmentDropAgainst(
+          ref.toDF("doc_id", "text"), inc.toDF("doc_id", "text"),
+          "doc_id", "text", 4, 5)
+        .as[Long].collect().toSet
+      val tok = (t: String) => t.split(" ").filter(_.nonEmpty).toSet
+      val refSets = ref.map(r => tok(r._2))
+      val want = inc.collect { case (id, t)
+        if !refSets.exists(rs => 5 * tok(t).intersect(rs).size >= 4 * tok(t).size)
+        => id }.toSet
+      assert(got == want, s"seed $seed: ${got.diff(want).size} extra, " +
+        s"${want.diff(got).size} missing of ${want.size}")
+    }
+  }
+
   test("jaccardJoinAgainst equals brute-force cross-corpus jaccard " +
       "(no missed pair, no spurious pair, clone groups on both sides)") {
     import spark.implicits._
