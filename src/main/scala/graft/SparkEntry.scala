@@ -2188,17 +2188,22 @@ object SparkEntry {
     }),
     // EXACT-recall cross-corpus jaccard join at θ = 7/10: every
     // (incoming, reference) doc pair over the threshold — the audit-grade
-    // ASYMMETRIC containment drop: remove incoming (%13 != 0) docs whose
-    // token set is >= 9/10-contained in ANY reference (%13 == 0) doc —
-    // the "quoted from the reference corpus" decontamination filter
-    // jaccard cross-dedup misses when the reference doc dwarfs the
-    // quote; returns SURVIVING incoming ids, drop decided at rep level
+    // ASYMMETRIC containment drop at θ = 1: remove incoming (%13 != 0)
+    // docs whose token set is a SUBSET of ANY reference (%13 == 0)
+    // doc's set — the "quoted from the reference corpus"
+    // decontamination filter jaccard cross-dedup misses when the
+    // reference doc dwarfs the quote; returns SURVIVING incoming ids,
+    // drop decided at rep level. θ = 1 exactly because the fixture's
+    // dense 31-token vocabulary makes fractional containment
+    // degenerate (every doc ≥ 0.9-contained somewhere → zero
+    // survivors); strict subsumption keeps a real survivor set at
+    // every SF while exercising the same candidate/verify machinery
     "ext_dedup_drop_contained" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.containmentDropAgainst(
         docs.filter(col("doc_id") % 13 === 0),
         docs.filter(col("doc_id") % 13 =!= 0),
-        "doc_id", "text", 9, 10)
+        "doc_id", "text", 1, 1)
     }),
     // exact twin of ext_dedup_drop_against_ref's LSH screen
     // (Dedup.jaccardJoinAgainst doc: per-side rep collapse, one global
@@ -4202,7 +4207,7 @@ object SparkEntry {
     "ext_edge_jaccard_topk" -> sqlEdgeJaccardTopk,
     "ext_transitivity" -> sqlTransitivity,
     "ext_jaccard_against_ref" -> sqlJaccardAgainstCte(7, 10),
-    "ext_dedup_drop_contained" -> sqlContainmentDrop(9, 10),
+    "ext_dedup_drop_contained" -> sqlContainmentDrop(1, 1),
     // build aggregated per (keys, ts) exactly like the engine side; lag
     // over the per-ts-unique build IS the strict backward as-of
     "ext_asof_grouped" ->
