@@ -1456,10 +1456,14 @@ object Graph {
       if (dedupEdges) oriented.distinct() else oriented)
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    // declared outside the try so a throwing loop body can't leak the
+    // per-level checkpoint blocks (freed in the finally; freeing an
+    // already-freed or never-materialized frame is a no-op)
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       val state = pathCountsLoop(e, nSources, maxDepth, bcastVisited = true)
-      val spent = scala.collection.mutable.ArrayBuffer(state)
+      spent += state
       // deepest level: no successors within the bound, δ = 0 by the
       // bounded-metric definition, c = SCALE div σ
       var cur = state.filter(col("__lvl") === maxDepth)
@@ -1502,10 +1506,10 @@ object Graph {
         .agg(sum(col("__delta")).as("betweenness"))
         .select(col("__n").as("node"), col("betweenness"))
         .ckpt()
-      Dedup.freeCheckpoints(spent.toSeq: _*)
       out
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(spent.toSeq: _*)
       Dedup.freeCheckpoints(e)
     }
     result
