@@ -2346,6 +2346,26 @@ object SparkEntry {
       Similarity.ivfTopK(v, v.filter(col("vec_id") < 10), k = 5,
         ivfIndex(s, dir), nprobe = 2)
     }),
+    // ANN QUALITY EVAL — recall@5 of the IVF(nprobe=2) path against the
+    // brute-force exact top-5, per query: the metric every ANN index
+    // deployment is graded on (probe count vs recall is THE tuning
+    // curve). Exact-arithmetic composition of two already-verified
+    // rankings: left join on (query, neighbor), hit count / k — both
+    // sides' id sets are deterministic cross-engine, so recall is too
+    "ext_ann_recall" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(v, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(v, q, k = 5, ivfIndex(s, dir),
+          nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("k"),
+          round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+    }),
     // product quantization: integer k-means codebooks (trained in fixture
     // setup, ORACLE REPLAYS THE TRAINING), shuffle-free 2-byte-per-vector
     // encode; codes hash-verified cross-engine
@@ -5354,6 +5374,45 @@ object SparkEntry {
     // iterations with exact fixed-point centroid means (CentroidFixed's
     // merge-order-free arithmetic is what makes this expressible), then
     // bucket assignment, 2-probe, cosine re-rank, top-5
+    // recall@5 joins the two replayed rankings above (brute exact +
+    // IVF 2-probe) on the id pairs — hit count / k per query
+    "ext_ann_recall" ->
+      s"""SELECT query_id, n_hit, k,
+         |  round(CAST(n_hit AS DOUBLE) / k, 6) AS recall
+         |FROM (
+         |  SELECT e.query_id, count(*) AS k, count(a.neighbor_id) AS n_hit
+         |  FROM (
+         |    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |    q AS (SELECT * FROM v WHERE vec_id < 10),
+         |    scored AS (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       round(list_inner_product(q.e, c.e) /
+         |        (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+         |      FROM q JOIN v c ON q.vec_id <> c.vec_id),
+         |    ranked AS (SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+         |    SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5
+         |  ) e LEFT JOIN (
+         |    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS idx, e AS c
+         |           FROM v ORDER BY vec_id LIMIT 8),
+         |    ${kmeansIterSql("c0", "a1", "s1", "c1")},
+         |    ${kmeansIterSql("c1", "a2", "s2", "c2")},
+         |    cand AS (SELECT vec_id AS neighbor_id, e,
+         |      (SELECT c2.idx FROM c2 ORDER BY ${cosSql("e", "c2.c", 9)} DESC, c2.idx LIMIT 1) AS bucket
+         |      FROM v),
+         |    probe AS (SELECT q.vec_id AS query_id, q.e AS qe, p.idx AS bucket
+         |      FROM (SELECT * FROM v WHERE vec_id < 10) q,
+         |      LATERAL (SELECT c2.idx FROM c2 ORDER BY ${cosSql("q.e", "c2.c", 9)} DESC, c2.idx LIMIT 2) p(idx)),
+         |    scored AS (SELECT probe.query_id, cand.neighbor_id,
+         |        ${cosSql("probe.qe", "cand.e")} AS sim
+         |      FROM probe JOIN cand USING (bucket)
+         |      WHERE probe.query_id <> cand.neighbor_id),
+         |    ranked AS (SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+         |    SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5
+         |  ) a USING (query_id, neighbor_id)
+         |  GROUP BY e.query_id)""".stripMargin,
     "ext_cosine_topk_ivf" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS idx, e AS c
