@@ -142,8 +142,16 @@ object Bench {
     // (<8% improvement), capped at 4 passes.
     // time guard: never spend more than ~4 min warming, whatever the
     // improvement curve says — the driver's bench step has a finite
-    // budget and a loaded host stretches every pass
-    val warmDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+    // budget and a loaded host stretches every pass.
+    // SPARK_GRAFT_WARM_BUDGET_SEC (builder pairs only — the driver sets
+    // nothing and keeps the 240 s default) widens the budget when the
+    // surface outgrows one full pass: at 312 keys a pass is ~240 s, so
+    // every measured key is exactly ONE warm run off C2 steady state
+    // (~0.3–0.5 s high on multi-job keys). Comparability inside a
+    // sitting is untouched — both engines of a pair share the env.
+    val warmBudgetSec =
+      sys.env.get("SPARK_GRAFT_WARM_BUDGET_SEC").map(_.toLong).getOrElse(240L)
+    val warmDeadline = System.nanoTime() + warmBudgetSec * 1000 * 1000 * 1000
     var prevPass = Double.MaxValue
     var pass = 0
     var settled = false

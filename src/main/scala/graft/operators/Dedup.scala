@@ -1181,7 +1181,46 @@ object Dedup {
     * after it in both arrays, so ITS row always passes — dropping the
     * other meetings only removes duplicates the distinct would eat.
     * `positional = false` keeps the pre-r10 size-only pruning (spec /
-    * diagnostics use it to measure the filter's candidate cut). */
+    * diagnostics use it to measure the filter's candidate cut).
+    *
+    * GROUPED SUFFIX FILTER (r15): the scalar distinct is an aggregation
+    * anyway, so it folds the per-pair evidence instead of discarding it:
+    * o = matched prefix tokens, (xa, xb) = the LAST match's positions.
+    * Both arrays are ordered by the SAME global df order, so the
+    * highest-ordered matched token sits at xa in A and xb in B, and any
+    * UNCOUNTED common token is ordered after it — at positions > xa and
+    * > xb — giving the exact bound |A ∩ B| ≤ o + min(sa−1−xa, sb−1−xb).
+    * Pairs whose bound can't reach α die HERE, before the array joins
+    * and the merge verify — PPJoin's suffix-filter effect at zero extra
+    * exchange (the groupBy rides the same (ra, rb) repartition the
+    * distinct used). Output-identical: the verify gate re-checks the
+    * true α on the full sets, and every dropped pair had i ≤ ub < α. */
+  private def suffixFoldedPairs(met: DataFrame, par: Int)
+                               (ubGate: (Column, Column, Column) => Column): DataFrame = {
+    met.select(col("__ra"), col("__rb"), col("__pa"), col("__pb"),
+        col("__sa"), col("__sb"))
+      .repartition(par, col("__ra"), col("__rb"))
+      .groupBy(col("__ra"), col("__rb"))
+      .agg(count(lit(1)).as("__o"), max(col("__pa")).as("__xa"),
+        max(col("__pb")).as("__xb"), max(col("__sa")).as("__sa"),
+        max(col("__sb")).as("__sb"))
+      .filter(ubGate(
+        col("__o") + least(col("__sa") - 1 - col("__xa"),
+          col("__sb") - 1 - col("__xb")),
+        col("__sa"), col("__sb")))
+      .select(col("__ra"), col("__rb"))
+  }
+
+  /** ub ≥ α for J ≥ num/den: (num+den)·ub ≥ num·(sa+sb). */
+  private def jaccardUbGate(num: Int, den: Int)
+                           (ub: Column, sa: Column, sb: Column): Column =
+    lit(num + den) * ub >= lit(num) * (sa + sb)
+
+  /** ub ≥ α for containment(A in B) ≥ num/den: den·ub ≥ num·sa. */
+  private def containUbGate(num: Int, den: Int)
+                           (ub: Column, sa: Column, sb: Column): Column =
+    lit(den) * ub >= lit(num) * sa
+
   private[graft] def jaccardCandidates(sorted: DataFrame, thetaNum: Int,
                                            thetaDen: Int,
                                            positional: Boolean = true): DataFrame = {
@@ -1207,16 +1246,18 @@ object Dedup {
       .filter(col("__ra") < col("__rb"))
       .filter(lit(thetaNum) * greatest(col("__sa"), col("__sb")) <=
         lit(thetaDen) * least(col("__sa"), col("__sb")))
-    val gated = if (positional) met.filter(lit(thetaNum + thetaDen) *
-        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
-      lit(thetaNum) * (col("__sa") + col("__sb")))
-    else met
     // ONE exchange for the dedup AND the parallelism pin: the explicit
-    // repartition hash-partitions on exactly the distinct's grouping keys,
+    // repartition hash-partitions on exactly the fold's grouping keys,
     // so the aggregation reuses it (no second exchange), and AQE never
     // coalesces a user-specified repartition — the byte-light candidate
     // stream keeps `par`-way parallelism into the verify stage.
-    gated.select(col("__ra"), col("__rb"))
+    if (positional)
+      suffixFoldedPairs(
+        met.filter(lit(thetaNum + thetaDen) *
+            least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+          lit(thetaNum) * (col("__sa") + col("__sb"))),
+        par)(jaccardUbGate(thetaNum, thetaDen))
+    else met.select(col("__ra"), col("__rb"))
       .repartition(par, col("__ra"), col("__rb"))
       .distinct()
   }
@@ -1313,9 +1354,7 @@ object Dedup {
       .filter(lit(thetaNum + thetaDen) *
           least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
         lit(thetaNum) * (col("__sa") + col("__sb")))
-    met.select(col("__ra"), col("__rb"))
-      .repartition(par, col("__ra"), col("__rb"))
-      .distinct()
+    suffixFoldedPairs(met, par)(jaccardUbGate(thetaNum, thetaDen))
   }
 
   /** Cross-corpus EXACT-recall jaccard join at θ = num/den: every
@@ -1464,15 +1503,14 @@ object Dedup {
         posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .repartition(par, col("__ptok"), col("__salt"))
-    val candIds = pa.join(pb, Seq("__ptok", "__salt"))
-      .filter(col("__ra") =!= col("__rb"))
-      .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
-      .filter(lit(thetaDen) *
-        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
-        lit(thetaNum) * col("__sa"))
-      .select(col("__ra"), col("__rb"))
-      .repartition(par, col("__ra"), col("__rb"))
-      .distinct()
+    val candIds = suffixFoldedPairs(
+      pa.join(pb, Seq("__ptok", "__salt"))
+        .filter(col("__ra") =!= col("__rb"))
+        .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+        .filter(lit(thetaDen) *
+          least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+          lit(thetaNum) * col("__sa")),
+      par)(containUbGate(thetaNum, thetaDen))
     val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
       size(col("__ts")).cast("long").as("__la"))
     val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
@@ -1556,14 +1594,13 @@ object Dedup {
         posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .repartition(par, col("__ptok"), col("__salt"))
-    val candIds = pa.join(pb, Seq("__ptok", "__salt"))
-      .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
-      .filter(lit(thetaDen) *
-        least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
-        lit(thetaNum) * col("__sa"))
-      .select(col("__ra"), col("__rb"))
-      .repartition(par, col("__ra"), col("__rb"))
-      .distinct()
+    val candIds = suffixFoldedPairs(
+      pa.join(pb, Seq("__ptok", "__salt"))
+        .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+        .filter(lit(thetaDen) *
+          least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+          lit(thetaNum) * col("__sa")),
+      par)(containUbGate(thetaNum, thetaDen))
     val arrA = reps.filter(col("__corp") === 0)
       .select(col("__rep").as("__ra"), col("__ts").as("__ta"))
     val arrB = reps.filter(col("__corp") === 1)
