@@ -773,6 +773,42 @@ object SparkEntry {
       operators.Dedup.freeCheckpoints(ew)
       result
     }),
+    // per-community CONDUCTANCE of the same LP partition — the community-
+    // quality metric that grades BOUNDARIES where modularity grades mass:
+    // φ(c) = cut(c) / min(vol(c), vol(V̄)). Same r15 single-pass fusion as
+    // ext_modularity: ONE endpoint-label pass gives vol(c) = endpoint
+    // count and in2 = count[lu = lv] = 2·e_in per community, so
+    // cut = vol − in2 and 2m = Σ_c vol via a window over the community-
+    // sized frame; all counts exact BIGINT, the ratio one IEEE division
+    // rounded once (cross-engine stable). Whole-graph community (vol =
+    // 2m) → NULL via the nullif guard, identically in both engines.
+    "ext_community_conductance" -> ((s, dir) => {
+      val e = copurchaseSupportEdges(s, dir, minSupport = 2).localCheckpoint()
+      val lab = operators.Graph.labelPropagate(e, "u", "v", rounds = 3)
+      val labB = broadcast(lab) // node-sized (see ext_modularity note)
+      val ends = e.select(explode(array(
+          struct(col("u").as("n"), col("v").as("p")),
+          struct(col("v").as("n"), col("u").as("p")))).as("__e"))
+        .select(col("__e.n").as("n"), col("__e.p").as("p"))
+        .join(labB.select(col("node").as("n"), col("label").as("__ln")), "n")
+        .join(labB.select(col("node").as("p"), col("label").as("__lp")), "p")
+      val per = ends.groupBy(col("__ln").as("community"))
+        .agg(count(lit(1)).cast("bigint").as("vol"),
+          count(when(col("__ln") === col("__lp"), 1)).cast("bigint")
+            .as("__in2"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val result = per
+        .withColumn("__tot", sum(col("vol")).over(wnd))
+        .select(col("community"), col("vol"),
+          (col("vol") - col("__in2")).as("cut_edges"),
+          round((col("vol") - col("__in2")).cast("double") /
+            nullif(least(col("vol"), col("__tot") - col("vol"))
+              .cast("double"), lit(0.0)), 6).as("conductance"))
+        .localCheckpoint()
+      operators.Dedup.freeCheckpoints(e)
+      result
+    }),
     // BIPARTITE PROJECTION with cosine link strength: customer×part
     // bipartite pairs project onto part-part co-occurrence counts (in-row
     // pair generation per customer basket — Graph.itemPairs, one
@@ -2120,6 +2156,40 @@ object SparkEntry {
     // md5-hash twin: same vote/assemble circuit, oracle-verified
     "ext_dedup_simhash_md5" -> ((s, dir) =>
       Dedup.simhashMd5(t(s, dir, "documents"), "doc_id", "text")),
+    // EXACT-radius Hamming near-dup join over 48-bit simhash
+    // fingerprints: multi-index pigeonhole banding (4 disjoint 12-bit
+    // bands — any pair at distance ≤ 3 agrees exactly on ≥ 1 band), so
+    // the per-band equi-joins have provable recall, then popcount
+    // verify. The distance-thresholded complement of the jaccard/LSH
+    // families (Dedup.simhashHammingPairs doc; oracle replays the
+    // 48-bit vote circuit, the masked band joins, and bit_count(xor))
+    "ext_simhash_hamming" -> ((s, dir) =>
+      Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")),
+    // LSH OPERATING-CURVE sweep: candidate-pair counts for every
+    // rows-per-band config r ∈ {2,4,8,16} over ONE 16-seed signature
+    // table (b = 16/r bands) — the b×r tuning table that picks the
+    // band shape for a target jaccard threshold (the S-curve
+    // 1-(1-s^r)^b); signatures computed once, checkpointed, four
+    // band-self-joins over the node-sized sig table
+    "ext_lsh_band_sweep" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", seeds = 16).localCheckpoint()
+      val result = Seq(2, 4, 8, 16).map { r =>
+        val bands = Dedup.minhashBands(sigs, "doc_id", r)
+        val a = bands.select(col("band"), col("band_sig"),
+          col("doc_id").as("__da"))
+        val b = bands.select(col("band"), col("band_sig"),
+          col("doc_id").as("__db"))
+        a.join(b, Seq("band", "band_sig"))
+          .filter(col("__da") < col("__db"))
+          .select(col("__da"), col("__db")).distinct()
+          .agg(count(lit(1)).as("n_candidates"))
+          .select(lit(r).as("rows_per_band"), lit(16 / r).as("n_bands"),
+            col("n_candidates"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      Dedup.freeCheckpoints(sigs)
+      result
+    }),
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
@@ -2408,6 +2478,21 @@ object SparkEntry {
     // centroids, in-row distance folds, no vector shuffle)
     "ext_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 8)),
+    // CLUSTER-BALANCED CAP (semantic diversity sampling, the SemDeDup /
+    // cluster-then-cap curation move): assign every vector to its
+    // exact-integer k-means cell, keep at most 8 per cell by vec_id
+    // order — caps over-represented semantic neighborhoods instead of
+    // uniform downsampling. Rides the bit-deterministic assignment
+    // (kmeansAssignInt8), so the kept set is exact cross-engine; the
+    // per-cell rank is one cell-keyed window over the assignment table
+    // (row-sized, no vector shuffle)
+    "ext_cluster_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+      Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 8)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 8)
+        .select(col("vec_id"), col("cluster"))
+    }),
     // Lloyd's ROUND TWO in the same int8 code space: assign → floored-
     // integer-mean centroid update (sum div n, the PQ training rule) →
     // reassign; exact BIGINT throughout, oracle replays both assignments
@@ -2690,6 +2775,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0),
         "doc_id", "text", n = 3)
     }),
+    // per-doc n-gram NOVELTY (marginal corpus diversity): fraction of a
+    // doc's distinct 3-grams first seen in THIS doc by id order — ranks
+    // documents by what they add (re-posts ~0, fresh content ~1); the
+    // curation dual of the decontamination overlap (Curation.gramNovelty
+    // doc; gram hash never leaves the plan → raw-gram-string oracle)
+    "ext_gram_novelty" -> ((s, dir) =>
+      Curation.gramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)),
     // production gram hash (xxhash64) — the hash never leaves the plan, so
     // this variant still has a FULL oracle (joins raw gram strings)
     "ext_decontaminate_fast" -> ((s, dir) => {
@@ -4109,6 +4201,7 @@ object SparkEntry {
     "ext_assortativity" -> sqlAssortativity,
     "ext_label_prop" -> sqlLabelProp,
     "ext_modularity" -> sqlModularity,
+    "ext_community_conductance" -> sqlConductance,
     "ext_weighted_modularity" -> sqlWeightedModularity,
     "ext_conditional_basket" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -5043,6 +5136,7 @@ object SparkEntry {
         |SELECT m AS family_size, count(*) AS n_families
         |FROM g GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    "ext_lsh_band_sweep" -> lshBandSweepOracleSql,
     // the estimator re-derives each candidate pair's per-seed signature
     // agreement from the same replayed sig table
     "ext_dedup_minhash_est" -> (minhashCandidatesCte +
@@ -5085,6 +5179,7 @@ object SparkEntry {
          |WHERE levenshtein(x.s, y.s) <= 10""".stripMargin
     },
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
+    "ext_simhash_hamming" -> simhashHammingOracleSql,
     "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
     // identical affine-code arithmetic, replayed in the same IEEE op order
     "ext_embedding_quantize" ->
@@ -5114,6 +5209,26 @@ object SparkEntry {
         |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2)
         |SELECT vec_id, cid AS cluster, d AS dist FROM dist
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin,
+    // the same exact-integer assignment, capped at 8 per cell by id order
+    "ext_cluster_cap" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+        |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
+        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+        |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+        |      AS BIGINT) END AS code
+        |  FROM ex JOIN st ON ex.pos = st.pos),
+        |cent AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |dist AS (SELECT c.vec_id, ct.cid,
+        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
+        |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid AS cluster FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+        |SELECT vec_id, cluster FROM asg
+        |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 8"""
+      .stripMargin,
     // round two: both assignments + the floored-integer-mean update
     // replayed set-wise (codes are non-negative, so // equals div)
     "ext_kmeans_round2" ->
@@ -5801,6 +5916,25 @@ object SparkEntry {
     // the xxhash64 production variant: the hash only mediates membership,
     // so the oracle needs NO hash at all — it joins the raw gram strings
     "ext_decontaminate_fast" -> decontRawGramOracleSql,
+    // novelty: gram → first doc by id, re-folded to per-doc novel counts;
+    // raw gram strings (the engine's hash never leaves the plan)
+    "ext_gram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+        |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |  ELSE [] END AS gr FROM tk),
+        |eg AS (SELECT doc_id, unnest(gr) AS g2 FROM g),
+        |fo AS (SELECT g2, min(doc_id) AS doc_id FROM eg GROUP BY g2),
+        |nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |        FROM fo GROUP BY 1)
+        |SELECT g.doc_id, CAST(len(gr) AS INT) AS n_grams,
+        |  COALESCE(nov.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        |  round(CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) /
+        |    nullif(CAST(len(gr) AS DOUBLE), 0), 6) AS novelty
+        |FROM g LEFT JOIN nov USING (doc_id)""".stripMargin,
     // the bloom-pruned scale path is bit-identical to _fast by construction
     // (the filter only prunes the physical gram stream; every surviving
     // candidate still passes the exact join) — same raw-gram-string oracle
@@ -7382,6 +7516,32 @@ object SparkEntry {
         |    AS BIGINT) AS q_num
         |FROM dc LEFT JOIN ein ON dc.c = ein.c, m""".stripMargin))
 
+  /** Per-community conductance of the same LP partition — the engine's
+    * endpoint-pass formulation replayed: per community vol = endpoint
+    * rows, in2 = same-label endpoints (= 2·e_in), cut = vol − in2,
+    * 2m = Σ_c vol; φ = cut / min(vol, 2m − vol), NULL when the community
+    * is the whole graph (nullif guard, both engines). */
+  private val sqlConductance: String =
+    "WITH " + sqlSupportCte +
+      "edges AS (SELECT u, v FROM sup WHERE c >= 2)" + sqlLabelPropTail(3,
+      finalSql = Some("""
+        |, lab AS (SELECT n, l FROM l3),
+        |ends AS (SELECT la.l AS own, lb.l AS part FROM edges e
+        |    JOIN lab la ON e.u = la.n JOIN lab lb ON e.v = lb.n
+        |  UNION ALL
+        |  SELECT lb.l, la.l FROM edges e
+        |    JOIN lab la ON e.u = la.n JOIN lab lb ON e.v = lb.n),
+        |per AS (SELECT own AS community, CAST(count(*) AS BIGINT) AS vol,
+        |    CAST(SUM(CASE WHEN own = part THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS in2
+        |  FROM ends GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(vol) AS BIGINT) AS t FROM per)
+        |SELECT community, vol, vol - in2 AS cut_edges,
+        |  round(CAST(vol - in2 AS DOUBLE) /
+        |    nullif(CAST(least(vol, t - vol) AS DOUBLE), 0), 6)
+        |    AS conductance
+        |FROM per, tot""".stripMargin))
+
   /** Weighted Newman modularity over the same LP partition — weights =
     * support counts, strength replaces degree, BIGINT casts kill
     * DuckDB's HUGEINT SUM widening (engine: ext_weighted_modularity). */
@@ -7605,7 +7765,10 @@ object SparkEntry {
     * signatures → '_'-joined 8-row bands) — extended by both the symmetric
     * self-join candidates ([[minhashCandidatesCte]]) and the asymmetric
     * cross-corpus candidates (`ext_dedup_drop_against_ref`). */
-  private def minhashBandsCte: String = {
+  /** The minhash SIGNATURE replay prefix (tokens → 40-bit md5 hashes →
+    * 16 affine signatures), ending at `sig(doc_id, j, sig)` — shared by
+    * the fixed-8-row banding below and the band-shape sweep. */
+  private def minhashSigCte: String = {
     val seedRows = (0 until 16).map { j =>
       val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
     }.mkString(", ")
@@ -7617,11 +7780,36 @@ object SparkEntry {
        |seeds(j, a, b) AS (VALUES $seedRows),
        |sig AS (
        |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
-       |  FROM hv, seeds GROUP BY doc_id, j),
-       |band AS (
-       |  SELECT doc_id, j // 8 AS band,
-       |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
-       |  FROM sig GROUP BY doc_id, j // 8)""".stripMargin
+       |  FROM hv, seeds GROUP BY doc_id, j)""".stripMargin
+  }
+
+  private def minhashBandsCte: String = minhashSigCte +
+    """,
+      |band AS (
+      |  SELECT doc_id, j // 8 AS band,
+      |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+      |  FROM sig GROUP BY doc_id, j // 8)""".stripMargin
+
+  /** DuckDB twin of ext_lsh_band_sweep: per rows-per-band config r,
+    * distinct candidate pairs sharing any '_'-joined band signature over
+    * the SAME 16-seed signature table. */
+  private def lshBandSweepOracleSql: String = {
+    val configs = Seq(2, 4, 8, 16)
+    val ctes = configs.map { r =>
+      s"""band$r AS (
+         |  SELECT doc_id, j // $r AS band,
+         |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+         |  FROM sig GROUP BY doc_id, j // $r),
+         |c$r AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM (
+         |  SELECT DISTINCT a.doc_id, b.doc_id FROM band$r a JOIN band$r b
+         |   ON a.band = b.band AND a.band_sig = b.band_sig
+         |   AND a.doc_id < b.doc_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = configs.map { r =>
+      s"SELECT CAST($r AS INT) AS rows_per_band, CAST(${16 / r} AS INT) " +
+        s"AS n_bands, n_candidates FROM c$r"
+    }.mkString("\nUNION ALL\n")
+    minhashSigCte + ",\n" + ctes + "\n" + sel
   }
 
   /** Shared chunk-checksum CTE (range-chunked md5 row hashes, exact
@@ -7785,18 +7973,45 @@ object SparkEntry {
 
   /** DuckDB twin of Dedup.simhashMd5(bits=16): same distinct-token stream,
     * same per-bit ±1 votes, same sign-assembled hash. */
-  private def simhashMd5OracleSql: String = {
-    val votes = (0 until 16).map(k =>
+  /** The simhash vote/assemble circuit as CTEs ending at
+    * `sig(doc_id, simhash)` — token hash = leading ⌈bits/4⌉ hex digits
+    * of md5(token), mirroring Dedup.simhashMd5 at any width. */
+  private def simhashSigCte(bits: Int): String = {
+    val votes = (0 until bits).map(k =>
       s"SUM(CASE WHEN (v >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
-    val assemble = (0 until 16).map(k =>
+    val assemble = (0 until bits).map(k =>
       s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, w FROM (
        |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE w <> ''),
-       |hv AS (SELECT doc_id, ${md5PrefixValueSql(4)} AS v FROM tok),
-       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
-       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes""".stripMargin
+       |hv AS (SELECT doc_id, ${md5PrefixValueSql((bits + 3) / 4)} AS v FROM tok),
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
+      .stripMargin
+  }
+
+  private def simhashMd5OracleSql: String =
+    simhashSigCte(16) + "\nSELECT doc_id, simhash FROM sig"
+
+  /** DuckDB twin of Dedup.simhashHammingPairs (48-bit, 4 bands, d ≤ 3):
+    * the 48-bit vote circuit, four masked band self-joins UNIONed
+    * (UNION dedups — ha/hb are functional in the ids), popcount verify. */
+  private def simhashHammingOracleSql: String = {
+    val bits = 48; val bands = 4; val bandBits = bits / bands
+    val joins = (0 until bands).map { i =>
+      val mask = ((1L << bandBits) - 1) << (i * bandBits)
+      s"""  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      a.simhash AS ha, b.simhash AS hb
+         |    FROM sig a JOIN sig b
+         |     ON (a.simhash & $mask) = (b.simhash & $mask)
+         |     AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    simhashSigCte(bits) + s""",
+       |cand AS (
+       |$joins)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
   }
 
   /** DuckDB twin of TextAnalysis.fingerprintMd5: the ordered rolling fold

@@ -175,6 +175,36 @@ object Curation {
         when(col("n_overlap") > 0, 1).otherwise(0).as("contaminated"))
   }
 
+  /** Per-doc n-gram NOVELTY: the fraction of a document's distinct word
+    * n-grams whose FIRST corpus occurrence (by doc-id order) is in this
+    * document — the marginal-diversity score that ranks documents by
+    * what they ADD to the corpus (boilerplate re-posts score ~0, fresh
+    * content ~1); the curation dual of the decontamination overlap.
+    *
+    * Shape: one map-only kernel pass for per-doc totals, one exploded
+    * kernel pass folded to gram→min(doc) (the gram dictionary — the only
+    * corpus-sized exchange), re-folded to per-doc novel counts, one
+    * row-sized join. The gram hash never leaves the plan (same contract
+    * as [[decontaminateFast]]), so the oracle replays raw gram strings.
+    * Docs with fewer than n tokens have 0 grams → NULL novelty via the
+    * nullif guard, identically cross-engine. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    def grams(c: Column) =
+      org.apache.spark.sql.graft.WordGramHashes.of(coalesce(c, lit("")), n)
+    val perDoc = Query.ensureParallelism(docs)
+      .select(col(idCol), size(grams(col(textCol))).as("n_grams"))
+    val novel = Query.ensureParallelism(docs)
+      .select(col(idCol), explode(grams(col(textCol))).as("__gh"))
+      .groupBy(col("__gh")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          nullif(col("n_grams").cast("double"), lit(0.0)), 6).as("novelty"))
+  }
+
   /** Winsorize a numeric column per group: clip values below the `lo`
     * quantile / above the `hi` quantile of their OWN group — the standard
     * robust-scaling step before numeric features feed a model (outliers

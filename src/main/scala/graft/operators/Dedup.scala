@@ -1084,6 +1084,60 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup filtering). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** EXACT-radius Hamming near-dup self-join over simhash fingerprints —
+    * multi-index pigeonhole banding (Norouzi et al., "Fast Search in
+    * Hamming Space with Multi-Index Hashing"; the dedup application is
+    * Manku et al. WWW'07): split the `bits`-bit fingerprint into `bands`
+    * DISJOINT substrings; any pair within Hamming distance d ≤ bands − 1
+    * must agree EXACTLY on at least one band, so per-band equi-joins on
+    * the masked fingerprint find every qualifying pair with no false
+    * negatives — LSH banding's shape with a provable-recall guarantee.
+    * Candidates then verify with the exact popcount distance.
+    *
+    * `maxDist` defaults to bands − 1 (the largest radius the pigeonhole
+    * covers; a smaller radius only tightens the verify). Pairs are
+    * canonical (id_a < id_b); identical fingerprints meet through every
+    * band and come out once (the distinct eats the multiplicity).
+    *
+    * Scale shape: one signature pass (md5 witness circuit — the
+    * engine-portable form, like the minhash family), `bands` equi-joins
+    * keyed on bandBits-wide masked values, one (id_a, id_b) exchange for
+    * the distinct, popcount verify in-stage. Nothing all-pairs; band-key
+    * selectivity grows with bandBits, so at corpus scale widen `bits`
+    * (the 64-bit [[org.apache.spark.sql.graft.SimHash64]] kernel) rather
+    * than shrinking bands. Reference behavior: taps has no similarity
+    * machinery — [EXT] training-pipeline family. */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 48, bands: Int = 4,
+                          maxDist: Int = -1): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bands must be >= 2 and divide bits, got $bands over $bits")
+    val d = if (maxDist < 0) bands - 1 else maxDist
+    require(d <= bands - 1,
+      s"pigeonhole covers maxDist <= bands - 1 = ${bands - 1}, got $d")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sig = simhashMd5(docs, idCol, textCol, bits).localCheckpoint()
+    val bandBits = bits / bands
+    val a = sig.select(col(idCol).as("id_a"), col("simhash").as("__ha"))
+    val b = sig.select(col(idCol).as("id_b"), col("simhash").as("__hb"))
+    val cands = (0 until bands).map { i =>
+      val mask = lit(((1L << bandBits) - 1) << (i * bandBits))
+      a.withColumn("__k", col("__ha").bitwiseAND(mask))
+        .join(b.withColumn("__k", col("__hb").bitwiseAND(mask)), "__k")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+    }.reduce(_ unionByName _)
+    val result = cands
+      .repartition(par, col("id_a"), col("id_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("__ha"), col("__hb")))
+      .filter(col("hamming") <= d)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint()
+    freeCheckpoints(sig)
+    result
+  }
+
   /** EXACT-recall set-similarity self-join (AllPairs/PPJoin prefix-filter
     * family, Bayardo et al. 2007 / Xiao et al. 2008): every pair of
     * documents whose token-set Jaccard ≥ θ = `thetaNum`/`thetaDen`, with

@@ -147,4 +147,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("g") === "g1").select("v_w")
       .collect().forall(_.getDouble(0) == 7.0))
   }
+
+  test("gramNovelty: first occurrence by id order wins; re-posts score 0; " +
+      "short and NULL docs keep a NULL novelty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // grams: "a b c", "b c d" — both first here
+      (2L, "a b c d"),            // exact re-post: 0 novel of 2
+      (3L, "a b c x y z"),        // "a b c" seen; 3 of 4 novel
+      (4L, "a b"),                // < 3 tokens: 0 grams, NULL novelty
+      (5L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = Curation.gramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2, 2L, 1.0)))
+    assert(got(2L) == ((2, 0L, 0.0)))
+    assert(got(3L) == ((4, 3L, 0.75)))
+    assert(got(4L) == ((0, 0L, -1.0)))
+    assert(got(5L) == ((0, 0L, -1.0)))
+  }
 }

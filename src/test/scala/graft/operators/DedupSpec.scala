@@ -731,4 +731,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "the exact join missed — exact recall is broken")
     assert(exact.nonEmpty)
   }
+
+  test("simhashHammingPairs equals brute-force popcount pairs at radius " +
+      "bands-1 (pigeonhole recall) and never exceeds the radius") {
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.simhashHammingPairs(fixture, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force off the same signature table: every (a < b) pair scored
+    val sig = Dedup.simhashMd5(fixture, "doc_id", "text", bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      d = java.lang.Long.bitCount(sig(a) ^ sig(b))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"${got.diff(want).size} spurious, " +
+      s"${want.diff(got).size} missed of ${want.size}")
+    assert(got.nonEmpty && got.forall(_._3 <= 3))
+  }
+
+  test("simhashHammingPairs at a tighter radius is the popcount-filtered " +
+      "subset of the full-radius set") {
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = Dedup.simhashHammingPairs(fixture, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val tight = Dedup.simhashHammingPairs(fixture, "doc_id", "text",
+        maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tight == full.filter(_._3 <= 1))
+  }
 }
