@@ -1346,9 +1346,25 @@ object Graph {
                              bcastVisited: Boolean): DataFrame = {
     val sess = e.sparkSession
     // every node appears on the __t side of the oriented frame and the
-      // edges are __t-partitioned, so the seed distinct is exchange-free
-      val srcs = e.select(col("__t").as("__s")).distinct()
-        .orderBy(col("__s")).limit(nSources)
+      // edges are __t-partitioned, so the seed distinct is exchange-free.
+      // The nSources seed ids COLLECT to the driver (index-sized by
+      // contract — a handful of probe sources, the same bounded trade
+      // Similarity.kmeansAssignInt8 makes for its seed ids): the seed
+      // state becomes a LocalRelation, so round 1's two broadcast builds
+      // are driver-local (no cluster job) and the old seed-state
+      // checkpoint job disappears — the r15 chain-shortening lever.
+      val seedIds = e.select(col("__t").as("__s")).distinct()
+        .orderBy(col("__s")).limit(nSources).collect().map(_.get(0))
+      val tType = e.schema("__t").dataType
+      val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__src", tType),
+        org.apache.spark.sql.types.StructField("__n", tType),
+        org.apache.spark.sql.types.StructField("__lvl",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__sig",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val seedRows = seedIds.map(v =>
+        org.apache.spark.sql.Row(v, v, 0, 1L)).toSeq
       // EAGER localCheckpoint per round (not lazy persist): each round's
       // plan references the previous round TWICE (push side + visited
       // side), and the two async broadcast-build futures would otherwise
@@ -1357,10 +1373,9 @@ object Graph {
       // recompute cascades through the round chain (measured 3× CPU).
       // Checkpoint blocks are computed exactly once, in round order.
       val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var state = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
-          lit(0).as("__lvl"), lit(1L).as("__sig"))
-        .ckpt()
-      spent += state
+      var state = sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(seedRows).asJava,
+        seedSchema)
       // the frontier is the rows DISCOVERED last round (all new at seed).
       // The round's level is carried as a COLUMN from the frontier
       // (lvl + 1), not a lit(i) literal: a baked-in literal makes each
