@@ -47,6 +47,10 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rangeJoin.binWidth", "3600000000")
+      // diagnostic toggles (BenchOne only — Bench/Verify keep defaults):
+      // SPARK_GRAFT_AQE=false isolates AQE stage-materialization barriers
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counters = new Counters

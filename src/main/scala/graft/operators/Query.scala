@@ -21,16 +21,33 @@ import graft.Tables
  */
 object Query {
 
-  /** Exact-then-double aggregation: sum in decimal (associative, exact),
-    * surface as double. Oracle side mirrors with
-    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+  /** Exact-then-double aggregation: sum in integer fixed point
+    * (associative, exact), surface as double. Oracle side mirrors with
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    *
+    * r15 fast path: the old `sum(cast(x as decimal(18,s)))` allocated a
+    * BigDecimal per row (Spark's double→decimal cast goes through the
+    * string form) — ~4 s CPU for one Q1-shape pass at sf0.1. The
+    * replacement rounds in pure FP, `signum·floor(|x|·10^s + 0.5)` =
+    * round-half-away-from-zero on the BINARY double — exactly DuckDB's
+    * double→DECIMAL semantics, so cross-engine agreement is by
+    * construction (the string-based cast agreed only because the
+    * fixtures' measures are 2-decimal-exact doubles) — and sums plain
+    * BIGINTs inside whole-stage codegen. Final surface: correctly-rounded
+    * long→double, then one division by the exactly-representable 10^s —
+    * the same two-step sequence DuckDB's decimal→DOUBLE performs.
+    * ANSI throws loudly if the scaled sum overflows BIGINT
+    * (≥ 9.2e18·10^-s in the measure's unit — document per caller). */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val m = math.pow(10, scale) // exact power of ten for scale <= 15
+    (sum((signum(c) * floor(abs(c) * lit(m) + lit(0.5))).cast("long"))
+      .cast("double") / lit(m)).cast("double")
+  }
 
-  /** Exact mean: exact decimal sum / count, divided in double — one IEEE
-    * division, bit-stable across engines. */
+  /** Exact mean: exact fixed-point sum / count, divided in double — IEEE
+    * divisions in a fixed order, bit-stable across engines. */
   def davg(c: Column, scale: Int = 2): Column =
-    (sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(c)).cast("double")
+    (dsum(c, scale) / count(c)).cast("double")
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
