@@ -51,6 +51,10 @@ object BenchOne {
       // SPARK_GRAFT_AQE=false isolates AQE stage-materialization barriers
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // SPARK_GRAFT_OBJAGG_FALLBACK isolates ObjectHashAggregate's
+      // sort-based fallback (default: 128 distinct keys per partition)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", "128"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counters = new Counters

@@ -3542,6 +3542,24 @@ object SparkEntry {
         Reconcile.chunkChecksums(o, "o_orderkey", b.getLong(0), b.getLong(1),
           parts = 8, rowRepr = checksumRowRepr), levels = 3)
     }),
+    // MERKLE DIFF (anti-entropy comparison): corrupt exactly one row (the
+    // min key — chunk 0 at any SF) in a replica, build both trees, diff —
+    // the output IS the O(log) root-to-leaf localization path, the
+    // descent a replicated store performs level by level instead of
+    // shipping the whole checksum table (Reconcile.merkleDiff doc;
+    // oracle replays both trees and the mutation)
+    "ext_merkle_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val b = checksumBounds(s, dir)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val corrupted = o.withColumn("o_totalprice",
+        when(col("o_orderkey") === lit(lo), col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      def tree(src: DataFrame) = Reconcile.merkleTree(
+        Reconcile.chunkChecksums(src, "o_orderkey", lo, hi,
+          parts = 8, rowRepr = checksumRowRepr), levels = 3)
+      Reconcile.merkleDiff(tree(o), tree(corrupted))
+    }),
 
     // ── §2.9 CDC apply + SCD2 history: fold a change log into a snapshot
     //    (the incremental form of taps' replay, lib/taps/operation.rb's
@@ -6306,6 +6324,7 @@ object SparkEntry {
         |  FROM (SELECT node_id // 2 AS p, node_id AS ch, digest FROM l2) GROUP BY p)
         |SELECT * FROM l0 UNION ALL SELECT * FROM l1
         |UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3""".stripMargin),
+    "ext_merkle_diff" -> merkleDiffOracleSql,
     "ext_cdc_apply" -> cdcApplyOracleSql,
     // same fold, change log restricted to the first fifth of the key domain
     // (the pruned write's localized-log premise); untouched partitions pass
@@ -7826,6 +7845,46 @@ object SparkEntry {
        |c AS (SELECT chunk_id, count(*) AS n,
        |  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h, bit_xor(h) AS xor_h
        |  FROM h GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of ext_merkle_diff: both chunk-checksum trees (pristine
+    * orders vs a replica with the min-key row's price bumped) replayed
+    * level by level, full-outer joined, differing digests kept. */
+  private def merkleDiffOracleSql: String = {
+    val repr = "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)), strftime(o_orderdate, '%Y-%m-%d'))"
+    def tree(src: String, x: String): String = {
+      val levels = (1 to 3).map { l =>
+        s"""l$l$x AS (SELECT $l AS level, p AS node_id,
+           |  md5(string_agg(digest, '|' ORDER BY ch)) AS digest
+           |  FROM (SELECT node_id // 2 AS p, node_id AS ch, digest
+           |        FROM l${l - 1}$x) GROUP BY p)""".stripMargin
+      }.mkString(",\n")
+      s"""h$x AS (SELECT CAST(least((o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
+         |  CAST(${md5PrefixValueSql(12, repr)} AS BIGINT) AS h
+         |  FROM $src, sp),
+         |c$x AS (SELECT chunk_id, count(*) AS n,
+         |  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h, bit_xor(h) AS xor_h
+         |  FROM h$x GROUP BY 1),
+         |l0$x AS (SELECT 0 AS level, CAST(chunk_id AS BIGINT) AS node_id,
+         |  md5(concat_ws('|', chunk_id, n, CAST(sum_h AS VARCHAR), xor_h)) AS digest
+         |  FROM c$x),
+         |$levels,
+         |t$x AS (SELECT * FROM l0$x UNION ALL SELECT * FROM l1$x
+         |        UNION ALL SELECT * FROM l2$x UNION ALL SELECT * FROM l3$x)"""
+        .stripMargin
+    }
+    s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
+       |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
+       |m AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |  CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+       |       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       |  o_orderdate FROM orders),
+       |${tree("orders", "a")},
+       |${tree("m", "z")}
+       |SELECT ta.level, ta.node_id, ta.digest AS digest_a, tz.digest AS digest_b
+       |FROM ta JOIN tz ON ta.level = tz.level AND ta.node_id = tz.node_id
+       |WHERE ta.digest <> tz.digest""".stripMargin
+  }
 
   private def minhashCandidatesCte: String = minhashBandsCte +
     """,

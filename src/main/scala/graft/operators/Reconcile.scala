@@ -125,6 +125,20 @@ object Reconcile {
     out
   }
 
+  /** Anti-entropy tree comparison: the differing nodes of two
+    * [[merkleTree]]s — for a single corrupted chunk this is exactly the
+    * root-to-leaf descent path (a leaf digest change propagates through
+    * every ancestor fold), so the output DEMONSTRATES the O(log chunks)
+    * localization a replicated store performs by fetching levels lazily:
+    * compare roots (1 row), descend only into differing parents, finish
+    * at the corrupt leaves. Missing nodes on either side (truncated
+    * replica) surface as NULL-digest rows via the full outer join. */
+  def merkleDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.withColumnRenamed("digest", "digest_a")
+      .join(b.withColumnRenamed("digest", "digest_b"),
+        Seq("level", "node_id"), "full_outer")
+      .filter(!(col("digest_a") <=> col("digest_b")))
+
   /** Partial aggregates of `valueCol` per `groupCols`: (group, sum, count)
     * — the algebraic state from which sum/count/avg are exactly
     * recoverable. The building block of [[mergeAggStates]]. */

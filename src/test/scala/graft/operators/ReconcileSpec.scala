@@ -139,5 +139,19 @@ class ReconcileSpec extends AnyFunSuite with SparkSpec {
     val bad = tree(chunks(Some(5)))
     val diff = clean.keySet.filter(k => clean(k) != bad(k))
     assert(diff == Set((0, 5L), (1, 2L), (2, 1L), (3, 0L)))
+    // merkleDiff returns exactly the descent path, digests on both sides
+    val got = Reconcile.merkleDiff(
+        Reconcile.merkleTree(chunks(None), levels = 3),
+        Reconcile.merkleTree(chunks(Some(5)), levels = 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((0, 5L), (1, 2L), (2, 1L), (3, 0L)))
+    // a truncated replica (missing root) surfaces as a NULL-digest row
+    val trunc = Reconcile.merkleTree(chunks(None), levels = 3)
+      .filter(col("level") < 3)
+    val missing = Reconcile.merkleDiff(
+        Reconcile.merkleTree(chunks(None), levels = 3), trunc)
+      .collect()
+    assert(missing.length == 1 && missing.head.getInt(0) == 3 &&
+      missing.head.isNullAt(3))
   }
 }
