@@ -2165,27 +2165,29 @@ object SparkEntry {
     // 48-bit vote circuit, the masked band joins, and bit_count(xor))
     "ext_simhash_hamming" -> ((s, dir) =>
       Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", "text")),
-    // LSH OPERATING-CURVE sweep: candidate-pair counts for every
-    // rows-per-band config r ∈ {2,4,8,16} over ONE 16-seed signature
-    // table (b = 16/r bands) — the b×r tuning table that picks the
-    // band shape for a target jaccard threshold (the S-curve
-    // 1-(1-s^r)^b); signatures computed once, checkpointed, four
-    // band-self-joins over the node-sized sig table
+    // LSH OPERATING-CURVE sweep: per rows-per-band config r ∈ {2,4,8,16}
+    // over ONE 16-seed signature table (b = 16/r bands), the bucket
+    // occupancy profile — occupied buckets and candidate WORK
+    // Σ_buckets C(size, 2), the join volume the banding would generate —
+    // the b×r tuning table that picks the band shape for a target
+    // jaccard threshold (S-curve 1-(1-s^r)^b). Bucket-size folds only:
+    // dictionary-sized exchanges per config, the pair stream itself is
+    // never materialized (a dense corpus at r = 2 is near-all-pairs BY
+    // DESIGN — that's what the sweep is for — so the tuning metric must
+    // be computable without doing the bad join; measured 22 s → sub-s
+    // at sf0.1). Signatures computed once, checkpointed.
     "ext_lsh_band_sweep" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
         "doc_id", "text", seeds = 16).localCheckpoint()
       val result = Seq(2, 4, 8, 16).map { r =>
-        val bands = Dedup.minhashBands(sigs, "doc_id", r)
-        val a = bands.select(col("band"), col("band_sig"),
-          col("doc_id").as("__da"))
-        val b = bands.select(col("band"), col("band_sig"),
-          col("doc_id").as("__db"))
-        a.join(b, Seq("band", "band_sig"))
-          .filter(col("__da") < col("__db"))
-          .select(col("__da"), col("__db")).distinct()
-          .agg(count(lit(1)).as("n_candidates"))
+        Dedup.minhashBands(sigs, "doc_id", r)
+          .groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(expr("__c * (__c - 1) div 2")).cast("bigint")
+              .as("n_candidate_slots"))
           .select(lit(r).as("rows_per_band"), lit(16 / r).as("n_bands"),
-            col("n_candidates"))
+            col("n_buckets"), col("n_candidate_slots"))
       }.reduce(_ unionByName _).localCheckpoint()
       Dedup.freeCheckpoints(sigs)
       result
@@ -7809,9 +7811,9 @@ object SparkEntry {
       |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
       |  FROM sig GROUP BY doc_id, j // 8)""".stripMargin
 
-  /** DuckDB twin of ext_lsh_band_sweep: per rows-per-band config r,
-    * distinct candidate pairs sharing any '_'-joined band signature over
-    * the SAME 16-seed signature table. */
+  /** DuckDB twin of ext_lsh_band_sweep: per rows-per-band config r, the
+    * bucket occupancy profile (occupied buckets, Σ C(size, 2) candidate
+    * work) over the SAME 16-seed signature table. */
   private def lshBandSweepOracleSql: String = {
     val configs = Seq(2, 4, 8, 16)
     val ctes = configs.map { r =>
@@ -7819,14 +7821,14 @@ object SparkEntry {
          |  SELECT doc_id, j // $r AS band,
          |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
          |  FROM sig GROUP BY doc_id, j // $r),
-         |c$r AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM (
-         |  SELECT DISTINCT a.doc_id, b.doc_id FROM band$r a JOIN band$r b
-         |   ON a.band = b.band AND a.band_sig = b.band_sig
-         |   AND a.doc_id < b.doc_id))""".stripMargin
+         |c$r AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_candidate_slots
+         |  FROM (SELECT count(*) AS c FROM band$r GROUP BY band, band_sig))"""
+        .stripMargin
     }.mkString(",\n")
     val sel = configs.map { r =>
       s"SELECT CAST($r AS INT) AS rows_per_band, CAST(${16 / r} AS INT) " +
-        s"AS n_bands, n_candidates FROM c$r"
+        s"AS n_bands, n_buckets, n_candidate_slots FROM c$r"
     }.mkString("\nUNION ALL\n")
     minhashSigCte + ",\n" + ctes + "\n" + sel
   }
