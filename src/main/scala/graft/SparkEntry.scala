@@ -809,6 +809,40 @@ object SparkEntry {
       operators.Dedup.freeCheckpoints(e)
       result
     }),
+    // RICH-CLUB coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k ∈
+    // {96, 128, 160} (the full co-purchase degree distribution is
+    // SF-stable: median ~115, p99 ~175 — thresholds bracket it; the
+    // support subgraph's degrees are SF-dependent and single-digit,
+    // checked before declaring) — the density of the subgraph induced by nodes of
+    // degree > k (do hubs preferentially interlink?). One endpoint fold
+    // for degrees (node-sized, broadcast back), one pass over the
+    // distinct edge stream with the k-thresholds exploded in-row; exact
+    // BIGINT counts, one IEEE division rounded once.
+    "ext_rich_club" -> ((s, dir) => {
+      val e = copurchaseEdgesRaw(s, dir).localCheckpoint()
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).cast("bigint").as("d"))
+      val degB = broadcast(deg) // node-sized (see ext_modularity note)
+      val ks = array(Seq(96, 128, 160).map(k => lit(k.toLong)): _*)
+      val ek = e
+        .join(degB.select(col("n").as("u"), col("d").as("__du")), "u")
+        .join(degB.select(col("n").as("v"), col("d").as("__dv")), "v")
+        .select(explode(ks).as("k"), col("__du"), col("__dv"))
+        .filter(col("__du") > col("k") && col("__dv") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).cast("bigint").as("e_k"))
+      val nk = deg.select(explode(ks).as("k"), col("d"))
+        .filter(col("d") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).cast("bigint").as("n_k"))
+      val result = nk.join(ek, Seq("k"), "left")
+        .select(col("k").cast("int").as("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"),
+          round(lit(2.0) * coalesce(col("e_k"), lit(0L)).cast("double") /
+            nullif((col("n_k") * (col("n_k") - 1)).cast("double"), lit(0.0)),
+            6).as("rich_club"))
+        .localCheckpoint()
+      operators.Dedup.freeCheckpoints(e)
+      result
+    }),
     // BIPARTITE PROJECTION with cosine link strength: customer×part
     // bipartite pairs project onto part-part co-occurrence counts (in-row
     // pair generation per customer basket — Graph.itemPairs, one
@@ -2433,6 +2467,25 @@ object SparkEntry {
           nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
       exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
+        .select(col("query_id"), col("n_hit"), col("k"),
+          round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+    }),
+    // PQ recall@k eval: the ADC ranking vs the EXACT ranking in the same
+    // fixed-point metric space the codes approximate — the
+    // quantization-error floor the re-rank stage exists to recover
+    // (ext_ann_recall's twin for the PQ path; both rankings replayed)
+    "ext_pq_recall" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val q = v.filter(col("vec_id") < 10)
+      val cb = pqIndex(s, dir)
+      val dims = cb.length * cb(0)(0).length
+      val exact = Similarity.exactTopKFixed(v, q, dims, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val adc = Similarity.pqTopK(v, q, cb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(broadcast(adc), Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"), count(col("__hit")).as("n_hit"))
         .select(col("query_id"), col("n_hit"), col("k"),
@@ -4222,6 +4275,21 @@ object SparkEntry {
     "ext_label_prop" -> sqlLabelProp,
     "ext_modularity" -> sqlModularity,
     "ext_community_conductance" -> sqlConductance,
+    "ext_rich_club" -> ("WITH " + sqlEdgesSelfJoinCte +
+      """deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |  SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |ks(k) AS (VALUES (96),(128),(160)),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k FROM edges e
+        |  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v, ks
+        |  WHERE du.d > k AND dv.d > k GROUP BY k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM deg, ks
+        |  WHERE d > k GROUP BY k)
+        |SELECT CAST(nk.k AS INT) AS k, n_k,
+        |  COALESCE(e_k, CAST(0 AS BIGINT)) AS e_k,
+        |  round(2.0 * CAST(COALESCE(e_k, 0) AS DOUBLE) /
+        |    nullif(CAST(n_k * (n_k - 1) AS DOUBLE), 0), 6) AS rich_club
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k""".stripMargin),
     "ext_weighted_modularity" -> sqlWeightedModularity,
     "ext_conditional_basket" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -5607,6 +5675,35 @@ object SparkEntry {
     // ADC distances re-derived from the replayed codebooks: for each
     // (query, candidate, subspace) look up the candidate's centroid and
     // accumulate the exact integer distance the LUT path computes
+    // ADC top-5 vs exact fixed-point top-5, recall per query — both
+    // rankings are the already-replayed templates (rerank oracle's ADC
+    // chain + the full-dim f table), joined like ext_ann_recall
+    "ext_pq_recall" -> (pqReplayCte +
+      s""",
+         |scored AS (
+         |  SELECT qs.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         |    CAST(SUM(${sqDistSql("qs.sv", "c2.c")}) AS BIGINT) AS adc
+         |  FROM (SELECT * FROM sub WHERE vec_id < 10) qs
+         |  JOIN codes cd ON cd.s = qs.s AND cd.vec_id <> qs.vec_id
+         |  JOIN c2 ON c2.s = cd.s AND c2.j = cd.code
+         |  GROUP BY 1, 2),
+         |adc5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |ex AS (SELECT qf.vec_id AS query_id, cf.vec_id AS neighbor_id,
+         |  CAST(${sqDistSql("qf.fe", "cf.fe")} AS BIGINT) AS dist
+         |  FROM (SELECT * FROM f WHERE vec_id < 10) qf
+         |  JOIN f cf ON cf.vec_id <> qf.vec_id),
+         |ex5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM ex)
+         |  WHERE rn <= 5)
+         |SELECT e.query_id, count(a.neighbor_id) AS n_hit,
+         |  count(*) AS k,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex5 e LEFT JOIN adc5 a USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin),
     "ext_embedding_pq_topk" -> (pqReplayCte +
       s""",
          |scored AS (

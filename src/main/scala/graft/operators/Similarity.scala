@@ -348,6 +348,28 @@ object Similarity {
         col("rn").as("rank"))
   }
 
+  /** EXACT full-dimension fixed-point L2 top-k — [[pqTopKRefine]]'s
+    * refine stage run over the WHOLE corpus (no shortlist): the ground
+    * truth the PQ family's recall is tuned against, in the same metric
+    * space the codes approximate. Integer ×2^16 fixed point — sums are
+    * associative, so the ranking is merge-order-free and engine-free. */
+  def exactTopKFixed(candidates: DataFrame, queries: DataFrame, dims: Int,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"), fpSub(col(vecCol), 0, dims).as("cf"))
+    val q = queries.select(col(idCol).as("query_id"),
+      fpSub(col(vecCol), 0, dims).as("qf"))
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", sqDist(col("qf"), col("cf")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"),
+        col("rn").as("rank"))
+  }
+
   /** Probe list for the IVF-PQ coarse quantizer: indices of the `nprobe`
     * nearest coarse centroids by ascending exact integer squared L2 (ties
     * → lowest index). `coarse` is a full-dim integer codebook — train it
