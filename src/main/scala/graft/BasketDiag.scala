@@ -43,6 +43,20 @@ object BasketDiag {
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
           .select(count(lit(1))).collect()
       }
+      timed(s"nativeset-only  #$i") {
+        li.repartition(32, col("l_orderkey")).groupBy(col("l_orderkey"))
+          .agg(org.apache.spark.sql.graft.SortedLongSet.of(
+            col("l_partkey")).as("__items"))
+          .select(count(lit(1))).collect()
+      }
+      timed(s"nativeset+expl  #$i") {
+        li.repartition(32, col("l_orderkey")).groupBy(col("l_orderkey"))
+          .agg(org.apache.spark.sql.graft.SortedLongSet.of(
+            col("l_partkey")).as("__items"))
+          .select(explode(org.apache.spark.sql.graft.SortedPairs.of(
+            col("__items"))).as("__e"))
+          .select(count(lit(1))).collect()
+      }
       timed(s"selfjoin+supp   #$i") {
         val d = li.repartition(32, col("l_orderkey")).distinct()
         val a = d.select(col("l_orderkey"), col("l_partkey").as("u"))

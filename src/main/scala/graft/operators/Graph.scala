@@ -45,6 +45,19 @@ object Graph {
     * any other orderable type (string, date, …) falls back to the
     * element-equal HOF expansion the kernel replaced, preserving the
     * element type. */
+  /** `array_sort(collect_set(c))` with the primitive-long native fold
+    * ([[org.apache.spark.sql.graft.SortedLongSet]] — no per-value boxing,
+    * one sort at eval) when the element type is integral; elements widen
+    * to LONG on that path, the same widening the SortedPairs kernel
+    * applies. Non-integral ids keep the generic collect_set form.
+    * Sorted-ascending distinct either way; NULL inputs dropped. */
+  private def sortedSetOf(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.graft.SortedLongSet.of(col(c))
+      case _ => array_sort(collect_set(col(c)))
+    }
+
   def itemPairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     // explicit-count repartition on the GROUP key: the basket stream is
     // byte-light but the in-row expansion is compute-dense, so AQE's
@@ -71,7 +84,7 @@ object Graph {
       df.repartition(df.sparkSession.sparkContext.defaultParallelism,
           col(groupCol))
         .groupBy(col(groupCol))
-        .agg(array_sort(collect_set(col(itemCol))).as("__items"))
+        .agg(sortedSetOf(df, itemCol).as("__items"))
         .select(col(groupCol), explode(pairsOf(col("__items"))).as("__e"))
         .select(col(groupCol), col("__e.u").as("u"), col("__e.v").as("v"))
     }
@@ -669,8 +682,9 @@ object Graph {
     require(scaleBits >= 1 && scaleBits <= 40,
       s"scaleBits must be in [1, 40], got $scaleBits")
     val scale = 1L << scaleBits
-    val cand = orientedAdjacency(pairs, uCol, vCol)
-      .groupBy(col("__s")).agg(array_sort(collect_set(col("__t"))).as("__nbrs"))
+    val adjRa = orientedAdjacency(pairs, uCol, vCol)
+    val cand = adjRa
+      .groupBy(col("__s")).agg(sortedSetOf(adjRa, "__t").as("__nbrs"))
       .select(expr(s"$scale div size(__nbrs)").as("__ra"),
         explode(expr(
           "flatten(transform(__nbrs, (x, i) -> " +
@@ -710,8 +724,9 @@ object Graph {
   def commonNeighborTopK(pairs: DataFrame, uCol: String, vCol: String,
                          topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val cand = orientedAdjacency(pairs, uCol, vCol)
-      .groupBy(col("__s")).agg(array_sort(collect_set(col("__t"))).as("__nbrs"))
+    val adjCn = orientedAdjacency(pairs, uCol, vCol)
+    val cand = adjCn
+      .groupBy(col("__s")).agg(sortedSetOf(adjCn, "__t").as("__nbrs"))
       .select(explode(expr(
         "flatten(transform(__nbrs, (x, i) -> " +
           "transform(slice(__nbrs, i + 2, size(__nbrs)), " +
@@ -992,12 +1007,14 @@ object Graph {
     * exchange, so the pair-level distinct (a second full-stream
     * exchange) is never paid. The degree-profile family derives
     * everything from this frame. */
-  private def adjFromPairs(pairs: DataFrame, uCol: String, vCol: String): DataFrame =
-    orientedAdjacency(pairs, uCol, vCol)
-      .groupBy(col("__s")).agg(collect_set(col("__t")).as("__nbrs"))
+  private def adjFromPairs(pairs: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val adj = orientedAdjacency(pairs, uCol, vCol)
+    adj
+      .groupBy(col("__s")).agg(sortedSetOf(adj, "__t").as("__nbrs"))
       .select(col("__s").as("__n"), col("__nbrs"),
         size(col("__nbrs")).cast("bigint").as("__d"))
       .ckpt()
+  }
 
   /** [[neighborDegreeProfile]] recomputed as the single-consumer fast
     * path, directly off the raw pair stream: fold the distinct adjacency
