@@ -5281,42 +5281,16 @@ object SparkEntry {
 
     // same affine code arithmetic as the quantize oracle, integer squared
     // L2 per (vector, centroid), argmin replayed as a (dist, cid) window
-    "ext_kmeans_assign" ->
-      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
-        |            unnest(range(len(embedding))) AS pos FROM embeddings),
-        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
-        |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
-        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
-        |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
-        |      AS BIGINT) END AS code
-        |  FROM ex JOIN st ON ex.pos = st.pos),
-        |cent AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
-        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |dist AS (SELECT c.vec_id, ct.cid,
-        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
-        |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2)
+    "ext_kmeans_assign" -> (kmeansAssignDistCte + """
         |SELECT vec_id, cid AS cluster, d AS dist FROM dist
-        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1""".stripMargin),
     // the same exact-integer assignment, capped at 8 per cell by id order
-    "ext_cluster_cap" ->
-      """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
-        |            unnest(range(len(embedding))) AS pos FROM embeddings),
-        |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
-        |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
-        |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
-        |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
-        |      AS BIGINT) END AS code
-        |  FROM ex JOIN st ON ex.pos = st.pos),
-        |cent AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
-        |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |dist AS (SELECT c.vec_id, ct.cid,
-        |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
-        |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2),
+    "ext_cluster_cap" -> (kmeansAssignDistCte + """,
         |asg AS (SELECT vec_id, cid AS cluster FROM dist
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
         |SELECT vec_id, cluster FROM asg
         |QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 8"""
-      .stripMargin,
+      .stripMargin),
     // round two: both assignments + the floored-integer-mean update
     // replayed set-wise (codes are non-negative, so // equals div)
     "ext_kmeans_round2" ->
@@ -8131,6 +8105,27 @@ object SparkEntry {
 
   /** DuckDB twin of Dedup.simhashMd5(bits=16): same distinct-token stream,
     * same per-bit ±1 votes, same sign-assembled hash. */
+  /** The k-means-assignment replay prefix shared by ext_kmeans_assign
+    * and ext_cluster_cap: int8 affine codes, first-8 seed centroids,
+    * exact BIGINT squared L2 per (vector, centroid) — ends at
+    * `dist(vec_id, cid, d)`. ONE copy so the assignment semantics
+    * (mx = mn guard, tie order) can never desynchronize between keys. */
+  private val kmeansAssignDistCte: String =
+    """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+      |            unnest(range(len(embedding))) AS pos FROM embeddings),
+      |st AS (SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+      |       max(CAST(v AS DOUBLE)) AS mx FROM ex GROUP BY pos),
+      |codes AS (SELECT vec_id, ex.pos, CASE WHEN mx = mn THEN 0 ELSE
+      |    CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+      |      AS BIGINT) END AS code
+      |  FROM ex JOIN st ON ex.pos = st.pos),
+      |cent AS (SELECT vec_id AS cid, pos, code AS ccode FROM codes
+      |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |dist AS (SELECT c.vec_id, ct.cid,
+      |    CAST(SUM((c.code - ct.ccode) * (c.code - ct.ccode)) AS BIGINT) AS d
+      |  FROM codes c JOIN cent ct ON c.pos = ct.pos GROUP BY 1, 2)"""
+      .stripMargin
+
   /** The simhash vote/assemble circuit as CTEs ending at
     * `sig(doc_id, simhash)` — token hash = leading ⌈bits/4⌉ hex digits
     * of md5(token), mirroring Dedup.simhashMd5 at any width. */

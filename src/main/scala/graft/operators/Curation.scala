@@ -184,8 +184,13 @@ object Curation {
     * Shape: one map-only kernel pass for per-doc totals, one exploded
     * kernel pass folded to gram→min(doc) (the gram dictionary — the only
     * corpus-sized exchange), re-folded to per-doc novel counts, one
-    * row-sized join. The gram hash never leaves the plan (same contract
-    * as [[decontaminateFast]]), so the oracle replays raw gram strings.
+    * row-sized join. The kernel deliberately runs TWICE rather than
+    * checkpointing one shared (doc, grams) frame — the same
+    * pruning-vs-reuse trade [[decontaminateBloom]] documents: the
+    * checkpoint would persist the corpus-GRAM-sized stream, which at
+    * 100 TB costs more than re-running the map-only kernel. The gram
+    * hash never leaves the plan (same contract as [[decontaminateFast]]),
+    * so the oracle replays raw gram strings.
     * Docs with fewer than n tokens have 0 grams → NULL novelty via the
     * nullif guard, identically cross-engine. */
   def gramNovelty(docs: DataFrame, idCol: String, textCol: String,

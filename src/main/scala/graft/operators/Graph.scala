@@ -26,6 +26,19 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  */
 object Graph {
 
+  /** `array_sort(collect_set(c))` with the primitive-long native fold
+    * ([[org.apache.spark.sql.graft.SortedLongSet]] — no per-value boxing,
+    * one sort at eval) when the element type is integral; elements widen
+    * to LONG on that path, the same widening the SortedPairs kernel
+    * applies. Non-integral ids keep the generic collect_set form.
+    * Sorted-ascending distinct either way; NULL inputs dropped. */
+  private def sortedSetOf(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.graft.SortedLongSet.of(col(c))
+      case _ => array_sort(collect_set(col(c)))
+    }
+
   /** Per-group unordered item pairs (u < v) generated IN-ROW: group rows
     * by `groupCol`, collect the DISTINCT items, and expand the sorted
     * basket's pairs with a nested array transform — ONE exchange (the
@@ -45,19 +58,6 @@ object Graph {
     * any other orderable type (string, date, …) falls back to the
     * element-equal HOF expansion the kernel replaced, preserving the
     * element type. */
-  /** `array_sort(collect_set(c))` with the primitive-long native fold
-    * ([[org.apache.spark.sql.graft.SortedLongSet]] — no per-value boxing,
-    * one sort at eval) when the element type is integral; elements widen
-    * to LONG on that path, the same widening the SortedPairs kernel
-    * applies. Non-integral ids keep the generic collect_set form.
-    * Sorted-ascending distinct either way; NULL inputs dropped. */
-  private def sortedSetOf(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        org.apache.spark.sql.graft.SortedLongSet.of(col(c))
-      case _ => array_sort(collect_set(col(c)))
-    }
-
   def itemPairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     // explicit-count repartition on the GROUP key: the basket stream is
     // byte-light but the in-row expansion is compute-dense, so AQE's

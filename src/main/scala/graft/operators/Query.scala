@@ -37,9 +37,16 @@ object Query {
     * long→double, then one division by the exactly-representable 10^s —
     * the same two-step sequence DuckDB's decimal→DOUBLE performs.
     * ANSI throws loudly if the scaled sum overflows BIGINT
-    * (≥ 9.2e18·10^-s in the measure's unit — document per caller). */
+    * (≥ 9.2e18·10^-s in the measure's unit — document per caller).
+    * Per-VALUE bound: |x|·10^s must stay under 2^53 (≈ 9·10^15 at
+    * scale 2 — far past any monetary/quantity measure) or the FP
+    * product loses integer resolution and rounds silently where the
+    * old decimal cast was exact; the scale guard below keeps 10^s
+    * itself exactly representable. */
   def dsum(c: Column, scale: Int = 2): Column = {
-    val m = math.pow(10, scale) // exact power of ten for scale <= 15
+    require(scale >= 0 && scale <= 15,
+      s"scale must be in [0, 15] (10^s exact in double), got $scale")
+    val m = math.pow(10, scale)
     (sum((signum(c) * floor(abs(c) * lit(m) + lit(0.5))).cast("long"))
       .cast("double") / lit(m)).cast("double")
   }

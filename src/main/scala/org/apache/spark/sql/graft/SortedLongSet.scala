@@ -127,10 +127,10 @@ case class SortedLongSet(
     UnsafeArrayData.fromPrimitiveArray(buf.toSortedArray)
 
   override def serialize(buf: LongSetBuffer): Array[Byte] = {
-    val vals = buf.toSortedArray
-    val bb = ByteBuffer.allocate(vals.length * 8)
-    var i = 0
-    while (i < vals.length) { bb.putLong(vals(i)); i += 1 }
+    // raw table order — deserialize re-inserts into a hash table, so the
+    // O(n log n) sort belongs only in eval(), never per shipped partial
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    buf.foreachKey(bb.putLong(_))
     bb.array()
   }
 

@@ -22,7 +22,7 @@ def loadavg():
     except OSError:
         return []
 
-def main(sf_dir, oracle_path, out_path, interrupt_s=60.0):
+def main(sf_dir, oracle_path, out_path, interrupt_s=60.0, warm=False):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in ["region","nation","customer","supplier","part","orders",
@@ -33,6 +33,19 @@ def main(sf_dir, oracle_path, out_path, interrupt_s=60.0):
     queries, failed = {}, {}
     for name in sorted(oracle):
         sql = oracle[name]
+        if warm:
+            # optional symmetric warm pass (--warm): one untimed run per
+            # query, interrupt-capped, mirroring the Spark side's warm-up.
+            # Off by default — historical pairs were recorded without it
+            # (DuckDB has no JIT; its warm state is the buffer cache).
+            timer = threading.Timer(interrupt_s, con.interrupt)
+            timer.start()
+            try:
+                con.sql(sql).fetchall()
+            except Exception:
+                pass
+            finally:
+                timer.cancel()
         # up to one retry: the interrupt Timer can race query completion
         # (fire after fetchall returns but before cancel) and poison the
         # NEXT statement on the shared connection — a genuinely-fast query
@@ -66,5 +79,7 @@ def main(sf_dir, oracle_path, out_path, interrupt_s=60.0):
                       ("total_ok", "n_ok", "failed", "loadavg_start", "loadavg_end")}))
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3],
-         float(sys.argv[4]) if len(sys.argv) > 4 else 60.0)
+    args = [a for a in sys.argv[1:] if a != "--warm"]
+    main(args[0], args[1], args[2],
+         float(args[3]) if len(args) > 3 else 60.0,
+         warm="--warm" in sys.argv)
