@@ -2229,6 +2229,24 @@ object SparkEntry {
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
+    // dedup AUDIT report: per near-dup CLUSTER (transitive closure at
+    // J ≥ 0.95) its size, source spread, byte mass and the kept
+    // representative — the artifact a production dedup pass ships
+    // alongside the survivors (Dedup.nearDupClusters surfaces the CC
+    // labels; profile = one doc-metadata join + cluster fold; oracle
+    // replays the recursive-CTE closure and the same aggregation)
+    "ext_dup_cluster_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupClusters(docs, "doc_id", "text", 16, 8, 0.95)
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("n_docs") > 1)
+    }),
     // FUZZY string near-dup join: char-4-gram LSH candidates + exact
     // levenshtein verify over the documents' leading 48 chars (the
     // short-field fuzzy-dedup shape — titles, names; token dedup is
@@ -5269,6 +5287,7 @@ object SparkEntry {
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
     "ext_simhash_hamming" -> simhashHammingOracleSql,
     "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
+    "ext_dup_cluster_profile" -> dupClusterProfileOracleSql,
     // identical affine-code arithmetic, replayed in the same IEEE op order
     "ext_embedding_quantize" ->
       """WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
@@ -8186,7 +8205,11 @@ object SparkEntry {
     * outside the graph are kept). The closure is O(Σ component²) rows —
     * fine for an oracle, which is exactly why the engine side uses
     * iterative hash-min label propagation instead. */
-  private def dropNearDupsCcOracleSql: String =
+  /** The verified-near-dup component closure (doc-level candidates →
+    * J ≥ 0.95 verify → symmetric edges → recursive min-reachability →
+    * `comp(node, component)`) — shared by the CC drop filter and the
+    * cluster-profile audit so the closure semantics cannot drift. */
+  private def nearDupCompCte: String =
     minhashCandidatesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |verified AS (
@@ -8203,9 +8226,26 @@ object SparkEntry {
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
         |  UNION
         |  SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t),
-        |comp AS (SELECT s AS node, min(t) AS component FROM reach GROUP BY s)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin
+        |comp AS (SELECT s AS node, min(t) AS component FROM reach GROUP BY s)""".stripMargin
+
+  private def dropNearDupsCcOracleSql: String = nearDupCompCte +
+    """
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""".stripMargin
+
+  /** DuckDB twin of ext_dup_cluster_profile: the same closure, docs
+    * labeled by COALESCE(component, own id), clusters of size > 1
+    * profiled. */
+  private def dupClusterProfileOracleSql: String = nearDupCompCte +
+    """,
+      |clus AS (SELECT d.doc_id, d.source, d.n_chars,
+      |    COALESCE(c.component, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS keep_id
+      |FROM clus GROUP BY cluster HAVING count(*) > 1""".stripMargin
 
   /** Whole-token occurrence count of `w` in `text` via length differencing —
     * mirrors TextAnalysis.wordOccurrences. */

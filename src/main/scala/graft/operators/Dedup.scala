@@ -785,6 +785,39 @@ object Dedup {
     keepDocs(docs, idCol, textCol, kept)
   }
 
+  /** Near-dup CLUSTER LABELS: (doc_id, cluster) for every doc with ≥ 1
+    * token, where cluster = the minimum doc id reachable through the
+    * verified near-dup graph (J ≥ threshold) — [[dropNearDupsCC]]'s
+    * component structure SURFACED instead of consumed by a drop filter,
+    * the input to dedup AUDIT reports (cluster sizes, source spread,
+    * which doc was kept and what it dominated). Same machinery: rep
+    * collapse, banded candidates, verify, hash-min CC at rep level,
+    * members inherit their rep's component (rep = min member id and
+    * component = min rep id, so the cluster label IS the cluster's
+    * minimum doc id). Docs outside the near-dup graph label as their
+    * own singleton cluster. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      seeds: Int = 16, rowsPerBand: Int = 8,
+                      threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
+    val reps = repsOnly(docs, idCol, textCol).localCheckpoint()
+    val verified = verifiedRepPairs(reps, seeds, rowsPerBand, threshold,
+        withMembers = false)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val comp = connectedComponents(verified, maxIter)
+    val docRep = tokenSets(docs, idCol, textCol)
+      .select(col(idCol), col("__set_key"))
+      .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
+      .select(col(idCol), col("__rep"))
+    val result = docRep
+      .join(comp.select(col("node").as("__rep"), col("component")),
+        Seq("__rep"), "left")
+      .select(col(idCol), coalesce(col("component"), col("__rep"))
+        .as("cluster"))
+      .localCheckpoint()
+    freeCheckpoints(reps, verified, comp)
+    result
+  }
+
   /** ASYMMETRIC near-dup filter: drop every `incoming` doc whose token-set
     * jaccard against ANY `reference` doc clears `threshold` — cross-corpus
     * dedup, the sibling of [[Curation.decontaminateFast]] for whole-document

@@ -732,6 +732,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("nearDupClusters: labels = min reachable doc id; clones share a " +
+      "cluster; survivors of the CC drop are exactly the cluster labels") {
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", 16, 8, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2, 5 are clones (identical token sets — candidates through
+    // EVERY band, no LSH luck involved); near-dup doc 3 joining the
+    // cluster depends on a band match, which the minhash family does not
+    // guarantee — so only the clone invariant is pinned here
+    assert(got(1L) == 1L && got(2L) == 1L && got(5L) == 1L)
+    assert(got(4L) == 4L) // unrelated doc: own singleton cluster
+    // every label is its own cluster's minimum member
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min)
+    }
+    // consistency with the drop filter: the survivors ARE the labels
+    val kept = Dedup.dropNearDupsCC(docs, "doc_id", "text", 16, 8, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == got.values.toSet)
+  }
+
   test("simhashHammingPairs equals brute-force popcount pairs at radius " +
       "bands-1 (pigeonhole recall) and never exceeds the radius") {
     val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
