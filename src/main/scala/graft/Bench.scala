@@ -157,7 +157,10 @@ object Bench {
     // duckbench.py grew a --warm flag for sittings that want a
     // symmetric untimed first pass on the DuckDB side too.
     val warmBudgetSec =
-      sys.env.get("SPARK_GRAFT_WARM_BUDGET_SEC").map(_.toLong).getOrElse(240L)
+      sys.env.get("SPARK_GRAFT_WARM_BUDGET_SEC").map { raw =>
+        raw.toLongOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_WARM_BUDGET_SEC must be a whole number of seconds, got '$raw'"))
+      }.getOrElse(240L)
     val warmDeadline = System.nanoTime() + warmBudgetSec * 1000 * 1000 * 1000
     var prevPass = Double.MaxValue
     var pass = 0
@@ -352,7 +355,7 @@ object Bench {
     // envelope gate was silent — the artifact must name them
     val warmupCold = scala.collection.mutable.ArrayBuffer(
       selected.collect { case (n, _) if !warmCpu.contains(n) => n }: _*)
-    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"cpu_envelope_limit":$cpuEnvelopeLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warmup_cold":${names(warmupCold)},"warmup_errors":$warmErrJson"""
+    val loadJson = s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"load_threshold":$loadThreshold,"ambient_limit":$ambientLimit,"canary_limit":$canaryLimit,"psi_limit":$psiLimit,"cpu_envelope_limit":$cpuEnvelopeLimit,"retried":${names(retriedNames)},"poisoned":${names(poisonedNames)},"warmup":"adaptive-full-pass-x$pass","warm_budget_sec":$warmBudgetSec,"warmup_cold":${names(warmupCold)},"warmup_errors":$warmErrJson"""
     val json = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"load1":$load1ByQuery,"ambient_cores":$ambByQuery,"canary_ratio":$canaryByQuery,"psi_stall":$psiByQuery,"task_sec":$taskSecByQuery,"cpu_sec":$cpuSecByQuery,"cpu_warm":$cpuWarmByQuery,"cpu_env":$cpuEnvByQuery,"jit_ms":$jitMsByQuery,"codecache_pct":$ccPctByQuery,"queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest

@@ -795,7 +795,11 @@ object Dedup {
     * members inherit their rep's component (rep = min member id and
     * component = min rep id, so the cluster label IS the cluster's
     * minimum doc id). Docs outside the near-dup graph label as their
-    * own singleton cluster. */
+    * own singleton cluster — INCLUDING zero-token (null/empty-text) docs,
+    * which never enter the token-set graph: they union back as their own
+    * singletons so the output labels EVERY corpus row (the oracle's
+    * LEFT JOIN + COALESCE semantics) and a consumer joining cluster
+    * labels back to the corpus loses nothing. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       seeds: Int = 16, rowsPerBand: Int = 8,
                       threshold: Double = 0.95, maxIter: Int = 25): DataFrame = {
@@ -808,11 +812,20 @@ object Dedup {
       .select(col(idCol), col("__set_key"))
       .join(reps.select(col("__set_key"), col("__rep")), "__set_key")
       .select(col(idCol), col("__rep"))
+    // zero-token docs are excluded by tokenSets' `length(translate)>0`
+    // gate (the SAME predicate, complemented, so the two paths partition
+    // the corpus exactly); they are near-dups of nothing — each is its
+    // own singleton cluster labeled by its own id
+    val tokenless = docs
+      .filter(!coalesce(
+        length(translate(col(textCol), " ", "")) > 0, lit(false)))
+      .select(col(idCol), col(idCol).as("cluster"))
     val result = docRep
       .join(comp.select(col("node").as("__rep"), col("component")),
         Seq("__rep"), "left")
       .select(col(idCol), coalesce(col("component"), col("__rep"))
         .as("cluster"))
+      .unionByName(tokenless)
       .localCheckpoint()
     freeCheckpoints(reps, verified, comp)
     result

@@ -40,15 +40,23 @@ object Query {
     * (≥ 9.2e18·10^-s in the measure's unit — document per caller).
     * Per-VALUE bound: |x|·10^s must stay under 2^53 (≈ 9·10^15 at
     * scale 2 — far past any monetary/quantity measure) or the FP
-    * product loses integer resolution and rounds silently where the
-    * old decimal cast was exact; the scale guard below keeps 10^s
-    * itself exactly representable. */
+    * product loses integer resolution; the scale guard below keeps 10^s
+    * itself exactly representable, and the per-row `when` branch RAISES
+    * on any value past the bound instead of rounding silently where the
+    * old decimal cast was exact. The guard compares the already-computed
+    * |x|·10^s against one literal inside whole-stage codegen — a single
+    * double compare per row, unmeasurable next to the sum itself. */
   def dsum(c: Column, scale: Int = 2): Column = {
     require(scale >= 0 && scale <= 15,
       s"scale must be in [0, 15] (10^s exact in double), got $scale")
     val m = math.pow(10, scale)
-    (sum((signum(c) * floor(abs(c) * lit(m) + lit(0.5))).cast("long"))
-      .cast("double") / lit(m)).cast("double")
+    val scaled = abs(c) * lit(m)
+    val fixed = when(scaled >= lit(9007199254740992.0), // 2^53
+        raise_error(concat(
+          lit(s"dsum: |x|*10^$scale >= 2^53 loses integer resolution, x="),
+          c.cast("string"))))
+      .otherwise(signum(c) * floor(scaled + lit(0.5)))
+    (sum(fixed.cast("long")).cast("double") / lit(m)).cast("double")
   }
 
   /** Exact mean: exact fixed-point sum / count, divided in double — IEEE

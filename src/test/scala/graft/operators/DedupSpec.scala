@@ -752,6 +752,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == got.values.toSet)
   }
 
+  test("nearDupClusters labels EVERY corpus row: zero-token (null/empty/" +
+      "whitespace) docs come back as their own singleton clusters") {
+    import spark.implicits._
+    val withTokenless = docs.unionByName(Seq(
+      (90L, ""), (91L, "   "), (92L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text"))
+    val got = Dedup.nearDupClusters(withTokenless, "doc_id", "text", 16, 8, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 90L, 91L, 92L),
+      s"every corpus row must be labeled, got ${got.keySet}")
+    // tokenless docs are near-dups of nothing — own-id singletons
+    assert(got(90L) == 90L && got(91L) == 91L && got(92L) == 92L)
+    // and the tokenized side is unchanged by their presence
+    assert(got(1L) == 1L && got(2L) == 1L && got(5L) == 1L && got(4L) == 4L)
+  }
+
   test("simhashHammingPairs equals brute-force popcount pairs at radius " +
       "bands-1 (pigeonhole recall) and never exceeds the radius") {
     val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
