@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
@@ -482,10 +483,13 @@ object Graph {
     // instead of paying a second materialization barrier.
     val ep = raw.repartition(col("__p")).distinct().ckpt()
     val ecPlan = ep.repartition(col("__c"))
-    // the __c-keyed copy serves every half-step from round 2 on (the
-    // broadcast path rides it for the h-groupBy), so checkpoint it
-    // whenever a second round exists
-    val ec = if (iters >= 2) ecPlan.ckpt() else ecPlan
+    // the __c-keyed copy serves one half-step per round from round 2 on
+    // (iters − 1 uses in either path: the broadcast path's h-groupBy, or
+    // the shuffle path's a-join), so its materialization BARRIER only
+    // pays for itself at ≥ 2 uses — at iters = 2 the single consumer
+    // re-exchanges the checkpointed ep blocks inside its own job instead
+    // (same exchange volume, one less job barrier; measured 9 → 7 jobs)
+    val ec = if (iters >= 3) ecPlan.ckpt() else ecPlan
     val sess = ec.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
@@ -613,8 +617,22 @@ object Graph {
     * W(u) = Σ_t w(u,t) the strength. The per-edge floor division keeps
     * every score an exact BIGINT (sums of integers are fold-order-free),
     * so the DuckDB twin unrolls the identical recurrence — bit-identical
-    * cross-engine. Same loop mechanics as the unweighted operator (one
-    * checkpoint barrier, AQE off, co-partitioned joins). */
+    * cross-engine.
+    *
+    * r16 shape — ONE barrier, no per-round node join: the strength
+    * W(u) rides the edge checkpoint as a window sum over the same
+    * HashPartitioning(__s) the repartition already paid (no separate
+    * degree frame, no second checkpoint), the nSeeds seed ids COLLECT
+    * to the driver (index-sized by contract — the pathCounts seed
+    * trade) and become an `isin` literal inside the round body, and
+    * each round is exactly e ⋈ pr (co-partitioned: pr arrives
+    * HashPartitioning(__t) from the previous round's aggregation,
+    * aliased to __s) + one __t-keyed aggregation — ONE exchange per
+    * round, the whole iters-round chain executing as a single job.
+    * The doubled orientation guarantees every node has in-edges, so
+    * seeding pr₀ over distinct(__s) keeps every node present in every
+    * round's output (zero-valued contributions still form groups) —
+    * the restart mask needs no outer join. */
   def weightedPersonalizedPagerank(wpairs: DataFrame, uCol: String,
                                    vCol: String, wCol: String,
                                    iters: Int, nSeeds: Int): DataFrame = {
@@ -629,34 +647,33 @@ object Graph {
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
         col("__e.__w").as("__w"))
       .repartition(par, col("__s"))
+      .withColumn("__wk",
+        sum(col("__w")).over(Window.partitionBy(col("__s"))))
       .ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      val wd = e.groupBy(col("__s")).agg(sum(col("__w")).as("__wk"))
-        .select(col("__s").as("__n"), col("__wk"))
-      val seeds = wd.select(col("__n")).orderBy(col("__n")).limit(nSeeds)
-        .withColumn("__seed", lit(1))
-      val base = wd.join(broadcast(seeds), Seq("__n"), "left")
-        .select(col("__n"), col("__wk"),
-          coalesce(col("__seed"), lit(0)).as("__seed"))
-        .repartition(par, col("__n"))
-        .ckpt()
-      var pr = base.withColumn("__pr",
-        when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)))
+      // nSeeds smallest node ids — driver-collected (nSeeds-bounded by
+      // the require above; rides the checkpoint's partitioning)
+      val seedIds = e.select(col("__s")).distinct()
+        .orderBy(col("__s")).limit(nSeeds)
+        .collect().map(_.getLong(0)).toSeq
+      def seedMask(n: Column): Column =
+        if (seedIds.isEmpty) lit(false) else n.isin(seedIds: _*)
+      var pr = e.select(col("__s")).distinct()
+        .select(col("__s"), when(seedMask(col("__s")), lit(1000000L))
+          .otherwise(lit(0L)).as("__pr"))
       (1 to iters).foreach { _ =>
-        val contrib = e
-          .join(pr.select(col("__n").as("__s"), col("__wk"), col("__pr")),
-            Seq("__s"))
+        pr = e
+          .join(pr, Seq("__s"))
           .groupBy(col("__t"))
           .agg(sum(expr("(__pr * __w) div __wk")).as("__c"))
-        pr = base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
-          .select(col("__n"), col("__wk"), col("__seed"),
-            (when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+          .select(col("__t").as("__s"),
+            (when(seedMask(col("__t")), lit(150000L)).otherwise(lit(0L))
               + expr("(17 * __c) div 20")).as("__pr"))
       }
-      pr.select(col("__n").as("node"), col("__pr").as("wppr"))
+      pr.select(col("__s").as("node"), col("__pr").as("wppr"))
         .ckpt()
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
