@@ -904,12 +904,13 @@ object Graph {
   }
 
   private def clusteringBody(e: DataFrame, bcast: Boolean): DataFrame = {
-    // explode(array_intersect) drops empty/null W in-stage — the
-    // inner-close semantics; per-pair hashing is fine here because the
-    // corner stream it feeds is triangle-sized, not wedge-sized
+    // explode(sorted merge intersect) drops empty/null W in-stage — the
+    // inner-close semantics; the native kernel replaces array_intersect's
+    // per-edge hash-set build with one linear merge over primitive longs
     val tri = edgesWithAdjacency(e, bcast)
       .select(col("s"), col("t"),
-        explode(array_intersect(col("__na"), col("__nb"))).as("w"))
+        explode(org.apache.spark.sql.graft.SortedLongIntersect
+          .of(col("__na"), col("__nb"))).as("w"))
     val tc = tri.select(explode(array(col("s"), col("t"), col("w"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("t"))
     // tc is node-sized after the fold → broadcast into the degree frame
@@ -1676,7 +1677,8 @@ object Graph {
   private def edgeSupportBody(e: DataFrame, bcast: Boolean): DataFrame = {
     val tri = edgesWithAdjacency(e, bcast)
       .select(col("s"), col("t"),
-        explode(array_intersect(col("__na"), col("__nb"))).as("w"))
+        explode(org.apache.spark.sql.graft.SortedLongIntersect
+          .of(col("__na"), col("__nb"))).as("w"))
     val sup = tri.select(explode(array(
         struct(least(col("s"), col("t")).as("u"),
           greatest(col("s"), col("t")).as("v")),
@@ -1816,7 +1818,9 @@ object Graph {
       .repartition(ore.sparkSession.sparkContext.defaultParallelism,
         col("s"))
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t"))).as("__adj"))
+      // sorted-set native fold (primitive buffers, map-side combine) —
+      // (s, t) is distinct by the caller contract, so set ≡ list here
+      .agg(sortedSetOf(ore, "t").as("__adj"))
     val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
     ore.select(col("s"), col("t"))
       .join(hint(adj.select(col("s").as("__js"), col("__adj").as("__na"))),

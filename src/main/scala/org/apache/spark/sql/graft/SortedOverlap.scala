@@ -181,6 +181,83 @@ object SortedLongOverlap {
 }
 
 /**
+ * ELEMENTS twin of [[SortedLongOverlap]]: the merge intersection of two
+ * sorted distinct `array<bigint>`s with the common ELEMENTS kept (ascending
+ * — the order both inputs share), for the triangle-corner stream where each
+ * common neighbor w names a triangle (s, t, w) and must survive to the
+ * corner explode. Replaces `array_intersect` (hash-set build + per-element
+ * hashing PER EDGE) with one linear merge over primitive longs — no
+ * hashing, one exact-sized allocation. Null input → null (the
+ * no-out-edges left join; `explode` then drops the row, matching
+ * `explode(array_intersect(a, NULL))`).
+ */
+@ExpressionDescription(
+  usage = "sorted_long_intersect(a, b) - merge intersection (elements, " +
+    "ascending) of two sorted distinct bigint arrays.")
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val la = xs.numElements()
+    val lb = ys.numElements()
+    val buf = new Array[Long](math.min(la, lb))
+    var i = 0; var j = 0; var o = 0
+    while (i < la && j < lb) {
+      val x = xs.getLong(i); val y = ys.getLong(j)
+      if (x == y) { buf(o) = x; o += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, o))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val o = ctx.freshName("o")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |long[] $buf = new long[$la < $lb ? $la : $lb];
+         |int $i = 0; int $j = 0; int $o = 0;
+         |while ($i < $la && $j < $lb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $buf[$o++] = $x; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray(
+         |    java.util.Arrays.copyOf($buf, $o));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersect =
+    copy(left = l, right = r)
+}
+
+object SortedLongIntersect {
+  /** Column form — usable without any registry. */
+  def of(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersect(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/**
  * CONTAINMENT twin of [[SortedOverlapGate]]: the verify step of the exact
  * set-containment join, fused into one merge pass. Inputs are two
  * lexicographically sorted, distinct-element `array<string>` token sets;

@@ -116,4 +116,36 @@ class SortedOverlapSpec extends AnyFunSuite with SparkSpec {
     assert(r(1).getLong(0) == -1L) // disjoint: gate unreachable, early exit
     assert(r(2).getLong(0) == 3L)  // clones: full overlap passes any theta
   }
+
+  test("SortedLongIntersect equals array_intersect on random sorted " +
+      "distinct bigint arrays (elements AND order), null-safe") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 120).map { i =>
+      (i.toLong,
+        Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(25).toLong)
+          .distinct.sorted.toArray)
+    }.toDF("id", "xs")
+    val pairs = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.xs").as("xa"), col("b.xs").as("xb"))
+    val cmp = pairs.select(
+      org.apache.spark.sql.graft.SortedLongIntersect
+        .of(col("xa"), col("xb")).as("got"),
+      array_intersect(col("xa"), col("xb")).as("want"))
+    // array_intersect keeps first-array order = ascending here, so the
+    // comparison pins order too
+    assert(cmp.filter(not(col("got") <=> col("want"))).count() == 0)
+    // null input -> null (the no-out-edges left-join row); explode drops it
+    val n = rows.limit(1).select(
+      org.apache.spark.sql.graft.SortedLongIntersect
+        .of(col("xs"), lit(null).cast("array<bigint>")).as("g")).collect()
+    assert(n(0).isNullAt(0))
+    // empty intersection -> empty array (explode emits nothing)
+    val e = Seq((Array(1L, 3L), Array(2L, 4L))).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.SortedLongIntersect
+        .of(col("a"), col("b")).as("g")).collect()
+    assert(e(0).getSeq[Long](0).isEmpty)
+  }
 }
