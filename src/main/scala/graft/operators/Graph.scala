@@ -102,7 +102,8 @@ object Graph {
     * (spec-pinned in PlanShapeSpec). Ratios are exact-integer-valued
     * double divisions, rounded once — cross-engine stable. */
   def assocRules(items: DataFrame, orderCol: String, itemCol: String,
-                 topK: Int, broadcastSupport: Boolean = true): DataFrame = {
+                 topK: Int,
+                 broadcastSupport: Option[Boolean] = None): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val li = items.select(col(orderCol), col(itemCol))
     val sab = itemPairs(li, orderCol, itemCol)
@@ -111,8 +112,10 @@ object Graph {
     val sa = li.groupBy(col(itemCol))
       .agg(countDistinct(col(orderCol)).as("__s"))
     val nb = li.agg(countDistinct(col(orderCol)).as("__N"))
+    // item-support side is bounded by the distinct-item projection
+    val bcast = resolveBroadcast(broadcastSupport, sa)
     val side = (d: DataFrame) =>
-      if (broadcastSupport) broadcast(d) else d.hint("shuffle_hash")
+      if (bcast) broadcast(d) else d.hint("shuffle_hash")
     sab
       .join(side(sa.select(col(itemCol).as("part_a"), col("__s").as("s_a"))),
         "part_a")
@@ -469,7 +472,7 @@ object Graph {
     * ([[pagerankUndirected]] discipline). */
   def hitsBipartite(edges: DataFrame, leftCol: String, rightCol: String,
                     iters: Int, topK: Int,
-                    broadcastScores: Boolean = true): DataFrame = {
+                    broadcastScores: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val raw = edges.select(col(leftCol).cast("long").as("__c"),
@@ -490,6 +493,8 @@ object Graph {
     // re-exchanges the checkpointed ep blocks inside its own job instead
     // (same exchange volume, one less job barrier; measured 9 → 7 jobs)
     val ec = if (iters >= 3) ecPlan.ckpt() else ecPlan
+    // score frames are node-dimension-sized, bounded by the edge bytes
+    val bScores = resolveBroadcast(broadcastScores, ep)
     val sess = ec.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
@@ -514,14 +519,14 @@ object Graph {
       var a = ep.groupBy(col("__p")).agg(count(lit(1)).cast("bigint").as("__as"))
       (2 to iters).foreach { _ =>
         val h =
-          if (broadcastScores)
+          if (bScores)
             ec.join(broadcast(a), "__p").groupBy(col("__c"))
               .agg(sum(col("__as")).as("__hs"))
           else
             ep.join(a, "__p").groupBy(col("__c"))
               .agg(sum(col("__as")).as("__hs"))
         a =
-          if (broadcastScores)
+          if (bScores)
             ep.join(broadcast(h), "__c").groupBy(col("__p"))
               .agg(sum(col("__hs")).as("__as"))
           else
@@ -820,6 +825,45 @@ object Graph {
     def ckpt(): DataFrame = checkpointPartitioned(df)
   }
 
+  /** Materialized byte size of a frame's localCheckpoint blocks
+    * (mem + disk, summed over its LogicalRDD leaves), falling back to
+    * the optimizer's stats estimate when nothing is materialized yet.
+    * Free — reads BlockManager accounting, runs no job. */
+  private def materializedBytes(df: DataFrame): Long = {
+    val ids = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    val info = df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+    if (info.nonEmpty) info.map(i => i.memSize + i.diskSize).sum
+    else df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+  }
+
+  /** SIZE-BASED broadcast auto-selection for the graph family (r15
+    * verdict #4): every node-/frontier-/score-sized broadcast in this
+    * file defaults to AUTO — broadcast only while `proxy` (the
+    * operator's already-checkpointed edge frame, whose materialized
+    * bytes BOUND the node-sized frames derived from it) times `factor`
+    * fits `graft.graph.broadcastLimitBytes` (default 256 MB — a frame
+    * every production driver/executor can hold). The caller flag is
+    * kept as the OVERRIDE: `Some(true)` forces the broadcast plan,
+    * `Some(false)` forces the shuffle twin (both spec-pinned equal), so
+    * the 100× path needs no caller knowledge while benchmarks and specs
+    * can still pin either shape. `factor` scales the proxy where the
+    * broadcast side can outgrow the edge frame (multi-source visited
+    * state ≈ nSources × node frame). */
+  private[graft] def resolveBroadcast(flag: Option[Boolean], proxy: DataFrame,
+                                      factor: Long = 1L): Boolean =
+    flag.getOrElse {
+      val limit = proxy.sparkSession.conf
+        .get("graft.graph.broadcastLimitBytes", (256L << 20).toString).toLong
+      val est = materializedBytes(proxy)
+      if (sys.env.contains("GRAFT_DEBUG_BCAST"))
+        System.err.println(s"[resolveBroadcast] est=$est limit=$limit factor=$factor -> ${est <= limit / math.max(1L, factor)}")
+      est <= limit / math.max(1L, factor)
+    }
+
   private def orientedAdjacency(pairs: DataFrame, uCol: String,
                                 vCol: String,
                                 partitionByTarget: Boolean = false): DataFrame = {
@@ -869,10 +913,10 @@ object Graph {
     * joins — the billion-edge cluster path where deg/adjacency outgrow
     * the driver (same semantics, spec-pinned). */
   def triangleCount(edges: DataFrame, uCol: String, vCol: String,
-                    broadcastAdj: Boolean = true): DataFrame = {
+                    broadcastAdj: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val result = triangleBody(e, broadcastAdj).ckpt()
+    val result = triangleBody(e, resolveBroadcast(broadcastAdj, e)).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -895,10 +939,10 @@ object Graph {
     * both engines; round(6) is belt). Returns
     * (node, n_tri, degree, clustering). */
   def clusteringCoefficients(edges: DataFrame, uCol: String, vCol: String,
-                             broadcastAdj: Boolean = true): DataFrame = {
+                             broadcastAdj: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val result = clusteringBody(e, broadcastAdj).ckpt()
+    val result = clusteringBody(e, resolveBroadcast(broadcastAdj, e)).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -937,10 +981,10 @@ object Graph {
     * group-by, where the portable SQL twin shuffle-joins the 2|E| end
     * stream against the deg CTE twice. */
   def neighborDegreeProfile(edges: DataFrame, uCol: String, vCol: String,
-                            broadcastDeg: Boolean = true): DataFrame = {
+                            broadcastDeg: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val result = neighborDegreeBody(e, broadcastDeg).ckpt()
+    val result = neighborDegreeBody(e, resolveBroadcast(broadcastDeg, e)).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -981,10 +1025,10 @@ object Graph {
     * (n_ends, assortativity). Degenerate variance (regular graph) →
     * NULL, both engines. */
   def assortativity(edges: DataFrame, uCol: String, vCol: String,
-                    broadcastDeg: Boolean = true): DataFrame = {
+                    broadcastDeg: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val result = endDegrees(e, broadcastDeg)
+    val result = endDegrees(e, resolveBroadcast(broadcastDeg, e))
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(col("__da")).cast("bigint").as("sx"),
         sum(col("__da") * col("__db")).cast("bigint").as("sxy"),
@@ -1044,9 +1088,10 @@ object Graph {
     * edge-frame checkpoint, and TWO degree broadcasts). Identical
     * results (spec-pinned against [[neighborDegreeProfile]]). */
   def neighborDegreeFromPairs(pairs: DataFrame, uCol: String, vCol: String,
-                              broadcastDeg: Boolean = true): DataFrame = {
+                              broadcastDeg: Option[Boolean] = None): DataFrame = {
     val adj = adjFromPairs(pairs, uCol, vCol)
-    val hint = (d: DataFrame) => if (broadcastDeg) broadcast(d) else d
+    val bcast = resolveBroadcast(broadcastDeg, adj)
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
     val deg = adj.select(col("__n").as("__m"), col("__d").as("__db"))
     val result = adj
       .select(col("__d").as("__da"), explode(col("__nbrs")).as("__m"))
@@ -1066,9 +1111,10 @@ object Graph {
     * spec-pinned), with one broadcast degree lookup instead of two and
     * no pair-distinct exchange or edge checkpoint. */
   def assortativityFromPairs(pairs: DataFrame, uCol: String, vCol: String,
-                             broadcastDeg: Boolean = true): DataFrame = {
+                             broadcastDeg: Option[Boolean] = None): DataFrame = {
     val adj = adjFromPairs(pairs, uCol, vCol)
-    val hint = (d: DataFrame) => if (broadcastDeg) broadcast(d) else d
+    val bcast = resolveBroadcast(broadcastDeg, adj)
+    val hint = (d: DataFrame) => if (bcast) broadcast(d) else d
     val deg = adj.select(col("__n").as("__m"), col("__d").as("__db"))
     val result = adj
       .select(col("__d").as("__da"), explode(col("__nbrs")).as("__m"))
@@ -1110,10 +1156,13 @@ object Graph {
     * `localCheckpoint(eager = false)` truncates the LOGICAL plan
     * too. */
   def labelPropagate(pairs: DataFrame, uCol: String, vCol: String,
-                     rounds: Int, bcastFrontier: Boolean = true): DataFrame = {
+                     rounds: Int,
+                     bcastFrontier: Option[Boolean] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // frontier/label frames are node-sized — bounded by the pair stream
+    val bFrontier = resolveBroadcast(bcastFrontier, pairs)
     val e = orientedAdjacency(pairs, uCol, vCol,
-      partitionByTarget = bcastFrontier).ckpt()
+      partitionByTarget = bFrontier).ckpt()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1129,7 +1178,7 @@ object Graph {
       // is a no-op by the min-fold's idempotence. Round 0 seeds the delta
       // with every node (all labels fresh); the seed is persist-marked
       // because round 1 reads it twice (label side + delta side).
-      val seedSide = if (bcastFrontier) "__t" else "__s"
+      val seedSide = if (bFrontier) "__t" else "__s"
       var merged = e.select(col(seedSide).as("__n")).distinct()
         .select(col("__n"), col("__n").as("__l"), lit(true).as("__chg"))
         .persist()
@@ -1139,7 +1188,7 @@ object Graph {
         merged = minLabelDeltaRound(e,
           merged.select(col("__n"), col("__l")),
           merged.filter(col("__chg")).select(col("__n"), col("__l")),
-          bcastFrontier).persist()
+          bFrontier).persist()
         cached += merged
         r += 1
       }
@@ -1182,10 +1231,10 @@ object Graph {
     * [[minLabelRound]] chains in GraphSpec. */
   private def minLabelDeltaRound(e: DataFrame, lab: DataFrame,
                                  delta: DataFrame,
-                                 bcastFrontier: Boolean = true): DataFrame = {
+                                 bFrontier: Boolean = true): DataFrame = {
     // ONE exchange per round (the candidate fold): the node-sized
     // frontier BROADCASTS into the __s-partitioned edge frame (map-only
-    // push — the kcore survivor-set pattern; `bcastFrontier = false`
+    // push — the kcore survivor-set pattern; `bFrontier = false`
     // keeps a spec-pinned shuffled-hash path for billion-node graphs
     // where even the frontier doesn't broadcast), and the merge join is
     // pinned SHUFFLED HASH so both sides arrive hash-partitioned by __n
@@ -1194,7 +1243,7 @@ object Graph {
     // delta exchange per round, and a sort-merge round re-sorted the
     // full label table.
     val d = delta.select(col("__n").as("__s"), col("__l"))
-    val dSide = if (bcastFrontier) broadcast(d) else d.hint("shuffle_hash")
+    val dSide = if (bFrontier) broadcast(d) else d.hint("shuffle_hash")
     val cand = e.join(dSide, Seq("__s"))
       .select(col("__t").as("__n"), col("__l"))
       .groupBy(col("__n")).agg(min(col("__l")).as("__c"))
@@ -1219,11 +1268,13 @@ object Graph {
     * instead of returning a half-converged labeling. */
   def connectedComponentsMinLabel(edges: DataFrame, uCol: String, vCol: String,
                                   maxRounds: Int = 50,
-                                  bcastFrontier: Boolean = true): DataFrame = {
+                                  bcastFrontier: Option[Boolean] = None): DataFrame = {
+    // frontier/label frames are node-sized — bounded by the pair stream
+    val bFrontier = resolveBroadcast(bcastFrontier, edges)
     val e = orientedAdjacency(edges, uCol, vCol,
-      partitionByTarget = bcastFrontier).ckpt()
+      partitionByTarget = bFrontier).ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e)
-    val seedSide = if (bcastFrontier) "__t" else "__s"
+    val seedSide = if (bFrontier) "__t" else "__s"
     var lab = e.select(col(seedSide).as("__n")).distinct()
       .withColumn("__l", col("__n"))
       .localCheckpoint(eager = false)
@@ -1237,7 +1288,7 @@ object Graph {
     var converged = false
     var r = 0
     while (r < maxRounds && !converged) {
-      val merged = minLabelDeltaRound(e, lab, delta, bcastFrontier)
+      val merged = minLabelDeltaRound(e, lab, delta, bFrontier)
         .localCheckpoint(eager = false)
       spent += merged
       val changed = merged.filter(col("__chg")).count()
@@ -1349,8 +1400,10 @@ object Graph {
   def pathCounts(pairs: DataFrame, uCol: String, vCol: String,
                  nSources: Int, maxDepth: Int,
                  dedupEdges: Boolean = false,
-                 bcastVisited: Boolean = true): DataFrame = {
+                 bcastVisited: Option[Boolean] = None): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
+    // visited state is ~ nSources x the node frame — scale the proxy
+    val bVisited = resolveBroadcast(bcastVisited, pairs, factor = nSources)
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val oriented = orientedAdjacency(pairs, uCol, vCol,
       partitionByTarget = true)
@@ -1360,7 +1413,7 @@ object Graph {
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      val state = pathCountsLoop(e, nSources, maxDepth, bcastVisited)
+      val state = pathCountsLoop(e, nSources, maxDepth, bVisited)
       state.select(col("__src").as("src"), col("__n").as("node"),
         col("__lvl").as("lvl"), col("__sig").as("paths"))
     } finally {
@@ -1378,7 +1431,7 @@ object Graph {
     * checkpoint; every per-round intermediate is freed before returning,
     * the result's blocks belong to the caller. */
   private def pathCountsLoop(e: DataFrame, nSources: Int, maxDepth: Int,
-                             bcastVisited: Boolean): DataFrame = {
+                             bVisited: Boolean): DataFrame = {
     val sess = e.sparkSession
     // every node appears on the __t side of the oriented frame and the
       // edges are __t-partitioned, so the seed distinct is exchange-free.
@@ -1441,13 +1494,13 @@ object Graph {
         // path the anti runs IN the fold's stage (no exchange, no join
         // of the state table) — a whole round is one riding stage plus
         // its two driver broadcast builds, and state is only ever
-        // UNIONED, never re-aggregated or re-shuffled. `bcastVisited =
+        // UNIONED, never re-aggregated or re-shuffled. `bVisited =
         // false` is the 100×-scale twin for graphs where nSources × |V|
         // outgrows a broadcast: a shuffled-hash anti (state exchanges
         // per round, delta-merge asymptotics unchanged) — spec-pinned
         // equal in GraphSpec.
         val vis = state.select(col("__src"), col("__n"))
-        val visSide = if (bcastVisited) broadcast(vis)
+        val visSide = if (bVisited) broadcast(vis)
           else vis.hint("shuffle_hash")
         val newRows = cand.join(visSide, Seq("__src", "__n"), "left_anti")
           .select(col("__src"), col("__n"), col("__nl").as("__lvl"),
@@ -1494,8 +1547,10 @@ object Graph {
                          nSources: Int, maxDepth: Int,
                          dedupEdges: Boolean = false,
                          scaleBits: Int = 20,
-                         bcastDelta: Boolean = true): DataFrame = {
+                         bcastDelta: Option[Boolean] = None): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
+    // per-level state is ~ nSources x the node frame — scale the proxy
+    val bDelta = resolveBroadcast(bcastDelta, pairs, factor = nSources)
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     require(scaleBits >= 1 && scaleBits <= 40,
       s"scaleBits must be in [1, 40], got $scaleBits")
@@ -1512,7 +1567,7 @@ object Graph {
     val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      val state = pathCountsLoop(e, nSources, maxDepth, bcastVisited = true)
+      val state = pathCountsLoop(e, nSources, maxDepth, bVisited = bDelta)
       spent += state
       // deepest level: no successors within the bound, δ = 0 by the
       // bounded-metric definition, c = SCALE div σ
@@ -1529,7 +1584,7 @@ object Graph {
         // __t = v) so the (src, v) sum rides HashPartitioning(__t);
         // the inner attach to the level-l state slice both enforces
         // lvl(v) = lvl(w) − 1 (the DAG) and brings σ(v) for the
-        // δ = σ·F multiply. `bcastDelta = false` is the at-scale twin
+        // δ = σ·F multiply. `bDelta = false` is the at-scale twin
         // (shuffled-hash attach) for nSources × |V| past broadcast
         // range — spec-pinned equal in GraphSpec.
         val d = cur.select(col("__src"), col("__n").as("__s"), col("__c"))
@@ -1537,7 +1592,7 @@ object Graph {
           .select(col("__src"), col("__t").as("__n"), col("__c"))
           .groupBy(col("__src"), col("__n"))
           .agg(sum(col("__c")).as("__f"))
-        val fSide = if (bcastDelta) broadcast(f) else f.hint("shuffle_hash")
+        val fSide = if (bDelta) broadcast(f) else f.hint("shuffle_hash")
         cur = state.filter(col("__lvl") === l)
           .join(fSide, Seq("__src", "__n"), "left")
           .select(col("__src"), col("__n"),
@@ -1577,13 +1632,15 @@ object Graph {
     * weight riding along. */
   def ssspBounded(wedges: DataFrame, uCol: String, vCol: String,
                   wCol: String, rounds: Int,
-                  bcastFrontier: Boolean = true): DataFrame = {
+                  bcastFrontier: Option[Boolean] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // frontier/dist frames are node-sized — bounded by the pair stream
+    val bFrontier = resolveBroadcast(bcastFrontier, wedges)
     val par = wedges.sparkSession.sparkContext.defaultParallelism
     // co-location choice as in [[orientedAdjacency]]: target-partitioned
     // for the broadcast-frontier path (exchange-free candidate fold),
     // source-partitioned for the shuffle twin
-    val eKey = if (bcastFrontier) "__t" else "__s"
+    val eKey = if (bFrontier) "__t" else "__s"
     val e = wedges.select(explode(array(
         struct(col(uCol).as("__s"), col(vCol).as("__t"), col(wCol).as("__w")),
         struct(col(vCol).as("__s"), col(uCol).as("__t"), col(wCol).as("__w"))))
@@ -1621,7 +1678,7 @@ object Graph {
         // for billion-node graphs), and the merge sees both sides
         // __n-partitioned
         val d = delta.select(col("__n").as("__s"), col("__d"))
-        val dSide = if (bcastFrontier) broadcast(d) else d.hint("shuffle_hash")
+        val dSide = if (bFrontier) broadcast(d) else d.hint("shuffle_hash")
         val cand = e.join(dSide, Seq("__s"))
           .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
           .groupBy(col("__n")).agg(min(col("__d")).as("__c"))
@@ -1666,10 +1723,11 @@ object Graph {
     * path throughout. Support is what k-truss peels on and what
     * common-neighbor link prediction ranks by. */
   def edgeSupport(edges: DataFrame, uCol: String, vCol: String,
-                  broadcastAdj: Boolean = true): DataFrame = {
+                  broadcastAdj: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val result = edgeSupportBody(e, broadcastAdj).ckpt()
+    val bAdj = resolveBroadcast(broadcastAdj, e)
+    val result = edgeSupportBody(e, bAdj).ckpt()
     Dedup.freeCheckpoints(e)
     result
   }
@@ -1705,22 +1763,24 @@ object Graph {
     * wedge-pair-count formulation (portable SQL has no sorted-array
     * intersection). */
   def trussPeel(edges: DataFrame, uCol: String, vCol: String,
-                k: Int, rounds: Int, broadcastAdj: Boolean = true): DataFrame = {
+                k: Int, rounds: Int,
+                broadcastAdj: Option[Boolean] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    val bAdj = resolveBroadcast(broadcastAdj, edges)
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e)
     var r = 0
     while (r < rounds) {
-      e = edgeSupportBody(e, broadcastAdj)
+      e = edgeSupportBody(e, bAdj)
         .filter(col("support") >= k - 2)
         .select(col("u"), col("v"))
         .ckpt()
       spent += e
       r += 1
     }
-    val result = edgeSupportBody(e, broadcastAdj)
+    val result = edgeSupportBody(e, bAdj)
       .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
       .ckpt()
     Dedup.freeCheckpoints(spent.toSeq: _*)
@@ -1735,13 +1795,14 @@ object Graph {
     * (u, v), so the top-k cut is deterministic. Degrees broadcast
     * (node-sized). */
   def edgeJaccardTopK(edges: DataFrame, uCol: String, vCol: String,
-                      k: Int, broadcastAdj: Boolean = true): DataFrame = {
+                      k: Int, broadcastAdj: Option[Boolean] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val bAdj = resolveBroadcast(broadcastAdj, edges)
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
-    val hint = (d: DataFrame) => if (broadcastAdj) broadcast(d) else d
+    val hint = (d: DataFrame) => if (bAdj) broadcast(d) else d
     val deg = degreeTable(e)
-    val result = edgeSupportBody(e, broadcastAdj)
+    val result = edgeSupportBody(e, bAdj)
       .join(hint(deg.select(col("n").as("__un"), col("d").as("__du"))),
         col("u") === col("__un"))
       .join(hint(deg.select(col("n").as("__vn"), col("d").as("__dv"))),
@@ -1763,13 +1824,14 @@ object Graph {
     * transitivity = 3·△/wedges as one IEEE division over the two exact
     * integers (NULL on a wedge-free graph, both engines). */
   def transitivitySummary(edges: DataFrame, uCol: String, vCol: String,
-                          broadcastAdj: Boolean = true): DataFrame = {
+                          broadcastAdj: Option[Boolean] = None): DataFrame = {
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
+    val bAdj = resolveBroadcast(broadcastAdj, e)
     val wedges = degreeTable(e).agg(
       coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
         .cast("bigint").as("n_wedges"))
-    val result = wedges.crossJoin(triangleBody(e, broadcastAdj))
+    val result = wedges.crossJoin(triangleBody(e, bAdj))
       .selectExpr("n_wedges", "n_triangles",
         "round(CASE WHEN n_wedges = 0 THEN NULL " +
           "ELSE CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE) " +
@@ -1851,8 +1913,11 @@ object Graph {
     * sf0.1), which is why the engine side is this loop and only the
     * oracle keeps the unrolled SQL. */
   def kcorePeel(edges: DataFrame, uCol: String, vCol: String,
-                k: Int, rounds: Int, broadcastKeep: Boolean = true): DataFrame = {
+                k: Int, rounds: Int,
+                broadcastKeep: Option[Boolean] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // dead/survivor node frames — bounded by the pair stream
+    val bKeep = resolveBroadcast(broadcastKeep, edges)
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // r13 rebuild: peel on the DEGREE TABLE with a dead-node frontier
     // instead of re-inducing the edge frame every round. The edge frame
@@ -1870,12 +1935,12 @@ object Graph {
     // already-dead nodes resolve to no surviving row, and a survivor
     // orphaned to degree 0 is dropped at the end exactly like the
     // induced-subgraph formulation drops nodes with no surviving edges.
-    // `broadcastKeep = false` keeps a source-partitioned shuffled-hash
+    // `bKeep = false` keeps a source-partitioned shuffled-hash
     // twin for billion-node graphs (spec-pinned equal). The pre-r13
     // shape paid one full degree aggregate + two semi-joins + an edge
     // rebuild per round.
     val par = edges.sparkSession.sparkContext.defaultParallelism
-    val eKey = if (broadcastKeep) "__t" else "__s"
+    val eKey = if (bKeep) "__t" else "__s"
     val e = edges.select(explode(array(
         struct(col(uCol).as("__s"), col(vCol).as("__t")),
         struct(col(vCol).as("__s"), col(uCol).as("__t")))).as("__e"))
@@ -1898,7 +1963,7 @@ object Graph {
       var r = 0
       while (r < rounds) {
         val dead = deg.filter(col("__d") < k).select(col("__n").as("__s"))
-        val dSide = if (broadcastKeep) broadcast(dead)
+        val dSide = if (bKeep) broadcast(dead)
           else dead.hint("shuffle_hash")
         val loss = e.join(dSide, Seq("__s"))
           .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
@@ -2027,8 +2092,13 @@ object Graph {
   }
 
   /** PRE-checkpoint edge-support plan ([[edgeSupportBody]]'s
-    * triangle-corner unpivot), for the plan audit. */
-  def edgeSupportPlan(edges: DataFrame, uCol: String, vCol: String): DataFrame =
-    edgeSupportBody(edges.select(col(uCol).as("u"), col(vCol).as("v")),
-      bcast = true)
+    * triangle-corner unpivot), for the plan audit — runs the same
+    * [[resolveBroadcast]] auto-selection as [[edgeSupport]] (stats-based
+    * here, nothing is materialized yet), so PlanShapeSpec can pin the
+    * size-driven broadcast/shuffle flip on the static plan. */
+  def edgeSupportPlan(edges: DataFrame, uCol: String, vCol: String,
+                      broadcastAdj: Option[Boolean] = None): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    edgeSupportBody(e, resolveBroadcast(broadcastAdj, e))
+  }
 }

@@ -96,7 +96,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, s"k=$k rounds=$rounds")
       // shuffle semi-join path (billion-node graphs): identical result
       val shuffled = Graph.kcorePeel(df, "u", "v", k, rounds,
-          broadcastKeep = false)
+          broadcastKeep = Some(false))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(shuffled == want, s"k=$k rounds=$rounds shuffle path")
     }
@@ -133,7 +133,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       // billion-node twin: the shuffled-frontier path (no broadcast,
       // source-partitioned edges) folds to the same labels
       val got3 = Graph.labelPropagate(pairs.toDF("u", "v"), "u", "v", rounds,
-          bcastFrontier = false)
+          bcastFrontier = Some(false))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got3 == lab, s"rounds=$rounds with bcastFrontier=false")
     }
@@ -178,7 +178,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val wantProfile = Graph.neighborDegreeProfile(edges, "u", "v")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     for (bcast <- Seq(true, false)) {
-      val gotProfile = Graph.neighborDegreeFromPairs(raw, "u", "v", bcast)
+      val gotProfile = Graph.neighborDegreeFromPairs(raw, "u", "v", Some(bcast))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(gotProfile == wantProfile, s"broadcastDeg=$bcast")
     }
@@ -240,7 +240,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       val got = Graph.triangleCount(df, "u", "v").collect()
       assert(got.length == 1 && got(0).getLong(0) == tris.size.toLong,
         s"seed=$seed want=${tris.size}")
-      val shuffled = Graph.triangleCount(df, "u", "v", broadcastAdj = false)
+      val shuffled = Graph.triangleCount(df, "u", "v", broadcastAdj = Some(false))
         .collect()(0).getLong(0)
       assert(shuffled == tris.size.toLong, s"seed=$seed shuffle path")
     }
@@ -272,7 +272,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     // shuffle-join path: identical frame
     val shuffled = Graph
-      .clusteringCoefficients(df, "u", "v", broadcastAdj = false)
+      .clusteringCoefficients(df, "u", "v", broadcastAdj = Some(false))
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
@@ -291,7 +291,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       d -> ((ps.size.toLong, ps.map(p => deg(p._2)).sum))
     }
     for (bcast <- Seq(true, false)) {
-      val got = Graph.neighborDegreeProfile(df, "u", "v", bcast)
+      val got = Graph.neighborDegreeProfile(df, "u", "v", Some(bcast))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
       assert(got == want, s"broadcastDeg=$bcast")
@@ -326,7 +326,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     val gotShuffle = Graph.connectedComponentsMinLabel(
-        pairs.toDF("u", "v"), "u", "v", bcastFrontier = false)
+        pairs.toDF("u", "v"), "u", "v", bcastFrontier = Some(false))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotShuffle == want, "bcastFrontier=false twin")
     val star = graft.operators.Dedup.connectedComponentsStar(
@@ -535,7 +535,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val got = key(Graph.betweennessSampled(df, "u", "v", 3, maxDepth))
     assert(got == want.toMap)
     assert(key(Graph.betweennessSampled(df, "u", "v", 3, maxDepth,
-      bcastDelta = false)) == want.toMap)
+      bcastDelta = Some(false))) == want.toMap)
   }
 
   test("pathCounts twins: dedupEdges=true on a duplicated raw pair " +
@@ -555,7 +555,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(key(Graph.pathCounts(rawDf, "u", "v", 3, 4,
       dedupEdges = true)) == base)
     assert(key(Graph.pathCounts(distinctDf, "u", "v", 3, 4,
-      bcastVisited = false)) == base)
+      bcastVisited = Some(false))) == base)
   }
 
   test("pathCounts edge cases: maxDepth = 0 is the seed rows only; " +
@@ -626,7 +626,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == dist)
     val gotShuffle = Graph.ssspBounded(df, "u", "v", "w", rounds,
-        bcastFrontier = false)
+        bcastFrontier = Some(false))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotShuffle == dist, "bcastFrontier=false twin")
     val empty = Graph.ssspBounded(
@@ -652,7 +652,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     val want = bruteSupport(set)
     for (bcast <- Seq(true, false)) {
-      val got = Graph.edgeSupport(df, "u", "v", bcast)
+      val got = Graph.edgeSupport(df, "u", "v", Some(bcast))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(got == want, s"broadcastAdj=$bcast")
     }
@@ -763,7 +763,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
     // the co-partitioned shuffle twin (node dims past broadcast range)
     val gotShuffle = Graph.hitsBipartite(edges.toDF("c", "p"), "c", "p",
-      iters = 2, topK = 5, broadcastScores = false)
+      iters = 2, topK = 5, broadcastScores = Some(false))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotShuffle == want)
   }

@@ -267,7 +267,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert("BroadcastHashJoin".r.findAllIn(bc).size >= 2,
         s"default path must broadcast both item-support sides:\n${bc.take(1500)}")
       val sh = graft.operators.Graph.assocRules(li, "l_orderkey",
-        "l_partkey", 20, broadcastSupport = false)
+        "l_partkey", 20, broadcastSupport = Some(false))
         .queryExecution.executedPlan.toString
       assert("ShuffledHashJoin".r.findAllIn(sh).size >= 2,
         s"twin must shuffled-hash both support joins:\n${sh.take(1500)}")
@@ -279,9 +279,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       val a = graft.operators.Graph.assocRules(li, "l_orderkey", "l_partkey", 20)
         .collect().map(_.toSeq).toSeq
       val b = graft.operators.Graph.assocRules(li, "l_orderkey", "l_partkey", 20,
-        broadcastSupport = false).collect().map(_.toSeq).toSeq
+        broadcastSupport = Some(false)).collect().map(_.toSeq).toSeq
       assert(a == b, "broadcast and shuffled twins must return identical rules")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("graph family AUTO-selects broadcast by materialized size: the " +
+      "default (no flag) broadcasts adjacency while the edge frame fits " +
+      "graft.graph.broadcastLimitBytes, and FLIPS to the shuffle twin " +
+      "when the frame exceeds the budget — no caller knowledge at 100x") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("u"), col("l_partkey").as("v"))
+      .filter(col("u") < col("v"))
+    // nothing auto-broadcasts at the Spark level: every BroadcastHashJoin
+    // below is the graft-side decision under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // default budget (256 MB): the fixture frame fits -> broadcast plan
+      // (edgeSupportPlan = the pre-checkpoint body, so the plan is visible)
+      val bc = graft.operators.Graph.edgeSupportPlan(edges, "u", "v")
+        .queryExecution.executedPlan.toString
+      assert(bc.contains("BroadcastHashJoin"),
+        s"within budget the adjacency/degree lookups must broadcast:\n${bc.take(1500)}")
+      // a 1-byte budget simulates the frame outgrowing the driver: the
+      // SAME call (no flag) must flip to the shuffle twin
+      spark.conf.set("graft.graph.broadcastLimitBytes", "1")
+      val sh = graft.operators.Graph.edgeSupportPlan(edges, "u", "v")
+        .queryExecution.executedPlan.toString
+      assert(!sh.contains("BroadcastHashJoin"),
+        s"past budget the auto path must not broadcast:\n${sh.take(1500)}")
+      // the caller override still forces the broadcast shape past budget
+      val forced = graft.operators.Graph.edgeSupportPlan(edges, "u", "v",
+        broadcastAdj = Some(true)).queryExecution.executedPlan.toString
+      assert(forced.contains("BroadcastHashJoin"),
+        s"Some(true) must override the size heuristic:\n${forced.take(1500)}")
+      // and all three shapes agree on the answer
+      spark.conf.unset("graft.graph.broadcastLimitBytes")
+      val a = graft.operators.Graph.edgeSupport(edges, "u", "v")
+        .collect().map(_.toSeq).toSet
+      spark.conf.set("graft.graph.broadcastLimitBytes", "1")
+      val b = graft.operators.Graph.edgeSupport(edges, "u", "v")
+        .collect().map(_.toSeq).toSet
+      assert(a == b, "auto-broadcast and auto-shuffle twins must agree")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("graft.graph.broadcastLimitBytes")
+    }
   }
 
   test("Q6: date range + residual predicates reach the Parquet scan") {
