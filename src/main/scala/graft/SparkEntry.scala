@@ -1874,7 +1874,9 @@ object SparkEntry {
           .select(col("l_quantity").as("qty")))),
 
     // ── §2.8 scalar functions ────────────────────────────────────────────
-    "fn_crc32_rows" -> ((s, dir) => // no DuckDB crc32 → rows-only check
+    // full oracle via the committed zlib witness fixture (the crc32 value
+    // is data, as the reference treats it — lib/taps/utils.rb:25-31)
+    "fn_crc32_rows" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), Codec.crc32Of(col("text")).as("crc"))),
     "fn_md5_rows" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), md5(col("text").cast("binary")).as("h"))),
@@ -2185,7 +2187,7 @@ object SparkEntry {
     // quote/wrapper inclusion scoring — no size-ratio prefilter)
     "ext_dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 16, 8)),
-    "ext_dedup_simhash" -> ((s, dir) => // xxhash64-based; no DuckDB oracle
+    "ext_dedup_simhash" -> ((s, dir) => // xxhash64 witness fixture oracle
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
     // md5-hash twin: same vote/assemble circuit, oracle-verified
     "ext_dedup_simhash_md5" -> ((s, dir) =>
@@ -2574,11 +2576,19 @@ object SparkEntry {
     // exchange is k·dims-sized)
     "ext_kmeans_round2" -> ((s, dir) =>
       Similarity.kmeansRound2Int8(t(s, dir, "embeddings"), k = 8)),
-    "ext_embedding_centroid" -> ((s, dir) => // float output; rows-only check
+    // exact centroid VALUES: fixed-point integer sums (float→double and
+    // ×2^20 are exact — exponent shifts), then ONE IEEE division of two
+    // exact integers per cell — bit-identical cross-engine, full oracle
+    // (r15 was rows-only through the float Aggregator; that Aggregator
+    // stays the in-memory fast path, unit-tested in CentroidSpec)
+    "ext_embedding_centroid" -> ((s, dir) =>
       t(s, dir, "embeddings")
-        .groupBy((col("vec_id") % 4).as("bucket"))
-        .agg(graft.functions.Centroid.centroid(col("embedding")).as("centroid"))
-        .select(col("bucket"), size(col("centroid")).as("dims"))),
+        .select((col("vec_id") % 4).as("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * lit(1048576.0)).cast("long"))
+            .cast("double")
+          / (count(lit(1)) * lit(1048576L)).cast("double")).as("c"))),
     // exact twin: fixed-point per-dimension sums. float→double and ×2^20
     // are EXACT (exponent shift, no rounding), floor is exact, integer sums
     // are associative — so the distributed centroid arithmetic hash-matches
@@ -2639,7 +2649,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
     "ext_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
-    "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 rolling hash; no oracle
+    "ext_doc_fingerprint" -> ((s, dir) => // xxhash64 witness fixture oracle
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
     // md5-hash twin: same rolling 31x fold, oracle-verified
     "ext_doc_fingerprint_md5" -> ((s, dir) =>
@@ -4225,6 +4235,10 @@ object SparkEntry {
         | SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
 
     "fn_md5_rows" -> "SELECT doc_id, md5(text) AS h FROM documents",
+    // crc32 via the committed zlib witness (independent implementation)
+    "fn_crc32_rows" ->
+      ("SELECT d.doc_id, w.crc FROM documents d JOIN " +
+        s"read_parquet('$witnessDir/doc_crc32_sf001.parquet') w USING (doc_id)"),
     "fn_base64_roundtrip" ->
       """SELECT doc_id, base64(encode(text)) AS b64,
         | decode(from_base64(base64(encode(text)))) AS back FROM documents""".stripMargin,
@@ -5242,6 +5256,13 @@ object SparkEntry {
         |SELECT m AS family_size, count(*) AS n_families
         |FROM g GROUP BY 1""".stripMargin,
     "ext_dedup_minhash" -> (minhashCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    // the xxhash64 production twin, FULL oracle via the committed witness
+    // fixture (tools/gen_witness.py: pure-python XXH64, seed 42 — an
+    // implementation independent of both engines; the hash is DATA, as
+    // the reference treats its checksums, lib/taps/utils.rb:25-31):
+    // identical affine/band replay, h40 sourced from the witness join
+    "ext_dedup_minhash_fast" ->
+      (minhashFastCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
     "ext_lsh_band_sweep" -> lshBandSweepOracleSql,
     // the estimator re-derives each candidate pair's per-seed signature
     // agreement from the same replayed sig table
@@ -5285,6 +5306,10 @@ object SparkEntry {
          |WHERE levenshtein(x.s, y.s) <= 10""".stripMargin
     },
     "ext_dedup_simhash_md5" -> simhashMd5OracleSql,
+    // 64-bit xxhash64 production simhash, FULL oracle via the witness
+    // token-hash fixture: same vote circuit, unsigned bit votes, signed
+    // assembly through HUGEINT
+    "ext_dedup_simhash" -> simhashXxOracleSql,
     "ext_simhash_hamming" -> simhashHammingOracleSql,
     "ext_dedup_drop_neardups_cc" -> dropNearDupsCcOracleSql,
     "ext_dup_cluster_profile" -> dupClusterProfileOracleSql,
@@ -5345,7 +5370,19 @@ object SparkEntry {
         |FROM (SELECT vec_id, unnest(embedding) AS v,
         |      unnest(range(len(embedding))) AS pos FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
+    // centroid VALUES off the same fixed-point sums: one IEEE division of
+    // two exact integers per cell — deterministic in both engines
+    "ext_embedding_centroid" ->
+      """SELECT vec_id % 4 AS bucket, pos,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) * 1048576 AS DOUBLE) AS c
+        |FROM (SELECT vec_id, unnest(embedding) AS v,
+        |      unnest(range(len(embedding))) AS pos FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "ext_doc_fingerprint_md5" -> fingerprintMd5OracleSql,
+    // xxhash64 production fingerprint, FULL oracle via the witness token
+    // hashes (h57 = pmod(xxh, 2^57)); same ordered rolling 31x fold
+    "ext_doc_fingerprint" -> fingerprintXxOracleSql,
     "ext_dedup_drop_neardups" -> (minhashCandidatesCte +
       """, sizes AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id),
         |verified AS (
@@ -6396,6 +6433,11 @@ object SparkEntry {
     // same span arithmetic as scan_range_chunks; same 48-bit md5-prefix row
     // hash as the engine (concat_ws over portable casts)
     "chunk_checksum" -> (chunkChecksumCte +
+      " SELECT chunk_id, n, CAST(sum_h AS VARCHAR) AS sum_h, xor_h FROM c"),
+    // the xxhash64 production path, FULL oracle via the per-order witness
+    // (tools/gen_witness.py replays checksumRowRepr byte for byte —
+    // validated: identical hash SUM over all 15000 sf0.01 orders)
+    "chunk_checksum_fast" -> (chunkChecksumFastCte +
       " SELECT chunk_id, n, CAST(sum_h AS VARCHAR) AS sum_h, xor_h FROM c"),
     // the Merkle fold over the same chunk checksums: level-0 digest per
     // chunk, each level pairs children by node_id div 2, digests are md5
@@ -7893,6 +7935,102 @@ object SparkEntry {
        |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
        |  FROM hv, seeds GROUP BY doc_id, j)""".stripMargin
   }
+
+  /** Committed witness fixtures (tools/gen_witness.py): the engine-specific
+    * hash values (xxhash64 seed 42, zlib crc32) precomputed by INDEPENDENT
+    * pure-python implementations of the public algorithms, so the DuckDB
+    * oracle replays production hash pipelines as plain data joins — the
+    * hash value is data, exactly as the reference treats its checksums
+    * (lib/taps/utils.rb:25-31). A gate hash-match on these keys verifies
+    * the engine's hash kernels end-to-end against a second implementation. */
+  private val witnessDir = "/root/repo/fixtures"
+
+  /** [[minhashSigCte]] with the per-token 40-bit hash sourced from the
+    * xxhash64 witness fixture instead of the md5 prefix — everything
+    * downstream (affine seeds, 2^57 modulus, 8-row bands, self-join) is
+    * shared text with the md5 oracle, so the two replays cannot drift. */
+  private def minhashFastSigCte: String = {
+    val seedRows = (0 until 16).map { j =>
+      val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |wit AS (SELECT tok AS wt, h40 FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
+       |hv AS (SELECT DISTINCT doc_id, h40 AS h FROM tok JOIN wit ON tok.w = wit.wt),
+       |seeds(j, a, b) AS (VALUES $seedRows),
+       |sig AS (
+       |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
+       |  FROM hv, seeds GROUP BY doc_id, j)""".stripMargin
+  }
+
+  private def minhashFastCandidatesCte: String = minhashFastSigCte +
+    """,
+      |band AS (
+      |  SELECT doc_id, j // 8 AS band,
+      |   string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+      |  FROM sig GROUP BY doc_id, j // 8),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b
+      |   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash (the 64-bit xxhash64 kernel): votes on
+    * the UNSIGNED witness hash bits, assembly back to Spark's SIGNED
+    * BIGINT through HUGEINT (bit 63 subtracts 2^63). Votes run over
+    * distinct TOKENS where the kernel dedups by hash VALUE — identical
+    * absent a 64-bit collision inside one document. */
+  private def simhashXxOracleSql: String = {
+    val votes = (0 until 64).map(k =>
+      s"SUM(CASE WHEN (v >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$k").mkString(", ")
+    val low = (0 until 63).map(k =>
+      s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |wit AS (SELECT tok AS wt, xxh_u FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
+       |hv AS (SELECT doc_id, xxh_u AS v FROM tok JOIN wit ON tok.w = wit.wt),
+       |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+       |SELECT doc_id, CAST(($low)
+       |  - CASE WHEN b63 > 0 THEN 9223372036854775808 ELSE 0 END AS BIGINT)
+       |  AS simhash FROM votes""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.fingerprint: the ordered rolling 31x fold
+    * of [[fingerprintMd5OracleSql]] with the per-token hash h57 =
+    * pmod(xxhash64(w), 2^57) joined from the witness fixture (ordered
+    * token positions survive the join via list(... ORDER BY pos)). */
+  private def fingerprintXxOracleSql: String =
+    s"""WITH tokp AS (
+       |  SELECT doc_id, w, pos FROM (
+       |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+       |          unnest(range(len(string_split(lower(text), ' ')))) AS pos
+       |   FROM documents) WHERE w <> ''),
+       |wit AS (SELECT tok AS wt, h57 FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
+       |hs AS (SELECT doc_id, list(h57 ORDER BY pos) AS hl
+       |       FROM tokp JOIN wit ON tokp.w = wit.wt GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), hl),
+       |    (acc, x) -> (acc*31 + x) % ${graft.operators.TextAnalysis.FingerprintMod}), 0)
+       |  AS fingerprint
+       |FROM documents d LEFT JOIN hs USING (doc_id)""".stripMargin
+
+  /** [[chunkChecksumCte]] with the row hash joined from the per-order
+    * xxhash64 witness (rowRepr replayed byte for byte by the generator —
+    * the join replaces the md5-prefix expression, everything else shared). */
+  private def chunkChecksumFastCte: String =
+    s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
+       |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
+       |h AS (SELECT CAST(least((o.o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
+       |  w.xxh AS h
+       |  FROM orders o
+       |  JOIN read_parquet('$witnessDir/orders_xxh64_sf001.parquet') w
+       |   ON o.o_orderkey = w.o_orderkey, sp),
+       |c AS (SELECT chunk_id, count(*) AS n,
+       |  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h, bit_xor(h) AS xor_h
+       |  FROM h GROUP BY 1)""".stripMargin
 
   private def minhashBandsCte: String = minhashSigCte +
     """,
