@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second REAL JDBC engine for the cross-engine round-trip tests (taps'
+// core promise is cross-engine moves): the DuckDB JDBC driver already
+// sitting in the pre-warmed local cache, attached as an unmanaged TEST
+// jar (no resolution — the zero-egress build cannot be broken by it;
+// JdbcDuckDbSpec `assume`s the driver class and cancels cleanly if the
+// jar is absent).
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  val found = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get else Seq.empty
+  found.headOption.map(Attributed.blank(_)).toSeq
+}
 Test / fork := true
 run / fork := true
 // The per-round bench harness parses the LAST stdout line as JSON. Two sbt

@@ -260,20 +260,27 @@ object Transfer {
         tableIndexes, indexesFirst, identityPk = true,
         typeOverrides = Jdbc.indexedVarcharOverrides(df, tableIndexes))
       Jdbc.dropTableIfExists(url, table)
+      if (Jdbc.usesExplicitSequence(url) && meta.singleIntPk)
+        Jdbc.dropSequenceIfExists(url,
+          Jdbc.pkSequenceName(table, meta.primaryKey.head))
       pre.foreach(Jdbc.execute(url, _))
       // per-partition AIMD sink: batchSize seeds each partition's
       // ChunkSizer (the --chunksize contract), then every stream retunes
       // independently — see Jdbc.writeAdaptive
       Jdbc.writeAdaptive(df, url, table, batchSize)
-      post.foreach(Jdbc.execute(url, _))
       val rows = Jdbc.queryLong(url, s"SELECT count(*) FROM $table").getOrElse(0L)
       val wm =
         if (meta.singleIntPk)
           Jdbc.queryLong(url, s"SELECT max(${meta.primaryKey.head}) FROM $table")
         else None
+      // sequence BEFORE deferred indexes: explicit-sequence engines
+      // attach the pk DEFAULT via ALTER TABLE, which DuckDB refuses once
+      // an index exists on the table; identity engines are order-blind
       wm.foreach { w =>
-        Jdbc.execute(url, Jdbc.restartIdentitySql(table, meta.primaryKey.head, w + 1))
+        Jdbc.resetPkSequenceSql(url, table, meta.primaryKey.head, w + 1)
+          .foreach(Jdbc.execute(url, _))
       }
+      post.foreach(Jdbc.execute(url, _))
       Result(table, rows, wm, skipped = false)
     }.toList
     finally pool.shutdown()

@@ -398,7 +398,18 @@ object Jdbc {
       case Some(u) =>
         df.schema.fields.map { f =>
           val isPk = primaryKey.contains(f.name)
-          val identity = if (identityPk && isPk && primaryKey.size == 1)
+          // auto-increment spelling is ENGINE dialect, not standard SQL
+          // (taps reads it from Sequel's per-adapter schema dump,
+          // lib/taps/schema.rb:15-30): identity-column engines (Derby/
+          // DB2/H2) inline the IDENTITY clause; explicit-sequence engines
+          // (DuckDB, classic Postgres serial) get a PLAIN column here and
+          // attach the sequence DEFAULT after the load in
+          // [[resetPkSequenceSql]] — taps' own order (schema, data,
+          // indexes, THEN sequences, lib/taps/operation.rb:245-257), and
+          // the only order DuckDB accepts (a sequence with a dependent
+          // default can be neither replaced nor restarted in place)
+          val identity = if (identityPk && isPk && primaryKey.size == 1 &&
+              !usesExplicitSequence(u))
             " GENERATED BY DEFAULT AS IDENTITY" else ""
           val notNull = if (isPk || !f.nullable) " NOT NULL" else ""
           val tpe = typeOverrides.getOrElse(f.name, sqlTypeFor(u, f.dataType))
@@ -451,6 +462,39 @@ object Jdbc {
     * Postgres' setval, different spelling. */
   def restartIdentitySql(table: String, pk: String, next: Long): String =
     s"ALTER TABLE $table ALTER COLUMN $pk RESTART WITH $next"
+
+  /** Engines whose pk auto-increment is an EXPLICIT sequence the DDL must
+    * create and the reset must re-point (DuckDB; classic-serial Postgres),
+    * vs identity-column engines (Derby/DB2/H2). The cross-engine split
+    * taps hides behind Sequel adapters (lib/taps/schema.rb:74-80). */
+  def usesExplicitSequence(url: String): Boolean =
+    url.startsWith("jdbc:duckdb:")
+
+  /** Deterministic name for the pk's backing sequence on explicit-sequence
+    * engines (the postgres serial convention). */
+  def pkSequenceName(table: String, pk: String): String =
+    s"${table}_${pk}_seq"
+
+  /** S9 across both engine families: the statement(s) that make the next
+    * auto-generated pk land at `next` after a bulk load. */
+  def resetPkSequenceSql(url: String, table: String, pk: String,
+                         next: Long): Seq[String] =
+    if (usesExplicitSequence(url)) {
+      // the sequence is CREATED here, post-load, already pointing past
+      // the bulk watermark, then attached as the pk's DEFAULT — the taps
+      // sequence step (schema, data, indexes, THEN sequences); creating
+      // it pre-load would freeze it: DuckDB refuses to replace or
+      // restart a sequence that a column DEFAULT depends on
+      val seq = pkSequenceName(table, pk)
+      Seq(s"CREATE SEQUENCE $seq START WITH $next",
+        s"ALTER TABLE $table ALTER COLUMN $pk SET DEFAULT nextval('$seq')")
+    } else Seq(restartIdentitySql(table, pk, next))
+
+  /** DROP SEQUENCE that tolerates absence — the explicit-sequence twin of
+    * [[dropTableIfExists]] for re-runnable pulls. */
+  def dropSequenceIfExists(url: String, name: String): Unit =
+    try execute(url, s"DROP SEQUENCE $name")
+    catch { case _: java.sql.SQLException => () }
 
   // ---------------------------------------------------------------------
   // Live execution — the statements above, actually run over java.sql.
