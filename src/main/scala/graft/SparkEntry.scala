@@ -4235,10 +4235,11 @@ object SparkEntry {
         | SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
 
     "fn_md5_rows" -> "SELECT doc_id, md5(text) AS h FROM documents",
-    // crc32 via the committed zlib witness (independent implementation)
+    // crc32 via the committed zlib witness (independent implementation);
+    // content-keyed (text -> crc) so one witness serves every fixture SF
     "fn_crc32_rows" ->
-      ("SELECT d.doc_id, w.crc FROM documents d JOIN " +
-        s"read_parquet('$witnessDir/doc_crc32_sf001.parquet') w USING (doc_id)"),
+      ("SELECT d.doc_id, w.crc FROM documents d LEFT JOIN " +
+        s"read_parquet('$witnessDir/text_crc32.parquet') w ON d.text = w.text"),
     "fn_base64_roundtrip" ->
       """SELECT doc_id, base64(encode(text)) AS b64,
         | decode(from_base64(base64(encode(text)))) AS back FROM documents""".stripMargin,
@@ -8026,8 +8027,10 @@ object SparkEntry {
        |h AS (SELECT CAST(least((o.o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
        |  w.xxh AS h
        |  FROM orders o
-       |  JOIN read_parquet('$witnessDir/orders_xxh64_sf001.parquet') w
-       |   ON o.o_orderkey = w.o_orderkey, sp),
+       |  JOIN read_parquet('$witnessDir/rowrepr_xxh64.parquet') w
+       |   ON concat_ws('|', o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       |        CAST(o.o_totalprice AS DECIMAL(18,2)),
+       |        strftime(o.o_orderdate, '%Y-%m-%d')) = w."repr", sp),
        |c AS (SELECT chunk_id, count(*) AS n,
        |  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_h, bit_xor(h) AS xor_h
        |  FROM h GROUP BY 1)""".stripMargin

@@ -55,36 +55,42 @@ pq.write_table(pa.table({
 }), OUT / "tok_xxh64.parquet")
 print(f"tok_xxh64.parquet: {len(rows)} tokens")
 
-# ---- per-doc crc32 at sf0.01 (the gate SF)
-docs = con.execute("""
-    SELECT doc_id, text
-    FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-    ORDER BY doc_id""").fetchall()
+# ---- per-TEXT crc32 (content-keyed: the same doc_id carries DIFFERENT
+# text at different SFs, so the witness keys on the text itself and the
+# oracle joins d.text = w.text — SF-universal by construction)
+texts = set()
+for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    for (t,) in con.execute(f"""
+        SELECT DISTINCT text
+        FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+        WHERE text IS NOT NULL""").fetchall():
+        texts.add(t)
+texts = sorted(texts)
 pq.write_table(pa.table({
-    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
-    "crc": pa.array(
-        [zlib.crc32((d[1] or "").encode("utf-8")) for d in docs], pa.int64()),
-}), OUT / "doc_crc32_sf001.parquet")
-print(f"doc_crc32_sf001.parquet: {len(docs)} docs")
+    "text": pa.array(texts, pa.string()),
+    "crc": pa.array([zlib.crc32(t.encode("utf-8")) for t in texts], pa.int64()),
+}), OUT / "text_crc32.parquet")
+print(f"text_crc32.parquet: {len(texts)} distinct texts")
 
-# ---- per-order rowRepr xxhash64 at sf0.01
-# rowRepr replays SparkEntry.checksumRowRepr byte for byte: Spark's
-# double->DECIMAL(18,2) cast is BigDecimal(double).setScale(2, HALF_UP) on
-# the EXACT binary expansion -- python's Decimal(float) quantize(HALF_UP)
-# is the same arithmetic on the same expansion.
-orders = con.execute("""
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d')
-    FROM read_parquet('/root/testdata/sf0.01/orders.parquet')
-    ORDER BY o_orderkey""").fetchall()
+# ---- per-rowRepr xxhash64 for the chunk checksums (content-keyed on the
+# serialized row string, same SF-universality argument). rowRepr replays
+# SparkEntry.checksumRowRepr byte for byte: Spark's double->DECIMAL(18,2)
+# cast is BigDecimal(double).setScale(2, HALF_UP) on the EXACT binary
+# expansion -- python's Decimal(float) quantize(HALF_UP) is the same
+# arithmetic on the same expansion (validated: identical hash SUM over
+# all 15000 sf0.01 orders vs the engine).
 TWO_DP = decimal.Decimal("0.01")
-rows = []
-for ok, ck, st, tp, dt in orders:
-    price = decimal.Decimal(tp).quantize(TWO_DP, rounding=decimal.ROUND_HALF_UP)
-    repr_s = f"{ok}|{ck}|{st}|{price}|{dt}"
-    rows.append((ok, xxh64_signed(repr_s.encode("utf-8"))))
+reprs = set()
+for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    for ok, ck, st, tp, dt in con.execute(f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d')
+        FROM read_parquet('/root/testdata/{sf}/orders.parquet')""").fetchall():
+        price = decimal.Decimal(tp).quantize(TWO_DP, rounding=decimal.ROUND_HALF_UP)
+        reprs.add(f"{ok}|{ck}|{st}|{price}|{dt}")
+reprs = sorted(reprs)
 pq.write_table(pa.table({
-    "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
-    "xxh": pa.array([r[1] for r in rows], pa.int64()),
-}), OUT / "orders_xxh64_sf001.parquet")
-print(f"orders_xxh64_sf001.parquet: {len(rows)} orders")
+    "repr": pa.array(reprs, pa.string()),
+    "xxh": pa.array([xxh64_signed(r.encode("utf-8")) for r in reprs], pa.int64()),
+}), OUT / "rowrepr_xxh64.parquet")
+print(f"rowrepr_xxh64.parquet: {len(reprs)} distinct row reprs")
