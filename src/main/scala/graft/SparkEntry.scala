@@ -2561,6 +2561,50 @@ object SparkEntry {
     // (kmeansAssignInt8), so the kept set is exact cross-engine; the
     // per-cell rank is one cell-keyed window over the assignment table
     // (row-sized, no vector shuffle)
+    // MRL truncation-quality probe: top-5 by the 16-dim PREFIX vs top-5
+    // by all 64 dims, overlap per query — prices the dimension-truncation
+    // storage/latency lever before a pipeline commits to it
+    // (Similarity.prefixDimOverlap doc; both rankings exact fixed-point).
+    // Fixture reading: 0-0.4 across the 10 queries — the synthetic
+    // embeddings are random directions with NO Matryoshka training, so
+    // low prefix overlap is the honest verdict (an MRL-trained space
+    // reads near 1; the metric exists to measure exactly that gap)
+    "ext_mrl_overlap" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.prefixDimOverlap(v, v.filter(col("vec_id") < 10),
+        prefixDims = 16, fullDims = 64, k = 5)
+    }),
+    // HARD-NEGATIVE MINING: per query, the 3 nearest vectors with a
+    // DIFFERENT label — the contrastive-training batch builder
+    // (Similarity.hardNegatives doc; label gate rides the broadcast join)
+    "ext_hard_negatives" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.hardNegatives(v, v.filter(col("vec_id") < 10),
+        dims = 64, k = 3)
+    }),
+    // CLUSTER PURITY against the ground-truth labels: per exact-integer
+    // k-means cell, its size, majority label and purity — the clustering
+    // quality audit (majority argmax deterministic: count desc, label asc).
+    // Fixture reading: 0.11-0.20 ≈ chance for ~10 labels — the synthetic
+    // embeddings carry no label geometry; the audit's value is exactly
+    // that it SAYS so (values vary per cell, nothing is degenerate)
+    "ext_cluster_purity" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      val lab = Similarity.kmeansAssignInt8(v, k = 8)
+        .select(col("vec_id"), col("cluster"))
+        .join(v.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nl"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("nl").desc, col("label").asc)
+      lab
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", sum(col("nl")).over(Window.partitionBy(col("cluster"))))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("__n").cast("bigint").as("n_vecs"),
+          col("label").as("top_label"), col("nl").as("n_top"),
+          round(col("nl").cast("double") / col("__n").cast("double"), 6)
+            .as("purity"))
+    }),
     "ext_cluster_cap" -> ((s, dir) => {
       val w = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
       Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 8)
@@ -5709,6 +5753,55 @@ object SparkEntry {
     // ADC top-5 vs exact fixed-point top-5, recall per query — both
     // rankings are the already-replayed templates (rerank oracle's ADC
     // chain + the full-dim f table), joined like ext_ann_recall
+    // both rankings replayed over the shared fixed-point table; prefix =
+    // list slice (same values fpSub produces for the first 16 dims)
+    "ext_mrl_overlap" ->
+      (s"""WITH f AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*65536.0 + 0.5) AS BIGINT)) AS fe FROM embeddings),
+         |ex AS (SELECT qf.vec_id AS query_id, cf.vec_id AS neighbor_id,
+         |  CAST(${sqDistSql("qf.fe", "cf.fe")} AS BIGINT) AS dist,
+         |  CAST(${sqDistSql("qf.fe[1:16]", "cf.fe[1:16]")} AS BIGINT) AS pdist
+         |  FROM (SELECT * FROM f WHERE vec_id < 10) qf
+         |  JOIN f cf ON cf.vec_id <> qf.vec_id),
+         |full5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM ex)
+         |  WHERE rn <= 5),
+         |pre5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY pdist, neighbor_id) AS rn FROM ex)
+         |  WHERE rn <= 5),
+         |h AS (SELECT query_id, count(*) AS hits
+         |  FROM full5 JOIN pre5 USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(hits, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(hits, 0) AS DOUBLE) / 5, 6) AS overlap_frac
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN h ON h.query_id = q.vec_id""".stripMargin),
+    "ext_hard_negatives" ->
+      (s"""WITH f AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*65536.0 + 0.5) AS BIGINT)) AS fe FROM embeddings),
+         |ex AS (SELECT qf.vec_id AS query_id, cf.vec_id AS neighbor_id,
+         |  cf.label AS neighbor_label,
+         |  CAST(${sqDistSql("qf.fe", "cf.fe")} AS BIGINT) AS dist
+         |  FROM (SELECT * FROM f WHERE vec_id < 10) qf
+         |  JOIN f cf ON cf.vec_id <> qf.vec_id AND cf.label <> qf.label)
+         |SELECT query_id, neighbor_id, neighbor_label, dist,
+         |  CAST(rn AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM ex)
+         |WHERE rn <= 3""".stripMargin),
+    // the shared exact-integer assignment + a majority-label window
+    "ext_cluster_purity" -> (kmeansAssignDistCte + """,
+        |asg AS (SELECT vec_id, cid AS cluster FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |lab AS (SELECT a.cluster, e.label, count(*) AS nl
+        |  FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |tot AS (SELECT cluster, CAST(SUM(nl) AS BIGINT) AS n_vecs
+        |  FROM lab GROUP BY 1)
+        |SELECT l.cluster, t.n_vecs, l.label AS top_label, l.nl AS n_top,
+        |  round(CAST(l.nl AS DOUBLE) / t.n_vecs, 6) AS purity
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY cluster ORDER BY nl DESC, label) AS rn FROM lab) l
+        |JOIN tot t USING (cluster) WHERE l.rn = 1""".stripMargin),
     "ext_pq_recall" -> (pqReplayCte +
       s""",
          |scored AS (

@@ -370,7 +370,64 @@ object Similarity {
         col("rn").as("rank"))
   }
 
-  /** Probe list for the IVF-PQ coarse quantizer: indices of the `nprobe`
+  /** MATRYOSHKA truncation-quality probe (MRL embeddings, Kusupati et al.
+    * 2022): per query, |top-k by the first `prefixDims` dimensions ∩
+    * top-k by all `fullDims`| — the retrieval-overlap curve that tells a
+    * pipeline how many dimensions it can truncate to before the ranking
+    * drifts (truncated vectors are the production storage/latency lever;
+    * this is the metric that prices it). Both rankings are
+    * [[exactTopKFixed]]'s integer fixed-point L2 with (dist, id)
+    * tie-breaks, so the overlap is bit-deterministic cross-engine.
+    * Queries with no overlap emit 0 (left join), every query emits. */
+  def prefixDimOverlap(candidates: DataFrame, queries: DataFrame,
+                       prefixDims: Int, fullDims: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= fullDims,
+      s"prefixDims must be in [1, $fullDims], got $prefixDims")
+    val full = exactTopKFixed(candidates, queries, fullDims, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pre = exactTopKFixed(candidates, queries, prefixDims, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = full.join(pre, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__hits"), lit(0L)).cast("bigint").as("n_overlap"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("overlap_frac"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training: per query, the k
+    * nearest candidates whose `labelCol` DIFFERS from the query's — the
+    * examples a similarity model most needs to push apart (same metric
+    * space and tie-breaks as [[exactTopKFixed]]; the label gate rides the
+    * broadcast join condition, so no extra pass). NULL-labeled rows drop
+    * on either side (<> is NULL-propagating in both engines — a row with
+    * unknown label is neither a positive nor a provable negative). At
+    * scale this is the brute baseline; shortlist with the LSH/IVF/PQ
+    * family first and re-rank exactly, as [[pqTopKRefine]] does. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, dims: Int,
+                    k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = Query.ensureParallelism(candidates)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+        fpSub(col(vecCol), 0, dims).as("cf"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      fpSub(col(vecCol), 0, dims).as("qf"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("neighbor_label") =!= col("__ql"))
+      .withColumn("dist", sqDist(col("qf"), col("cf")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("dist"), col("rn").as("rank"))
+  }
+
+    /** Probe list for the IVF-PQ coarse quantizer: indices of the `nprobe`
     * nearest coarse centroids by ascending exact integer squared L2 (ties
     * → lowest index). `coarse` is a full-dim integer codebook — train it
     * with [[trainPqCodebooks]] at m=1 (the coarse quantizer IS a PQ with

@@ -245,4 +245,62 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .sortBy(x => (x._1, -x._3, x._2)).toSeq
     assert(got == want)
   }
+
+  test("hardNegatives: nearest DIFFERENT-label vectors, brute-force parity, " +
+      "same-label and null-label rows excluded, (dist, id) tie-break") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map { i =>
+      val lab: Integer = if (i % 13 == 0) null else Int.box((i % 3).toInt)
+      (i, Array.fill(8)(rnd.nextFloat()), lab)
+    }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegatives(df, q, dims = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> r.getLong(1)).toMap
+    // brute force in the same fixed-point metric
+    def fp(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 65536 + 0.5).toLong)
+    val all = data.map { case (id, v, l) => (id, fp(v), Option(l).map(_.toInt)) }
+    for ((qid, qv, ql) <- all.take(5); if ql.nonEmpty) {
+      val want = all
+        .filter { case (cid, _, cl) => cid != qid && cl.nonEmpty && cl != ql }
+        .map { case (cid, cv, _) =>
+          (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid) }
+        .sorted.take(3).map(_._2)
+      want.zipWithIndex.foreach { case (cid, i) =>
+        assert(got((qid, i + 1)) == cid, s"query $qid rank ${i + 1}")
+      }
+    }
+    // null-labeled queries emit nothing; no same-label neighbor anywhere
+    val rows = Similarity.hardNegatives(df, df.filter(col("vec_id") === 13L ||
+        col("vec_id") === 1L), dims = 8, k = 3).collect()
+    assert(rows.forall(_.getLong(0) == 1L)) // 13 is null-labeled
+  }
+
+  test("prefixDimOverlap: identical rankings at full prefix (overlap = k); " +
+      "engineered prefix decoy lowers the overlap; zero-overlap queries " +
+      "still emit") {
+    import spark.implicits._
+    // 1 query + 4 candidates in 4 dims: prefix (first 2 dims) ranks decoy
+    // FIRST while the full distance ranks it LAST
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.1f, 0.0f, 0.0f, 0.0f)),   // near in both
+      (2L, Array(0.2f, 0.0f, 0.0f, 0.0f)),   // near in both
+      (3L, Array(0.0f, 0.0f, 9.0f, 9.0f)),   // prefix-perfect decoy, far in full
+      (4L, Array(0.3f, 0.3f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+    val atFull = Similarity.prefixDimOverlap(df, q, prefixDims = 4,
+      fullDims = 4, k = 2).collect()(0)
+    assert(atFull.getLong(1) == 2L && atFull.getDouble(2) == 1.0)
+    val pre = Similarity.prefixDimOverlap(df, q, prefixDims = 2,
+      fullDims = 4, k = 2).collect()(0)
+    // prefix top-2 = {3, 1} (decoy wins the prefix), full top-2 = {1, 2}
+    assert(pre.getLong(1) == 1L && pre.getDouble(2) == 0.5)
+    // k = 1: prefix picks ONLY the decoy -> zero overlap, row still emitted
+    val z = Similarity.prefixDimOverlap(df, q, prefixDims = 2,
+      fullDims = 4, k = 1).collect()(0)
+    assert(z.getLong(1) == 0L && z.getDouble(2) == 0.0)
+  }
 }
