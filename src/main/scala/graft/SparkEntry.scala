@@ -2132,6 +2132,23 @@ object SparkEntry {
       Multimodal.sampleDecodedFrames(
         Multimodal.gifFixture(t(s, dir, "documents")), stride = 2)),
 
+    // IMAGE PERCEPTUAL HASH over REAL decoded pixels: 64-bit aHash
+    // (exact integer 2x2 box-downsample + cross-multiplied mean compare)
+    // of genuine gradient PNGs — the image-dedup primitive
+    // (Multimodal.imageAHash doc; the oracle replays the generator's
+    // pixel function and the identical integer circuit)
+    "ext_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.pngGradientFixture(t(s, dir, "documents")))),
+    // IMAGE NEAR-DUP pairs: pigeonhole-banded hamming join over the
+    // aHash (4x16-bit bands, exact radius <= 3) — multimodal dedup at
+    // the 100 TB shape (8-byte hashes, band equi-join, popcount verify);
+    // ids 256 apart carry identical planted stripes, so exact image
+    // dups exist at every SF (Multimodal.pngGradientFixture doc)
+    "ext_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+        Multimodal.pngGradientFixture(t(s, dir, "documents")))),
+
     // ── §2.11 [EXT] dedup ────────────────────────────────────────────────
     "ext_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -5061,6 +5078,8 @@ object SparkEntry {
 
     // what REAL frame decoding must recover from the generated GIFs: every
     // 2nd frame of 2+doc_id%5, its dimensions, and its constant gray fill
+    "ext_image_ahash" -> (imageAHashCte + "\nSELECT media_id, ahash FROM sig"),
+    "ext_image_neardup" -> imageNearDupOracleSql,
     "multimodal_frame_decode" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
         |  CAST(3 + doc_id % 5 AS INT) AS width,
@@ -8395,6 +8414,50 @@ object SparkEntry {
        |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
       .stripMargin
+  }
+
+  /** The aHash replay: the gradient fixture's pixel function v(x, y) =
+    * (id·17 + x·31 + y·47) mod 256 over the 16×16 canvas, exact integer
+    * 2×2 cell sums, the cross-multiplied mean compare, and the signed
+    * 64-bit assembly through HUGEINT (bit 63 subtracts 2^63) — ends at
+    * `sig(media_id, ahash)`. */
+  private def imageAHashCte: String =
+    """WITH px AS (SELECT d.doc_id, gx.x, gy.y,
+      |    ((d.doc_id*17 + gx.x*31 + gy.y*47) % 256) AS v
+      |  FROM documents d,
+      |       generate_series(0, 15) AS gx(x),
+      |       generate_series(0, 15) AS gy(y)),
+      |cells AS (SELECT doc_id, (y//2)*8 + (x//2) AS k, SUM(v) AS cs
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, SUM(cs) AS ts FROM cells GROUP BY 1),
+      |bits AS (SELECT c.doc_id, k,
+      |    CASE WHEN c.cs*64 >= t.ts THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN tot t USING (doc_id)),
+      |sig AS (SELECT doc_id AS media_id,
+      |  CAST(SUM(CASE WHEN b = 1 AND k < 63
+      |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+      |    - CASE WHEN MAX(CASE WHEN k = 63 THEN b ELSE 0 END) = 1
+      |        THEN 9223372036854775808 ELSE 0 END AS BIGINT) AS ahash
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of Multimodal.imageNearDups: the aHash replay + four
+    * masked 16-bit band self-joins UNIONed + popcount verify. */
+  private def imageNearDupOracleSql: String = {
+    val joins = (0 until 4).map { i =>
+      val mask = 0xFFFFL << (i * 16)
+      s"""  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |      a.ahash AS ha, b.ahash AS hb
+         |    FROM sig a JOIN sig b
+         |     ON (a.ahash & $mask) = (b.ahash & $mask)
+         |     AND a.media_id < b.media_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    imageAHashCte +
+      s""",
+         |cand AS (
+         |$joins
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
   }
 
   private def simhashMd5OracleSql: String =

@@ -72,6 +72,118 @@ object Multimodal {
   def filterByMeta(df: DataFrame, modality: String, minWidth: Int): DataFrame =
     df.filter(col("meta.modality") === modality && col("meta.width") >= minWidth)
 
+  /** GRADIENT-PNG fixture: real encoded PNGs whose pixels carry the
+    * deterministic stripe v(x, y) = (id·17 + x·31 + y·47) mod 256 on a
+    * fixed 16×16 canvas (all three channels = v) — per-pixel STRUCTURE a
+    * perceptual hash can bite on, where [[pngFixture]]'s constant fill
+    * (right for decoder feature tests) would degenerate every pHash to
+    * one value. ids 256 apart carry IDENTICAL stripes (Δ·17 ≡ 0 mod 256
+    * ⟺ 256 | Δ, since 17 is odd), so exact image duplicates are planted
+    * at every SF — ground truth for the near-dup key. Generator inputs
+    * are SQL-expressible, so the oracle replays the pixel function. */
+  def pngGradientFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = Query.ensureParallelism(docs.select(col("doc_id")))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val v = ((id * 17 + x * 31 + y * 47) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image", "png", 16, 16, null))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) over REAL decoded pixels — the
+    * image-dedup primitive (train-data image near-dup runs on perceptual
+    * hashes, not raw bytes): decode the PNG, box-downsample 16×16 → 8×8
+    * by EXACT integer 2×2 red-channel sums (no float resize — integer
+    * arithmetic both engines replay bit for bit), bit k (row-major
+    * k = cy·8 + cx) set iff cell_sum·64 ≥ total_sum (the cross-multiplied
+    * integer mean compare; ties BRIGHT). mapPartitions because no
+    * Catalyst expression decodes PNG — the established [[decodeFeatures]]
+    * boundary; everything after the decode is plain integer SQL. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = ImageIO.read(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val cell = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val v = (img.getRGB(x, y) >> 16) & 0xFF
+              cell((y / 2) * 8 + (x / 2)) += v
+              total += v
+              x += 1
+            }
+            y += 1
+          }
+          var h = 0L
+          var k = 0
+          while (k < 64) {
+            if (cell(k) * 64 >= total) h |= (1L << k)
+            k += 1
+          }
+          Row(id, h)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false))))
+  }
+
+  /** Image NEAR-DUP pairs by pigeonhole-banded hamming join over the
+    * aHash — (id_a, id_b, hamming ≤ 3): 4 disjoint 16-bit bands, any
+    * pair at distance ≤ 3 agrees exactly on ≥ 1 band (provable recall,
+    * never O(n²) — [[graft.operators.Dedup.simhashHammingPairs]]'s
+    * machinery over image hashes), popcount verify via bit_count(xor).
+    * The banded equi-join is the 100 TB shape: hashes are 8 bytes/image
+    * and only band-colliding pairs ever meet. */
+  def imageNearDups(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit pigeonhole covers maxDist <= 3, got $maxDist")
+    val par = media.sparkSession.sparkContext.defaultParallelism
+    val sig = imageAHash(media).localCheckpoint()
+    val a = sig.select(col("media_id").as("id_a"), col("ahash").as("__ha"))
+    val b = sig.select(col("media_id").as("id_b"), col("ahash").as("__hb"))
+    val cands = (0 until 4).map { i =>
+      val mask = lit(0xFFFFL << (i * 16))
+      a.withColumn("__k", col("__ha").bitwiseAND(mask))
+        .join(b.withColumn("__k", col("__hb").bitwiseAND(mask)), "__k")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+    }.reduce(_ unionByName _)
+    val result = cands
+      .repartition(par, col("id_a"), col("id_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(__ha ^ __hb) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(sig)
+    result
+  }
+
   /** Real-PNG fixture: each document becomes a small genuine PNG whose
     * dimensions and constant RGB fill are pure functions of
     * `(doc_id, length(text))`, encoded with `javax.imageio`. Because the

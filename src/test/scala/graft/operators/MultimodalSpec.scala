@@ -156,4 +156,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((feat.getInt(1), feat.getInt(2), feat.getLong(3), feat.getInt(4),
       feat.getLong(5)) == ((8000, n, n * 1000L / 8000, amps.max, amps.sum.toLong)))
   }
+
+  test("imageAHash over REAL decoded gradient PNGs equals the pixel-" +
+      "function brute force (decode round-trip + exact integer circuit)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "t")).toDF("doc_id", "text")
+    val got = Multimodal.imageAHash(Multimodal.pngGradientFixture(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def brute(id: Long): Long = {
+      val cell = new Array[Long](64); var total = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (id * 17 + x * 31 + y * 47) % 256
+        cell((y / 2) * 8 + (x / 2)) += v; total += v
+      }
+      (0 until 64).foldLeft(0L)((h, k) =>
+        if (cell(k) * 64 >= total) h | (1L << k) else h)
+    }
+    (0L until 40L).foreach(i => assert(got(i) == brute(i), s"id $i"))
+  }
+
+  test("imageNearDups equals brute-force popcount pairs at radius 3 " +
+      "(pigeonhole recall over the 4x16-bit bands) and plants exact " +
+      "dups 256 ids apart") {
+    import spark.implicits._
+    // two windows 256 apart so planted exact dups exist in-corpus
+    val ids = (0L until 20L) ++ (256L until 276L)
+    val docs = ids.map(i => (i, "t")).toDF("doc_id", "text")
+    val fx = Multimodal.pngGradientFixture(docs)
+    val got = Multimodal.imageNearDups(fx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = Multimodal.imageAHash(fx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(sig(a) ^ sig(b))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    // the planted stripe period: ids 256 apart hash identically
+    assert(got.exists { case (a, b, d) => b - a == 256 && d == 0 })
+  }
 }
