@@ -2294,6 +2294,14 @@ object SparkEntry {
     // pairs with integer gates (100·i ≥ t·(|A|+|B|−i)) and member-count
     // products — the doc-level pair expansion is never materialized
     // (Dedup.jaccardThresholdSweep doc; r10 verdict item 1)
+    // LSH RECALL curve: fraction of true (exact jaccard >= 0.8, rep
+    // level) pairs each rows-per-band config catches — the lose side of
+    // the band sweep's cost side; catch/miss decided per true pair from
+    // the two signature arrays, no candidate enumeration
+    // (Dedup.lshRecallSweep doc)
+    "ext_lsh_recall_sweep" -> ((s, dir) =>
+      Dedup.lshRecallSweep(t(s, dir, "documents"), "doc_id", "text",
+        seeds = 16, configs = Seq(2, 4, 8, 16), threshold = 0.8)),
     "ext_jaccard_threshold_sweep" -> ((s, dir) =>
       Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
         Seq(70, 80, 90))),
@@ -5328,6 +5336,7 @@ object SparkEntry {
     "ext_dedup_minhash_fast" ->
       (minhashFastCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
     "ext_lsh_band_sweep" -> lshBandSweepOracleSql,
+    "ext_lsh_recall_sweep" -> lshRecallSweepOracleSql,
     // the estimator re-derives each candidate pair's per-seed signature
     // agreement from the same replayed sig table
     "ext_dedup_minhash_est" -> (minhashCandidatesCte +
@@ -8174,6 +8183,51 @@ object SparkEntry {
         s"AS n_bands, n_buckets, n_candidate_slots FROM c$r"
     }.mkString("\nUNION ALL\n")
     minhashSigCte + ",\n" + ctes + "\n" + sel
+  }
+
+  /** DuckDB twin of ext_lsh_recall_sweep: rep collapse by sorted hash
+    * list, rep-level signatures, r = 1 exhaustive candidates + exact
+    * double-jaccard verify (same IEEE ops as the engine), then per
+    * config the agreeing-seed groups decide catch/miss per true pair. */
+  private def lshRecallSweepOracleSql: String = {
+    val configs = Seq(2, 4, 8, 16)
+    val perR = configs.map { r =>
+      s"""m$r AS (SELECT DISTINCT da, db FROM (
+         |  SELECT da, db FROM agree GROUP BY da, db, j // $r
+         |  HAVING count(*) = $r))""".stripMargin
+    }.mkString(",\n")
+    val sel = configs.map { r =>
+      s"SELECT CAST($r AS INT) AS rows_per_band, CAST(${16 / r} AS INT) " +
+        s"AS n_bands, (SELECT count(*) FROM truth) AS n_true, " +
+        s"(SELECT count(*) FROM m$r) AS n_caught, " +
+        s"round(CAST((SELECT count(*) FROM m$r) AS DOUBLE) / " +
+        s"(SELECT count(*) FROM truth), 6) AS recall"
+    }.mkString("\nUNION ALL\n")
+    minhashSigCte + s""",
+      |key AS (SELECT doc_id, CAST(list_sort(list(h)) AS VARCHAR) AS k
+      |  FROM hv GROUP BY doc_id),
+      |rids AS (SELECT min(doc_id) AS rid FROM key GROUP BY k),
+      |hvr AS (SELECT * FROM hv WHERE doc_id IN (SELECT rid FROM rids)),
+      |sigr AS (SELECT doc_id, j,
+      |    min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
+      |  FROM hvr, seeds GROUP BY doc_id, j),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM hvr GROUP BY 1),
+      |cand1 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM sigr a JOIN sigr b
+      |   ON a.j = b.j AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand1 c
+      |  JOIN hvr h1 ON h1.doc_id = c.da
+      |  JOIN hvr h2 ON h2.doc_id = c.db AND h2.h = h1.h
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT t.da, t.db FROM inter t
+      |  JOIN sizes sa ON sa.doc_id = t.da
+      |  JOIN sizes sb ON sb.doc_id = t.db
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |agree AS (SELECT t.da, t.db, sa.j FROM truth t
+      |  JOIN sigr sa ON sa.doc_id = t.da
+      |  JOIN sigr sb ON sb.doc_id = t.db AND sb.j = sa.j AND sb.sig = sa.sig),
+      |$perR
+      |$sel""".stripMargin
   }
 
   /** Shared chunk-checksum CTE (range-chunked md5 row hashes, exact

@@ -447,6 +447,56 @@ object Dedup {
     * (doc_a, doc_b, jaccard[, __mas, __mbs]) at rep level, doc_a < doc_b.
     * `withMembers = false` is the drop-path form: no `__members` column is
     * required on `reps` and none crosses the band exchange. */
+  /** LSH RECALL tuning curve — for each rows-per-band config, the
+    * fraction of TRUE near-dup pairs (exact jaccard ≥ `threshold`, rep
+    * level) that the banding's candidate stream catches: the
+    * recall-vs-cost companion of the bucket-occupancy sweep
+    * ([[SparkEntry]]'s ext_lsh_band_sweep counts candidate WORK per
+    * config; this key prices what the cheaper configs LOSE). Ground
+    * truth = the r = 1 banding's exactly-verified pairs — a true pair at
+    * jaccard θ escapes all `seeds` single-row bands with probability
+    * (1−θ)^seeds (≈ 7·10⁻¹² at θ = 0.8, 16 seeds), so the truth is
+    * exhaustive for any practical purpose and the whole sweep rides ONE
+    * signature table. Per config, catch/miss is decided PER TRUE PAIR
+    * from the two signature arrays alone (∃ band whose r components all
+    * agree) — no config ever enumerates its candidate pair stream (the
+    * band-sweep lesson: the r = 2 stream alone was 22 s at sf0.1). */
+  def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
+                     seeds: Int = 16, configs: Seq[Int] = Seq(2, 4, 8, 16),
+                     threshold: Double = 0.8): DataFrame = {
+    require(configs.nonEmpty && configs.forall(r => r >= 1 && seeds % r == 0),
+      s"every rows-per-band must divide seeds=$seeds, got $configs")
+    val reps = repsOnly(docs, idCol, textCol).localCheckpoint()
+    val truth = verifiedRepPairs(reps, seeds, rowsPerBand = 1, threshold,
+      withMembers = false)
+    val sigs = reps.select(col("__rep"), sigArrayExpr(seeds).as("__sigs"))
+    val t2 = truth
+      .join(sigs.select(col("__rep").as("doc_a"), col("__sigs").as("__sa")),
+        Seq("doc_a"))
+      .join(sigs.select(col("__rep").as("doc_b"), col("__sigs").as("__sb")),
+        Seq("doc_b"))
+      .localCheckpoint()
+    val rows = configs.map { r =>
+      val nBands = seeds / r
+      val bandMatch = exists(sequence(lit(0), lit(nBands - 1)), j =>
+        forall(sequence(lit(1), lit(r)), i =>
+          element_at(col("__sa"), j * lit(r) + i) ===
+            element_at(col("__sb"), j * lit(r) + i)))
+      t2.agg(count(lit(1)).as("__n"),
+          coalesce(sum(when(bandMatch, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("__c"))
+        .select(lit(r).cast("int").as("rows_per_band"),
+          lit(nBands).cast("int").as("n_bands"),
+          col("__n").cast("bigint").as("n_true"),
+          col("__c").cast("bigint").as("n_caught"),
+          round(col("__c").cast("double") / col("__n").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+    val result = rows.localCheckpoint()
+    freeCheckpoints(reps, t2)
+    result
+  }
+
   private def verifiedRepPairs(reps: DataFrame, seeds: Int, rowsPerBand: Int,
                                threshold: Double,
                                withMembers: Boolean = true): DataFrame = {

@@ -796,4 +796,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(tight == full.filter(_._3 <= 1))
   }
+
+  test("lshRecallSweep: truth = brute-force rep-level jaccard pairs; " +
+      "catch/miss per config matches the collected signature arrays; " +
+      "recall is monotone non-increasing in rows-per-band") {
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.lshRecallSweep(fixture, "doc_id", "text",
+        seeds = 16, configs = Seq(2, 4, 8, 16), threshold = 0.8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // brute truth: rep-level (one doc per distinct token set, min id),
+    // exact jaccard >= 0.8 over the raw token sets
+    val sets = fixture.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap { r =>
+        val toks = Option(r.getString(1)).getOrElse("")
+          .toLowerCase.split(" ").filter(_.nonEmpty).toSet
+        if (toks.isEmpty) None else Some(r.getLong(0) -> toks)
+      }
+    val reps = sets.groupBy(_._2).map { case (ts, ms) => ms.map(_._1).min -> ts }
+    val ids = reps.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      i = (reps(a) intersect reps(b)).size
+      j = i.toDouble / (reps(a).size + reps(b).size - i)
+      if j >= 0.8
+    } yield (a, b)).toSet
+    assert(got(2)._1 == truth.size && got(16)._1 == truth.size,
+      s"n_true ${got(2)._1} vs brute ${truth.size}")
+    // caught counts can never exceed the loosest config's
+    for (r <- Seq(4, 8, 16)) {
+      assert(got(r)._2 <= got(2)._2, s"caught must not rise past r=2 at $r")
+    }
+    assert(got(2)._3 >= got(4)._3 && got(4)._3 >= got(8)._3 &&
+      got(8)._3 >= got(16)._3, s"monotone: $got")
+  }
 }
