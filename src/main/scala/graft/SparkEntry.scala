@@ -2418,6 +2418,31 @@ object SparkEntry {
     "ext_weighted_sample" -> ((s, dir) =>
       Sampling.ppsSample(t(s, dir, "documents"), "doc_id", col("n_chars"), 100)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // TEMPERATURE-scaled domain mixing (the standard multi-source LM
+    // sampling scheme, alpha = 0.5): weight_d = sqrt(c_d) / SUM sqrt(c) —
+    // upweights small domains against head domains. sqrt is correctly
+    // rounded IEEE in both engines, and the normalizing sum folds over
+    // the SOURCE-ORDERED in-row list (the ordered-fold recipe), so every
+    // weight is bit-identical cross-engine; epoch_docs = the integer
+    // floor of a 1000-doc epoch's per-domain allocation
+    "ext_temperature_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      counts
+        .agg(array_sort(collect_list(struct(col("source"), col("c"))))
+          .as("__l"))
+        .select(col("__l"),
+          aggregate(col("__l"), lit(0.0d),
+            (acc, x) => acc + sqrt(x.getField("c").cast("double")))
+            .as("__tot"))
+        .select(explode(col("__l")).as("__e"), col("__tot"))
+        .select(col("__e.source").as("source"),
+          col("__e.c").cast("bigint").as("n_docs"),
+          round(sqrt(col("__e.c").cast("double")) / col("__tot"), 6)
+            .as("weight"),
+          floor(lit(1000.0d) * sqrt(col("__e.c").cast("double"))
+            / col("__tot")).cast("bigint").as("epoch_docs"))
+    }),
     // token-budget mixture: 40/30/20/10% TOKEN shares over src0..src3
     // (every other source dropped); thresholds from exact integer math
     "ext_token_budget_mix" -> ((s, dir) =>
@@ -5335,6 +5360,22 @@ object SparkEntry {
     // identical affine/band replay, h40 sourced from the witness join
     "ext_dedup_minhash_fast" ->
       (minhashFastCandidatesCte + " SELECT doc_a, doc_b FROM pairs"),
+    // ordered in-row fold twin: list(... ORDER BY source) + list_reduce
+    // with a prepended 0.0 seed folds the identical IEEE sum
+    "ext_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |l AS (SELECT list(struct_pack(s := source, c := c) ORDER BY source)
+        |        AS lst FROM c),
+        |t AS (SELECT lst, list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(lst, x -> sqrt(CAST(x.c AS DOUBLE)))),
+        |    (a, b) -> a + b) AS tot FROM l),
+        |e AS (SELECT unnest(lst) AS u, tot FROM t)
+        |SELECT u.s AS source, CAST(u.c AS BIGINT) AS n_docs,
+        |  round(sqrt(CAST(u.c AS DOUBLE)) / tot, 6) AS weight,
+        |  CAST(floor(1000.0 * sqrt(CAST(u.c AS DOUBLE)) / tot) AS BIGINT)
+        |    AS epoch_docs
+        |FROM e""".stripMargin,
     "ext_lsh_band_sweep" -> lshBandSweepOracleSql,
     "ext_lsh_recall_sweep" -> lshRecallSweepOracleSql,
     // the estimator re-derives each candidate pair's per-seed signature
