@@ -601,16 +601,26 @@ object Graph {
   def sccPivot(dedges: DataFrame, srcCol: String, dstCol: String,
                maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    // ONE materialization of the (often expensive) upstream edge build,
+    // shared by the pivot scalar and BOTH bounded reaches — the lazy
+    // form re-ran the upstream three times (pivot agg + each reach's
+    // own oriented checkpoint); each reach still pays only its cheap
+    // re-orientation exchange over the shared blocks (r16 lever #1)
     val d = dedges.select(col(srcCol).cast("long").as("__s"),
-      col(dstCol).cast("long").as("__t"))
+      col(dstCol).cast("long").as("__t")).localCheckpoint()
     // index-sized scalar (the bfsLevelsUndirected precedent)
     val row = d.agg(least(min(col("__s")), min(col("__t")))).head()
-    if (row.isNullAt(0))
+    if (row.isNullAt(0)) {
+      Dedup.freeCheckpoints(d)
       return d.limit(0).select(col("__s").as("node"),
         lit(0).as("lvl_fwd"), lit(0).as("lvl_bwd"))
+    }
     val pivot = row.getLong(0)
+    // bfsLevels returns EAGER checkpoints, so the shared blocks can be
+    // freed as soon as both reaches are materialized
     val fwd = bfsLevels(d, "__s", "__t", pivot, maxDepth)
     val bwd = bfsLevels(d, "__t", "__s", pivot, maxDepth)
+    Dedup.freeCheckpoints(d)
     fwd.select(col("node"), col("lvl").as("lvl_fwd"))
       .join(bwd.select(col("node"), col("lvl").as("lvl_bwd")), Seq("node"))
   }
