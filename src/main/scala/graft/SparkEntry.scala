@@ -2294,14 +2294,14 @@ object SparkEntry {
     // pairs with integer gates (100·i ≥ t·(|A|+|B|−i)) and member-count
     // products — the doc-level pair expansion is never materialized
     // (Dedup.jaccardThresholdSweep doc; r10 verdict item 1)
-    // LSH RECALL curve: fraction of true (exact jaccard >= 0.8, rep
-    // level) pairs each rows-per-band config catches — the lose side of
-    // the band sweep's cost side; catch/miss decided per true pair from
-    // the two signature arrays, no candidate enumeration
-    // (Dedup.lshRecallSweep doc)
+    // LSH RECALL curve: fraction of TRUE (exact jaccard >= 4/5, rep
+    // level, prefix-filter exact join) pairs each rows-per-band config
+    // catches — the lose side of the band sweep's cost side; catch/miss
+    // decided per true pair from the two signature arrays, no candidate
+    // enumeration (Dedup.lshRecallSweep doc)
     "ext_lsh_recall_sweep" -> ((s, dir) =>
       Dedup.lshRecallSweep(t(s, dir, "documents"), "doc_id", "text",
-        seeds = 16, configs = Seq(2, 4, 8, 16), threshold = 0.8)),
+        seeds = 16, configs = Seq(2, 4, 8, 16), thetaNum = 4, thetaDen = 5)),
     "ext_jaccard_threshold_sweep" -> ((s, dir) =>
       Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
         Seq(70, 80, 90))),
@@ -8226,12 +8226,15 @@ object SparkEntry {
     minhashSigCte + ",\n" + ctes + "\n" + sel
   }
 
-  /** DuckDB twin of ext_lsh_recall_sweep: rep collapse by sorted hash
-    * list, rep-level signatures, r = 1 exhaustive candidates + exact
-    * double-jaccard verify (same IEEE ops as the engine), then per
-    * config the agreeing-seed groups decide catch/miss per true pair. */
+  /** DuckDB twin of ext_lsh_recall_sweep: the exact-join replay's
+    * rep-level verified pairs ([[jaccardPipelineCte]]'s `rp`) as TRUTH,
+    * rep-level md5 signatures off the same `tok` CTE, then per config
+    * the agreeing-seed groups decide catch/miss per true pair. */
   private def lshRecallSweepOracleSql: String = {
     val configs = Seq(2, 4, 8, 16)
+    val seedRows = (0 until 16).map { j =>
+      val (a, b) = graft.operators.Dedup.sigAffine(j); s"($j, $a, $b)"
+    }.mkString(", ")
     val perR = configs.map { r =>
       s"""m$r AS (SELECT DISTINCT da, db FROM (
          |  SELECT da, db FROM agree GROUP BY da, db, j // $r
@@ -8244,26 +8247,14 @@ object SparkEntry {
         s"round(CAST((SELECT count(*) FROM m$r) AS DOUBLE) / " +
         s"(SELECT count(*) FROM truth), 6) AS recall"
     }.mkString("\nUNION ALL\n")
-    minhashSigCte + s""",
-      |key AS (SELECT doc_id, CAST(list_sort(list(h)) AS VARCHAR) AS k
-      |  FROM hv GROUP BY doc_id),
-      |rids AS (SELECT min(doc_id) AS rid FROM key GROUP BY k),
-      |hvr AS (SELECT * FROM hv WHERE doc_id IN (SELECT rid FROM rids)),
+    jaccardPipelineCte(4, 5) + s""",
+      |truth AS (SELECT ra AS da, rb AS db FROM rp),
+      |hvr AS (SELECT rep AS doc_id,
+      |    CAST(${md5PrefixValueSql(10, "token")} AS BIGINT) AS h FROM tok),
+      |seedsv(j, a, b) AS (VALUES $seedRows),
       |sigr AS (SELECT doc_id, j,
       |    min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
-      |  FROM hvr, seeds GROUP BY doc_id, j),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM hvr GROUP BY 1),
-      |cand1 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM sigr a JOIN sigr b
-      |   ON a.j = b.j AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand1 c
-      |  JOIN hvr h1 ON h1.doc_id = c.da
-      |  JOIN hvr h2 ON h2.doc_id = c.db AND h2.h = h1.h
-      |  GROUP BY 1, 2),
-      |truth AS (SELECT t.da, t.db FROM inter t
-      |  JOIN sizes sa ON sa.doc_id = t.da
-      |  JOIN sizes sb ON sb.doc_id = t.db
-      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |  FROM hvr, seedsv GROUP BY doc_id, j),
       |agree AS (SELECT t.da, t.db, sa.j FROM truth t
       |  JOIN sigr sa ON sa.doc_id = t.da
       |  JOIN sigr sb ON sb.doc_id = t.db AND sb.j = sa.j AND sb.sig = sa.sig),

@@ -448,28 +448,33 @@ object Dedup {
     * `withMembers = false` is the drop-path form: no `__members` column is
     * required on `reps` and none crosses the band exchange. */
   /** LSH RECALL tuning curve — for each rows-per-band config, the
-    * fraction of TRUE near-dup pairs (exact jaccard ≥ `threshold`, rep
+    * fraction of TRUE near-dup pairs (exact jaccard ≥ num/den, rep
     * level) that the banding's candidate stream catches: the
     * recall-vs-cost companion of the bucket-occupancy sweep
     * ([[SparkEntry]]'s ext_lsh_band_sweep counts candidate WORK per
     * config; this key prices what the cheaper configs LOSE). Ground
-    * truth = the r = 1 banding's exactly-verified pairs — a true pair at
-    * jaccard θ escapes all `seeds` single-row bands with probability
-    * (1−θ)^seeds (≈ 7·10⁻¹² at θ = 0.8, 16 seeds), so the truth is
-    * exhaustive for any practical purpose and the whole sweep rides ONE
-    * signature table. Per config, catch/miss is decided PER TRUE PAIR
-    * from the two signature arrays alone (∃ band whose r components all
-    * agree) — no config ever enumerates its candidate pair stream (the
-    * band-sweep lesson: the r = 2 stream alone was 22 s at sf0.1). */
+    * truth comes from [[jaccardJoinExact]]'s EXACT-recall prefix-filter
+    * machinery at rep level (provably no missed pair, integer θ gate —
+    * and the machinery that stays alive on dense corpora, where an
+    * r = 1 banding's first-match dedup multiplies the candidate stream
+    * 16× through interpreted array compares: measured 956 s CPU at
+    * sf0.1 before this truth swap, ~8 s after). Per config, catch/miss
+    * is decided PER TRUE PAIR from the two signature arrays alone
+    * (∃ band whose r components all agree) — no config ever enumerates
+    * its candidate pair stream (the band-sweep lesson). The exact-join
+    * rep ids and the signature table's rep ids agree by construction
+    * (both collapse identical token sets to the min member id). */
   def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
                      seeds: Int = 16, configs: Seq[Int] = Seq(2, 4, 8, 16),
-                     threshold: Double = 0.8): DataFrame = {
+                     thetaNum: Int = 4, thetaDen: Int = 5): DataFrame = {
     require(configs.nonEmpty && configs.forall(r => r >= 1 && seeds % r == 0),
       s"every rows-per-band must divide seeds=$seeds, got $configs")
-    val reps = repsOnly(docs, idCol, textCol).localCheckpoint()
-    val truth = verifiedRepPairs(reps, seeds, rowsPerBand = 1, threshold,
-      withMembers = false)
-    val sigs = reps.select(col("__rep"), sigArrayExpr(seeds).as("__sigs"))
+    val jreps = jaccardReps(docs, idCol, textCol).localCheckpoint()
+    val sorted = jaccardOrderedPrefix(jreps, thetaNum, thetaDen).localCheckpoint()
+    val truth = jaccardVerifiedPairs(jreps, sorted, thetaNum, thetaDen)
+      .select(col("__ra").as("doc_a"), col("__rb").as("doc_b"))
+    val sigs = repsOnly(docs, idCol, textCol)
+      .select(col("__rep"), sigArrayExpr(seeds).as("__sigs"))
     val t2 = truth
       .join(sigs.select(col("__rep").as("doc_a"), col("__sigs").as("__sa")),
         Seq("doc_a"))
@@ -493,7 +498,7 @@ object Dedup {
             .as("recall"))
     }.reduce(_ unionByName _)
     val result = rows.localCheckpoint()
-    freeCheckpoints(reps, t2)
+    freeCheckpoints(jreps, sorted, t2)
     result
   }
 

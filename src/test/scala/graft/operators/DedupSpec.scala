@@ -802,7 +802,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "recall is monotone non-increasing in rows-per-band") {
     val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val got = Dedup.lshRecallSweep(fixture, "doc_id", "text",
-        seeds = 16, configs = Seq(2, 4, 8, 16), threshold = 0.8)
+        seeds = 16, configs = Seq(2, 4, 8, 16), thetaNum = 4, thetaDen = 5)
       .collect().map(r => r.getInt(0) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     // brute truth: rep-level (one doc per distinct token set, min id),
