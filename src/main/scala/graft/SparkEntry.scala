@@ -8106,7 +8106,14 @@ object SparkEntry {
     * hash value is data, exactly as the reference treats its checksums
     * (lib/taps/utils.rb:25-31). A gate hash-match on these keys verifies
     * the engine's hash kernels end-to-end against a second implementation. */
-  private val witnessDir = "/root/repo/fixtures"
+  private val witnessDir = {
+    // repo-relative when the process runs from a checkout (sbt forked
+    // runs set user.dir to the project base), with the canonical
+    // driver-contract location as fallback — the oracles survive a
+    // relocated checkout
+    val local = new java.io.File(sys.props("user.dir"), "fixtures")
+    if (local.isDirectory) local.getAbsolutePath else "/root/repo/fixtures"
+  }
 
   /** [[minhashSigCte]] with the per-token 40-bit hash sourced from the
     * xxhash64 witness fixture instead of the md5 prefix — everything

@@ -72,7 +72,9 @@ object StreamBench {
       s"""{"metric":"neardup_stream","docs":${corpus.length},"batch_size":$batch,""" +
       s""""batches":${batches.size},"total_sec":${s3(totalSec)},""" +
       s""""docs_per_sec":${s3(corpus.length / totalSec)},""" +
-      s""""docs_per_sec_steady":${s3((steady.size * batch) / steady.sum)},""" +
+      s""""docs_per_sec_steady":${s3(
+        (corpus.length - math.min(batch, corpus.length)) /
+          math.max(steady.sum, 1e-9))},""" +
       s""""batch_sec_first":${s3(perBatch.head)},""" +
       s""""batch_sec_median":${s3(perBatch.sorted.apply(perBatch.size / 2))},""" +
       s""""hits":$hits,"state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +

@@ -275,11 +275,16 @@ object Transfer {
         else None
       // sequence BEFORE deferred indexes: explicit-sequence engines
       // attach the pk DEFAULT via ALTER TABLE, which DuckDB refuses once
-      // an index exists on the table; identity engines are order-blind
-      wm.foreach { w =>
-        Jdbc.resetPkSequenceSql(url, table, meta.primaryKey.head, w + 1)
+      // an index exists on the table; identity engines are order-blind.
+      // Runs for EVERY single-int-pk table — an EMPTY table (wm None)
+      // still needs its sequence + DEFAULT on explicit-sequence engines
+      // (identity engines bake auto-increment into the CREATE TABLE, so
+      // skipping them on empty pulls silently dropped the S9 contract
+      // for DuckDB); next = 1 when nothing was loaded
+      if (meta.singleIntPk)
+        Jdbc.resetPkSequenceSql(url, table, meta.primaryKey.head,
+            wm.map(_ + 1).getOrElse(1L))
           .foreach(Jdbc.execute(url, _))
-      }
       post.foreach(Jdbc.execute(url, _))
       Result(table, rows, wm, skipped = false)
     }.toList

@@ -1216,11 +1216,29 @@ object Dedup {
     val d = if (maxDist < 0) bands - 1 else maxDist
     require(d <= bands - 1,
       s"pigeonhole covers maxDist <= bands - 1 = ${bands - 1}, got $d")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
     val sig = simhashMd5(docs, idCol, textCol, bits).localCheckpoint()
+    val result = hammingBandPairs(sig, idCol, "simhash", bits, bands, d)
+      .localCheckpoint()
+    freeCheckpoints(sig)
+    result
+  }
+
+  /** The pigeonhole-banded hamming self-join SHARED by the text (simhash)
+    * and image (aHash) near-dup paths: `bands` disjoint `bits/bands`-bit
+    * substrings, any pair at distance ≤ bands − 1 agrees exactly on ≥ 1
+    * band, popcount verify. `sig` is any (id, 64-bit-hash) frame; the
+    * caller owns its lifecycle (checkpoint before, free after). */
+  private[graft] def hammingBandPairs(sig: DataFrame, idCol: String,
+                                      hashCol: String, bits: Int,
+                                      bands: Int, maxDist: Int): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bands must be >= 2 and divide bits, got $bands over $bits")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"pigeonhole covers maxDist <= bands - 1 = ${bands - 1}, got $maxDist")
+    val par = sig.sparkSession.sparkContext.defaultParallelism
     val bandBits = bits / bands
-    val a = sig.select(col(idCol).as("id_a"), col("simhash").as("__ha"))
-    val b = sig.select(col(idCol).as("id_b"), col("simhash").as("__hb"))
+    val a = sig.select(col(idCol).as("id_a"), col(hashCol).as("__ha"))
+    val b = sig.select(col(idCol).as("id_b"), col(hashCol).as("__hb"))
     val cands = (0 until bands).map { i =>
       val mask = lit(((1L << bandBits) - 1) << (i * bandBits))
       a.withColumn("__k", col("__ha").bitwiseAND(mask))
@@ -1228,15 +1246,12 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
     }.reduce(_ unionByName _)
-    val result = cands
+    cands
       .repartition(par, col("id_a"), col("id_b"))
       .distinct()
       .withColumn("hamming", hamming(col("__ha"), col("__hb")))
-      .filter(col("hamming") <= d)
+      .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .localCheckpoint()
-    freeCheckpoints(sig)
-    result
   }
 
   /** EXACT-recall set-similarity self-join (AllPairs/PPJoin prefix-filter

@@ -654,10 +654,15 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
     val par = wpairs.sparkSession.sparkContext.defaultParallelism
+    // node ids cast to long up front: the seed collect below reads
+    // getLong, and integer-typed caller columns must keep working (the
+    // pre-r16 all-DataFrame form was type-agnostic)
     val e = wpairs.select(explode(array(
-        struct(col(uCol).as("__s"), col(vCol).as("__t"),
+        struct(col(uCol).cast("long").as("__s"),
+          col(vCol).cast("long").as("__t"),
           col(wCol).cast("bigint").as("__w")),
-        struct(col(vCol).as("__s"), col(uCol).as("__t"),
+        struct(col(vCol).cast("long").as("__s"),
+          col(uCol).cast("long").as("__t"),
           col(wCol).cast("bigint").as("__w")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
         col("__e.__w").as("__w"))
@@ -862,7 +867,13 @@ object Graph {
     * the 100× path needs no caller knowledge while benchmarks and specs
     * can still pin either shape. `factor` scales the proxy where the
     * broadcast side can outgrow the edge frame (multi-source visited
-    * state ≈ nSources × node frame). */
+    * state ≈ nSources × node frame). Operators whose PARTITIONING choice
+    * depends on the flag (the frontier/visited loop family) must resolve
+    * BEFORE anything materializes and therefore ride the optimizer's
+    * stats estimate — coarser than measured bytes, which is exactly why
+    * Some(true/false) stays available as the caller override; operators
+    * that checkpoint first (triangle/support family) resolve from
+    * measured block sizes. */
   private[graft] def resolveBroadcast(flag: Option[Boolean], proxy: DataFrame,
                                       factor: Long = 1L): Boolean =
     flag.getOrElse {
@@ -1776,10 +1787,11 @@ object Graph {
                 k: Int, rounds: Int,
                 broadcastAdj: Option[Boolean] = None): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val bAdj = resolveBroadcast(broadcastAdj, edges)
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
+    // resolved AFTER the checkpoint so the estimate reads measured bytes
+    val bAdj = resolveBroadcast(broadcastAdj, e)
     val spent = scala.collection.mutable.ArrayBuffer(e)
     var r = 0
     while (r < rounds) {
@@ -1807,9 +1819,10 @@ object Graph {
   def edgeJaccardTopK(edges: DataFrame, uCol: String, vCol: String,
                       k: Int, broadcastAdj: Option[Boolean] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val bAdj = resolveBroadcast(broadcastAdj, edges)
     val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
       .ckpt()
+    // resolved AFTER the checkpoint so the estimate reads measured bytes
+    val bAdj = resolveBroadcast(broadcastAdj, e)
     val hint = (d: DataFrame) => if (bAdj) broadcast(d) else d
     val deg = degreeTable(e)
     val result = edgeSupportBody(e, bAdj)

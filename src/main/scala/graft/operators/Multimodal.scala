@@ -161,24 +161,11 @@ object Multimodal {
   def imageNearDups(media: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16-bit pigeonhole covers maxDist <= 3, got $maxDist")
-    val par = media.sparkSession.sparkContext.defaultParallelism
     val sig = imageAHash(media).localCheckpoint()
-    val a = sig.select(col("media_id").as("id_a"), col("ahash").as("__ha"))
-    val b = sig.select(col("media_id").as("id_b"), col("ahash").as("__hb"))
-    val cands = (0 until 4).map { i =>
-      val mask = lit(0xFFFFL << (i * 16))
-      a.withColumn("__k", col("__ha").bitwiseAND(mask))
-        .join(b.withColumn("__k", col("__hb").bitwiseAND(mask)), "__k")
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
-    }.reduce(_ unionByName _)
-    val result = cands
-      .repartition(par, col("id_a"), col("id_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("CAST(bit_count(__ha ^ __hb) AS INT)"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val result = Dedup
+      .hammingBandPairs(sig, "media_id", "ahash", bits = 64, bands = 4,
+        maxDist = maxDist)
+      .withColumn("hamming", col("hamming").cast("int"))
       .localCheckpoint()
     Dedup.freeCheckpoints(sig)
     result

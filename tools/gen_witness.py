@@ -11,15 +11,19 @@ python implementation of the public XXH64 spec, seed 42 = Spark's default).
 A hash-match through the gate therefore verifies the ENGINE's hash
 implementations end-to-end against independent ones.
 
-Outputs (committed, regenerate only when the driver regenerates testdata):
-  fixtures/tok_xxh64.parquet      (tok, xxh, xxh_u, h40, h57) — one row per
+Outputs (committed, regenerate only when the driver regenerates testdata);
+all three are CONTENT-keyed so one file serves every fixture SF (the
+fixture is not prefix-consistent across SFs):
+  fixtures/tok_xxh64.parquet    (tok, xxh, xxh_u, h40, h57) — one row per
       distinct token across sf0.001/0.01/0.1 documents; h40 = pmod(xxh,2^40)
       (minhash), h57 = pmod(xxh,2^57) (fingerprint), xxh_u = unsigned
       (simhash bit votes).
-  fixtures/doc_crc32_sf001.parquet   (doc_id, crc) — zlib.crc32(text) at sf0.01.
-  fixtures/orders_xxh64_sf001.parquet (o_orderkey, xxh) — xxhash64 of the
-      chunk-checksum rowRepr string at sf0.01 (SparkEntry.checksumRowRepr:
-      orderkey|custkey|status|totalprice DECIMAL(18,2)|yyyy-MM-dd).
+  fixtures/text_crc32.parquet   (text, crc) — zlib.crc32 per distinct
+      document text across all SFs; oracles join d.text = w.text.
+  fixtures/rowrepr_xxh64.parquet (repr, xxh) — xxhash64 per distinct
+      chunk-checksum rowRepr string across all SFs
+      (SparkEntry.checksumRowRepr: orderkey|custkey|status|totalprice
+      DECIMAL(18,2)|yyyy-MM-dd); oracles reconstruct and join on repr.
 """
 import sys, zlib, decimal, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
