@@ -360,7 +360,7 @@ object Bench {
     // belt and braces for the driver's capture: the full JSON persisted to
     // a file, the full JSON on stdout, and a COMPACT line (total + slowest
     // queries, < 1 KB) printed LAST — round-3 showed the driver keeps only
-    // a ~2.5 KB stdout tail, which truncates the ~3 KB full line mid-stream
+    // a ~2 KB stdout tail, which truncates the ~3 KB full line mid-stream
     // and loses anything printed before it; the compact line is the one
     // guaranteed to survive whole inside the tail window
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -369,9 +369,27 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(json)
+    // the compact line must be BOUNDED whatever happened in-run: r16's
+    // judged artifact parsed null because a loaded sitting retried ~200
+    // keys and the full `retried` name array alone blew past the driver's
+    // 2000-char tail window, decapitating the line's leading
+    // "metric":"total" — so the compact line carries COUNTS (plus at most
+    // 8 poisoned names, the one list adjudication actually needs) and the
+    // full arrays live only in the full JSON / bench_out.json
+    def capped(b: scala.collection.mutable.ArrayBuffer[String], n: Int) = {
+      val shown = b.take(n).map("\"" + _ + "\"")
+      (shown ++ (if (b.size > n) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
+    }
+    val compactLoad =
+      s""""loadavg_boot":"$loadBoot","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_discounted":$loadDiscounted,"retried_n":${retriedNames.size},"poisoned_n":${poisonedNames.size},"poisoned":${capped(poisonedNames, 8)},"warmup":"adaptive-full-pass-x$pass","warmup_cold_n":${warmupCold.size},"warmup_errors":${capped(warmupErrors.to(scala.collection.mutable.ArrayBuffer), 4)}"""
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec",$loadJson,"queries":$slowest,"n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec",$compactLoad,"queries":$slowest,"n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}"""
+    // final guard: if some field still ballooned (pathological loadavg or
+    // query-name lengths), fall back to the minimal parseable line rather
+    // than ever printing a >1.9 KB last line
+    if (compact.length <= 1900) println(compact)
+    else println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries_full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2228,23 +2228,12 @@ object SparkEntry {
     // never materialized (a dense corpus at r = 2 is near-all-pairs BY
     // DESIGN — that's what the sweep is for — so the tuning metric must
     // be computable without doing the bad join; measured 22 s → sub-s
-    // at sf0.1). Signatures computed once, checkpointed.
-    "ext_lsh_band_sweep" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
-        "doc_id", "text", seeds = 16).localCheckpoint()
-      val result = Seq(2, 4, 8, 16).map { r =>
-        Dedup.minhashBands(sigs, "doc_id", r)
-          .groupBy(col("band"), col("band_sig"))
-          .agg(count(lit(1)).as("__c"))
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(expr("__c * (__c - 1) div 2")).cast("bigint")
-              .as("n_candidate_slots"))
-          .select(lit(r).as("rows_per_band"), lit(16 / r).as("n_bands"),
-            col("n_buckets"), col("n_candidate_slots"))
-      }.reduce(_ unionByName _).localCheckpoint()
-      Dedup.freeCheckpoints(sigs)
-      result
-    }),
+    // at sf0.1). One corpus scan serves every config: the band structs
+    // for all r are generated in-row and share one exchange
+    // (Dedup.lshBandSweep doc).
+    "ext_lsh_band_sweep" -> ((s, dir) =>
+      Dedup.lshBandSweep(t(s, dir, "documents"), "doc_id", "text",
+        seeds = 16, configs = Seq(2, 4, 8, 16))),
     "ext_dedup_drop_neardups" -> ((s, dir) =>
       Dedup.dropNearDups(t(s, dir, "documents"), "doc_id", "text", 16, 8, 0.95)
         .select(col("doc_id"))),
@@ -4330,9 +4319,13 @@ object SparkEntry {
 
     "fn_md5_rows" -> "SELECT doc_id, md5(text) AS h FROM documents",
     // crc32 via the committed zlib witness (independent implementation);
-    // content-keyed (text -> crc) so one witness serves every fixture SF
+    // content-keyed (text -> crc) so one witness serves every fixture SF.
+    // NULL text stays NULL (Spark's crc32(NULL)); a NON-null text the
+    // witness never hashed is a STALE FIXTURE and fails self-diagnosingly
     "fn_crc32_rows" ->
-      ("SELECT d.doc_id, w.crc FROM documents d LEFT JOIN " +
+      ("SELECT d.doc_id, CASE WHEN d.text IS NOT NULL AND w.crc IS NULL THEN " +
+        staleWitnessSql("text_crc32.parquet", "BIGINT") +
+        " ELSE w.crc END AS crc FROM documents d LEFT JOIN " +
         s"read_parquet('$witnessDir/text_crc32.parquet') w ON d.text = w.text"),
     "fn_base64_roundtrip" ->
       """SELECT doc_id, base64(encode(text)) AS b64,
@@ -8115,6 +8108,19 @@ object SparkEntry {
     if (local.isDirectory) local.getAbsolutePath else "/root/repo/fixtures"
   }
 
+  /** Stale-witness sentinel for the fixture-joined oracles: the witness
+    * parquet is content-keyed off a SPECIFIC testdata generation, so a
+    * regenerated /root/testdata (or an unseen SF) can present tokens/texts/
+    * rowReprs the witness never hashed — and a silent LEFT-JOIN NULL there
+    * reads as an ENGINE hash bug in the gate. DuckDB's `error()` is
+    * branch-lazy under CASE (validated: only matching rows raise), so every
+    * witness join guards its hash column with this expression and a stale
+    * fixture fails the oracle run with a self-diagnosing message instead
+    * of a hash mismatch. */
+  private def staleWitnessSql(file: String, sqlType: String): String =
+    s"CAST(error('stale witness fixtures/$file: input not covered - " +
+      s"regenerate with tools/gen_witness.py') AS $sqlType)"
+
   /** [[minhashSigCte]] with the per-token 40-bit hash sourced from the
     * xxhash64 witness fixture instead of the md5 prefix — everything
     * downstream (affine seeds, 2^57 modulus, 8-row bands, self-join) is
@@ -8128,7 +8134,10 @@ object SparkEntry {
        |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE w <> ''),
        |wit AS (SELECT tok AS wt, h40 FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
-       |hv AS (SELECT DISTINCT doc_id, h40 AS h FROM tok JOIN wit ON tok.w = wit.wt),
+       |hv AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN wit.h40 IS NULL THEN ${staleWitnessSql("tok_xxh64.parquet", "BIGINT")}
+       |       ELSE wit.h40 END AS h
+       |  FROM tok LEFT JOIN wit ON tok.w = wit.wt),
        |seeds(j, a, b) AS (VALUES $seedRows),
        |sig AS (
        |  SELECT doc_id, j, min((a * h + b) % ${graft.operators.Dedup.SigMod}) AS sig
@@ -8161,7 +8170,10 @@ object SparkEntry {
        |   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE w <> ''),
        |wit AS (SELECT tok AS wt, xxh_u FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
-       |hv AS (SELECT doc_id, xxh_u AS v FROM tok JOIN wit ON tok.w = wit.wt),
+       |hv AS (SELECT doc_id,
+       |  CASE WHEN wit.xxh_u IS NULL THEN ${staleWitnessSql("tok_xxh64.parquet", "UBIGINT")}
+       |       ELSE wit.xxh_u END AS v
+       |  FROM tok LEFT JOIN wit ON tok.w = wit.wt),
        |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
        |SELECT doc_id, CAST(($low)
        |  - CASE WHEN b63 > 0 THEN 9223372036854775808 ELSE 0 END AS BIGINT)
@@ -8179,8 +8191,10 @@ object SparkEntry {
        |          unnest(range(len(string_split(lower(text), ' ')))) AS pos
        |   FROM documents) WHERE w <> ''),
        |wit AS (SELECT tok AS wt, h57 FROM read_parquet('$witnessDir/tok_xxh64.parquet')),
-       |hs AS (SELECT doc_id, list(h57 ORDER BY pos) AS hl
-       |       FROM tokp JOIN wit ON tokp.w = wit.wt GROUP BY doc_id)
+       |hs AS (SELECT doc_id, list(
+       |    CASE WHEN wit.h57 IS NULL THEN ${staleWitnessSql("tok_xxh64.parquet", "BIGINT")}
+       |         ELSE wit.h57 END ORDER BY pos) AS hl
+       |       FROM tokp LEFT JOIN wit ON tokp.w = wit.wt GROUP BY doc_id)
        |SELECT d.doc_id,
        |  COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), hl),
        |    (acc, x) -> (acc*31 + x) % ${graft.operators.TextAnalysis.FingerprintMod}), 0)
@@ -8194,9 +8208,10 @@ object SparkEntry {
     s"""WITH b AS (SELECT min(o_orderkey) AS lo8, max(o_orderkey) AS hi8 FROM orders),
        |sp AS (SELECT lo8, greatest(1, (hi8 - lo8 + 8) // 8) AS span FROM b),
        |h AS (SELECT CAST(least((o.o_orderkey - lo8) // span, 7) AS INT) AS chunk_id,
-       |  w.xxh AS h
+       |  CASE WHEN w.xxh IS NULL THEN ${staleWitnessSql("rowrepr_xxh64.parquet", "BIGINT")}
+       |       ELSE w.xxh END AS h
        |  FROM orders o
-       |  JOIN read_parquet('$witnessDir/rowrepr_xxh64.parquet') w
+       |  LEFT JOIN read_parquet('$witnessDir/rowrepr_xxh64.parquet') w
        |   ON concat_ws('|', o.o_orderkey, o.o_custkey, o.o_orderstatus,
        |        CAST(o.o_totalprice AS DECIMAL(18,2)),
        |        strftime(o.o_orderdate, '%Y-%m-%d')) = w."repr", sp),
@@ -8251,8 +8266,9 @@ object SparkEntry {
       s"SELECT CAST($r AS INT) AS rows_per_band, CAST(${16 / r} AS INT) " +
         s"AS n_bands, (SELECT count(*) FROM truth) AS n_true, " +
         s"(SELECT count(*) FROM m$r) AS n_caught, " +
+        s"CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL ELSE " +
         s"round(CAST((SELECT count(*) FROM m$r) AS DOUBLE) / " +
-        s"(SELECT count(*) FROM truth), 6) AS recall"
+        s"(SELECT count(*) FROM truth), 6) END AS recall"
     }.mkString("\nUNION ALL\n")
     jaccardPipelineCte(4, 5) + s""",
       |truth AS (SELECT ra AS da, rb AS db FROM rp),

@@ -447,6 +447,53 @@ object Dedup {
     * (doc_a, doc_b, jaccard[, __mas, __mbs]) at rep level, doc_a < doc_b.
     * `withMembers = false` is the drop-path form: no `__members` column is
     * required on `reps` and none crosses the band exchange. */
+  /** LSH BAND-CONFIG cost sweep — for each rows-per-band config r, the
+    * banding's bucket-occupancy profile over ONE shared signature pass:
+    * occupied buckets and Σ C(size,2) candidate slots (the candidate WORK
+    * the config would enqueue; the recall companion is
+    * [[lshRecallSweep]]). ALL configs ride one corpus scan: the fused
+    * signature array is computed once per doc and every config's band
+    * sigs are generated IN-ROW (one explode of Σ seeds/r tagged band
+    * structs), so a single (config, band, band_sig) exchange serves every
+    * config — the unfused form ran |configs| separate
+    * signature→banding→occupancy chains (~3 exchanges each) over the same
+    * checkpointed signature table, pure serial job-chain latency at toy
+    * scale and |configs|× the shuffle volume at 100 TB. Band sigs equal
+    * the unfused signatures→bands path bit for bit ([[bandSigExprs]] is
+    * the one shared definition; fused-vs-unfused is spec-pinned). */
+  def lshBandSweep(docs: DataFrame, idCol: String, textCol: String,
+                   seeds: Int = 16,
+                   configs: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(configs.nonEmpty && configs.forall(r => r >= 1 && seeds % r == 0),
+      s"every rows-per-band must divide seeds=$seeds, got $configs")
+    val taggedBands = configs.flatMap { r =>
+      bandSigExprs(seeds, r).zipWithIndex.map { case (bs, b) =>
+        struct(lit(r).as("r"), lit(b.toLong).as("band"), bs.as("band_sig"))
+      }
+    }
+    val occ = tokenSets(docs, idCol, textCol)
+      .select(sigArrayExpr(seeds).as("__sigs"))
+      .select(explode(array(taggedBands: _*)).as("__b"))
+      .select(col("__b.r").as("__r"), col("__b.band").as("band"),
+        col("__b.band_sig").as("band_sig"))
+      .groupBy(col("__r"), col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__r"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("__c * (__c - 1) div 2")).cast("bigint")
+          .as("n_candidate_slots"))
+    // left join FROM the config list so an empty corpus still yields one
+    // row per config (n_buckets 0 — the global-agg semantics of the
+    // unfused form), not zero rows
+    val spark = docs.sparkSession
+    import spark.implicits._
+    configs.map(r => (r, seeds / r)).toDF("rows_per_band", "n_bands")
+      .join(broadcast(occ), col("rows_per_band") === col("__r"), "left")
+      .select(col("rows_per_band"), col("n_bands"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        col("n_candidate_slots"))
+  }
+
   /** LSH RECALL tuning curve — for each rows-per-band config, the
     * fraction of TRUE near-dup pairs (exact jaccard ≥ num/den, rep
     * level) that the banding's candidate stream catches: the
@@ -481,22 +528,35 @@ object Dedup {
       .join(sigs.select(col("__rep").as("doc_b"), col("__sigs").as("__sb")),
         Seq("doc_b"))
       .localCheckpoint()
-    val rows = configs.map { r =>
+    // ONE fold over the true-pair table computes every config's catch
+    // count side by side (the per-config fold chain was |configs| serial
+    // jobs over the same checkpointed rows — pure job-chain latency), then
+    // a 1-row explode fans the single agg row out to one row per config.
+    val catchCols = configs.map { r =>
       val nBands = seeds / r
       val bandMatch = exists(sequence(lit(0), lit(nBands - 1)), j =>
         forall(sequence(lit(1), lit(r)), i =>
           element_at(col("__sa"), j * lit(r) + i) ===
             element_at(col("__sb"), j * lit(r) + i)))
-      t2.agg(count(lit(1)).as("__n"),
-          coalesce(sum(when(bandMatch, lit(1L)).otherwise(lit(0L))), lit(0L))
-            .as("__c"))
-        .select(lit(r).cast("int").as("rows_per_band"),
-          lit(nBands).cast("int").as("n_bands"),
+      coalesce(sum(when(bandMatch, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as(s"__c_$r")
+    }
+    val rows = t2
+      .agg(count(lit(1)).as("__n"), catchCols: _*)
+      .select(explode(array(configs.map { r =>
+        struct(lit(r).cast("int").as("rows_per_band"),
+          lit(seeds / r).cast("int").as("n_bands"),
           col("__n").cast("bigint").as("n_true"),
-          col("__c").cast("bigint").as("n_caught"),
-          round(col("__c").cast("double") / col("__n").cast("double"), 6)
-            .as("recall"))
-    }.reduce(_ unionByName _)
+          col(s"__c_$r").cast("bigint").as("n_caught"))
+      }: _*)).as("__row"))
+      .select(col("__row.*"))
+      // recall on a corpus with NO true near-dup pair is undefined: NULL in
+      // both engines (Spark's 0/0 double division and DuckDB's IEEE NaN
+      // disagree — the oracle carries the matching CASE WHEN)
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_caught").cast("double") /
+            col("n_true").cast("double"), 6)))
     val result = rows.localCheckpoint()
     freeCheckpoints(jreps, sorted, t2)
     result

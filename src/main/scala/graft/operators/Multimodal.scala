@@ -114,7 +114,13 @@ object Multimodal {
     * k = cy·8 + cx) set iff cell_sum·64 ≥ total_sum (the cross-multiplied
     * integer mean compare; ties BRIGHT). mapPartitions because no
     * Catalyst expression decodes PNG — the established [[decodeFeatures]]
-    * boundary; everything after the decode is plain integer SQL. */
+    * boundary; everything after the decode is plain integer SQL.
+    *
+    * Quarantine parity with [[decodeFeatures]]: a corrupt/non-image payload
+    * (`ImageIO.read` → null or IOException) or an image that is not the
+    * 16×16 the integer box-downsample assumes yields a NULL `ahash` instead
+    * of an NPE/silent top-left-window hash — the caller decides whether to
+    * drop or route the quarantined rows. */
   def imageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id"), col("payload"))
@@ -122,33 +128,38 @@ object Multimodal {
         ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
-          val img = ImageIO.read(
+          val img = try ImageIO.read(
             new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          val cell = new Array[Long](64)
-          var total = 0L
-          var y = 0
-          while (y < 16) {
-            var x = 0
-            while (x < 16) {
-              val v = (img.getRGB(x, y) >> 16) & 0xFF
-              cell((y / 2) * 8 + (x / 2)) += v
-              total += v
-              x += 1
+          catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth != 16 || img.getHeight != 16)
+            Row(id, null)
+          else {
+            val cell = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                val v = (img.getRGB(x, y) >> 16) & 0xFF
+                cell((y / 2) * 8 + (x / 2)) += v
+                total += v
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            var h = 0L
+            var k = 0
+            while (k < 64) {
+              if (cell(k) * 64 >= total) h |= (1L << k)
+              k += 1
+            }
+            Row(id, h)
           }
-          var h = 0L
-          var k = 0
-          while (k < 64) {
-            if (cell(k) * 64 >= total) h |= (1L << k)
-            k += 1
-          }
-          Row(id, h)
         }
       }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("ahash", LongType, nullable = false))))
+      StructField("ahash", LongType, nullable = true))))
   }
 
   /** Image NEAR-DUP pairs by pigeonhole-banded hamming join over the
@@ -161,7 +172,9 @@ object Multimodal {
   def imageNearDups(media: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16-bit pigeonhole covers maxDist <= 3, got $maxDist")
-    val sig = imageAHash(media).localCheckpoint()
+    // quarantined rows (null ahash: corrupt or non-16×16 payloads) cannot
+    // participate in the hamming join — a null signature has no bands
+    val sig = imageAHash(media).where(col("ahash").isNotNull).localCheckpoint()
     val result = Dedup
       .hammingBandPairs(sig, "media_id", "ahash", bits = 64, bands = 4,
         maxDist = maxDist)

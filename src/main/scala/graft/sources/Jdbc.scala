@@ -463,10 +463,15 @@ object Jdbc {
   def restartIdentitySql(table: String, pk: String, next: Long): String =
     s"ALTER TABLE $table ALTER COLUMN $pk RESTART WITH $next"
 
-  /** Engines whose pk auto-increment is an EXPLICIT sequence the DDL must
-    * create and the reset must re-point (DuckDB; classic-serial Postgres),
-    * vs identity-column engines (Derby/DB2/H2). The cross-engine split
-    * taps hides behind Sequel adapters (lib/taps/schema.rb:74-80). */
+  /** Engines whose pk auto-increment is an EXPLICIT sequence the loader
+    * must CREATE post-load and attach as the column DEFAULT — DuckDB only:
+    * DuckDB has no serial/identity shorthand, so the sequence object is
+    * ours to make. Classic-serial Postgres is NOT in this class — serial
+    * creates its own backing sequence at DDL time and the reset is
+    * `setval` ([[resetSequenceSql]]), dispatched separately below.
+    * Identity-column engines (Derby/DB2/H2) take the ALTER…RESTART branch.
+    * The cross-engine split taps hides behind Sequel adapters
+    * (lib/taps/schema.rb:74-80). */
   def usesExplicitSequence(url: String): Boolean =
     url.startsWith("jdbc:duckdb:")
 
@@ -475,8 +480,12 @@ object Jdbc {
   def pkSequenceName(table: String, pk: String): String =
     s"${table}_${pk}_seq"
 
-  /** S9 across both engine families: the statement(s) that make the next
-    * auto-generated pk land at `next` after a bulk load. */
+  /** S9 across the engine families: the statement(s) that make the next
+    * auto-generated pk land at `next` after a bulk load. Three dialects:
+    * DuckDB (create our own sequence + attach as DEFAULT), classic-serial
+    * Postgres (`setval` on the serial's self-created backing sequence —
+    * Postgres does NOT accept ALTER…RESTART on a serial column), and the
+    * identity-column family (Derby/DB2/H2: ALTER…RESTART). */
   def resetPkSequenceSql(url: String, table: String, pk: String,
                          next: Long): Seq[String] =
     if (usesExplicitSequence(url)) {
@@ -488,7 +497,9 @@ object Jdbc {
       val seq = pkSequenceName(table, pk)
       Seq(s"CREATE SEQUENCE $seq START WITH $next",
         s"ALTER TABLE $table ALTER COLUMN $pk SET DEFAULT nextval('$seq')")
-    } else Seq(restartIdentitySql(table, pk, next))
+    } else if (url.startsWith("jdbc:postgresql:"))
+      Seq(resetSequenceSql(table, pk))
+    else Seq(restartIdentitySql(table, pk, next))
 
   /** DROP SEQUENCE that tolerates absence — the explicit-sequence twin of
     * [[dropTableIfExists]] for re-runnable pulls. */

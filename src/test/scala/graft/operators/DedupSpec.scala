@@ -797,6 +797,53 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(tight == full.filter(_._3 <= 1))
   }
 
+  test("lshBandSweep (fused, one exchange for all configs) equals the " +
+      "unfused per-config signatures->bands->occupancy chain") {
+    import org.apache.spark.sql.functions._
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.lshBandSweep(fixture, "doc_id", "text",
+        seeds = 16, configs = Seq(2, 4, 8, 16))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sigs = Dedup.minhashSignatures(fixture, "doc_id", "text", seeds = 16)
+      .localCheckpoint()
+    val want = Seq(2, 4, 8, 16).map { r =>
+      val occ = Dedup.minhashBands(sigs, "doc_id", r)
+        .groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), sum(expr("c * (c - 1) div 2")).cast("bigint"))
+        .head()
+      (r, 16 / r, occ.getLong(0), occ.getLong(1))
+    }.toSet
+    Dedup.freeCheckpoints(sigs)
+    assert(got == want)
+  }
+
+  test("lshBandSweep on an empty/token-less corpus still emits one row " +
+      "per config (n_buckets 0) — the unfused global-agg semantics") {
+    import spark.implicits._
+    val empty = Seq((1L, "   "), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Dedup.lshBandSweep(empty, "doc_id", "text",
+        seeds = 16, configs = Seq(2, 4, 8, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(rows == Set((2, 0L), (4, 0L), (8, 0L), (16, 0L)))
+  }
+
+  test("lshRecallSweep on a corpus with no true near-dup pair reports " +
+      "n_true 0 and NULL recall (cross-engine: 0/0 is undefined, not NaN)") {
+    import spark.implicits._
+    val distinctDocs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val rows = Dedup.lshRecallSweep(distinctDocs, "doc_id", "text",
+      seeds = 16, configs = Seq(2, 16), thetaNum = 4, thetaDen = 5).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L, s"counts: $r")
+      assert(r.isNullAt(4), s"recall must be NULL on n_true=0, got $r")
+    }
+  }
+
   test("lshRecallSweep: truth = brute-force rep-level jaccard pairs; " +
       "catch/miss per config matches the collected signature arrays; " +
       "recall is monotone non-increasing in rows-per-band") {

@@ -175,6 +175,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     (0L until 40L).foreach(i => assert(got(i) == brute(i), s"id $i"))
   }
 
+  test("imageAHash quarantines corrupt and non-16x16 payloads as null " +
+      "ahash (no NPE, no top-left-window hash); imageNearDups drops them") {
+    import spark.implicits._
+    // a genuine PNG that is NOT 16x16: pngFixture doc 260 decodes to 4x10
+    val tiny = Multimodal.pngFixture(Seq((260L, "x" * 300)).toDF("doc_id", "text"))
+    // a corrupt non-image payload
+    val corrupt = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(999L,
+        Array[Byte](1, 2, 3), org.apache.spark.sql.Row(
+          "image", "png", null, null, null))),
+      Multimodal.schema)
+    // and one healthy 16x16 gradient image
+    val ok = Multimodal.pngGradientFixture(Seq((1L, "t")).toDF("doc_id", "text"))
+    val mixed = ok.unionByName(tiny).unionByName(corrupt)
+    val sig = Multimodal.imageAHash(mixed).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sig(1L).isDefined, "healthy 16x16 image must hash")
+    assert(sig(260L).isEmpty, "non-16x16 image must quarantine, not window-hash")
+    assert(sig(999L).isEmpty, "corrupt payload must quarantine, not NPE")
+    // near-dup join over the mixed corpus completes and only pairs hashables
+    val pairs = Multimodal.imageNearDups(
+      ok.unionByName(ok.withColumn("media_id", col("media_id") + 256))
+        .unionByName(tiny).unionByName(corrupt))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 257L)), "only the planted 16x16 pair survives")
+  }
+
   test("imageNearDups equals brute-force popcount pairs at radius 3 " +
       "(pigeonhole recall over the 4x16-bit bands) and plants exact " +
       "dups 256 ids apart") {

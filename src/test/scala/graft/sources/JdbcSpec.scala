@@ -110,4 +110,17 @@ class JdbcSpec extends AnyFunSuite {
       .startsWith("CREATE UNIQUE INDEX"))
     assert(Jdbc.resetSequenceSql("t", "id").contains("pg_get_serial_sequence"))
   }
+
+  test("resetPkSequenceSql dispatches per dialect: DuckDB creates+attaches " +
+      "a sequence, Postgres setvals the serial's own, identity engines " +
+      "ALTER..RESTART (Postgres never gets RESTART — it rejects it)") {
+    val duck = Jdbc.resetPkSequenceSql("jdbc:duckdb:/tmp/x", "t", "id", 7L)
+    assert(duck.exists(_.startsWith("CREATE SEQUENCE t_id_seq START WITH 7")))
+    assert(duck.exists(_.contains("SET DEFAULT nextval('t_id_seq')")))
+    val pg = Jdbc.resetPkSequenceSql("jdbc:postgresql://h/db", "t", "id", 7L)
+    assert(pg == Seq(Jdbc.resetSequenceSql("t", "id")))
+    assert(pg.forall(!_.contains("RESTART")))
+    val derby = Jdbc.resetPkSequenceSql("jdbc:derby:memory:x", "t", "id", 7L)
+    assert(derby == Seq("ALTER TABLE t ALTER COLUMN id RESTART WITH 7"))
+  }
 }
