@@ -592,37 +592,85 @@ object Graph {
     * DIRECTED edge list: the strongly connected component containing
     * the graph's minimum node id = fwd-reach(pivot) ∩ bwd-reach(pivot)
     * (Fleischer/Hendrickson/Pinar's FW-BW kernel — the step every
-    * parallel SCC algorithm recurses on). Both reaches are the bounded
-    * level-synchronous [[bfsLevels]] loop (early exit on a dead
-    * frontier, so a small-diameter SCC pays its diameter, not
-    * `maxDepth`); output rows carry both hop distances. The DuckDB twin
-    * runs two depth-capped recursive UNION BFS CTEs and min-folds the
-    * levels. */
+    * parallel SCC algorithm recurses on). Output rows carry both hop
+    * distances. The DuckDB twin runs two depth-capped recursive UNION
+    * BFS CTEs and min-folds the levels.
+    *
+    * r17 chain shape — the two reaches run FUSED: both orientations
+    * live in ONE edge frame tagged with a direction column (dir 0 =
+    * forward s→t, dir 1 = t→s), the label table is keyed (dir, node),
+    * and each round's frontier join / min-fold serves both reaches at
+    * once — serial rounds drop from depth_fwd + depth_bwd to
+    * max(depth_fwd, depth_bwd), with per-round volume unchanged (the
+    * two directions never mix: dir is part of every join and group
+    * key). Early exit on a dead frontier per round, liveness count =
+    * the materializing action, as in [[bfsLoop]]. A 2-hop doubling
+    * stride was MEASURED NET-NEGATIVE here (warm 5.1 → 13 s at sf0.1):
+    * the un-deduped 2-hop candidate stream multiplies by the hub
+    * degree on this transitions graph — barrier savings can't buy back
+    * a frontier-squared exchange. */
   def sccPivot(dedges: DataFrame, srcCol: String, dstCol: String,
                maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
-    // ONE materialization of the (often expensive) upstream edge build,
-    // shared by the pivot scalar and BOTH bounded reaches — the lazy
-    // form re-ran the upstream three times (pivot agg + each reach's
-    // own oriented checkpoint); each reach still pays only its cheap
-    // re-orientation exchange over the shared blocks (r16 lever #1)
-    val d = dedges.select(col(srcCol).cast("long").as("__s"),
-      col(dstCol).cast("long").as("__t")).localCheckpoint()
-    // index-sized scalar (the bfsLevelsUndirected precedent)
-    val row = d.agg(least(min(col("__s")), min(col("__t")))).head()
+    val par = dedges.sparkSession.sparkContext.defaultParallelism
+    // ONE materialization of the (often expensive) upstream edge build:
+    // the direction-tagged doubled orientation is written directly —
+    // the pivot scalar and every round read these blocks
+    val e = dedges.select(explode(array(
+        struct(lit(0).as("__dir"), col(srcCol).cast("long").as("__s"),
+          col(dstCol).cast("long").as("__t")),
+        struct(lit(1).as("__dir"), col(dstCol).cast("long").as("__s"),
+          col(srcCol).cast("long").as("__t")))).as("__e"))
+      .select(col("__e.__dir").as("__dir"), col("__e.__s").as("__s"),
+        col("__e.__t").as("__t"))
+      .repartition(par, col("__dir"), col("__s"))
+      .ckpt()
+    // index-sized scalar off the materialized blocks (both node sides
+    // appear as __s in the doubled orientation)
+    val row = e.agg(min(col("__s"))).head()
     if (row.isNullAt(0)) {
-      Dedup.freeCheckpoints(d)
-      return d.limit(0).select(col("__s").as("node"),
+      Dedup.freeCheckpoints(e)
+      return e.limit(0).select(col("__s").as("node"),
         lit(0).as("lvl_fwd"), lit(0).as("lvl_bwd"))
     }
     val pivot = row.getLong(0)
-    // bfsLevels returns EAGER checkpoints, so the shared blocks can be
-    // freed as soon as both reaches are materialized
-    val fwd = bfsLevels(d, "__s", "__t", pivot, maxDepth)
-    val bwd = bfsLevels(d, "__t", "__s", pivot, maxDepth)
-    Dedup.freeCheckpoints(d)
-    fwd.select(col("node"), col("lvl").as("lvl_fwd"))
-      .join(bwd.select(col("node"), col("lvl").as("lvl_bwd")), Seq("node"))
+    val sess = e.sparkSession
+    var labels = sess.range(1)
+      .select(explode(array(lit(0), lit(1))).as("__dir"),
+        lit(pivot).as("__n"), lit(0).as("__lvl"))
+      .localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer(e, labels)
+    var known = 2L
+    var done = 0
+    var frontierAlive = true
+    while (done < maxDepth && frontierAlive) {
+      // frontier = the rows discovered last round, in BOTH directions
+      val f = labels.filter(col("__lvl") === done)
+        .select(col("__dir"), col("__n").as("__s"))
+      val cand = e.join(f, Seq("__dir", "__s"))
+        .select(col("__dir"), col("__t").as("__n"),
+          lit(done + 1).as("__lvl"))
+      labels = labels.unionByName(cand)
+        .groupBy(col("__dir"), col("__n")).agg(min(col("__lvl")).as("__lvl"))
+        .localCheckpoint(eager = false)
+      spent += labels
+      val now = labels.count()
+      frontierAlive = now > known
+      known = now
+      done += 1
+    }
+    // one (node)-keyed fold replaces the fwd ⋈ bwd join: each (dir, n)
+    // appears once, so the min-when picks that direction's level; inner
+    // semantics = both levels present
+    val result = labels
+      .groupBy(col("__n"))
+      .agg(min(when(col("__dir") === 0, col("__lvl"))).as("lvl_fwd"),
+        min(when(col("__dir") === 1, col("__lvl"))).as("lvl_bwd"))
+      .filter(col("lvl_fwd").isNotNull && col("lvl_bwd").isNotNull)
+      .select(col("__n").as("node"), col("lvl_fwd"), col("lvl_bwd"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(spent.toSeq: _*)
+    result
   }
 
   /** WEIGHTED personalized PageRank — [[personalizedPagerank]] with
@@ -1474,6 +1522,55 @@ object Graph {
           org.apache.spark.sql.types.LongType, nullable = false)))
       val seedRows = seedIds.map(v =>
         org.apache.spark.sql.Row(v, v, 0, 1L)).toSeq
+      if (bVisited) {
+        // DRIVER-RESIDENT (src, node) state (r17 chain-shortening): the
+        // state is nSources × node-sized and resolveBroadcast just
+        // declared it broadcast-eligible — what fits an executor
+        // broadcast fits the driver. Each round is then ONE cluster job:
+        // the frontier re-enters as a LocalRelation broadcast (built
+        // driver-side, no job), the candidate σ-fold still rides the
+        // __t-partitioned edge frame exchange-free, and only the
+        // (src, node)-keyed fold RESULT is collected; the anti-merge
+        // against visited keys is a driver HashSet lookup instead of a
+        // per-round broadcast anti-join (two build jobs gone per round).
+        // Arithmetic identical (integer σ sums, min levels, BFS
+        // discovery order); the `bVisited = false` twin below keeps the
+        // all-distributed loop for nSources × |V| past the broadcast
+        // limit (spec-pinned equal in GraphSpec).
+        val visited = scala.collection.mutable.HashSet[(Any, Any)](
+          seedIds.map(v => (v, v)): _*)
+        val state = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](seedRows: _*)
+        var frontier: Seq[org.apache.spark.sql.Row] = seedRows
+        var i = 1
+        while (i <= maxDepth && frontier.nonEmpty) {
+          val fDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(frontier).asJava,
+            seedSchema)
+          val folded = e.join(broadcast(fDf.select(col("__src"),
+              col("__n").as("__s"), col("__sig"), col("__lvl"))), Seq("__s"))
+            .select(col("__src"), col("__t").as("__n"), col("__sig"),
+              col("__lvl"))
+            .groupBy(col("__src"), col("__n"))
+            .agg(sum(col("__sig")).as("__c"),
+              (min(col("__lvl")) + 1).as("__nl"))
+            .collect()
+          frontier = folded.toSeq.flatMap { r =>
+            val key = (r.get(0), r.get(1))
+            if (visited(key)) None
+            else {
+              visited += key
+              Some(org.apache.spark.sql.Row(
+                r.get(0), r.get(1), r.getInt(3), r.getLong(2)))
+            }
+          }
+          state ++= frontier
+          i += 1
+        }
+        return sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(state.toSeq).asJava,
+          seedSchema)
+      }
       // EAGER localCheckpoint per round (not lazy persist): each round's
       // plan references the previous round TWICE (push side + visited
       // side), and the two async broadcast-build futures would otherwise
@@ -1673,6 +1770,67 @@ object Graph {
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (bFrontier) {
+      // DRIVER-RESIDENT distance state (r17 chain-shortening): the dist
+      // table is node-sized and resolveBroadcast just declared it
+      // broadcast-eligible — state that fits an executor broadcast fits
+      // the driver, so the per-round full-outer merge + eager checkpoint
+      // (one cluster job each, plus its broadcast-build jobs) collapses
+      // to ONE cluster job per relaxation: the candidate fold's
+      // node-keyed min, collected. The frontier re-enters each round as
+      // a LocalRelation broadcast (built driver-side, no job). The heavy
+      // stream — edges and the candidate fold — never leaves the
+      // cluster; only the node-sized fold RESULT crosses. Arithmetic is
+      // identical (integer min over dist + w), and the
+      // `bcastFrontier = false` twin below keeps the all-distributed
+      // loop for graphs whose node frame outgrows a broadcast
+      // (spec-pinned equal in GraphSpec).
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        val seedRow = e.agg(min(col("__s"))).head()
+        if (seedRow.isNullAt(0)) {
+          return e.limit(0)
+            .select(col("__s").as("node"), col("__w").as("dist"))
+            .localCheckpoint()
+        }
+        val nType = e.schema("__s").dataType
+        val fSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__s", nType),
+          org.apache.spark.sql.types.StructField("__d",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val dist = scala.collection.mutable.HashMap[Any, Long](
+          seedRow.get(0) -> 0L)
+        var delta: Seq[(Any, Long)] = Seq(seedRow.get(0) -> 0L)
+        var r = 0
+        while (r < rounds && delta.nonEmpty) {
+          val fDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              delta.map { case (n, d) =>
+                org.apache.spark.sql.Row(n, d) }).asJava, fSchema)
+          val folded = e.join(broadcast(fDf), Seq("__s"))
+            .select(col("__t").as("__n"), (col("__d") + col("__w")).as("__d"))
+            .groupBy(col("__n")).agg(min(col("__d")).as("__c"))
+            .collect()
+          delta = folded.toSeq.flatMap { row =>
+            val n = row.get(0); val c = row.getLong(1)
+            if (dist.get(n).forall(c < _)) { dist(n) = c; Some(n -> c) }
+            else None
+          }
+          r += 1
+        }
+        val outRows = dist.toSeq.map { case (n, d) =>
+          org.apache.spark.sql.Row(n, d) }
+        return sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", nType),
+            org.apache.spark.sql.types.StructField("dist",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        Dedup.freeCheckpoints(e)
+      }
+    }
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       // the source seed stays LAZY (min over the checkpointed blocks,

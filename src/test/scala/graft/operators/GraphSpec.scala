@@ -452,6 +452,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(empty.columns.toSeq == Seq("node", "lvl_fwd", "lvl_bwd"))
   }
 
+  test("sccPivot strided fused loop: exact hop levels vs driver-side BFS " +
+      "on a random directed graph, including odd maxDepth truncation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(173)
+    val des = (1 to 260)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    def bfs(adj: Map[Long, Seq[Long]], src: Long, cap: Int): Map[Long, Int] = {
+      var lvl = Map(src -> 0); var frontier = Seq(src); var d = 0
+      while (frontier.nonEmpty && d < cap) {
+        d += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(lvl.contains)
+        next.foreach(n => lvl += n -> d)
+        frontier = next
+      }
+      lvl
+    }
+    val pivot = des.flatMap(p => Seq(p._1, p._2)).min
+    val fwdAdj = des.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val bwdAdj = des.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    for (cap <- Seq(3, 4, 10)) { // odd, even, and diameter-exceeding
+      val f = bfs(fwdAdj, pivot, cap); val b = bfs(bwdAdj, pivot, cap)
+      val want = (f.keySet intersect b.keySet)
+        .map(n => (n, f(n), b(n))).toSet
+      val got = Graph.sccPivot(des.toDF("s", "t"), "s", "t", maxDepth = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == want, s"maxDepth=$cap: ${got.diff(want)} spurious, " +
+        s"${want.diff(got)} missed")
+    }
+  }
+
   test("weightedPersonalizedPagerank with uniform weights equals the " +
       "unweighted operator (the scale cancels inside the floor)") {
     import spark.implicits._
