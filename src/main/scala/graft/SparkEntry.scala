@@ -3971,7 +3971,27 @@ object SparkEntry {
         operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")),
     "ext_hits_scores [pre-checkpoint indegree + first hub fold]" ->
       ((s, dir) =>
-        operators.Graph.hitsRoundPlan(custPartPairs(s, dir), "c", "p")))
+        operators.Graph.hitsRoundPlan(custPartPairs(s, dir), "c", "p")),
+    "ext_scc_pivot [one pre-checkpoint fused bidirectional round]" ->
+      ((s, dir) =>
+        operators.Graph.sccRoundPlan(itemTransitions(s, dir), "u", "v", 0L)),
+    "ext_eccentricity / ext_closeness_centrality / " +
+      "ext_neighborhood_function [one pre-checkpoint multi-source BFS " +
+      "round]" -> ((s, dir) =>
+        operators.Graph.multiBfsRoundPlan(copurchasePairs(s, dir), "u", "v",
+          nSources = 4)),
+    "ext_kcore_peel [one pre-checkpoint peel round: dead-node frontier " +
+      "broadcast, alias-riding loss fold, survivor merge]" -> ((s, dir) =>
+        operators.Graph.kcoreRoundPlan(copurchaseEdgesRaw(s, dir), "u", "v",
+          k = 4)),
+    "ext_pagerank_personalized / ext_ppr_weighted [one pre-checkpoint " +
+      "iteration: seed-masked restart, contribution fold, restore]" ->
+      ((s, dir) =>
+        operators.Graph.pprIterationPlan(copurchasePairs(s, dir), "u", "v",
+          nSeeds = 4)),
+    "ext_kmeans_round2 [one pre-checkpoint assign round: int8 coding, " +
+      "broadcast centroids, min-struct argmin]" -> ((s, dir) =>
+        operators.Similarity.kmeansRoundPlan(t(s, dir, "embeddings"), k = 8)))
 
   /** DuckDB-equivalent SQL for each oracle-checkable query above. */
   def oracleSql: Map[String, String] = Map(

@@ -2195,6 +2195,101 @@ object Graph {
         col("__c").as("paths"))
   }
 
+  /** PRE-checkpoint single FUSED bidirectional reach round, for the plan
+    * audit — the exact [[sccPivot]] round expressions (direction-tagged
+    * doubled edge frame, (dir, node)-keyed frontier join + min-fold
+    * serving both reaches at once) with the checkpoint barriers omitted.
+    * Built for explain, not execution. */
+  def sccRoundPlan(dedges: DataFrame, srcCol: String, dstCol: String,
+                   pivot: Long): DataFrame = {
+    val par = dedges.sparkSession.sparkContext.defaultParallelism
+    val e = dedges.select(explode(array(
+        struct(lit(0).as("__dir"), col(srcCol).cast("long").as("__s"),
+          col(dstCol).cast("long").as("__t")),
+        struct(lit(1).as("__dir"), col(dstCol).cast("long").as("__s"),
+          col(srcCol).cast("long").as("__t")))).as("__e"))
+      .select(col("__e.__dir").as("__dir"), col("__e.__s").as("__s"),
+        col("__e.__t").as("__t"))
+      .repartition(par, col("__dir"), col("__s"))
+    val labels0 = e.sparkSession.range(1)
+      .select(explode(array(lit(0), lit(1))).as("__dir"),
+        lit(pivot).as("__n"), lit(0).as("__lvl"))
+    val f = labels0.select(col("__dir"), col("__n").as("__s"))
+    val cand = e.join(f, Seq("__dir", "__s"))
+      .select(col("__dir"), col("__t").as("__n"), lit(1).as("__lvl"))
+    labels0.unionByName(cand)
+      .groupBy(col("__dir"), col("__n")).agg(min(col("__lvl")).as("__lvl"))
+  }
+
+  /** PRE-checkpoint single multi-source BFS round, for the plan audit —
+    * the exact [[multiSourceBfs]] round expressions (the loop behind
+    * eccentricity / closeness / the neighborhood function), with the
+    * persist/checkpoint barriers omitted. Built for explain, not
+    * execution. */
+  def multiBfsRoundPlan(pairs: DataFrame, uCol: String, vCol: String,
+                        nSources: Int): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol)
+    val srcs = e.select(col("__s")).distinct()
+      .orderBy(col("__s")).limit(nSources)
+    val labels0 = srcs.select(col("__s").as("__src"), col("__s").as("__n"),
+      lit(0).as("__lvl"))
+    val frontier = labels0.filter(col("__lvl") === 0)
+      .select(col("__src"), col("__n").as("__s"))
+    val next = e.join(frontier, Seq("__s"))
+      .select(col("__src"), col("__t").as("__n"), lit(1).as("__lvl"))
+    labels0.unionByName(next)
+      .groupBy(col("__src"), col("__n")).agg(min(col("__lvl")).as("__lvl"))
+  }
+
+  /** PRE-checkpoint single k-core peel round, for the plan audit — the
+    * exact [[kcorePeel]] round expressions (dead-node frontier broadcast
+    * into the target-partitioned edge frame, alias-riding loss fold,
+    * survivor merge), un-checkpointed. Built for explain, not
+    * execution. */
+  def kcoreRoundPlan(edges: DataFrame, uCol: String, vCol: String,
+                     k: Int): DataFrame = {
+    val e = orientedAdjacency(edges, uCol, vCol, partitionByTarget = true)
+    val deg = e.groupBy(col("__t")).agg(count(lit(1)).as("__d"))
+      .select(col("__t").as("__n"), col("__d"))
+    val dead = deg.filter(col("__d") < k).select(col("__n").as("__s"))
+    val loss = e.join(broadcast(dead), Seq("__s"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .select(col("__t").as("__n"), col("__c"))
+    deg.filter(col("__d") >= k)
+      .join(loss.hint("shuffle_hash"), Seq("__n"), "left")
+      .select(col("__n"),
+        (col("__d") - coalesce(col("__c"), lit(0L))).as("__d"))
+  }
+
+  /** PRE-checkpoint single personalized-PageRank iteration, for the plan
+    * audit — the exact [[personalizedPagerank]] round expressions
+    * (seed-masked restart, contribution fold, inner restore), shared in
+    * shape by [[weightedPersonalizedPagerank]] (whose strength divisor
+    * rides the edge frame as a window sum). Built for explain, not
+    * execution. */
+  def pprIterationPlan(pairs: DataFrame, uCol: String, vCol: String,
+                       nSeeds: Int): DataFrame = {
+    val e = orientedAdjacency(pairs, uCol, vCol).distinct()
+    val seeds = outdegBase(e).select(col("__n"))
+      .orderBy(col("__n")).limit(nSeeds)
+      .withColumn("__seed", lit(1))
+    val base = outdegBase(e)
+      .join(broadcast(seeds), Seq("__n"), "left")
+      .select(col("__n"), col("__od"),
+        coalesce(col("__seed"), lit(0)).as("__seed"))
+    val pr = base.withColumn("__pr",
+      when(col("__seed") === 1, lit(1000000L)).otherwise(lit(0L)))
+    val contrib = e
+      .join(pr.select(col("__n").as("__s"), col("__od"), col("__pr")),
+        Seq("__s"))
+      .groupBy(col("__t"))
+      .agg(sum(expr("__pr div __od")).as("__c"))
+    base.join(contrib.withColumnRenamed("__t", "__n"), Seq("__n"))
+      .select(col("__n").as("node"),
+        (when(col("__seed") === 1, lit(150000L)).otherwise(lit(0L))
+          + expr("(17 * __c) div 20")).as("ppr"))
+  }
+
   /** PRE-checkpoint single-iteration PageRank plan, for the plan audit
     * (PLANS.md): the exact [[prIteration]]/[[outdegBase]] expressions one
     * [[pagerankUndirected]] round runs, with the checkpoint barriers

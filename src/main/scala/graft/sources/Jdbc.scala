@@ -38,6 +38,34 @@ final class ColumnMismatchException(msg: String)
 
 object Jdbc {
 
+  /** Spark `JdbcDialect` for DuckDB — Spark ships none, and the DuckDB
+    * JDBC driver's metadata misleads the default mapping two ways
+    * (measured against duckdb_jdbc in the local cache):
+    *  - BIGINT columns report as NUMERIC precision 20, so a plain
+    *    `spark.read.jdbc` surfaces them as DECIMAL(20,0) — which then
+    *    fails downstream dialects (Derby: "invalid type for identity
+    *    column") and taxes every comparison with decimal math;
+    *  - HUGEINT (int128) reports as JAVA_OBJECT, which Spark rejects
+    *    outright (UNRECOGNIZED_SQL_TYPE) — DECIMAL(38,0) holds 38 of
+    *    int128's 39 digits exactly; a value past 10^38−1 fails LOUDLY at
+    *    the read boundary (ANSI NUMERIC_VALUE_OUT_OF_RANGE, spec-pinned),
+    *    never silently truncates.
+    * Registered once at object init; `canHandle` keys on the URL prefix
+    * so every other engine keeps its stock dialect. */
+  private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:duckdb:")
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                 md: MetadataBuilder): Option[DataType] =
+      typeName match {
+        case "BIGINT" => Some(LongType)
+        case "HUGEINT" => Some(DecimalType(38, 0))
+        case "UBIGINT" => Some(DecimalType(20, 0))
+        case _ => None
+      }
+  }
+  JdbcDialects.registerDialect(DuckDbDialect)
+
   /** Partitioning plan for a JDBC read, derived from pk metadata the same
     * way `DataStream.factory` chooses an access path
     * (`lib/taps/data_stream.rb:228-242`). */
