@@ -520,7 +520,14 @@ object Dedup {
     val sorted = jaccardOrderedPrefix(jreps, thetaNum, thetaDen).localCheckpoint()
     val truth = jaccardVerifiedPairs(jreps, sorted, thetaNum, thetaDen)
       .select(col("__ra").as("doc_a"), col("__rb").as("doc_b"))
-    val sigs = repsOnly(docs, idCol, textCol)
+    // signatures come straight off the CHECKPOINTED rep table — its __ts
+    // arrays are the sorted distinct tokens, so hashing them in-row is
+    // the same __harr [[tokenSets]] builds, without a second corpus
+    // tokenize pass + rep exchange ([[repsOnly]] re-ran both; the rep ids
+    // agree by construction — min member id per distinct token set)
+    val sigs = jreps
+      .select(col("__rep"),
+        array_distinct(transform(col("__ts"), w => h40Md5(w))).as("__harr"))
       .select(col("__rep"), sigArrayExpr(seeds).as("__sigs"))
     val t2 = truth
       .join(sigs.select(col("__rep").as("doc_a"), col("__sigs").as("__sa")),
