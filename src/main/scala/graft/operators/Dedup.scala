@@ -743,7 +743,8 @@ object Dedup {
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
       case _ => false // string/decimal ids take the distributed loop (min/least handles any ordered type)
     }
-    if (integralIds && sym.count() <= 2 * localThreshold) {
+    val symCount = sym.count()
+    if (integralIds && symCount <= 2 * localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -755,10 +756,15 @@ object Dedup {
       // coalesce before streaming: toLocalIterator schedules ONE JOB PER
       // PARTITION, and the checkpointed edge list inherits the join's
       // partitioning (64 × ~15 ms of job round-trips measured for a 5k-edge
-      // graph). A narrow coalesce keeps the partition-at-a-time driver
-      // memory bound while cutting the job count to at most 8
+      // graph). Width ADAPTS to the count just taken: ~250k rows per
+      // partition keeps the partition-at-a-time driver memory bound, and
+      // a typical near-dup pair graph (tens of k edges) streams in ONE
+      // job instead of a fixed 8 (7 job round-trips saved; the 1M-row
+      // ceiling still splits 4 ways)
+      val streamParts = math.max(1L, math.min(8L,
+        (symCount + 249999L) / 250000L)).toInt
       val edgeIt = sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .coalesce(8)
+        .coalesce(streamParts)
         .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong))
