@@ -484,11 +484,14 @@ object Dedup {
           .as("n_candidate_slots"))
     // left join FROM the config list so an empty corpus still yields one
     // row per config (n_buckets 0 — the global-agg semantics of the
-    // unfused form), not zero rows
+    // unfused form), not zero rows. shuffle_hash, NOT broadcast: both
+    // sides are ≤|configs| rows, but a broadcast of `occ` would run the
+    // whole corpus aggregation inside the broadcast-build thread and
+    // its 300 s timeout — a 100 TB scan has no business under that clock
     val spark = docs.sparkSession
     import spark.implicits._
     configs.map(r => (r, seeds / r)).toDF("rows_per_band", "n_bands")
-      .join(broadcast(occ), col("rows_per_band") === col("__r"), "left")
+      .join(occ.hint("shuffle_hash"), col("rows_per_band") === col("__r"), "left")
       .select(col("rows_per_band"), col("n_bands"),
         coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
         col("n_candidate_slots"))
