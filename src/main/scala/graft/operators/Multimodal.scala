@@ -356,6 +356,10 @@ object Multimodal {
         if (!readers.hasNext) { iis.close(); Iterator.empty }
         else {
           val reader = readers.next()
+          // quarantine parity with [[decodeFeatures]]/[[imageAHash]]: a
+          // payload whose container header parses but whose FRAME data is
+          // truncated/corrupt throws from getNumImages/read mid-file — the
+          // row contributes no frames instead of failing the whole task
           try {
             reader.setInput(iis)
             val n = reader.getNumImages(true)
@@ -372,7 +376,8 @@ object Multimodal {
               }
               Row(id, i, w, h, math.round(s.toDouble / (w * h)).toInt)
             }.toVector
-          } finally { reader.dispose(); iis.close() }
+          } catch { case _: java.io.IOException => Vector.empty[Row] }
+          finally { reader.dispose(); iis.close() }
         }
       }
     }

@@ -73,6 +73,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(new String(payload.take(6), "US-ASCII").startsWith("GIF8"))
   }
 
+  test("sampleDecodedFrames quarantines a truncated container (header " +
+      "parses, frame data corrupt) as zero frames, not a task failure") {
+    import spark.implicits._
+    val good = Multimodal.gifFixture(Seq((1L, "some text here")).toDF("doc_id", "text"))
+    // keep only the GIF magic then garbage: readers.hasNext is true
+    // (signature matches), the frame scan then throws mid-file
+    val truncated = good.collect().map { r =>
+      org.apache.spark.sql.Row(2L,
+        r.getAs[Array[Byte]]("payload").take(6) ++
+          Array.fill[Byte](16)(0x7F.toByte),
+        r.getStruct(2))
+    }
+    val mixed = good.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(truncated: _*), Multimodal.schema))
+    val frames = Multimodal.sampleDecodedFrames(mixed, stride = 1)
+      .collect().map(_.getLong(0))
+    assert(frames.nonEmpty && frames.forall(_ == 1L),
+      "good media decodes, truncated media contributes zero frames")
+  }
+
   test("sampleFrames emits strided fixed-size windows of the payload") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       frameBytes = 8, stride = 2)
