@@ -1605,6 +1605,30 @@ object SparkEntry {
       t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))),
     "agg_approx_distinct" -> ((s, dir) => // HLL sketch; engine-specific → rows-only
       t(s, dir, "orders").agg(approx_count_distinct(col("o_custkey"), 0.05).as("n_approx"))),
+    // the HASH-EXACT sibling of the HLL key: KMV (k-minimum-values)
+    // distinct estimation (Bar-Yossef et al. 2002) — est =
+    // (k−1)·2^40 div h_(k) over the k smallest DISTINCT 40-bit md5-prefix
+    // hashes. Every step is integer/order arithmetic both engines replay
+    // bit for bit, so the approx-distinct FAMILY gets one full-oracle
+    // member (A6's HLL stays rows-only by design — its sketch is engine-
+    // internal). The exact distinct count rides along so the key is its
+    // own accuracy report; populations under k short-circuit to exact.
+    "agg_approx_distinct_kmv" -> ((s, dir) => {
+      val k = 256
+      val h = t(s, dir, "orders")
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 10),
+          16, 10).cast("long").as("__h"))
+        .distinct()
+      // (k−1)·2^40 = 255·1099511627776 precomputed so both engines divide
+      // the same BIGINT literal
+      h.orderBy(col("__h")).limit(k)
+        .agg(count(lit(1)).as("__n"), max(col("__h")).as("__kth"))
+        .select(lit(k).as("k"),
+          when(col("__n") < k, col("__n"))
+            .otherwise(expr("280375465082880L div __kth"))
+            .cast("bigint").as("est_distinct"))
+        .crossJoin(broadcast(h.agg(count(lit(1)).as("n_distinct_h40"))))
+    }),
     // Pearson correlation via exact decimal moments (sqlCorrQtyPrice doc);
     // ensureParallelism: five decimal-product partials are map-heavy and
     // the single-row-group fixture scan would otherwise run them one-core
@@ -4212,6 +4236,18 @@ object SparkEntry {
         | count(*) AS n FROM orders GROUP BY o_orderstatus""".stripMargin,
     "agg_distinct_customers" ->
       "SELECT count(DISTINCT o_custkey) AS n_cust FROM orders",
+    // KMV replay: same 40-bit md5-prefix hash universe, same k smallest
+    // distinct hashes, same integer-division estimator
+    "agg_approx_distinct_kmv" ->
+      s"""WITH hv AS (SELECT DISTINCT CAST(${md5PrefixValueSql(10,
+            "CAST(o_custkey AS VARCHAR)")} AS BIGINT) AS h FROM orders),
+         |kk AS (SELECT h FROM hv ORDER BY h LIMIT 256),
+         |s AS (SELECT count(*) AS n, max(h) AS kth FROM kk)
+         |SELECT CAST(256 AS INT) AS k,
+         |  CAST(CASE WHEN n < 256 THEN n
+         |       ELSE 280375465082880 // kth END AS BIGINT) AS est_distinct,
+         |  (SELECT count(*) FROM hv) AS n_distinct_h40
+         |FROM s""".stripMargin,
     "agg_rollup_nation_region" ->
       """SELECT r_name, n_name, count(*) AS n_cust FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
