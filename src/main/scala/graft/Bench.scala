@@ -377,7 +377,10 @@ object Bench {
     // 8 poisoned names, the one list adjudication actually needs) and the
     // full arrays live only in the full JSON / bench_out.json
     def capped(b: scala.collection.mutable.ArrayBuffer[String], n: Int) = {
-      val shown = b.take(n).map("\"" + _ + "\"")
+      // same defense as the full-JSON path at s3/jsonStr: an error message
+      // or drifted name containing a quote/backslash must not corrupt the
+      // one line designed to be guaranteed-parseable in the driver tail
+      val shown = b.take(n).map(s => "\"" + s.replace("\\", "/").replace("\"", "'") + "\"")
       (shown ++ (if (b.size > n) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
     }
     val compactLoad =

@@ -52,9 +52,10 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // SPARK_GRAFT_OBJAGG_FALLBACK isolates ObjectHashAggregate's
-      // sort-based fallback (default: 128 distinct keys per partition)
+      // sort-based fallback (unset: LocalTuning's 128k; Spark's own
+      // default is 128 distinct keys per partition)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", "128"))
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", "131072"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counters = new Counters

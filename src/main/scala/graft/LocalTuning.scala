@@ -48,6 +48,19 @@ object LocalTuning {
       // regions. 5000 entries keeps every unit resident (~10 KB/class —
       // tens of MB); semantics-free, pure floor shave (r10 verdict item 7).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // ObjectHashAggregate's sort-based fallback fires after 128 distinct
+      // groups PER PARTITION (Spark's default) — every sortedSetOf /
+      // collect_list aggregation in the suite (basket pair-gen, token
+      // sets, adjacency folds) has thousands of groups per partition and
+      // was silently paying a full per-partition SORT instead of the hash
+      // path (measured r18: ext_path_counts edge build 32.5 → 15.5 s task
+      // time). 128k groups ≈ tens of MB of hash-map state per partition at
+      // this suite's state sizes — far under executor memory at any SF the
+      // shuffle-partition sizing targets; the fallback still protects
+      // genuinely unbounded group counts. Semantics-free (execution
+      // strategy only).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
     scratchDir match {
       case Some(dir) => tuned.config("spark.local.dir", dir)
       case None => tuned

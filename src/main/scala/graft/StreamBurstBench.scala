@@ -86,9 +86,9 @@ object StreamBurstBench {
     // arrays (16 × 8 B each + row overhead) in each of 2 bands; assert
     // the store stays under half that, and under a hard 32 MB ceiling
     val caplessLowerBound = 2L * clones * 16 * 8
-    require(burstBytesPeak < math.max(32L << 20, 0) &&
-      burstBytesPeak < caplessLowerBound,
-      s"state peak $burstBytesPeak >= capless bound $caplessLowerBound")
+    require(burstBytesPeak < (32L << 20) &&
+      burstBytesPeak < caplessLowerBound / 2,
+      s"state peak $burstBytesPeak >= half capless bound ${caplessLowerBound / 2}")
 
     // phase 2 — drain: a handful of unique texts 15 min later. The first
     // batch advances the watermark past burst-end + lateness; timeouts

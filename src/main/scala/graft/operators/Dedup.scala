@@ -746,7 +746,9 @@ object Dedup {
            _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
       case _ => false // string/decimal ids take the distributed loop (min/least handles any ordered type)
     }
-    val symCount = sym.count()
+    // lazy: string/decimal-id inputs always take the distributed loop and
+    // must not pay a count job for a threshold they can never meet
+    lazy val symCount = sym.count()
     if (integralIds && symCount <= 2 * localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

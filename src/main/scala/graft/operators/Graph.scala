@@ -610,8 +610,11 @@ object Graph {
     * degree on this transitions graph — barrier savings can't buy back
     * a frontier-squared exchange. */
   def sccPivot(dedges: DataFrame, srcCol: String, dstCol: String,
-               maxDepth: Int): DataFrame = {
+               maxDepth: Int,
+               bcastLabels: Option[Boolean] = None): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    // the (dir, node)-keyed label table is ≤ 2 × node-sized
+    val bLabels = resolveBroadcast(bcastLabels, dedges, factor = 2)
     val par = dedges.sparkSession.sparkContext.defaultParallelism
     // ONE materialization of the (often expensive) upstream edge build:
     // the direction-tagged doubled orientation is written directly —
@@ -635,6 +638,66 @@ object Graph {
     }
     val pivot = row.getLong(0)
     val sess = e.sparkSession
+    if (bLabels) {
+      // DRIVER-RESIDENT labels (r18, closing the r16 ≤3 s target): the
+      // fused direction-tagged loop's residual was ~28 serial jobs —
+      // each round a lazy-checkpoint count over the merged label table —
+      // on state that is at most 2 × node-sized and just passed
+      // [[resolveBroadcast]]. The BFS level set lives in a driver
+      // HashMap; each round is ONE cluster job: the frontier re-enters
+      // as a LocalRelation broadcast into the (dir, s)-partitioned edge
+      // blocks, candidates dedup cluster-side ((dir, t) distinct — the
+      // fold result is frontier-neighborhood-sized, never edge-sized),
+      // and the min-level merge is a driver map lookup (first discovery
+      // wins ≡ min(__lvl), BFS order). The `bcastLabels = false` twin
+      // below keeps the all-distributed loop for graphs whose node
+      // frame outgrows a broadcast (spec-pinned equal in GraphSpec).
+      val labels = scala.collection.mutable.HashMap[(Int, Long), Int](
+        (0, pivot) -> 0, (1, pivot) -> 0)
+      var frontier: Seq[(Int, Long)] = Seq((0, pivot), (1, pivot))
+      val fSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dir",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__s",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        var done = 0
+        while (done < maxDepth && frontier.nonEmpty) {
+          val fDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              frontier.map { case (d, n) =>
+                org.apache.spark.sql.Row(d, n) }).asJava, fSchema)
+          val cand = e.join(broadcast(fDf), Seq("__dir", "__s"))
+            .select(col("__dir"), col("__t")).distinct().collect()
+          done += 1
+          frontier = cand.toSeq.flatMap { r =>
+            val key = (r.getInt(0), r.getLong(1))
+            if (labels.contains(key)) None
+            else { labels(key) = done; Some(key) }
+          }
+        }
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        Dedup.freeCheckpoints(e)
+      }
+      val outRows = labels.keys.map(_._2).toSeq.distinct.flatMap { n =>
+        (labels.get((0, n)), labels.get((1, n))) match {
+          case (Some(f), Some(b)) => Some(org.apache.spark.sql.Row(n, f, b))
+          case _ => None
+        }
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lvl_fwd",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("lvl_bwd",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
     var labels = sess.range(1)
       .select(explode(array(lit(0), lit(1))).as("__dir"),
         lit(pivot).as("__n"), lit(0).as("__lvl"))
@@ -695,17 +758,26 @@ object Graph {
     * The doubled orientation guarantees every node has in-edges, so
     * seeding pr₀ over distinct(__s) keeps every node present in every
     * round's output (zero-valued contributions still form groups) —
-    * the restart mask needs no outer join. */
+    * the restart mask needs no outer join.
+    *
+    * r18: when the node-sized rank state passes [[resolveBroadcast]]
+    * (default), the state lives DRIVER-RESIDENT and each iteration is
+    * one cluster job with the strength divisor shipped on the frontier
+    * LocalRelation — see the fast-path comment in the body; the
+    * `bcastState = Some(false)` twin keeps this distributed loop. */
   def weightedPersonalizedPagerank(wpairs: DataFrame, uCol: String,
                                    vCol: String, wCol: String,
-                                   iters: Int, nSeeds: Int): DataFrame = {
+                                   iters: Int, nSeeds: Int,
+                                   bcastState: Option[Boolean] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    // rank + strength state is node-sized — bounded by the pair stream
+    val bState = resolveBroadcast(bcastState, wpairs)
     val par = wpairs.sparkSession.sparkContext.defaultParallelism
     // node ids cast to long up front: the seed collect below reads
     // getLong, and integer-typed caller columns must keep working (the
     // pre-r16 all-DataFrame form was type-agnostic)
-    val e = wpairs.select(explode(array(
+    val eBare = wpairs.select(explode(array(
         struct(col(uCol).cast("long").as("__s"),
           col(vCol).cast("long").as("__t"),
           col(wCol).cast("bigint").as("__w")),
@@ -714,6 +786,85 @@ object Graph {
           col(wCol).cast("bigint").as("__w")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
         col("__e.__w").as("__w"))
+    if (bState) {
+      // DRIVER-RESIDENT rank state (r17 chain-shortening, applied r18):
+      // the (node → pr) table is node-sized and resolveBroadcast just
+      // declared it broadcast-eligible — state that fits an executor
+      // broadcast fits the driver. Two structural wins over the
+      // distributed loop:
+      //  - the strength divisor W(u) no longer rides the edge frame as
+      //    a window sum (a full per-partition SORT of the doubled edge
+      //    stream); it folds once (node-keyed hash agg), COLLECTS, and
+      //    re-enters each round on the frontier LocalRelation rows —
+      //    the edge checkpoint is the bare (s, t, w) stream.
+      //  - each iteration is ONE cluster job: e ⋈ broadcast(frontier)
+      //    + the __t-keyed contribution fold, collected. Zero-rank
+      //    nodes are DROPPED from the frontier — exact, because their
+      //    per-edge contribution (0·w) div W ≡ 0 and a node absent
+      //    from every in-neighborhood folds to c = 0, replayed
+      //    driver-side (seed bonus for seeds, 0 otherwise).
+      //  - no __s repartition: every round joins by BROADCAST, so edge
+      //    co-location buys nothing — the doubled stream checkpoints in
+      //    the upstream's partitioning and one full 2|E|-row exchange
+      //    disappears (the __t contribution fold still exchanges only
+      //    node-sized partials).
+      // Arithmetic is identical (integer (pr·w) div W per edge, integer
+      // 17·c div 20 damping); the bcastState = false twin keeps the
+      // all-distributed loop for graphs whose node frame outgrows a
+      // broadcast (spec-pinned equal in GraphSpec).
+      val e = eBare.ckpt()
+      val sess = e.sparkSession
+      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        val strength = e.groupBy(col("__s"))
+          .agg(sum(col("__w")).as("__wk")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (strength.isEmpty)
+          return e.limit(0).select(col("__s").as("node"),
+            col("__w").as("wppr")).localCheckpoint()
+        val seedIds = strength.keys.toSeq.sorted.take(nSeeds)
+        val seedSet = seedIds.toSet
+        var pr = scala.collection.mutable.HashMap[Long, Long](
+          seedIds.map(_ -> 1000000L): _*)
+        val lng = org.apache.spark.sql.types.LongType
+        val fSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__s", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("__pr", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("__wk", lng, nullable = false)))
+        (1 to iters).foreach { _ =>
+          val frontier = pr.toSeq.filter(_._2 != 0L)
+          val fDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              frontier.map { case (n, p) =>
+                org.apache.spark.sql.Row(n, p, strength(n)) }).asJava, fSchema)
+          val folded = e.join(broadcast(fDf), Seq("__s"))
+            .groupBy(col("__t"))
+            .agg(sum(expr("(__pr * __w) div __wk")).as("__c"))
+            .collect()
+          val next = scala.collection.mutable.HashMap.empty[Long, Long]
+          folded.foreach { r =>
+            val t = r.getLong(0); val c = r.getLong(1)
+            // c ≥ 0 (integer sums of non-negative floors), so JVM / is
+            // the same floor div the distributed expr computes
+            next(t) = (if (seedSet(t)) 150000L else 0L) + 17 * c / 20
+          }
+          seedIds.foreach { s => if (!next.contains(s)) next(s) = 150000L }
+          pr = next
+        }
+        val outRows = strength.keys.toSeq.map { n =>
+          org.apache.spark.sql.Row(n, pr.getOrElse(n, 0L)) }
+        return sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", lng, nullable = false),
+            org.apache.spark.sql.types.StructField("wppr", lng, nullable = false))))
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        Dedup.freeCheckpoints(e)
+      }
+    }
+    val e = eBare
       .repartition(par, col("__s"))
       .withColumn("__wk",
         sum(col("__w")).over(Window.partitionBy(col("__s"))))

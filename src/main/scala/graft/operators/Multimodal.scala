@@ -128,9 +128,15 @@ object Multimodal {
         ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
-          val img = try ImageIO.read(
-            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          catch { case _: java.io.IOException => null }
+          // NULL payloads and RuntimeException-throwing ImageIO plugins
+          // (some readers throw IndexOutOfBounds on malformed-but-
+          // recognized data) quarantine exactly like an IOException —
+          // the contract is "all undecodable payloads yield NULL ahash"
+          val img =
+            if (r.isNullAt(1)) null
+            else try ImageIO.read(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || img.getWidth != 16 || img.getHeight != 16)
             Row(id, null)
           else {
@@ -251,9 +257,14 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]]("payload")
-        val img = try ImageIO.read(new ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-        if (img == null) Row(id, payload.length, null, null, null, null, null, null)
+        // same NULL-payload / NonFatal quarantine contract as imageAHash
+        val img =
+          if (payload == null) null
+          else try ImageIO.read(new ByteArrayInputStream(payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          Row(id, if (payload == null) 0 else payload.length,
+            null, null, null, null, null, null)
         else {
           val w = img.getWidth
           val h = img.getHeight
@@ -376,7 +387,7 @@ object Multimodal {
               }
               Row(id, i, w, h, math.round(s.toDouble / (w * h)).toInt)
             }.toVector
-          } catch { case _: java.io.IOException => Vector.empty[Row] }
+          } catch { case scala.util.control.NonFatal(_) => Vector.empty[Row] }
           finally { reader.dispose(); iis.close() }
         }
       }

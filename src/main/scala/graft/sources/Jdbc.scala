@@ -513,7 +513,18 @@ object Jdbc {
     * DuckDB (create our own sequence + attach as DEFAULT), classic-serial
     * Postgres (`setval` on the serial's self-created backing sequence —
     * Postgres does NOT accept ALTER…RESTART on a serial column), and the
-    * identity-column family (Derby/DB2/H2: ALTER…RESTART). */
+    * identity-column family (Derby/DB2/H2: ALTER…RESTART).
+    *
+    * LIVE-ENGINE COVERAGE (r18 audit): the DuckDB branch executes against
+    * a real DuckDB database (JdbcDuckDbSpec) and the identity branch
+    * against embedded Derby (JdbcDuckDbSpec, TransferSpec); the Postgres
+    * `setval` branch has NO live engine behind it in this environment —
+    * no Postgres server, and the offline dependency cache carries no
+    * Postgres-compatible embedded engine (H2/HSQLDB absent; checked
+    * r18). Its contract is therefore pinned as emitted-SQL strings per
+    * URL family in JdbcSpec ("resetPkSequenceSql dispatches per
+    * dialect") — if a Postgres-compat jar ever becomes reachable, wire
+    * it through the same live round-trip the other two branches get. */
   def resetPkSequenceSql(url: String, table: String, pk: String,
                          next: Long): Seq[String] =
     if (usesExplicitSequence(url)) {
@@ -526,7 +537,12 @@ object Jdbc {
       Seq(s"CREATE SEQUENCE $seq START WITH $next",
         s"ALTER TABLE $table ALTER COLUMN $pk SET DEFAULT nextval('$seq')")
     } else if (url.startsWith("jdbc:postgresql:"))
-      Seq(resetSequenceSql(table, pk))
+      // honor the caller-supplied `next` exactly like the other two
+      // branches (a caller reserving a gap must get it on every dialect);
+      // the table-derived variant (resetSequenceSql, = taps' max+1
+      // behavior) remains for callers that want the watermark default
+      Seq(s"SELECT setval(pg_get_serial_sequence('$table', '$pk'), " +
+        s"$next, false)")
     else Seq(restartIdentitySql(table, pk, next))
 
   /** DROP SEQUENCE that tolerates absence — the explicit-sequence twin of

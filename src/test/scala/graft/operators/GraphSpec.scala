@@ -481,6 +481,12 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
       assert(got == want, s"maxDepth=$cap: ${got.diff(want)} spurious, " +
         s"${want.diff(got)} missed")
+      // the all-distributed twin (label table past broadcast range)
+      // must match the driver-resident default row-for-row
+      val gotDist = Graph.sccPivot(des.toDF("s", "t"), "s", "t",
+          maxDepth = cap, bcastLabels = Some(false))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(gotDist == want, s"maxDepth=$cap bcastLabels=false twin")
     }
   }
 
@@ -497,6 +503,12 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         iters = 3, nSeeds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    // the all-distributed twin (rank state past broadcast range) must
+    // match the driver-resident default row-for-row
+    val gotDist = Graph.weightedPersonalizedPagerank(wpairs, "u", "v", "w",
+        iters = 3, nSeeds = 3, bcastState = Some(false))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want, "bcastState=false twin")
   }
 
   test("resourceAllocationTopK matches brute force over non-adjacent " +

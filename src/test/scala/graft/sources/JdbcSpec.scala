@@ -118,7 +118,11 @@ class JdbcSpec extends AnyFunSuite {
     assert(duck.exists(_.startsWith("CREATE SEQUENCE t_id_seq START WITH 7")))
     assert(duck.exists(_.contains("SET DEFAULT nextval('t_id_seq')")))
     val pg = Jdbc.resetPkSequenceSql("jdbc:postgresql://h/db", "t", "id", 7L)
-    assert(pg == Seq(Jdbc.resetSequenceSql("t", "id")))
+    // honors the caller's `next` exactly like the other two dialects
+    // (r17 ADVICE: the old form re-derived max+1 from the table,
+    // silently ignoring a reserved gap)
+    assert(pg == Seq(
+      "SELECT setval(pg_get_serial_sequence('t', 'id'), 7, false)"))
     assert(pg.forall(!_.contains("RESTART")))
     val derby = Jdbc.resetPkSequenceSql("jdbc:derby:memory:x", "t", "id", 7L)
     assert(derby == Seq("ALTER TABLE t ALTER COLUMN id RESTART WITH 7"))
