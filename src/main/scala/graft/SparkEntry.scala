@@ -925,6 +925,14 @@ object SparkEntry {
     "ext_louvain_level" -> ((s, dir) =>
       operators.Graph.louvainFirstLevel(copurchaseSupport(s, dir),
         "u", "v", "c")),
+    // FULL multi-level Louvain to the move-phase fixpoint (≤ 5 levels —
+    // both fixtures converge by 4): per level the integer argmax move,
+    // pointer-graph CC (min label), self-loop-carrying contraction;
+    // the oracle unrolls exactly 5 levels (post-fixpoint levels are
+    // identity no-ops, so the engine's early exit is equivalent)
+    "ext_louvain_full" -> ((s, dir) =>
+      operators.Graph.louvainLevels(copurchaseSupport(s, dir),
+        "u", "v", "c", maxLevels = 5)),
     // FW-BW pivot SCC over the DIRECTED purchase-sequence graph (the
     // one fixture graph with real cycles): the strongly connected
     // component of the minimum part = fwd-reach ∩ bwd-reach, both hop
@@ -4483,6 +4491,7 @@ object SparkEntry {
     "ext_path_counts" -> sqlPathCounts(4, 4),
     "ext_betweenness_sampled" -> sqlBetweenness(4, 4, 20),
     "ext_louvain_level" -> sqlLouvainLevel,
+    "ext_louvain_full" -> sqlLouvainFull(5),
     "ext_scc_pivot" -> sqlSccPivot(40),
     "ext_ppr_weighted" -> sqlWppr(3, 4),
     "ext_resource_allocation" -> sqlResourceAllocation,
@@ -7348,6 +7357,58 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn
         |      FROM sc) q
         |WHERE rn = 1""".stripMargin
+
+  /** FULL multi-level Louvain twin — `levels` unrolled copies of the
+    * per-level pipeline (doubled orientation → strength → integer argmax
+    * move → recursive-UNION pointer closure min-labeled → self-loop
+    * contraction), mapping composed level over level. Levels past the
+    * move-phase fixpoint are identity no-ops (everyone points to
+    * themselves → singleton closure → contraction unchanged), so the
+    * fixed unroll equals the engine's early exit. All arithmetic BIGINT
+    * (the engine's exact score 2m·w_ij − k_i·k_j); closure is the same
+    * recursive-UNION min-reachability the CC family replays. */
+  private def sqlLouvainFull(levels: Int): String = {
+    val sb = new StringBuilder("WITH RECURSIVE " + sqlSupportCte +
+      """e0 AS MATERIALIZED (SELECT CAST(u AS BIGINT) AS u,
+        |  CAST(v AS BIGINT) AS v, CAST(c AS BIGINT) AS w FROM sup),
+        |""".stripMargin)
+    for (i <- 0 until levels) {
+      sb.append(
+        s"""we$i AS (SELECT u AS s, v AS t, w FROM e$i
+           |  UNION ALL SELECT v, u, w FROM e$i),
+           |wd$i AS MATERIALIZED (SELECT s AS n, CAST(SUM(w) AS BIGINT) AS k
+           |  FROM we$i GROUP BY s),
+           |m$i AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM wd$i),
+           |sc$i AS MATERIALIZED (SELECT e.s, e.t, m.m2 * e.w - a.k * b.k AS score
+           |  FROM we$i e CROSS JOIN m$i m
+           |  JOIN wd$i a ON a.n = e.s JOIN wd$i b ON b.n = e.t
+           |  WHERE e.s <> e.t),
+           |p$i AS MATERIALIZED (SELECT wd$i.n AS node,
+           |    CASE WHEN q.score > 0 THEN q.t ELSE wd$i.n END AS ptr
+           |  FROM wd$i LEFT JOIN (SELECT s, t, score,
+           |      row_number() OVER (PARTITION BY s ORDER BY score DESC, t) AS rn
+           |    FROM sc$i) q ON q.s = wd$i.n AND q.rn = 1),
+           |pe$i AS MATERIALIZED (SELECT node AS a, ptr AS b FROM p$i WHERE node <> ptr
+           |  UNION SELECT ptr, node FROM p$i WHERE node <> ptr),
+           |r$i AS (SELECT node AS n, node AS x FROM p$i
+           |  UNION SELECT r.n, pe.b FROM r$i r JOIN pe$i pe ON pe.a = r.x),
+           |c$i AS MATERIALIZED (SELECT n AS node, CAST(MIN(x) AS BIGINT) AS comm
+           |  FROM r$i GROUP BY n),
+           |e${i + 1} AS MATERIALIZED (SELECT least(ca.comm, cb.comm) AS u,
+           |    greatest(ca.comm, cb.comm) AS v, CAST(SUM(ei.w) AS BIGINT) AS w
+           |  FROM e$i ei JOIN c$i ca ON ca.node = ei.u
+           |  JOIN c$i cb ON cb.node = ei.v
+           |  GROUP BY 1, 2),
+           |""".stripMargin)
+      sb.append(
+        if (i == 0) "map0 AS (SELECT node, comm FROM c0),\n"
+        else s"map$i AS (SELECT m.node, c.comm FROM map${i - 1} m " +
+          s"JOIN c$i c ON c.node = m.comm),\n")
+    }
+    sb.setLength(sb.length - 2) // trailing ",\n"
+    sb.append(s"\nSELECT node, comm AS community FROM map${levels - 1}")
+    sb.toString
+  }
 
   /** FW-BW pivot SCC twin: two depth-capped recursive UNION BFS CTEs
     * over the distinct purchase-sequence edges (lead window identical

@@ -588,6 +588,211 @@ object Graph {
     result
   }
 
+  /** The one-shot move phase over an arbitrary AGGREGATED weighted
+    * canonical pair list (a ≤ b, one row per pair, self-loops allowed —
+    * the shape [[louvainLevels]]' contraction emits): every node starts
+    * in its own community and takes the argmax-gain neighbor, exactly
+    * [[louvainFirstLevel]]'s integer score 2m·w_ij − k_i·k_j. Self-loops
+    * count DOUBLE into the strength (the doubled orientation emits a
+    * self-loop twice — the 2m = Σk convention real Louvain contraction
+    * relies on) but are excluded as move candidates. Returns
+    * (__n, __p): __p = argmax neighbor when its score > 0, else __n —
+    * every node of the doubled orientation appears. */
+  private def louvainMovePlan(eLvl: DataFrame): DataFrame = {
+    val we = eLvl.select(explode(array(
+        struct(col("__u").as("__s"), col("__v").as("__t"), col("__w")),
+        struct(col("__v").as("__s"), col("__u").as("__t"), col("__w"))))
+        .as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+        col("__e.__w").as("__w"))
+    val wd = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
+    val m2 = wd.agg(sum(col("__k")).as("__m2"))
+    val best = we.filter(col("__s") =!= col("__t"))
+      .join(broadcast(wd.select(col("__s"), col("__k").as("__ki"))), "__s")
+      .join(broadcast(wd.select(col("__s").as("__t"), col("__k").as("__kj"))),
+        "__t")
+      .crossJoin(broadcast(m2))
+      .select(col("__s"), col("__t"),
+        (col("__m2") * col("__w") - col("__ki") * col("__kj")).as("__sc"))
+      .groupBy(col("__s"))
+      .agg(min(struct((-col("__sc")).as("s"), col("__t").as("j"))).as("__b"))
+      .select(col("__s"), when(col("__b.s") < 0, col("__b.j")).as("__j"))
+    // self-loop-only nodes never reach the scored stream — left join
+    // from the full strength-table node set, absent/≤0 argmax → stay
+    wd.select(col("__s")).join(best, Seq("__s"), "left")
+      .select(col("__s").as("__n"), coalesce(col("__j"), col("__s")).as("__p"))
+  }
+
+  /** FULL multi-level Louvain (Blondel et al. 2008) to the move-phase
+    * fixpoint, capped at `maxLevels` — the multi-level completion of
+    * [[louvainFirstLevel]]. Per level over the current contracted graph:
+    * (1) the one-shot integer argmax move phase ([[louvainMovePlan]] —
+    * singleton-community gain 2m·w_ij − k_i·k_j, exact BIGINT, ties to
+    * the smaller id); (2) communities = connected components of the
+    * pointer graph {(i, argmax(i))}, labeled by MINIMUM member id
+    * (mutual-best pairs and pointer chains merge — the deterministic
+    * parallel-Louvain resolution); (3) contraction: community nodes,
+    * edge weights summed, INTERNAL weight kept as a self-loop (so the
+    * next level's strength counts it twice — the 2m bookkeeping real
+    * Louvain contraction requires); (4) stop when nobody moves (the
+    * modularity-gain fixpoint: every later level would be an identity
+    * no-op, so an engine early-exit equals a fixed unroll — the DuckDB
+    * twin unrolls exactly `maxLevels` levels). Output: every input node
+    * with its final community (= min original member id).
+    *
+    * Input must be an AGGREGATED canonical pair list (one row per
+    * undirected pair, like the co-purchase support table) — duplicate
+    * pair rows would score per-row instead of per-pair.
+    *
+    * Scale shape: all heavy streams (doubled orientation, scored argmax,
+    * contraction fold) stay cluster-side at every level and shrink
+    * geometrically with contraction; only node-sized state (pointer
+    * table, community labels, the original→community mapping) crosses to
+    * the driver, gated by [[resolveBroadcast]] — the `bcastState = false`
+    * twin runs the label CC and mapping composition distributed
+    * (per-level [[connectedComponentsMinLabel]]), spec-pinned equal. */
+  def louvainLevels(wpairs: DataFrame, uCol: String, vCol: String,
+                    wCol: String, maxLevels: Int,
+                    bcastState: Option[Boolean] = None): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    val bState = resolveBroadcast(bcastState, wpairs, factor = 2)
+    val par = wpairs.sparkSession.sparkContext.defaultParallelism
+    val sess = wpairs.sparkSession
+    var eLvl = wpairs.select(col(uCol).cast("long").as("__u"),
+        col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
+      .repartition(par, col("__u"))
+      .ckpt()
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      if (bState) {
+        // DRIVER-RESIDENT labels/mapping: 2 cluster jobs per level (move
+        // collect + contraction checkpoint) — union-find and mapping
+        // composition are node-sized driver folds
+        var mapping: scala.collection.mutable.HashMap[Long, Long] = null
+        var level = 0
+        var moved = true
+        while (level < maxLevels && moved) {
+          val p = louvainMovePlan(eLvl).collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          moved = p.exists { case (n, q) => n != q }
+          if (moved) {
+            // min-label CC over the pointer graph, driver union-find
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+              r
+            }
+            p.foreach { case (n, q) =>
+              parent.getOrElseUpdate(n, n); parent.getOrElseUpdate(q, q)
+              val (rn, rq) = (find(n), find(q))
+              if (rn != rq) { if (rn < rq) parent(rq) = rn else parent(rn) = rq }
+            }
+            // root is not necessarily the min member — fold the true min
+            val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+            p.foreach { case (n, _) =>
+              val r = find(n)
+              minOf(r) = math.min(minOf.getOrElse(r, n), n)
+            }
+            val cc = p.map { case (n, _) => n -> minOf(find(n)) }.toMap
+            mapping =
+              if (mapping == null) scala.collection.mutable.HashMap(cc.toSeq: _*)
+              else mapping.map { case (orig, comm) => orig -> cc(comm) }
+            val ccRows = cc.toSeq.map { case (n, c) =>
+              org.apache.spark.sql.Row(n, c) }
+            val lng = org.apache.spark.sql.types.LongType
+            val ccDf = sess.createDataFrame(
+              scala.jdk.CollectionConverters.SeqHasAsJava(ccRows).asJava,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
+                org.apache.spark.sql.types.StructField("__c", lng, nullable = false))))
+            val contracted = eLvl
+              .join(broadcast(ccDf.select(col("__x").as("__u"), col("__c").as("__cu"))), "__u")
+              .join(broadcast(ccDf.select(col("__x").as("__v"), col("__c").as("__cv"))), "__v")
+              .groupBy(least(col("__cu"), col("__cv")).as("__u2"),
+                greatest(col("__cu"), col("__cv")).as("__v2"))
+              .agg(sum(col("__w")).as("__w"))
+              .select(col("__u2").as("__u"), col("__v2").as("__v"), col("__w"))
+              .ckpt()
+            Dedup.freeCheckpoints(eLvl)
+            eLvl = contracted
+            level += 1
+          }
+        }
+        val lng = org.apache.spark.sql.types.LongType
+        val outRows =
+          if (mapping == null)
+            // zero moves at level 0: every node is its own community
+            louvainMovePlan(eLvl).collect().map(r =>
+              org.apache.spark.sql.Row(r.getLong(0), r.getLong(0))).toSeq
+          else mapping.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) }
+        sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", lng, nullable = false),
+            org.apache.spark.sql.types.StructField("community", lng, nullable = false))))
+      } else {
+        // ALL-DISTRIBUTED twin: per-level CC via the min-label loop,
+        // mapping composed as a checkpointed frame
+        val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var mapping: DataFrame = null
+        var level = 0
+        var moved = true
+        while (level < maxLevels && moved) {
+          val p = louvainMovePlan(eLvl).ckpt()
+          spent += p
+          moved = p.filter(col("__n") =!= col("__p")).limit(1).count() > 0
+          if (moved) {
+            val ptr = p.filter(col("__n") =!= col("__p"))
+            val ccPart = connectedComponentsMinLabel(ptr, "__n", "__p",
+              bcastFrontier = Some(false))
+            val cc = p.select(col("__n"))
+              .join(ccPart.withColumnRenamed("node", "__n"), Seq("__n"), "left")
+              .select(col("__n").as("__x"),
+                coalesce(col("component"), col("__n")).as("__c"))
+              .ckpt()
+            spent += cc
+            mapping =
+              if (mapping == null) cc.select(col("__x").as("node"),
+                col("__c").as("community")).ckpt()
+              else mapping.join(
+                  cc.select(col("__x").as("community"), col("__c")).hint("shuffle_hash"),
+                  Seq("community"))
+                .select(col("node"), col("__c").as("community")).ckpt()
+            spent += mapping
+            val contracted = eLvl
+              .join(cc.select(col("__x").as("__u"), col("__c").as("__cu"))
+                .hint("shuffle_hash"), "__u")
+              .join(cc.select(col("__x").as("__v"), col("__c").as("__cv"))
+                .hint("shuffle_hash"), "__v")
+              .groupBy(least(col("__cu"), col("__cv")).as("__u2"),
+                greatest(col("__cu"), col("__cv")).as("__v2"))
+              .agg(sum(col("__w")).as("__w"))
+              .select(col("__u2").as("__u"), col("__v2").as("__v"), col("__w"))
+              .ckpt()
+            Dedup.freeCheckpoints(eLvl)
+            eLvl = contracted
+            level += 1
+          }
+        }
+        val result =
+          if (mapping == null)
+            louvainMovePlan(eLvl)
+              .select(col("__n").as("node"), col("__n").as("community"))
+              .ckpt()
+          else mapping.ckpt()
+        Dedup.freeCheckpoints(spent.toSeq: _*)
+        result
+      }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      Dedup.freeCheckpoints(eLvl)
+    }
+  }
+
   /** The pivot step of forward-backward SCC decomposition over a
     * DIRECTED edge list: the strongly connected component containing
     * the graph's minimum node id = fwd-reach(pivot) ∩ bwd-reach(pivot)

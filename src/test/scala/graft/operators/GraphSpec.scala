@@ -490,6 +490,84 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("louvainLevels matches the sequential multi-level reference " +
+      "(integer argmax move, pointer-CC min label, self-loop contraction)" +
+      " on random weighted graphs; distributed twin matches") {
+    import spark.implicits._
+    def brute(edges0: Seq[(Long, Long, Long)], maxLevels: Int): Map[Long, Long] = {
+      var es = edges0
+      val nodes0 = edges0.flatMap(e => Seq(e._1, e._2)).distinct
+      var mapping: Map[Long, Long] = null
+      var level = 0
+      var moved = true
+      while (level < maxLevels && moved) {
+        val k = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        es.foreach { case (a, b, w) =>
+          if (a == b) k(a) += 2 * w else { k(a) += w; k(b) += w } }
+        val m2 = k.values.sum
+        val nbr = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+          .withDefaultValue(Nil)
+        es.foreach { case (a, b, w) => if (a != b) {
+          nbr(a) = (b, w) :: nbr(a); nbr(b) = (a, w) :: nbr(b) } }
+        val p = k.keys.map { s =>
+          val scoredN = nbr(s).map { case (t, w) => (t, m2 * w - k(s) * k(t)) }
+          val best = scoredN.sortBy { case (t, sc) => (-sc, t) }.headOption
+          s -> (best match {
+            case Some((t, sc)) if sc > 0 => t
+            case _ => s
+          })
+        }.toMap
+        moved = p.exists { case (n, q) => n != q }
+        if (moved) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x; while (parent(r) != r) r = parent(r); r
+          }
+          p.foreach { case (n, q) =>
+            parent.getOrElseUpdate(n, n); parent.getOrElseUpdate(q, q)
+            val (rn, rq) = (find(n), find(q))
+            if (rn != rq) parent(math.max(rn, rq)) = math.min(rn, rq)
+          }
+          val minOf = scala.collection.mutable.Map.empty[Long, Long]
+          p.keys.foreach { n =>
+            val r = find(n); minOf(r) = math.min(minOf.getOrElse(r, n), n) }
+          val cc = p.keys.map(n => n -> minOf(find(n))).toMap
+          mapping = if (mapping == null) cc
+            else mapping.map { case (o, c) => o -> cc(c) }
+          es = es.map { case (a, b, w) =>
+              (math.min(cc(a), cc(b)), math.max(cc(a), cc(b)), w) }
+            .groupBy(e => (e._1, e._2))
+            .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq
+          level += 1
+        }
+      }
+      if (mapping == null) nodes0.map(n => n -> n).toMap else mapping
+    }
+    for (seed <- Seq(11, 47, 83)) {
+      val (es, _) = randomGraph(seed, 24, 120)
+      val rnd = new scala.util.Random(seed + 1000)
+      val wes = es.map { case (a, b) => (a, b, 1L + rnd.nextInt(9)) }
+      val want = brute(wes, maxLevels = 5)
+      val df = wes.toDF("u", "v", "w")
+      val got = Graph.louvainLevels(df, "u", "v", "w", maxLevels = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed driver path")
+      val gotDist = Graph.louvainLevels(df, "u", "v", "w", maxLevels = 5,
+          bcastState = Some(false))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"seed=$seed bcastState=false twin")
+    }
+    // level-capped: one level must equal the pointer-CC closure of the
+    // single-level move phase (louvainFirstLevel's argmax)
+    val (es1, _) = randomGraph(7, 16, 60)
+    val wes1 = es1.map { case (a, b) => (a, b, 2L) }
+    val want1 = brute(wes1, maxLevels = 1)
+    val got1 = Graph.louvainLevels(wes1.toDF("u", "v", "w"), "u", "v", "w",
+        maxLevels = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == want1, "maxLevels=1")
+  }
+
   test("weightedPersonalizedPagerank with uniform weights equals the " +
       "unweighted operator (the scale cancels inside the floor)") {
     import spark.implicits._
