@@ -2163,6 +2163,14 @@ object SparkEntry {
     "multimodal_frame_decode" -> ((s, dir) =>
       Multimodal.sampleDecodedFrames(
         Multimodal.gifFixture(t(s, dir, "documents")), stride = 2)),
+    // REAL video-CONTAINER decode (r18): genuine AVI/RIFF files holding
+    // MJPEG frames, demuxed by a direct RIFF chunk walk and frame-decoded
+    // through the JDK JPEG codec (constant-gray frames round-trip
+    // pixel-exact at quality 1.0 — MultimodalSpec pins all 256 grays);
+    // the oracle predicts per-(doc, sampled frame) dims and gray
+    "multimodal_video_frames" -> ((s, dir) =>
+      Multimodal.sampleAviFrames(
+        Multimodal.aviFixture(t(s, dir, "documents")), stride = 2)),
 
     // IMAGE PERCEPTUAL HASH over REAL decoded pixels: 64-bit aHash
     // (exact integer 2x2 box-downsample + cross-multiplied mean compare)
@@ -5177,6 +5185,18 @@ object SparkEntry {
         |  CAST(2 + doc_id % 4 AS INT) AS height,
         |  CAST((doc_id * 31 + f * 17) % 256 AS INT) AS mean_gray
         |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 5, 2)) AS f
+        |      FROM documents)""".stripMargin,
+
+    // what a REAL AVI demux + JPEG decode must recover from the generated
+    // MJPEG containers: every 2nd frame's dims and constant gray — all
+    // pure functions of the generator input (JPEG quality-1.0 constant
+    // blocks are lossless, so the prediction is exact)
+    "multimodal_video_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(4 + doc_id % 6 AS INT) AS width,
+        |  CAST(3 + doc_id % 5 AS INT) AS height,
+        |  CAST((doc_id * 37 + f * 23) % 256 AS INT) AS mean_gray
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 4, 2)) AS f
         |      FROM documents)""".stripMargin,
 
     // what a REAL decoder must find in the generated PNGs: dimensions and

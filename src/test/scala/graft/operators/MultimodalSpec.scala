@@ -93,6 +93,75 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "good media decodes, truncated media contributes zero frames")
   }
 
+  test("JDK JPEG round-trips constant-gray frames pixel-exact at quality " +
+      "1.0 (the aviFixture oracle's load-bearing assumption, all 256 grays)") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    (0 until 256).foreach { g =>
+      val (w, h) = (4 + g % 6, 3 + g % 5)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      val wr = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      val back = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+      assert(back.getWidth == w && back.getHeight == h, s"dims g=$g")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(((back.getRGB(x, y) >> 16) & 0xff) == g, s"pixel g=$g ($x,$y)")
+    }
+  }
+
+  test("aviFixture + sampleAviFrames: real AVI/RIFF demux + MJPEG frame " +
+      "decode, strided; payload really is an AVI container") {
+    import spark.implicits._
+    // doc 7: w = 4+7%6 = 5, h = 3+7%5 = 5, frames = 2+7%4 = 5 → stride 2
+    // samples frames 0, 2, 4; gray(i) = (7*37 + i*23) % 256 = 3, 49, 95
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleAviFrames(Multimodal.aviFixture(docs), stride = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((0, 5, 5, 3), (2, 5, 5, 49), (4, 5, 5, 95)))
+    val payload = Multimodal.aviFixture(docs).head().getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF" &&
+      new String(payload.slice(8, 12), "US-ASCII") == "AVI ")
+    // stride 1 decodes every frame
+    val all = Multimodal.sampleAviFrames(Multimodal.aviFixture(docs), stride = 1)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(all == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("sampleAviFrames quarantines truncated and non-AVI payloads: the " +
+      "fully-present frames decode, nothing fails the task") {
+    import spark.implicits._
+    val good = Multimodal.aviFixture(Seq((1L, "t")).toDF("doc_id", "text"))
+    val goodRow = good.collect()(0)
+    val payload = goodRow.getAs[Array[Byte]]("payload")
+    // cut mid-movi: header + first frame survive, the tail is gone
+    val cut = payload.take(payload.length - 20)
+    // and a payload that isn't RIFF at all
+    val junk = Array.fill[Byte](64)(0x11.toByte)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(2L, cut, goodRow.getStruct(2)),
+      org.apache.spark.sql.Row(3L, junk, goodRow.getStruct(2)))
+    val mixed = good.unionByName(
+      spark.createDataFrame(rows, Multimodal.schema))
+    val frames = Multimodal.sampleAviFrames(mixed, stride = 1).collect()
+    val byId = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // doc 1 (intact): frames = 2+1%4 = 3; doc 2 (cut): a prefix of them;
+    // doc 3 (junk): zero
+    assert(byId(1L) == 3, s"intact decodes all frames, got $byId")
+    assert(byId.getOrElse(3L, 0) == 0, "non-RIFF contributes nothing")
+    assert(byId.getOrElse(2L, 0) < 3, "truncated loses the cut tail")
+  }
+
   test("sampleFrames emits strided fixed-size windows of the payload") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       frameBytes = 8, stride = 2)
