@@ -4009,6 +4009,11 @@ object SparkEntry {
     "ext_ktruss / ext_edge_jaccard_topk [pre-checkpoint edge-support]" ->
       ((s, dir) =>
         operators.Graph.edgeSupportPlan(copurchaseEdgesRaw(s, dir), "u", "v")),
+    "ext_louvain_full [one pre-checkpoint move level: doubled orientation," +
+      " broadcast strength, integer argmax, stay-fallback left join]" ->
+      ((s, dir) =>
+        operators.Graph.louvainLevelPlan(copurchaseSupport(s, dir),
+          "u", "v", "c")),
     "ext_hits_scores [pre-checkpoint indegree + first hub fold]" ->
       ((s, dir) =>
         operators.Graph.hitsRoundPlan(custPartPairs(s, dir), "c", "p")),

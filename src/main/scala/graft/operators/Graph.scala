@@ -2577,6 +2577,19 @@ object Graph {
       .groupBy(col("__dir"), col("__n")).agg(min(col("__lvl")).as("__lvl"))
   }
 
+  /** PRE-checkpoint single Louvain level body, for the plan audit — the
+    * exact [[louvainLevels]] move phase (doubled orientation, broadcast
+    * strength decoration, integer argmax, stay-fallback left join) over
+    * the un-checkpointed input; contraction and pointer-CC are
+    * node-sized and ride either the driver or the min-label loop (whose
+    * round shape [[minLabelRoundPlan]] audits). Built for explain, not
+    * execution. */
+  def louvainLevelPlan(wpairs: DataFrame, uCol: String, vCol: String,
+                       wCol: String): DataFrame =
+    louvainMovePlan(wpairs.select(col(uCol).cast("long").as("__u"),
+        col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w")))
+      .select(col("__n").as("node"), col("__p").as("pointer"))
+
   /** PRE-checkpoint single multi-source BFS round, for the plan audit —
     * the exact [[multiSourceBfs]] round expressions (the loop behind
     * eccentricity / closeness / the neighborhood function), with the
