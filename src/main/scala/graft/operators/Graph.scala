@@ -666,15 +666,51 @@ object Graph {
     try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       if (bState) {
-        // DRIVER-RESIDENT labels/mapping: 2 cluster jobs per level (move
-        // collect + contraction checkpoint) — union-find and mapping
-        // composition are node-sized driver folds
+        // DRIVER-RESIDENT labels/mapping: 3 cluster jobs per level —
+        // strength fold (collected once, node-sized), scored argmax
+        // (strength re-enters as a LocalRelation broadcast on BOTH join
+        // sides and 2m as a literal, so the level runs ONE edge-stream
+        // aggregation instead of the move plan's three), contraction
+        // checkpoint; union-find and mapping composition are node-sized
+        // driver folds
+        val lng = org.apache.spark.sql.types.LongType
+        val wdSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("__k", lng, nullable = false)))
         var mapping: scala.collection.mutable.HashMap[Long, Long] = null
         var level = 0
         var moved = true
         while (level < maxLevels && moved) {
-          val p = louvainMovePlan(eLvl).collect()
-            .map(r => r.getLong(0) -> r.getLong(1))
+          val we = eLvl.select(explode(array(
+              struct(col("__u").as("__s"), col("__v").as("__t"), col("__w")),
+              struct(col("__v").as("__s"), col("__u").as("__t"), col("__w"))))
+              .as("__e"))
+            .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
+              col("__e.__w").as("__w"))
+          val wd = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val m2 = wd.values.sum
+          val wdDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              wd.toSeq.map { case (n, k) =>
+                org.apache.spark.sql.Row(n, k) }).asJava, wdSchema)
+          val best = we.filter(col("__s") =!= col("__t"))
+            .join(broadcast(wdDf.select(col("__x").as("__s"),
+              col("__k").as("__ki"))), "__s")
+            .join(broadcast(wdDf.select(col("__x").as("__t"),
+              col("__k").as("__kj"))), "__t")
+            .select(col("__s"), col("__t"),
+              (lit(m2) * col("__w") - col("__ki") * col("__kj")).as("__sc"))
+            .groupBy(col("__s"))
+            .agg(min(struct((-col("__sc")).as("s"), col("__t").as("j"))).as("__b"))
+            .select(col("__s"),
+              when(col("__b.s") < 0, col("__b.j")).as("__j"))
+            .collect().map(r =>
+              r.getLong(0) -> (if (r.isNullAt(1)) r.getLong(0) else r.getLong(1)))
+            .toMap
+          // stay-fallback for nodes absent from the scored stream
+          // (self-loop-only): driver fills from the strength node set
+          val p = wd.keys.toSeq.map(n => n -> best.getOrElse(n, n))
           moved = p.exists { case (n, q) => n != q }
           if (moved) {
             // min-label CC over the pointer graph, driver union-find
@@ -703,7 +739,6 @@ object Graph {
               else mapping.map { case (orig, comm) => orig -> cc(comm) }
             val ccRows = cc.toSeq.map { case (n, c) =>
               org.apache.spark.sql.Row(n, c) }
-            val lng = org.apache.spark.sql.types.LongType
             val ccDf = sess.createDataFrame(
               scala.jdk.CollectionConverters.SeqHasAsJava(ccRows).asJava,
               org.apache.spark.sql.types.StructType(Seq(
@@ -722,7 +757,6 @@ object Graph {
             level += 1
           }
         }
-        val lng = org.apache.spark.sql.types.LongType
         val outRows =
           if (mapping == null)
             // zero moves at level 0: every node is its own community
