@@ -1778,12 +1778,70 @@ object Graph {
     * cross-engine; the DuckDB twin is the depth-bounded recursive UNION
     * carrying the src column. */
   def multiSourceBfs(pairs: DataFrame, uCol: String, vCol: String,
-                     nSources: Int, maxDepth: Int): DataFrame = {
+                     nSources: Int, maxDepth: Int,
+                     bcastState: Option[Boolean] = None): DataFrame = {
     require(nSources >= 1, s"nSources must be >= 1, got $nSources")
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    // the (src, node) level table is ≤ nSources × node-sized
+    val bState = resolveBroadcast(bcastState, pairs, factor = nSources)
     val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    if (bState) {
+      // DRIVER-RESIDENT level state (r18 — the sccPivot/pathCounts
+      // pattern, keyed (src, node)): the pre-r18 loop re-aggregated the
+      // FULL (src, node) state every round and always ran maxDepth
+      // rounds; here each round is ONE cluster job (frontier re-enters
+      // as a LocalRelation broadcast, candidates dedup cluster-side to
+      // frontier-neighborhood size) with first-discovery-wins ≡
+      // min-level merge as a driver map lookup, and the loop EXITS as
+      // soon as a frontier comes back empty (this graph family
+      // saturates well inside the depth cap). `bcastState = false`
+      // keeps the all-distributed loop for nSources × |V| past the
+      // broadcast limit (spec-pinned equal in GraphSpec).
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        // type-agnostic node keys (the pathCountsLoop discipline):
+        // integer-typed caller columns must keep working
+        val nType = e.schema("__s").dataType
+        val srcIds = e.select(col("__s")).distinct()
+          .orderBy(col("__s")).limit(nSources)
+          .collect().map(_.get(0)).toSeq
+        val lvl = scala.collection.mutable.HashMap[(Any, Any), Int](
+          srcIds.map(s => ((s: Any, s: Any)) -> 0): _*)
+        var frontier: Seq[(Any, Any)] = srcIds.map(s => (s, s))
+        val fSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__src", nType),
+          org.apache.spark.sql.types.StructField("__s", nType)))
+        var i = 1
+        while (i <= maxDepth && frontier.nonEmpty) {
+          val fDf = sess.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              frontier.map { case (s, n) =>
+                org.apache.spark.sql.Row(s, n) }).asJava, fSchema)
+          val cand = e.join(broadcast(fDf), Seq("__s"))
+            .select(col("__src"), col("__t")).distinct().collect()
+          frontier = cand.toSeq.flatMap { r =>
+            val key = (r.get(0), r.get(1))
+            if (lvl.contains(key)) None
+            else { lvl(key) = i; Some(key) }
+          }
+          i += 1
+        }
+        val outRows = lvl.toSeq.map { case ((s, n), l) =>
+          org.apache.spark.sql.Row(s, n, l) }
+        return sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src", nType),
+            org.apache.spark.sql.types.StructField("node", nType),
+            org.apache.spark.sql.types.StructField("lvl",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+      } finally {
+        sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        Dedup.freeCheckpoints(e)
+      }
+    }
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val result = try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")

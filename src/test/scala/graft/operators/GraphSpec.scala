@@ -344,6 +344,11 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val srcs = nodes.take(3)
     val got = Graph.multiSourceBfs(df, "u", "v", nSources = 3, maxDepth = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // the all-distributed twin (state past broadcast range) must match
+    val gotDist = Graph.multiSourceBfs(df, "u", "v", nSources = 3,
+        maxDepth = 4, bcastState = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(gotDist == got, "bcastState=false twin")
     // brute-force BFS per source
     val nbrs = nodes.map { n =>
       n -> es.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet
