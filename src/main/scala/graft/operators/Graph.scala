@@ -2135,6 +2135,67 @@ object Graph {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       val state = pathCountsLoop(e, nSources, maxDepth, bVisited = bDelta)
       spent += state
+      if (bDelta) {
+        // DRIVER-RESIDENT backward pass (r18): the forward fast path
+        // already returned LocalRelation-backed (src, node, lvl, σ)
+        // rows, and the per-level δ/coefficient state is the same
+        // nSources × node-sized table the gate just declared
+        // broadcast-eligible. Each backward level is then ONE cluster
+        // job — the successor-coefficient fold F(v) = Σ c(w) over the
+        // target-partitioned edge frame with cur broadcast — and the
+        // DAG attach (lvl(v) = lvl(w) − 1, δ = σ·F, c = (S + δ) div σ)
+        // is a driver map fold instead of a per-level broadcast join +
+        // checkpoint. Integer arithmetic identical; `bDelta = false`
+        // below keeps the all-distributed ladder (spec-pinned equal).
+        val stateRows = state.collect()
+          .map(r => (r.get(0), r.get(1), r.getInt(2), r.getLong(3)))
+        val byLvl = stateRows.groupBy(_._3)
+        val nType = e.schema("__s").dataType
+        val fSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__src", nType),
+          org.apache.spark.sql.types.StructField("__s", nType),
+          org.apache.spark.sql.types.StructField("__c",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        // deepest level: δ = 0, c = S div σ
+        var cur: Seq[(Any, Any, Long)] = byLvl.getOrElse(maxDepth, Array.empty)
+          .toSeq.map { case (s, n, _, sig) => (s, n, scale / sig) }
+        val deltaAcc = scala.collection.mutable.HashMap.empty[Any, Long]
+        var l = maxDepth - 1
+        while (l >= 1) {
+          val fMap: Map[(Any, Any), Long] =
+            if (cur.isEmpty) Map.empty
+            else {
+              val curDf = sess.createDataFrame(
+                scala.jdk.CollectionConverters.SeqHasAsJava(
+                  cur.map { case (s, n, c) =>
+                    org.apache.spark.sql.Row(s, n, c) }).asJava, fSchema)
+              e.join(broadcast(curDf), Seq("__s"))
+                .select(col("__src"), col("__t").as("__n"), col("__c"))
+                .groupBy(col("__src"), col("__n"))
+                .agg(sum(col("__c")).as("__f"))
+                .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+            }
+          cur = byLvl.getOrElse(l, Array.empty).toSeq.map {
+            case (s, n, _, sig) =>
+              val delta = sig * fMap.getOrElse((s, n), 0L)
+              deltaAcc(n) = deltaAcc.getOrElse(n, 0L) + delta
+              (s, n, (scale + delta) / sig)
+          }
+          l -= 1
+        }
+        // the distributed union sums over EVERY level frame 1..maxDepth,
+        // so deepest-level nodes (δ = 0 by definition) emit rows too
+        stateRows.filter(_._3 == maxDepth).foreach { case (_, n, _, _) =>
+          deltaAcc.getOrElseUpdate(n, 0L) }
+        val outRows = deltaAcc.toSeq.map { case (n, d) =>
+          org.apache.spark.sql.Row(n, d) }
+        return sess.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", nType),
+            org.apache.spark.sql.types.StructField("betweenness",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
       // deepest level: no successors within the bound, δ = 0 by the
       // bounded-metric definition, c = SCALE div σ
       var cur = state.filter(col("__lvl") === maxDepth)
