@@ -933,6 +933,12 @@ object SparkEntry {
     "ext_louvain_full" -> ((s, dir) =>
       operators.Graph.louvainLevels(copurchaseSupport(s, dir),
         "u", "v", "c", maxLevels = 5)),
+    // modularity audit of that final partition: per community the member
+    // count, internal weight, strength, and the exact-integer
+    // contribution Q_c·(2m)² = 2·(2m)·W_c − K_c²
+    "ext_louvain_modularity" -> ((s, dir) =>
+      operators.Graph.louvainModularity(copurchaseSupport(s, dir),
+        "u", "v", "c", maxLevels = 5)),
     // FW-BW pivot SCC over the DIRECTED purchase-sequence graph (the
     // one fixture graph with real cycles): the strongly connected
     // component of the minimum part = fwd-reach ∩ bwd-reach, both hop
@@ -4505,6 +4511,7 @@ object SparkEntry {
     "ext_betweenness_sampled" -> sqlBetweenness(4, 4, 20),
     "ext_louvain_level" -> sqlLouvainLevel,
     "ext_louvain_full" -> sqlLouvainFull(5),
+    "ext_louvain_modularity" -> sqlLouvainModularity(5),
     "ext_scc_pivot" -> sqlSccPivot(40),
     "ext_ppr_weighted" -> sqlWppr(3, 4),
     "ext_resource_allocation" -> sqlResourceAllocation,
@@ -7392,7 +7399,32 @@ object SparkEntry {
     * fixed unroll equals the engine's early exit. All arithmetic BIGINT
     * (the engine's exact score 2m·w_ij − k_i·k_j); closure is the same
     * recursive-UNION min-reachability the CC family replays. */
-  private def sqlLouvainFull(levels: Int): String = {
+  private def sqlLouvainFull(levels: Int): String =
+    sqlLouvainCtes(levels) +
+      s"\nSELECT node, comm AS community FROM map${levels - 1}"
+
+  /** The final-partition MODULARITY audit twin: Q·(2m)² per community
+    * stays integer — Q = Σ_c [W_c/m − (K_c/2m)²] scaled by (2m)² is
+    * Σ_c (2·(2m)·W_c − K_c²), all BIGINT off the same unrolled CTEs. */
+  private def sqlLouvainModularity(levels: Int): String =
+    sqlLouvainCtes(levels) + s""",
+       |kc AS (SELECT m.comm AS c, CAST(SUM(wd0.k) AS BIGINT) AS k_total,
+       |    CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM map${levels - 1} m JOIN wd0 ON wd0.n = m.node GROUP BY 1),
+       |wc AS (SELECT ma.comm AS c, CAST(SUM(e0.w) AS BIGINT) AS w_in
+       |  FROM e0 JOIN map${levels - 1} ma ON ma.node = e0.u
+       |  JOIN map${levels - 1} mb ON mb.node = e0.v
+       |  WHERE ma.comm = mb.comm GROUP BY 1)
+       |SELECT kc.c AS community, kc.n_nodes,
+       |  CAST(coalesce(wc.w_in, 0) AS BIGINT) AS w_internal, kc.k_total,
+       |  CAST(2 * (SELECT m2 FROM m0) * coalesce(wc.w_in, 0)
+       |    - kc.k_total * kc.k_total AS BIGINT) AS q_contrib
+       |FROM kc LEFT JOIN wc ON wc.c = kc.c""".stripMargin
+
+  /** The unrolled multi-level Louvain CTE prefix shared by
+    * [[sqlLouvainFull]] and [[sqlLouvainModularity]] — everything
+    * through `map{levels-1}` (original node → final community). */
+  private def sqlLouvainCtes(levels: Int): String = {
     val sb = new StringBuilder("WITH RECURSIVE " + sqlSupportCte +
       """e0 AS MATERIALIZED (SELECT CAST(u AS BIGINT) AS u,
         |  CAST(v AS BIGINT) AS v, CAST(c AS BIGINT) AS w FROM sup),
@@ -7431,7 +7463,6 @@ object SparkEntry {
           s"JOIN c$i c ON c.node = m.comm),\n")
     }
     sb.setLength(sb.length - 2) // trailing ",\n"
-    sb.append(s"\nSELECT node, comm AS community FROM map${levels - 1}")
     sb.toString
   }
 

@@ -827,6 +827,49 @@ object Graph {
     }
   }
 
+  /** MODULARITY audit of the final [[louvainLevels]] partition — the
+    * "was the clustering any good" report a production community pass
+    * ships. Per community c: member count, internal edge weight W_c,
+    * total strength K_c, and the EXACT-integer modularity contribution
+    * Q_c·(2m)² = 2·(2m)·W_c − K_c² (so Q = Σ q_contrib / (2m)² — the
+    * (2m)² scaling keeps every term BIGINT and fold-order-free, the
+    * same trick as the integer Louvain gain; overflow bound:
+    * 2m ≤ ~2^31 keeps both terms under 2^63). Input contract matches
+    * [[louvainLevels]]: an aggregated canonical pair list without
+    * self-loops (the level-0 shape), so each node's strength is the
+    * plain incident-weight sum. All joins against the node-sized
+    * community map; one edge-stream pass for W_c, one for strength. */
+  def louvainModularity(wpairs: DataFrame, uCol: String, vCol: String,
+                        wCol: String, maxLevels: Int,
+                        bcastState: Option[Boolean] = None): DataFrame = {
+    val comm = louvainLevels(wpairs, uCol, vCol, wCol, maxLevels, bcastState)
+    val e = wpairs.select(col(uCol).cast("long").as("__u"),
+      col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
+    val we = e.select(explode(array(
+        struct(col("__u").as("__s"), col("__w")),
+        struct(col("__v").as("__s"), col("__w")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__w").as("__w"))
+    val k = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
+    val s2m = we.agg(sum(col("__w")).as("__m2"))
+    val kc = k.join(broadcast(comm.withColumnRenamed("node", "__s")), "__s")
+      .groupBy(col("community"))
+      .agg(sum(col("__k")).as("k_total"), count(lit(1)).as("n_nodes"))
+    val wc = e
+      .join(broadcast(comm.select(col("node").as("__u"),
+        col("community").as("__ca"))), "__u")
+      .join(broadcast(comm.select(col("node").as("__v"),
+        col("community").as("__cb"))), "__v")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(sum(col("__w")).as("w_in"))
+    kc.join(wc.hint("shuffle_hash"), Seq("community"), "left")
+      .crossJoin(broadcast(s2m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("w_in"), lit(0L)).as("w_internal"), col("k_total"),
+        (lit(2) * col("__m2") * coalesce(col("w_in"), lit(0L))
+          - col("k_total") * col("k_total")).as("q_contrib"))
+  }
+
   /** The pivot step of forward-backward SCC decomposition over a
     * DIRECTED edge list: the strongly connected component containing
     * the graph's minimum node id = fwd-reach(pivot) ∩ bwd-reach(pivot)

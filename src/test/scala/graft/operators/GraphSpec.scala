@@ -573,6 +573,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got1 == want1, "maxLevels=1")
   }
 
+  test("louvainModularity: per-community W/K/contribution match the " +
+      "brute recompute over louvainLevels' own partition, and " +
+      "Σ q_contrib / (2m)² is the textbook Q") {
+    import spark.implicits._
+    val (es, _) = randomGraph(59, 22, 100)
+    val rnd = new scala.util.Random(59)
+    val wes = es.map { case (a, b) => (a, b, 1L + rnd.nextInt(5)) }
+    val df = wes.toDF("u", "v", "w")
+    val comm = Graph.louvainLevels(df, "u", "v", "w", maxLevels = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2m = 2L * wes.map(_._3).sum
+    val k = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    wes.foreach { case (a, b, w) => k(a) += w; k(b) += w }
+    val want = comm.values.toSeq.distinct.map { c =>
+      val members = comm.collect { case (n, cc) if cc == c => n }.toSet
+      val wIn = wes.collect {
+        case (a, b, w) if members(a) && members(b) => w }.sum
+      val kTot = members.toSeq.map(k).sum
+      c -> (members.size.toLong, wIn, kTot, 2 * s2m * wIn - kTot * kTot)
+    }.toMap
+    val got = Graph.louvainModularity(df, "u", "v", "w", maxLevels = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // the scaled contributions recompose to the float Q exactly
+    val q = got.values.map(_._4).sum.toDouble / (s2m.toDouble * s2m)
+    val qBrute = want.values.map { case (_, wIn, kTot, _) =>
+      2.0 * wIn / s2m - math.pow(kTot.toDouble / s2m, 2) }.sum
+    assert(math.abs(q - qBrute) < 1e-12)
+  }
+
   test("weightedPersonalizedPagerank with uniform weights equals the " +
       "unweighted operator (the scale cancels inside the floor)") {
     import spark.implicits._
