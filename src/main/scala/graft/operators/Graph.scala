@@ -842,9 +842,13 @@ object Graph {
   def louvainModularity(wpairs: DataFrame, uCol: String, vCol: String,
                         wCol: String, maxLevels: Int,
                         bcastState: Option[Boolean] = None): DataFrame = {
-    val comm = louvainLevels(wpairs, uCol, vCol, wCol, maxLevels, bcastState)
+    // ONE materialization of the (often expensive) upstream pair build:
+    // the Louvain loop and both audit folds read these blocks — without
+    // it the support aggregation runs twice inside one key
     val e = wpairs.select(col(uCol).cast("long").as("__u"),
       col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
+      .ckpt()
+    val comm = louvainLevels(e, "__u", "__v", "__w", maxLevels, bcastState)
     val we = e.select(explode(array(
         struct(col("__u").as("__s"), col("__w")),
         struct(col("__v").as("__s"), col("__w")))).as("__e"))
@@ -862,12 +866,15 @@ object Graph {
       .filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))
       .agg(sum(col("__w")).as("w_in"))
-    kc.join(wc.hint("shuffle_hash"), Seq("community"), "left")
+    val result = kc.join(wc.hint("shuffle_hash"), Seq("community"), "left")
       .crossJoin(broadcast(s2m))
       .select(col("community"), col("n_nodes"),
         coalesce(col("w_in"), lit(0L)).as("w_internal"), col("k_total"),
         (lit(2) * col("__m2") * coalesce(col("w_in"), lit(0L))
           - col("k_total") * col("k_total")).as("q_contrib"))
+      .localCheckpoint()
+    Dedup.freeCheckpoints(e)
+    result
   }
 
   /** The pivot step of forward-backward SCC decomposition over a
