@@ -849,19 +849,24 @@ object Graph {
       col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
       .ckpt()
     val comm = louvainLevels(e, "__u", "__v", "__w", maxLevels, bcastState)
+    // the community map is node-sized: broadcast when the same gate the
+    // loop used says it fits, shuffled-hash twin past broadcast range
+    val bComm = resolveBroadcast(bcastState, wpairs)
+    def commSide(df: DataFrame): DataFrame =
+      if (bComm) broadcast(df) else df.hint("shuffle_hash")
     val we = e.select(explode(array(
         struct(col("__u").as("__s"), col("__w")),
         struct(col("__v").as("__s"), col("__w")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__w").as("__w"))
     val k = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
     val s2m = we.agg(sum(col("__w")).as("__m2"))
-    val kc = k.join(broadcast(comm.withColumnRenamed("node", "__s")), "__s")
+    val kc = k.join(commSide(comm.withColumnRenamed("node", "__s")), "__s")
       .groupBy(col("community"))
       .agg(sum(col("__k")).as("k_total"), count(lit(1)).as("n_nodes"))
     val wc = e
-      .join(broadcast(comm.select(col("node").as("__u"),
+      .join(commSide(comm.select(col("node").as("__u"),
         col("community").as("__ca"))), "__u")
-      .join(broadcast(comm.select(col("node").as("__v"),
+      .join(commSide(comm.select(col("node").as("__v"),
         col("community").as("__cb"))), "__v")
       .filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))

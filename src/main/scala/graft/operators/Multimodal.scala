@@ -530,9 +530,15 @@ object Multimodal {
                 val id4 = tag()
                 val len = bb.getInt
                 if (id4 == "LIST") {
-                  val listType = tag()
-                  // descend into movi; skip other lists whole
-                  if (listType != "movi") bb.position(bb.position + len - 4)
+                  // a corrupt length < 4 would move the cursor backward
+                  // (net-zero progress = a hung task, not an exception) —
+                  // treat as malformed and stop with the frames parsed
+                  if (len < 4) stop = true
+                  else {
+                    val listType = tag()
+                    // descend into movi; skip other lists whole
+                    if (listType != "movi") bb.position(bb.position + len - 4)
+                  }
                 } else {
                   if ((id4 == "00dc" || id4 == "00db") && len >= 0 &&
                       len <= bb.remaining) {

@@ -597,6 +597,12 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == want)
+    // the all-distributed twin matches row-for-row
+    val gotDist = Graph.louvainModularity(df, "u", "v", "w", maxLevels = 5,
+        bcastState = Some(false))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotDist == want, "bcastState=false twin")
     // the scaled contributions recompose to the float Q exactly
     val q = got.values.map(_._4).sum.toDouble / (s2m.toDouble * s2m)
     val qBrute = want.values.map { case (_, wIn, kTot, _) =>
