@@ -852,22 +852,71 @@ object Graph {
     // the community map is node-sized: broadcast when the same gate the
     // loop used says it fits, shuffled-hash twin past broadcast range
     val bComm = resolveBroadcast(bcastState, wpairs)
-    def commSide(df: DataFrame): DataFrame =
-      if (bComm) broadcast(df) else df.hint("shuffle_hash")
+    if (bComm) {
+      // DRIVER-RESIDENT audit: comm is LocalRelation-backed (the loop's
+      // fast path), so the per-community assembly is a driver fold over
+      // TWO cluster jobs — the node strength fold and the
+      // internal-weight fold (community map broadcast into the edge
+      // stream, community-sized result) — instead of two join+agg
+      // pipelines and a final three-way join.
+      val sess = e.sparkSession
+      val commMap = comm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lng = org.apache.spark.sql.types.LongType
+      val cDf = sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          commMap.toSeq.map { case (n, c) =>
+            org.apache.spark.sql.Row(n, c) }).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("__c", lng, nullable = false))))
+      val kRows = e.select(explode(array(
+          struct(col("__u").as("__s"), col("__w")),
+          struct(col("__v").as("__s"), col("__w")))).as("__e"))
+        .select(col("__e.__s").as("__s"), col("__e.__w").as("__w"))
+        .groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val m2 = kRows.map(_._2).sum
+      val wIn = e
+        .join(broadcast(cDf.select(col("__x").as("__u"), col("__c").as("__ca"))), "__u")
+        .join(broadcast(cDf.select(col("__x").as("__v"), col("__c").as("__cb"))), "__v")
+        .filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca")).agg(sum(col("__w")).as("__wi"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kTot = scala.collection.mutable.HashMap.empty[Long, Long]
+      val nNodes = scala.collection.mutable.HashMap.empty[Long, Long]
+      kRows.foreach { case (n, k) =>
+        val c = commMap(n)
+        kTot(c) = kTot.getOrElse(c, 0L) + k
+        nNodes(c) = nNodes.getOrElse(c, 0L) + 1L
+      }
+      val outRows = kTot.keys.toSeq.map { c =>
+        val w = wIn.getOrElse(c, 0L); val kt = kTot(c)
+        org.apache.spark.sql.Row(c, nNodes(c), w, kt, 2 * m2 * w - kt * kt)
+      }
+      Dedup.freeCheckpoints(e)
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("community", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("n_nodes", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("w_internal", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("k_total", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("q_contrib", lng, nullable = false))))
+    }
     val we = e.select(explode(array(
         struct(col("__u").as("__s"), col("__w")),
         struct(col("__v").as("__s"), col("__w")))).as("__e"))
       .select(col("__e.__s").as("__s"), col("__e.__w").as("__w"))
     val k = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
     val s2m = we.agg(sum(col("__w")).as("__m2"))
-    val kc = k.join(commSide(comm.withColumnRenamed("node", "__s")), "__s")
+    val kc = k.join(comm.withColumnRenamed("node", "__s").hint("shuffle_hash"), "__s")
       .groupBy(col("community"))
       .agg(sum(col("__k")).as("k_total"), count(lit(1)).as("n_nodes"))
     val wc = e
-      .join(commSide(comm.select(col("node").as("__u"),
-        col("community").as("__ca"))), "__u")
-      .join(commSide(comm.select(col("node").as("__v"),
-        col("community").as("__cb"))), "__v")
+      .join(comm.select(col("node").as("__u"),
+        col("community").as("__ca")).hint("shuffle_hash"), "__u")
+      .join(comm.select(col("node").as("__v"),
+        col("community").as("__cb")).hint("shuffle_hash"), "__v")
       .filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))
       .agg(sum(col("__w")).as("w_in"))
