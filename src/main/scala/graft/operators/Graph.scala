@@ -2713,6 +2713,42 @@ object Graph {
     // dead/survivor node frames — bounded by the pair stream
     val bKeep = resolveBroadcast(broadcastKeep, edges)
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    if (bKeep) {
+      // DRIVER-RESIDENT peel: the same resolveBroadcast gate that would
+      // have broadcast the survivor set each round says the EDGE LIST
+      // itself fits driver memory, so the whole bounded peel is a driver
+      // fold over ONE collect job — no doubled-orientation explode, no
+      // checkpoint barrier, no per-round broadcast builds (measured
+      // 19 → 2 jobs at sf0.1). Ids normalize to long like every other
+      // driver-resident graph fold in this file; the shuffled loop below
+      // stays the spec-pinned twin for edge lists past broadcast range.
+      val sess = edges.sparkSession
+      var es = edges.select(col(uCol).cast("long"), col(vCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var r0 = 0
+      while (r0 < rounds && es.nonEmpty) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (u, v) =>
+          deg(u) = deg.getOrElse(u, 0L) + 1L
+          deg(v) = deg.getOrElse(v, 0L) + 1L
+        }
+        es = es.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+        r0 += 1
+      }
+      val fin = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (u, v) =>
+        fin(u) = fin.getOrElse(u, 0L) + 1L
+        fin(v) = fin.getOrElse(v, 0L) + 1L
+      }
+      val lng = org.apache.spark.sql.types.LongType
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          fin.toSeq.map { case (n, d) =>
+            org.apache.spark.sql.Row(n, d) }).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("degree", lng, nullable = false))))
+    }
     // r13 rebuild: peel on the DEGREE TABLE with a dead-node frontier
     // instead of re-inducing the edge frame every round. The edge frame
     // is built ONCE (both orientations, co-located by contribution
