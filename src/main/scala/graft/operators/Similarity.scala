@@ -208,18 +208,35 @@ object Similarity {
     transform(slice(vec, s * dsub + 1, dsub),
       x => floor(x.cast("double") * lit(PqScale) + lit(0.5d)).cast("long"))
 
-  /** Exact squared L2 between BIGINT arrays (sequential fold — but integer
-    * addition is associative, so order cannot matter anyway). */
-  private def sqDist(a: Column, b: Column): Column =
+  /** Exact squared L2 between BIGINT arrays — the HOF EXPRESSION form.
+    * Kept for the index-sized paths the DuckDB oracle replays structurally
+    * ([[probeCoarse]]: |queries| rows) and as the bit-equality pin for the
+    * native kernel (PqKernelsSpec). Hot per-pair paths use
+    * [[org.apache.spark.sql.graft.SqDistLong]] — same numerics, fused
+    * codegen loop instead of two interpreted lambdas per element. */
+  private[graft] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Native per-pair squared L2 (codegen'd; bit-equal to [[sqDist]]). */
+  private def sqDistFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SqDistLong(a, b)
+
   /** 0-based index of the nearest centroid (min squared L2, ties → lowest
-    * index — `array_position` returns the FIRST occurrence). */
-  private def pqNearest(sv: Column, cents: Array[Array[Long]]): Column = {
+    * index) — HOF form, kept as the native kernel's bit-equality pin
+    * (`array_position` returns the FIRST occurrence, = the kernel's
+    * strict-less update). */
+  private[graft] def pqNearestHof(sv: Column, cents: Array[Array[Long]]): Column = {
     val dists = array(cents.map(c => sqDist(sv, lit(c))): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
+
+  /** 0-based index of the nearest centroid — the native codegen'd kernel
+    * (k·dsub interpreted lambda dispatches per ROW under the HOF form made
+    * the corpus encode the hot loop of every PQ key; PqKernelsSpec pins
+    * bit-equality, ties included). */
+  private def pqNearest(sv: Column, cents: Array[Array[Long]]): Column =
+    org.apache.spark.sql.graft.PqArgmin(sv, cents)
 
   /** Train the m per-subspace codebooks: init = subvectors of the first k
     * vectors in id order (deterministic, no RNG), then `iters` rounds of
@@ -339,7 +356,7 @@ object Similarity {
       fpSub(col(vecCol), 0, dims).as("qf"))
     val exact = c.join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("dist", sqDist(col("qf"), col("cf")))
+      .withColumn("dist", sqDistFast(col("qf"), col("cf")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))
     exact.withColumn("rn", row_number().over(w))
@@ -361,7 +378,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       fpSub(col(vecCol), 0, dims).as("qf"))
     val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist", sqDist(col("qf"), col("cf")))
+      .withColumn("dist", sqDistFast(col("qf"), col("cf")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))
     exact.withColumn("rn", row_number().over(w))
@@ -418,7 +435,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") &&
           col("neighbor_label") =!= col("__ql"))
-      .withColumn("dist", sqDist(col("qf"), col("cf")))
+      .withColumn("dist", sqDistFast(col("qf"), col("cf")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -561,9 +578,8 @@ object Similarity {
   }
 
   /** Exact-BIGINT squared L2 between two code arrays. */
-  private def int8Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  // native per-pair kernel — same numerics as the HOF fold (see sqDist)
+  private def int8Sq(a: Column, b: Column): Column = sqDistFast(a, b)
 
   def kmeansAssignInt8(vecs: DataFrame, k: Int,
                        idCol: String = "vec_id",
