@@ -2367,6 +2367,66 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // frontier/dist frames are node-sized — bounded by the pair stream
     val bFrontier = resolveBroadcast(bcastFrontier, wedges)
+    val longIds = wedges.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      wedges.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bFrontier && longIds) {
+      // FULLY driver-resident Bellman-Ford (the kcorePeel discipline): the
+      // gate that would have broadcast the frontier each round says the
+      // weighted EDGE LIST itself fits driver memory, so collect it once
+      // and relax on the driver — no doubled-orientation explode, no
+      // checkpoint barrier, no per-round candidate-fold job (12 → 2 jobs
+      // at sf0.1). Arithmetic is the identical integer min-relaxation;
+      // restricted to BIGINT ids so the output schema matches the twins
+      // exactly. Non-long or past-broadcast graphs take the paths below.
+      val sess = wedges.sparkSession
+      val rows = wedges
+        .select(col(uCol), col(vCol), col(wCol).cast("bigint"))
+        .collect()
+      val lng = org.apache.spark.sql.types.LongType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lng),
+        org.apache.spark.sql.types.StructField("dist", lng,
+          nullable = false)))
+      if (rows.isEmpty)
+        return sess.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          outSchema)
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      var seed = Long.MaxValue
+      rows.foreach { r =>
+        val u = r.getLong(0); val v = r.getLong(1); val w = r.getLong(2)
+        adj.getOrElseUpdate(u,
+          scala.collection.mutable.ArrayBuffer.empty) += ((v, w))
+        adj.getOrElseUpdate(v,
+          scala.collection.mutable.ArrayBuffer.empty) += ((u, w))
+        if (u < seed) seed = u
+        if (v < seed) seed = v
+      }
+      val dist = scala.collection.mutable.HashMap[Long, Long](seed -> 0L)
+      var delta: Seq[Long] = Seq(seed)
+      var r0 = 0
+      while (r0 < rounds && delta.nonEmpty) {
+        val cand = scala.collection.mutable.HashMap.empty[Long, Long]
+        delta.foreach { s =>
+          val ds = dist(s)
+          adj.get(s).foreach(_.foreach { case (t, w) =>
+            val c = ds + w
+            if (cand.get(t).forall(c < _)) cand(t) = c
+          })
+        }
+        delta = cand.iterator.flatMap { case (n, c) =>
+          if (dist.get(n).forall(c < _)) { dist(n) = c; Some(n) }
+          else None
+        }.toSeq
+        r0 += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          dist.toSeq.map { case (n, d) =>
+            org.apache.spark.sql.Row(n, d) }).asJava, outSchema)
+    }
     val par = wedges.sparkSession.sparkContext.defaultParallelism
     // co-location choice as in [[orientedAdjacency]]: target-partitioned
     // for the broadcast-frontier path (exchange-free candidate fold),
