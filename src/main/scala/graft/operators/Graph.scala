@@ -2026,6 +2026,130 @@ object Graph {
     // visited state is ~ nSources x the node frame — scale the proxy
     val bVisited = resolveBroadcast(bcastVisited, pairs, factor = nSources)
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val longPcIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bVisited && longPcIds) {
+      // FULLY driver-resident Brandes forward pass (the kcorePeel /
+      // ssspBounded discipline): the nSources-scaled gate says the pair
+      // stream itself fits driver memory, so collect it once and run the
+      // level-synchronous σ-fold over a CSR adjacency on the driver — no
+      // doubled-orientation explode/distinct/checkpoint, no per-round
+      // fold job (12 → 2 jobs at sf0.1). Arithmetic is the identical
+      // integer σ-sum / first-discovery-level BFS; restricted to BIGINT
+      // ids so the output schema matches the twins exactly.
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lng = org.apache.spark.sql.types.LongType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", lng),
+        org.apache.spark.sql.types.StructField("node", lng),
+        org.apache.spark.sql.types.StructField("lvl",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("paths", lng,
+          nullable = false)))
+      // dense index: sorted distinct ids, looked up by binary search —
+      // primitive arrays throughout (a boxed HashMap here measured as the
+      // new wall-clock floor once the cluster jobs were gone)
+      val allIds = new Array[Long](raw.length * 2)
+      var w0 = 0
+      raw.foreach { case (u, v) =>
+        allIds(w0) = u; allIds(w0 + 1) = v; w0 += 2 }
+      java.util.Arrays.sort(allIds)
+      var n = 0
+      var r1 = 0
+      while (r1 < allIds.length) {
+        if (n == 0 || allIds(r1) != allIds(n - 1)) {
+          allIds(n) = allIds(r1); n += 1 }
+        r1 += 1
+      }
+      val ids = java.util.Arrays.copyOf(allIds, n)
+      require(n <= (1 << 30), s"driver path-count tier: $n nodes")
+      def lookup(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+      // both-orientation directed entries packed (srcIdx << 31 | tgtIdx),
+      // sort-deduped when the operator contract says distinct edges
+      var packed = new Array[Long](raw.length * 2)
+      var w1 = 0
+      raw.foreach { case (u, v) =>
+        val ui = lookup(u).toLong; val vi = lookup(v).toLong
+        packed(w1) = (ui << 31) | vi
+        packed(w1 + 1) = (vi << 31) | ui
+        w1 += 2
+      }
+      if (dedupEdges) {
+        java.util.Arrays.sort(packed)
+        var wd = 0
+        var rd = 0
+        while (rd < packed.length) {
+          if (wd == 0 || packed(rd) != packed(wd - 1)) {
+            packed(wd) = packed(rd); wd += 1 }
+          rd += 1
+        }
+        packed = java.util.Arrays.copyOf(packed, wd)
+      }
+      // CSR
+      val off = new Array[Int](n + 1)
+      packed.foreach(p => off((p >>> 31).toInt + 1) += 1)
+      var a = 0
+      while (a < n) { off(a + 1) += off(a); a += 1 }
+      val fill = java.util.Arrays.copyOf(off, n)
+      val nbr = new Array[Int](packed.length)
+      packed.foreach { p =>
+        val si = (p >>> 31).toInt
+        nbr(fill(si)) = (p & ((1L << 31) - 1)).toInt
+        fill(si) += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val sig = new Array[Long](n)
+      val lvl = new Array[Int](n)
+      val acc = new Array[Long](n)
+      val touched = new Array[Int](n)
+      var srcI = 0
+      while (srcI < math.min(nSources, n)) {
+        val seed = ids(srcI)
+        java.util.Arrays.fill(lvl, -1)
+        val si = lookup(seed)
+        sig(si) = 1L; lvl(si) = 0
+        out += org.apache.spark.sql.Row(seed, seed, 0, 1L)
+        var frontier = Array(si)
+        var d = 1
+        while (d <= maxDepth && frontier.nonEmpty) {
+          var nt = 0
+          frontier.foreach { s =>
+            val sg = sig(s)
+            var j = off(s)
+            val end = off(s + 1)
+            while (j < end) {
+              val t = nbr(j)
+              // σ contributions are strictly positive, so acc == 0 marks
+              // first touch this level; lvl >= 0 marks earlier discovery
+              if (lvl(t) < 0) {
+                if (acc(t) == 0L) { touched(nt) = t; nt += 1 }
+                acc(t) += sg
+              }
+              j += 1
+            }
+          }
+          frontier = new Array[Int](nt)
+          var f = 0
+          while (f < nt) {
+            val t = touched(f)
+            sig(t) = acc(t); lvl(t) = d
+            out += org.apache.spark.sql.Row(seed, ids(t), d, acc(t))
+            acc(t) = 0L
+            frontier(f) = t
+            f += 1
+          }
+          d += 1
+        }
+        srcI += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava,
+        outSchema)
+    }
     val oriented = orientedAdjacency(pairs, uCol, vCol,
       partitionByTarget = true)
     val e = checkpointPartitioned(
