@@ -658,117 +658,198 @@ object Graph {
     val bState = resolveBroadcast(bcastState, wpairs, factor = 2)
     val par = wpairs.sparkSession.sparkContext.defaultParallelism
     val sess = wpairs.sparkSession
-    var eLvl = wpairs.select(col(uCol).cast("long").as("__u"),
-        col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
+    val sel = wpairs.select(col(uCol).cast("long").as("__u"),
+      col(vCol).cast("long").as("__v"), col(wCol).cast("bigint").as("__w"))
+    if (bState) {
+      // FULLY driver-resident multi-level fold (the kcorePeel
+      // discipline): the ×2 gate says the weighted pair list itself fits
+      // driver memory, so the whole level loop — strength fold, integer
+      // argmax move, pointer-graph union-find, contraction — runs off
+      // ONE collect with no per-level cluster job (was 3 jobs/level).
+      // Arithmetic identical to the move plan: per-node strength counts
+      // a self-loop twice (both orientations of the doubled stream),
+      // gain 2m·w_ij − k_i·k_j exact BIGINT, ties to the smaller j,
+      // absent/≤0 argmax stays. The distributed twin below is untouched
+      // (spec-pinned equal).
+      // primitive INDEX-SPACE fold: ids sort ascending, so index order ==
+      // id order and every min-id rule becomes a min-index rule (the
+      // boxed-HashMap first cut measured as the wall floor — the
+      // path-counts lesson). mapping(i) = community index of original i.
+      val rows0 = sel.collect()
+      val ids = new Array[Long](rows0.length * 2)
+      var wi = 0
+      rows0.foreach { r =>
+        ids(wi) = r.getLong(0); ids(wi + 1) = r.getLong(1); wi += 2 }
+      java.util.Arrays.sort(ids)
+      var n = 0
+      var ri = 0
+      while (ri < ids.length) {
+        if (n == 0 || ids(ri) != ids(n - 1)) { ids(n) = ids(ri); n += 1 }
+        ri += 1
+      }
+      def lk(x: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, x)
+      var m = rows0.length
+      var eu = new Array[Int](m); var ev = new Array[Int](m)
+      var ew = new Array[Long](m)
+      var i0 = 0
+      rows0.foreach { r =>
+        eu(i0) = lk(r.getLong(0)); ev(i0) = lk(r.getLong(1))
+        ew(i0) = r.getLong(2); i0 += 1
+      }
+      val lng = org.apache.spark.sql.types.LongType
+      var mapping: Array[Int] = null
+      val wd = new Array[Long](n)
+      val bestSc = new Array[Long](n)
+      val bestJ = new Array[Int](n)
+      val ptr = new Array[Int](n)
+      val parent = new Array[Int](n)
+      val minOf = new Array[Int](n)
+      var level = 0
+      var moved = true
+      while (level < maxLevels && moved) {
+        java.util.Arrays.fill(wd, 0L)
+        java.util.Arrays.fill(bestJ, -1)
+        var i = 0
+        while (i < m) {
+          wd(eu(i)) += ew(i); wd(ev(i)) += ew(i); i += 1 }
+        var m2 = 0L
+        i = 0
+        while (i < n) { m2 += wd(i); i += 1 }
+        // argmax move: best (score, j) per node — max score then min j
+        // (min INDEX = min id); self-loops never score
+        i = 0
+        while (i < m) {
+          if (eu(i) != ev(i)) {
+            val sc = m2 * ew(i) - wd(eu(i)) * wd(ev(i))
+            val (a, b) = (eu(i), ev(i))
+            if (bestJ(a) < 0 || sc > bestSc(a) ||
+                (sc == bestSc(a) && b < bestJ(a))) {
+              bestSc(a) = sc; bestJ(a) = b }
+            if (bestJ(b) < 0 || sc > bestSc(b) ||
+                (sc == bestSc(b) && a < bestJ(b))) {
+              bestSc(b) = sc; bestJ(b) = a }
+          }
+          i += 1
+        }
+        // pointer p(i) = argmax j when gain > 0 else stay; lvl membership
+        // = wd > 0 (weights are positive at every level). The pointer
+        // graph has cycles (mutual-best pairs), so the union-find forest
+        // is a SEPARATE self-initialized structure unioned edge by edge.
+        moved = false
+        i = 0
+        while (i < n) {
+          ptr(i) =
+            if (wd(i) > 0 && bestJ(i) >= 0 && bestSc(i) > 0) bestJ(i)
+            else i
+          if (ptr(i) != i) moved = true
+          i += 1
+        }
+        if (moved) {
+          // min-label CC over the pointer graph: union by min index
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) {
+              val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          i = 0
+          while (i < n) { parent(i) = i; i += 1 }
+          i = 0
+          while (i < n) {
+            if (wd(i) > 0) {
+              val rn = find(i); val rq = find(ptr(i))
+              if (rn < rq) parent(rq) = rn
+              else if (rq < rn) parent(rn) = rq
+            }
+            i += 1
+          }
+          // root is not necessarily the min member — fold the true min
+          java.util.Arrays.fill(minOf, Int.MaxValue)
+          i = 0
+          while (i < n) {
+            if (wd(i) > 0) {
+              val r = find(i)
+              if (i < minOf(r)) minOf(r) = i
+            }
+            i += 1
+          }
+          // freeze community of each lvl node into parent (reuse as cc)
+          i = 0
+          while (i < n) {
+            if (wd(i) > 0) parent(i) = minOf(find(i))
+            i += 1
+          }
+          if (mapping == null) {
+            mapping = new Array[Int](n)
+            java.util.Arrays.fill(mapping, -1)
+            i = 0
+            while (i < n) {
+              if (wd(i) > 0) mapping(i) = parent(i)
+              i += 1
+            }
+          } else {
+            i = 0
+            while (i < n) {
+              if (mapping(i) >= 0) mapping(i) = parent(mapping(i))
+              i += 1
+            }
+          }
+          // contraction: community edges summed, internal weight kept as
+          // a self-loop (so the next level's strength counts it twice)
+          val agg = new LongAddMap(m)
+          i = 0
+          while (i < m) {
+            val cu = parent(eu(i)); val cv = parent(ev(i))
+            val key =
+              (math.min(cu, cv).toLong << 32) | math.max(cu, cv).toLong
+            agg.addTo(key, ew(i))
+            i += 1
+          }
+          m = agg.size
+          eu = new Array[Int](m); ev = new Array[Int](m)
+          ew = new Array[Long](m)
+          var wj = 0
+          agg.foreachEntry { (k, w) =>
+            eu(wj) = (k >>> 32).toInt
+            ev(wj) = (k & 0xffffffffL).toInt
+            ew(wj) = w
+            wj += 1
+          }
+          level += 1
+        }
+      }
+      val outRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      if (mapping == null) {
+        // zero moves at level 0: every node is its own community
+        var i = 0
+        while (i < n) {
+          if (wd(i) > 0)
+            outRows += org.apache.spark.sql.Row(ids(i), ids(i))
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          if (mapping(i) >= 0)
+            outRows += org.apache.spark.sql.Row(ids(i), ids(mapping(i)))
+          i += 1
+        }
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows.toSeq).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng, nullable = false),
+          org.apache.spark.sql.types.StructField("community", lng, nullable = false))))
+    }
+    var eLvl = sel
       .repartition(par, col("__u"))
       .ckpt()
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
     try {
       sess.conf.set("spark.sql.adaptive.enabled", "false")
-      if (bState) {
-        // DRIVER-RESIDENT labels/mapping: 3 cluster jobs per level —
-        // strength fold (collected once, node-sized), scored argmax
-        // (strength re-enters as a LocalRelation broadcast on BOTH join
-        // sides and 2m as a literal, so the level runs ONE edge-stream
-        // aggregation instead of the move plan's three), contraction
-        // checkpoint; union-find and mapping composition are node-sized
-        // driver folds
-        val lng = org.apache.spark.sql.types.LongType
-        val wdSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
-          org.apache.spark.sql.types.StructField("__k", lng, nullable = false)))
-        var mapping: scala.collection.mutable.HashMap[Long, Long] = null
-        var level = 0
-        var moved = true
-        while (level < maxLevels && moved) {
-          val we = eLvl.select(explode(array(
-              struct(col("__u").as("__s"), col("__v").as("__t"), col("__w")),
-              struct(col("__v").as("__s"), col("__u").as("__t"), col("__w"))))
-              .as("__e"))
-            .select(col("__e.__s").as("__s"), col("__e.__t").as("__t"),
-              col("__e.__w").as("__w"))
-          val wd = we.groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          val m2 = wd.values.sum
-          val wdDf = sess.createDataFrame(
-            scala.jdk.CollectionConverters.SeqHasAsJava(
-              wd.toSeq.map { case (n, k) =>
-                org.apache.spark.sql.Row(n, k) }).asJava, wdSchema)
-          val best = we.filter(col("__s") =!= col("__t"))
-            .join(broadcast(wdDf.select(col("__x").as("__s"),
-              col("__k").as("__ki"))), "__s")
-            .join(broadcast(wdDf.select(col("__x").as("__t"),
-              col("__k").as("__kj"))), "__t")
-            .select(col("__s"), col("__t"),
-              (lit(m2) * col("__w") - col("__ki") * col("__kj")).as("__sc"))
-            .groupBy(col("__s"))
-            .agg(min(struct((-col("__sc")).as("s"), col("__t").as("j"))).as("__b"))
-            .select(col("__s"),
-              when(col("__b.s") < 0, col("__b.j")).as("__j"))
-            .collect().map(r =>
-              r.getLong(0) -> (if (r.isNullAt(1)) r.getLong(0) else r.getLong(1)))
-            .toMap
-          // stay-fallback for nodes absent from the scored stream
-          // (self-loop-only): driver fills from the strength node set
-          val p = wd.keys.toSeq.map(n => n -> best.getOrElse(n, n))
-          moved = p.exists { case (n, q) => n != q }
-          if (moved) {
-            // min-label CC over the pointer graph, driver union-find
-            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-            def find(x: Long): Long = {
-              var r = x
-              while (parent(r) != r) r = parent(r)
-              var c = x
-              while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-              r
-            }
-            p.foreach { case (n, q) =>
-              parent.getOrElseUpdate(n, n); parent.getOrElseUpdate(q, q)
-              val (rn, rq) = (find(n), find(q))
-              if (rn != rq) { if (rn < rq) parent(rq) = rn else parent(rn) = rq }
-            }
-            // root is not necessarily the min member — fold the true min
-            val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
-            p.foreach { case (n, _) =>
-              val r = find(n)
-              minOf(r) = math.min(minOf.getOrElse(r, n), n)
-            }
-            val cc = p.map { case (n, _) => n -> minOf(find(n)) }.toMap
-            mapping =
-              if (mapping == null) scala.collection.mutable.HashMap(cc.toSeq: _*)
-              else mapping.map { case (orig, comm) => orig -> cc(comm) }
-            val ccRows = cc.toSeq.map { case (n, c) =>
-              org.apache.spark.sql.Row(n, c) }
-            val ccDf = sess.createDataFrame(
-              scala.jdk.CollectionConverters.SeqHasAsJava(ccRows).asJava,
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
-                org.apache.spark.sql.types.StructField("__c", lng, nullable = false))))
-            val contracted = eLvl
-              .join(broadcast(ccDf.select(col("__x").as("__u"), col("__c").as("__cu"))), "__u")
-              .join(broadcast(ccDf.select(col("__x").as("__v"), col("__c").as("__cv"))), "__v")
-              .groupBy(least(col("__cu"), col("__cv")).as("__u2"),
-                greatest(col("__cu"), col("__cv")).as("__v2"))
-              .agg(sum(col("__w")).as("__w"))
-              .select(col("__u2").as("__u"), col("__v2").as("__v"), col("__w"))
-              .ckpt()
-            Dedup.freeCheckpoints(eLvl)
-            eLvl = contracted
-            level += 1
-          }
-        }
-        val outRows =
-          if (mapping == null)
-            // zero moves at level 0: every node is its own community
-            louvainMovePlan(eLvl).collect().map(r =>
-              org.apache.spark.sql.Row(r.getLong(0), r.getLong(0))).toSeq
-          else mapping.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) }
-        sess.createDataFrame(
-          scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("node", lng, nullable = false),
-            org.apache.spark.sql.types.StructField("community", lng, nullable = false))))
-      } else {
         // ALL-DISTRIBUTED twin: per-level CC via the min-label loop,
         // mapping composed as a checkpointed frame
         val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -820,7 +901,6 @@ object Graph {
           else mapping.ckpt()
         Dedup.freeCheckpoints(spent.toSeq: _*)
         result
-      }
     } finally {
       sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
       Dedup.freeCheckpoints(eLvl)
@@ -854,37 +934,29 @@ object Graph {
     val bComm = resolveBroadcast(bcastState, wpairs)
     if (bComm) {
       // DRIVER-RESIDENT audit: comm is LocalRelation-backed (the loop's
-      // fast path), so the per-community assembly is a driver fold over
-      // TWO cluster jobs — the node strength fold and the
-      // internal-weight fold (community map broadcast into the edge
-      // stream, community-sized result) — instead of two join+agg
+      // fast path), so every per-community fold — node strength,
+      // internal weight, member count — runs on the driver off ONE
+      // collect of the checkpointed pair blocks, instead of two join+agg
       // pipelines and a final three-way join.
       val sess = e.sparkSession
-      val commMap = comm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val commMap = scala.collection.mutable.HashMap.empty[Long, Long]
+      comm.collect().foreach(r => commMap(r.getLong(0)) = r.getLong(1))
       val lng = org.apache.spark.sql.types.LongType
-      val cDf = sess.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          commMap.toSeq.map { case (n, c) =>
-            org.apache.spark.sql.Row(n, c) }).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__x", lng, nullable = false),
-          org.apache.spark.sql.types.StructField("__c", lng, nullable = false))))
-      val kRows = e.select(explode(array(
-          struct(col("__u").as("__s"), col("__w")),
-          struct(col("__v").as("__s"), col("__w")))).as("__e"))
-        .select(col("__e.__s").as("__s"), col("__e.__w").as("__w"))
-        .groupBy(col("__s")).agg(sum(col("__w")).as("__k"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-      val m2 = kRows.map(_._2).sum
-      val wIn = e
-        .join(broadcast(cDf.select(col("__x").as("__u"), col("__c").as("__ca"))), "__u")
-        .join(broadcast(cDf.select(col("__x").as("__v"), col("__c").as("__cb"))), "__v")
-        .filter(col("__ca") === col("__cb"))
-        .groupBy(col("__ca")).agg(sum(col("__w")).as("__wi"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ess = e.collect()
+      val kNode = scala.collection.mutable.HashMap.empty[Long, Long]
+      val wIn = scala.collection.mutable.HashMap.empty[Long, Long]
+      var m2 = 0L
+      ess.foreach { r =>
+        val u = r.getLong(0); val v = r.getLong(1); val w = r.getLong(2)
+        kNode(u) = kNode.getOrElse(u, 0L) + w
+        kNode(v) = kNode.getOrElse(v, 0L) + w
+        m2 += 2 * w
+        val cu = commMap(u)
+        if (cu == commMap(v)) wIn(cu) = wIn.getOrElse(cu, 0L) + w
+      }
       val kTot = scala.collection.mutable.HashMap.empty[Long, Long]
       val nNodes = scala.collection.mutable.HashMap.empty[Long, Long]
-      kRows.foreach { case (n, k) =>
+      kNode.foreach { case (n, k) =>
         val c = commMap(n)
         kTot(c) = kTot.getOrElse(c, 0L) + k
         nNodes(c) = nNodes.getOrElse(c, 0L) + 1L
@@ -1834,6 +1906,49 @@ object Graph {
                                   bcastFrontier: Option[Boolean] = None): DataFrame = {
     // frontier/label frames are node-sized — bounded by the pair stream
     val bFrontier = resolveBroadcast(bcastFrontier, edges)
+    val longCcIds = edges.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      edges.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bFrontier && longCcIds) {
+      // DRIVER-RESIDENT union-find (the kcorePeel discipline): the gate
+      // says the edge list fits driver memory, so the min-label fixpoint
+      // — a distributed loop paying one count action per round, ~37 jobs
+      // on the support subgraph — collapses to one collect plus a DSU
+      // fold whose labels are the per-component MINIMUM node id, exactly
+      // the min-fold fixpoint. This also serves the Louvain driver path,
+      // which runs this function once per level on its pointer graph.
+      // The distributed loop below stays the spec-pinned twin.
+      val sess = edges.sparkSession
+      val rows = edges.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r0 = x
+        while (parent.getOrElse(r0, r0) != r0) r0 = parent(r0)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r0; c = nx }
+        r0
+      }
+      rows.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        // union by MIN root: the component label IS the minimum id
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      val lng = org.apache.spark.sql.types.LongType
+      val outRows = parent.keysIterator.map { n =>
+        org.apache.spark.sql.Row(n, find(n)) }.toSeq
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("component", lng,
+            nullable = false))))
+    }
     val e = orientedAdjacency(edges, uCol, vCol,
       partitionByTarget = bFrontier).ckpt()
     val spent = scala.collection.mutable.ArrayBuffer(e)
@@ -2747,6 +2862,42 @@ object Graph {
     * at its lowest-rank corner and pushes one support count to each of
     * its three edges. Primitive arrays throughout (packed rank<<32|eid
     * entries). Cost Σ(|A⁺(s)|+|A⁺(t)|) per pass, never wedge-sized. */
+  /** Minimal open-addressing long→long additive map for the driver-
+    * resident graph folds (boxed `HashMap[Long, Long]` measured as the
+    * wall floor once cluster jobs were gone — the path-counts lesson).
+    * Linear probing, power-of-two capacity, grows at 60% load. */
+  private final class LongAddMap(initCap: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, initCap) * 2 - 1) << 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def grow(): Unit = {
+      val (oks, ovs, ou) = (ks, vs, used)
+      cap <<= 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      used = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < oks.length) {
+        if (ou(i)) addTo(oks(i), ovs(i))
+        i += 1
+      }
+    }
+    def addTo(k: Long, d: Long): Unit = {
+      if (n * 5 >= cap * 3) grow()
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      while (used(i) && ks(i) != k) i = (i + 1) & (cap - 1)
+      if (!used(i)) { used(i) = true; ks(i) = k; n += 1 }
+      vs(i) += d
+    }
+    def size: Int = n
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(ks(i), vs(i)); i += 1 }
+    }
+  }
+
   private def driverEdgeSupport(eu: Array[Int], ev: Array[Int],
                                 n: Int): Array[Long] = {
     val m = eu.length
