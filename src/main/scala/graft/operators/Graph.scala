@@ -2003,6 +2003,88 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     // the (src, node) level table is ≤ nSources × node-sized
     val bState = resolveBroadcast(bcastState, pairs, factor = nSources)
+    val longMsIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bState && longMsIds) {
+      // FULLY driver-resident multi-source BFS (the kcorePeel/pathCounts
+      // discipline): the gate says the pair stream fits driver memory,
+      // so all sources BFS over one CSR adjacency off one collect — no
+      // oriented checkpoint, no per-round candidate job. Duplicate pairs
+      // are harmless to level-BFS (first discovery wins either way).
+      // Restricted to BIGINT ids so the schema matches the twins; the
+      // LocalRelation-loop tier below keeps non-long callers, and the
+      // all-distributed loop remains the past-broadcast twin.
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lng = org.apache.spark.sql.types.LongType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", lng),
+        org.apache.spark.sql.types.StructField("node", lng),
+        org.apache.spark.sql.types.StructField("lvl",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val allIds = new Array[Long](raw.length * 2)
+      var w0 = 0
+      raw.foreach { case (u, v) =>
+        allIds(w0) = u; allIds(w0 + 1) = v; w0 += 2 }
+      java.util.Arrays.sort(allIds)
+      var n = 0
+      var r1 = 0
+      while (r1 < allIds.length) {
+        if (n == 0 || allIds(r1) != allIds(n - 1)) {
+          allIds(n) = allIds(r1); n += 1 }
+        r1 += 1
+      }
+      val ids = java.util.Arrays.copyOf(allIds, n)
+      def lookup(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+      val off = new Array[Int](n + 1)
+      raw.foreach { case (u, v) =>
+        off(lookup(u) + 1) += 1; off(lookup(v) + 1) += 1 }
+      var a = 0
+      while (a < n) { off(a + 1) += off(a); a += 1 }
+      val fill = java.util.Arrays.copyOf(off, n)
+      val nbr = new Array[Int](raw.length * 2)
+      raw.foreach { case (u, v) =>
+        val ui = lookup(u); val vi = lookup(v)
+        nbr(fill(ui)) = vi; fill(ui) += 1
+        nbr(fill(vi)) = ui; fill(vi) += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val lvl = new Array[Int](n)
+      var srcI = 0
+      while (srcI < math.min(nSources, n)) {
+        val seed = ids(srcI)
+        java.util.Arrays.fill(lvl, -1)
+        lvl(srcI) = 0
+        out += org.apache.spark.sql.Row(seed, seed, 0)
+        var frontier = Array(srcI)
+        var d = 1
+        while (d <= maxDepth && frontier.nonEmpty) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+          frontier.foreach { s =>
+            var j = off(s)
+            val end = off(s + 1)
+            while (j < end) {
+              val t = nbr(j)
+              if (lvl(t) < 0) {
+                lvl(t) = d
+                next += t
+                out += org.apache.spark.sql.Row(seed, ids(t), d)
+              }
+              j += 1
+            }
+          }
+          frontier = next.toArray
+          d += 1
+        }
+        srcI += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava,
+        outSchema)
+    }
     val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     val sess = e.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
