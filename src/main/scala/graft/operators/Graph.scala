@@ -2024,32 +2024,8 @@ object Graph {
         org.apache.spark.sql.types.StructField("node", lng),
         org.apache.spark.sql.types.StructField("lvl",
           org.apache.spark.sql.types.IntegerType, nullable = false)))
-      val allIds = new Array[Long](raw.length * 2)
-      var w0 = 0
-      raw.foreach { case (u, v) =>
-        allIds(w0) = u; allIds(w0 + 1) = v; w0 += 2 }
-      java.util.Arrays.sort(allIds)
-      var n = 0
-      var r1 = 0
-      while (r1 < allIds.length) {
-        if (n == 0 || allIds(r1) != allIds(n - 1)) {
-          allIds(n) = allIds(r1); n += 1 }
-        r1 += 1
-      }
-      val ids = java.util.Arrays.copyOf(allIds, n)
-      def lookup(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
-      val off = new Array[Int](n + 1)
-      raw.foreach { case (u, v) =>
-        off(lookup(u) + 1) += 1; off(lookup(v) + 1) += 1 }
-      var a = 0
-      while (a < n) { off(a + 1) += off(a); a += 1 }
-      val fill = java.util.Arrays.copyOf(off, n)
-      val nbr = new Array[Int](raw.length * 2)
-      raw.foreach { case (u, v) =>
-        val ui = lookup(u); val vi = lookup(v)
-        nbr(fill(ui)) = vi; fill(ui) += 1
-        nbr(fill(vi)) = ui; fill(vi) += 1
-      }
+      val (ids, off, nbr) = driverCsr(raw, dedup = false)
+      val n = ids.length
       val out = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.Row]
       val lvl = new Array[Int](n)
@@ -2246,57 +2222,11 @@ object Graph {
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("paths", lng,
           nullable = false)))
-      // dense index: sorted distinct ids, looked up by binary search —
-      // primitive arrays throughout (a boxed HashMap here measured as the
-      // new wall-clock floor once the cluster jobs were gone)
-      val allIds = new Array[Long](raw.length * 2)
-      var w0 = 0
-      raw.foreach { case (u, v) =>
-        allIds(w0) = u; allIds(w0 + 1) = v; w0 += 2 }
-      java.util.Arrays.sort(allIds)
-      var n = 0
-      var r1 = 0
-      while (r1 < allIds.length) {
-        if (n == 0 || allIds(r1) != allIds(n - 1)) {
-          allIds(n) = allIds(r1); n += 1 }
-        r1 += 1
-      }
-      val ids = java.util.Arrays.copyOf(allIds, n)
-      require(n <= (1 << 30), s"driver path-count tier: $n nodes")
-      def lookup(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
-      // both-orientation directed entries packed (srcIdx << 31 | tgtIdx),
-      // sort-deduped when the operator contract says distinct edges
-      var packed = new Array[Long](raw.length * 2)
-      var w1 = 0
-      raw.foreach { case (u, v) =>
-        val ui = lookup(u).toLong; val vi = lookup(v).toLong
-        packed(w1) = (ui << 31) | vi
-        packed(w1 + 1) = (vi << 31) | ui
-        w1 += 2
-      }
-      if (dedupEdges) {
-        java.util.Arrays.sort(packed)
-        var wd = 0
-        var rd = 0
-        while (rd < packed.length) {
-          if (wd == 0 || packed(rd) != packed(wd - 1)) {
-            packed(wd) = packed(rd); wd += 1 }
-          rd += 1
-        }
-        packed = java.util.Arrays.copyOf(packed, wd)
-      }
-      // CSR
-      val off = new Array[Int](n + 1)
-      packed.foreach(p => off((p >>> 31).toInt + 1) += 1)
-      var a = 0
-      while (a < n) { off(a + 1) += off(a); a += 1 }
-      val fill = java.util.Arrays.copyOf(off, n)
-      val nbr = new Array[Int](packed.length)
-      packed.foreach { p =>
-        val si = (p >>> 31).toInt
-        nbr(fill(si)) = (p & ((1L << 31) - 1)).toInt
-        fill(si) += 1
-      }
+      // dense index + CSR: primitive arrays throughout (a boxed HashMap
+      // here measured as the new wall-clock floor once the cluster jobs
+      // were gone); dedup matches the operator's parallel-path contract
+      val (ids, off, nbr) = driverCsr(raw, dedupEdges)
+      val n = ids.length
       val out = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.Row]
       val sig = new Array[Long](n)
@@ -2307,7 +2237,7 @@ object Graph {
       while (srcI < math.min(nSources, n)) {
         val seed = ids(srcI)
         java.util.Arrays.fill(lvl, -1)
-        val si = lookup(seed)
+        val si = srcI
         sig(si) = 1L; lvl(si) = 0
         out += org.apache.spark.sql.Row(seed, seed, 0, 1L)
         var frontier = Array(si)
@@ -2546,6 +2476,117 @@ object Graph {
     require(scaleBits >= 1 && scaleBits <= 40,
       s"scaleBits must be in [1, 40], got $scaleBits")
     val scale = 1L << scaleBits
+    val longBwIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bDelta && longBwIds) {
+      // FULLY driver-resident Brandes (the pathCounts discipline, both
+      // passes): the nSources-scaled gate says the pair stream fits
+      // driver memory, so forward σ-BFS and the backward δ ladder run
+      // over one CSR off one collect — no per-level fold job either
+      // direction. Arithmetic replicates the ladder exactly: deepest
+      // level c = SCALE div σ; F(v) = Σ c(w) pushed from every level-
+      // (l+1) node w along its (possibly duplicated) incident entries;
+      // δ = σ·F accumulated per NODE across sources; c = (SCALE+δ) div σ.
+      // Only nodes discovered at levels 1..maxDepth emit (seeds do not),
+      // matching the distributed union over the level frames.
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (ids, off, nbr) = driverCsr(raw, dedupEdges)
+      val n = ids.length
+      val sig = new Array[Long](n)
+      val lvl = new Array[Int](n)
+      val accF = new Array[Long](n)
+      val touched = new Array[Int](n)
+      val cArr = new Array[Long](n)
+      val deltaAcc = new Array[Long](n)
+      val emits = new Array[Boolean](n)
+      val frontiers = new Array[Array[Int]](maxDepth + 1)
+      var srcI = 0
+      while (srcI < math.min(nSources, n)) {
+        java.util.Arrays.fill(lvl, -1)
+        sig(srcI) = 1L; lvl(srcI) = 0
+        frontiers(0) = Array(srcI)
+        var d = 1
+        while (d <= maxDepth) {
+          var nt = 0
+          val prev = frontiers(d - 1)
+          if (prev != null && prev.nonEmpty) {
+            prev.foreach { s =>
+              val sg = sig(s)
+              var j = off(s)
+              val end = off(s + 1)
+              while (j < end) {
+                val t = nbr(j)
+                if (lvl(t) < 0) {
+                  if (accF(t) == 0L) { touched(nt) = t; nt += 1 }
+                  accF(t) += sg
+                }
+                j += 1
+              }
+            }
+          }
+          val fr = new Array[Int](nt)
+          var f = 0
+          while (f < nt) {
+            val t = touched(f)
+            sig(t) = accF(t); lvl(t) = d; emits(t) = true
+            accF(t) = 0L
+            fr(f) = t
+            f += 1
+          }
+          frontiers(d) = fr
+          d += 1
+        }
+        // backward ladder: c at the deepest level, then F-push downward
+        var lvlB = maxDepth
+        frontiers(maxDepth).foreach(t => cArr(t) = scale / sig(t))
+        lvlB = maxDepth - 1
+        while (lvlB >= 1) {
+          // F(v) = Σ c(w) over level-(lvlB+1) nodes w pushed along ALL
+          // their incident entries (duplicate entries push twice — the
+          // cluster fold joins the same doubled stream)
+          var nt = 0
+          frontiers(lvlB + 1).foreach { w0 =>
+            val cw = cArr(w0)
+            var j = off(w0)
+            val end = off(w0 + 1)
+            while (j < end) {
+              val t = nbr(j)
+              if (accF(t) == 0L && cw != 0L) { touched(nt) = t; nt += 1 }
+              accF(t) += cw
+              j += 1
+            }
+          }
+          frontiers(lvlB).foreach { v =>
+            val delta = sig(v) * accF(v)
+            deltaAcc(v) += delta
+            cArr(v) = (scale + delta) / sig(v)
+          }
+          var f = 0
+          while (f < nt) { accF(touched(f)) = 0L; f += 1 }
+          nt = 0
+          lvlB -= 1
+        }
+        srcI += 1
+      }
+      val lng = org.apache.spark.sql.types.LongType
+      val outRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var i = 0
+      while (i < n) {
+        if (emits(i))
+          outRows += org.apache.spark.sql.Row(ids(i), deltaAcc(i))
+        i += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows.toSeq).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng),
+          org.apache.spark.sql.types.StructField("betweenness", lng,
+            nullable = false))))
+    }
     val oriented = orientedAdjacency(pairs, uCol, vCol,
       partitionByTarget = true)
     val e = checkpointPartitioned(
@@ -2944,6 +2985,63 @@ object Graph {
     * at its lowest-rank corner and pushes one support count to each of
     * its three edges. Primitive arrays throughout (packed rank<<32|eid
     * entries). Cost Σ(|A⁺(s)|+|A⁺(t)|) per pass, never wedge-sized. */
+  /** Sorted-distinct id array + both-orientation CSR adjacency over a
+    * collected raw pair array — the shared substrate of the driver-
+    * resident graph tiers (pathCounts / betweennessSampled /
+    * multiSourceBfs). `dedup` sort-dedupes the DIRECTED entry stream
+    * (the operator contracts that treat duplicate pairs as parallel
+    * edges pass false). Returns (ids, off, nbr): node id at index i is
+    * ids(i); neighbors of i are nbr(off(i) until off(i+1)). */
+  private def driverCsr(raw: Array[(Long, Long)], dedup: Boolean)
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val allIds = new Array[Long](raw.length * 2)
+    var w0 = 0
+    raw.foreach { case (u, v) =>
+      allIds(w0) = u; allIds(w0 + 1) = v; w0 += 2 }
+    java.util.Arrays.sort(allIds)
+    var n = 0
+    var r1 = 0
+    while (r1 < allIds.length) {
+      if (n == 0 || allIds(r1) != allIds(n - 1)) {
+        allIds(n) = allIds(r1); n += 1 }
+      r1 += 1
+    }
+    val ids = java.util.Arrays.copyOf(allIds, n)
+    require(n.toLong < (1L << 31), s"driver CSR tier: $n nodes")
+    def lookup(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+    var packed = new Array[Long](raw.length * 2)
+    var w1 = 0
+    raw.foreach { case (u, v) =>
+      val ui = lookup(u).toLong; val vi = lookup(v).toLong
+      packed(w1) = (ui << 31) | vi
+      packed(w1 + 1) = (vi << 31) | ui
+      w1 += 2
+    }
+    if (dedup) {
+      java.util.Arrays.sort(packed)
+      var wd = 0
+      var rd = 0
+      while (rd < packed.length) {
+        if (wd == 0 || packed(rd) != packed(wd - 1)) {
+          packed(wd) = packed(rd); wd += 1 }
+        rd += 1
+      }
+      packed = java.util.Arrays.copyOf(packed, wd)
+    }
+    val off = new Array[Int](n + 1)
+    packed.foreach(p => off((p >>> 31).toInt + 1) += 1)
+    var a = 0
+    while (a < n) { off(a + 1) += off(a); a += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Int](packed.length)
+    packed.foreach { p =>
+      val si = (p >>> 31).toInt
+      nbr(fill(si)) = (p & ((1L << 31) - 1)).toInt
+      fill(si) += 1
+    }
+    (ids, off, nbr)
+  }
+
   /** Minimal open-addressing long→long additive map for the driver-
     * resident graph folds (boxed `HashMap[Long, Long]` measured as the
     * wall floor once cluster jobs were gone — the path-counts lesson).
