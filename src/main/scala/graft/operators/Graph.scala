@@ -170,6 +170,59 @@ object Graph {
     * on the null min). */
   def bfsLevelsUndirected(pairs: DataFrame, uCol: String, vCol: String,
                           maxDepth: Int, earlyExit: Boolean = false): DataFrame = {
+    val longBfsIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (longBfsIds && resolveBroadcast(None, pairs)) {
+      // DRIVER-RESIDENT BFS (the multiSourceBfs discipline, one source):
+      // the size gate says the pair stream fits driver memory — one
+      // collect, one CSR walk from the minimum id, natural early exit
+      // (a dead frontier makes remaining rounds no-ops either way, so
+      // fixed and early-exit variants agree). The distributed loops
+      // below stay the past-broadcast path.
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val lng = org.apache.spark.sql.types.LongType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lng),
+        org.apache.spark.sql.types.StructField("lvl",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      if (raw.isEmpty)
+        return sess.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          outSchema)
+      val (ids, off, nbr) = driverCsr(raw, dedup = false)
+      val n = ids.length
+      val lvl = new Array[Int](n)
+      java.util.Arrays.fill(lvl, -1)
+      lvl(0) = 0 // ids sorted ascending: index 0 is the minimum id
+      val out = scala.collection.mutable.ArrayBuffer(
+        org.apache.spark.sql.Row(ids(0), 0))
+      var frontier = Array(0)
+      var d = 1
+      while (d <= maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+        frontier.foreach { s =>
+          var j = off(s)
+          val end = off(s + 1)
+          while (j < end) {
+            val t = nbr(j)
+            if (lvl(t) < 0) {
+              lvl(t) = d
+              next += t
+              out += org.apache.spark.sql.Row(ids(t), d)
+            }
+            j += 1
+          }
+        }
+        frontier = next.toArray
+        d += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava,
+        outSchema)
+    }
     val e = orientedAdjacency(pairs, uCol, vCol).localCheckpoint()
     // one scalar off the materialized blocks — index-sized, not a re-run
     val srcRow = e.agg(min(col("__s"))).head()
@@ -1796,6 +1849,53 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // frontier/label frames are node-sized — bounded by the pair stream
     val bFrontier = resolveBroadcast(bcastFrontier, pairs)
+    val longLpIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (bFrontier && longLpIds) {
+      // FULLY driver-resident min-label fold (the kcorePeel discipline):
+      // the gate says the pair stream fits driver memory, so the r-round
+      // synchronous min fold runs over one CSR off one collect — the
+      // delta optimization is semantics-free under the min-fold's
+      // idempotence, so the plain synchronous rounds are bit-equal.
+      // Index space: ids sort ascending, min index == min id. Duplicate
+      // pairs ride free (min-fold multiplicity-invariant). BIGINT ids
+      // only; the distributed loop below stays the spec-pinned twin.
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (ids, off, nbr) = driverCsr(raw, dedup = false)
+      val n = ids.length
+      var lab = Array.tabulate(n)(identity)
+      var r0 = 0
+      while (r0 < rounds) {
+        val nxt = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var m0 = lab(i)
+          var j = off(i)
+          val end = off(i + 1)
+          while (j < end) {
+            val l = lab(nbr(j))
+            if (l < m0) m0 = l
+            j += 1
+          }
+          nxt(i) = m0
+          i += 1
+        }
+        lab = nxt
+        r0 += 1
+      }
+      val lng = org.apache.spark.sql.types.LongType
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (0 until n).map(i =>
+            org.apache.spark.sql.Row(ids(i), ids(lab(i))))
+            .asInstanceOf[Seq[org.apache.spark.sql.Row]]).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng),
+          org.apache.spark.sql.types.StructField("label", lng))))
+    }
     val e = orientedAdjacency(pairs, uCol, vCol,
       partitionByTarget = bFrontier).ckpt()
     val sess = e.sparkSession
