@@ -405,9 +405,68 @@ object Graph {
     * Net: ONE checkpoint barrier (the edge frame) + one per-iteration
     * exchange (the contribution agg — every join in the loop reads
     * co-partitioned sides). */
+  /** Driver CSR PageRank rounds shared by [[pagerankUndirected]] and
+    * [[personalizedPagerank]]'s driver tiers — the identical integer
+    * recurrence pr'(v) = restart(v) + (17 · Σ pr(u) div od(u)) div 20
+    * over the deduped adjacency (od = CSR degree; every value positive,
+    * so Scala `/` ≡ the SQL `div`). */
+  private def driverPrRounds(off: Array[Int], nbr: Array[Int], iters: Int,
+                             pr0: Array[Long],
+                             restart: Int => Long): Array[Long] = {
+    val n = off.length - 1
+    var pr = pr0
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Long](n)
+      var s = 0
+      while (s < n) {
+        val od = (off(s + 1) - off(s)).toLong
+        if (od > 0) {
+          val share = pr(s) / od
+          var j = off(s)
+          while (j < off(s + 1)) { contrib(nbr(j)) += share; j += 1 }
+        }
+        s += 1
+      }
+      val nxt = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        nxt(v) = restart(v) + (17L * contrib(v)) / 20L
+        v += 1
+      }
+      pr = nxt
+      it += 1
+    }
+    pr
+  }
+
   def pagerankUndirected(pairs: DataFrame, uCol: String, vCol: String,
                          iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val longPrIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (longPrIds && resolveBroadcast(None, pairs)) {
+      // DRIVER-RESIDENT rounds (the kcorePeel discipline): the size gate
+      // says the pair stream fits driver memory — one collect, the exact
+      // integer recurrence over the deduped CSR. The distributed chain
+      // below stays the past-broadcast path (spec-pinned vs brute force).
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (ids, off, nbr) = driverCsr(raw, dedup = true)
+      val n = ids.length
+      val pr = driverPrRounds(off, nbr, iters,
+        Array.fill(n)(1000000L), _ => 150000L)
+      val lng = org.apache.spark.sql.types.LongType
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (0 until n).map(i => org.apache.spark.sql.Row(ids(i), pr(i)))
+            .asInstanceOf[Seq[org.apache.spark.sql.Row]]).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng),
+          org.apache.spark.sql.types.StructField("pagerank", lng))))
+    }
     // orientation-exploded DISTINCT adjacency in TWO exchanges: the
     // caller hands the raw (possibly globally-duplicated) pair stream;
     // dedup runs AFTER the explode, as an exchange-free aggregate — the
@@ -457,6 +516,30 @@ object Graph {
                            iters: Int, nSeeds: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(nSeeds >= 1, s"nSeeds must be >= 1, got $nSeeds")
+    val longPprIds = pairs.schema(uCol).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema(vCol).dataType == org.apache.spark.sql.types.LongType
+    if (longPprIds && resolveBroadcast(None, pairs)) {
+      // DRIVER-RESIDENT rounds (the pagerankUndirected tier with the PPR
+      // restart vector: seeds = nSeeds smallest ids = first indices).
+      val sess = pairs.sparkSession
+      val raw = pairs.select(col(uCol), col(vCol))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (ids, off, nbr) = driverCsr(raw, dedup = true)
+      val n = ids.length
+      val k = math.min(nSeeds, n)
+      val pr = driverPrRounds(off, nbr, iters,
+        Array.tabulate(n)(i => if (i < k) 1000000L else 0L),
+        i => if (i < k) 150000L else 0L)
+      val lng = org.apache.spark.sql.types.LongType
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (0 until n).map(i => org.apache.spark.sql.Row(ids(i), pr(i)))
+            .asInstanceOf[Seq[org.apache.spark.sql.Row]]).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", lng),
+          org.apache.spark.sql.types.StructField("ppr", lng))))
+    }
     val e = orientedAdjacency(pairs, uCol, vCol)
       .distinct()
       .ckpt()
