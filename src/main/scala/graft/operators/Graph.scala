@@ -27,6 +27,20 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
  */
 object Graph {
 
+  /** Primitive collects for the driver-resident tiers: read the BIGINT
+    * columns straight off the deserialized InternalRows instead of paying
+    * the external-Row conversion (one allocation per row — measurable at
+    * the million-pair scale these tiers collect). Rows from
+    * executeCollect are already safe copies. */
+  private implicit class FastCollect(df: DataFrame) {
+    def collect2: Array[(Long, Long)] =
+      df.queryExecution.executedPlan.executeCollect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    def collect3: Array[(Long, Long, Long)] =
+      df.queryExecution.executedPlan.executeCollect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
   /** `array_sort(collect_set(c))` with the primitive-long native fold
     * ([[org.apache.spark.sql.graft.SortedLongSet]] — no per-value boxing,
     * one sort at eval) when the element type is integral; elements widen
@@ -182,7 +196,7 @@ object Graph {
       // below stay the past-broadcast path.
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val lng = org.apache.spark.sql.types.LongType
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", lng),
@@ -453,7 +467,7 @@ object Graph {
       // below stays the past-broadcast path (spec-pinned vs brute force).
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val (ids, off, nbr) = driverCsr(raw, dedup = true)
       val n = ids.length
       val pr = driverPrRounds(off, nbr, iters,
@@ -524,7 +538,7 @@ object Graph {
       // restart vector: seeds = nSeeds smallest ids = first indices).
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val (ids, off, nbr) = driverCsr(raw, dedup = true)
       val n = ids.length
       val k = math.min(nSeeds, n)
@@ -811,11 +825,11 @@ object Graph {
       // id order and every min-id rule becomes a min-index rule (the
       // boxed-HashMap first cut measured as the wall floor — the
       // path-counts lesson). mapping(i) = community index of original i.
-      val rows0 = sel.collect()
+      val rows0 = sel.collect3
       val ids = new Array[Long](rows0.length * 2)
       var wi = 0
-      rows0.foreach { r =>
-        ids(wi) = r.getLong(0); ids(wi + 1) = r.getLong(1); wi += 2 }
+      rows0.foreach { t =>
+        ids(wi) = t._1; ids(wi + 1) = t._2; wi += 2 }
       java.util.Arrays.sort(ids)
       var n = 0
       var ri = 0
@@ -828,9 +842,9 @@ object Graph {
       var eu = new Array[Int](m); var ev = new Array[Int](m)
       var ew = new Array[Long](m)
       var i0 = 0
-      rows0.foreach { r =>
-        eu(i0) = lk(r.getLong(0)); ev(i0) = lk(r.getLong(1))
-        ew(i0) = r.getLong(2); i0 += 1
+      rows0.foreach { t =>
+        eu(i0) = lk(t._1); ev(i0) = lk(t._2)
+        ew(i0) = t._3; i0 += 1
       }
       val lng = org.apache.spark.sql.types.LongType
       var mapping: Array[Int] = null
@@ -1078,12 +1092,11 @@ object Graph {
       val commMap = scala.collection.mutable.HashMap.empty[Long, Long]
       comm.collect().foreach(r => commMap(r.getLong(0)) = r.getLong(1))
       val lng = org.apache.spark.sql.types.LongType
-      val ess = e.collect()
+      val ess = e.collect3
       val kNode = scala.collection.mutable.HashMap.empty[Long, Long]
       val wIn = scala.collection.mutable.HashMap.empty[Long, Long]
       var m2 = 0L
-      ess.foreach { r =>
-        val u = r.getLong(0); val v = r.getLong(1); val w = r.getLong(2)
+      ess.foreach { case (u, v, w) =>
         kNode(u) = kNode.getOrElse(u, 0L) + w
         kNode(v) = kNode.getOrElse(v, 0L) + w
         m2 += 2 * w
@@ -1946,7 +1959,7 @@ object Graph {
       // only; the distributed loop below stays the spec-pinned twin.
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val (ids, off, nbr) = driverCsr(raw, dedup = false)
       val n = ids.length
       var lab = Array.tabulate(n)(identity)
@@ -2103,7 +2116,7 @@ object Graph {
       // The distributed loop below stays the spec-pinned twin.
       val sess = edges.sparkSession
       val rows = edges.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r0 = x
@@ -2200,7 +2213,7 @@ object Graph {
       // all-distributed loop remains the past-broadcast twin.
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val lng = org.apache.spark.sql.types.LongType
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("src", lng),
@@ -2396,7 +2409,7 @@ object Graph {
       // ids so the output schema matches the twins exactly.
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val lng = org.apache.spark.sql.types.LongType
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("src", lng),
@@ -2675,7 +2688,7 @@ object Graph {
       // matching the distributed union over the level frames.
       val sess = pairs.sparkSession
       val raw = pairs.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val (ids, off, nbr) = driverCsr(raw, dedupEdges)
       val n = ids.length
       val sig = new Array[Long](n)
@@ -2927,7 +2940,7 @@ object Graph {
       val sess = wedges.sparkSession
       val rows = wedges
         .select(col(uCol), col(vCol), col(wCol).cast("bigint"))
-        .collect()
+        .collect3
       val lng = org.apache.spark.sql.types.LongType
       val outSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node", lng),
@@ -2940,8 +2953,7 @@ object Graph {
       val adj = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
       var seed = Long.MaxValue
-      rows.foreach { r =>
-        val u = r.getLong(0); val v = r.getLong(1); val w = r.getLong(2)
+      rows.foreach { case (u, v, w) =>
         adj.getOrElseUpdate(u,
           scala.collection.mutable.ArrayBuffer.empty) += ((v, w))
         adj.getOrElseUpdate(v,
@@ -3375,7 +3387,7 @@ object Graph {
       // the spec-pinned twin for edge lists past broadcast range.
       val sess = edges.sparkSession
       val rows = edges.select(col(uCol), col(vCol))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       val ids = rows.flatMap(p => Array(p._1, p._2))
       java.util.Arrays.sort(ids)
       var n0 = 0
@@ -3575,7 +3587,7 @@ object Graph {
       // stays the spec-pinned twin for edge lists past broadcast range.
       val sess = edges.sparkSession
       var es = edges.select(col(uCol).cast("long"), col(vCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect2
       var r0 = 0
       while (r0 < rounds && es.nonEmpty) {
         val deg = scala.collection.mutable.HashMap.empty[Long, Long]
