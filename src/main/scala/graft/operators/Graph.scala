@@ -3586,28 +3586,54 @@ object Graph {
       // driver-resident graph fold in this file; the shuffled loop below
       // stays the spec-pinned twin for edge lists past broadcast range.
       val sess = edges.sparkSession
-      var es = edges.select(col(uCol).cast("long"), col(vCol).cast("long"))
+      val rows = edges.select(col(uCol).cast("long"), col(vCol).cast("long"))
         .collect2
+      // primitive index space (the driverCsr discipline — the boxed
+      // HashMap degree folds were the peel's own wall floor)
+      val ids = rows.flatMap(p => Array(p._1, p._2))
+      java.util.Arrays.sort(ids)
+      var n0 = 0
+      var ri = 0
+      while (ri < ids.length) {
+        if (n0 == 0 || ids(ri) != ids(n0 - 1)) { ids(n0) = ids(ri); n0 += 1 }
+        ri += 1
+      }
+      def lk(x: Long): Int = java.util.Arrays.binarySearch(ids, 0, n0, x)
+      var m = rows.length
+      val eu = new Array[Int](m); val ev = new Array[Int](m)
+      var i0 = 0
+      rows.foreach { p =>
+        eu(i0) = lk(p._1); ev(i0) = lk(p._2); i0 += 1 }
+      val deg = new Array[Long](n0)
       var r0 = 0
-      while (r0 < rounds && es.nonEmpty) {
-        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-        es.foreach { case (u, v) =>
-          deg(u) = deg.getOrElse(u, 0L) + 1L
-          deg(v) = deg.getOrElse(v, 0L) + 1L
+      while (r0 < rounds && m > 0) {
+        java.util.Arrays.fill(deg, 0L)
+        var i = 0
+        while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        var w = 0
+        i = 0
+        while (i < m) {
+          if (deg(eu(i)) >= k && deg(ev(i)) >= k) {
+            eu(w) = eu(i); ev(w) = ev(i); w += 1 }
+          i += 1
         }
-        es = es.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+        m = w
         r0 += 1
       }
-      val fin = scala.collection.mutable.HashMap.empty[Long, Long]
-      es.foreach { case (u, v) =>
-        fin(u) = fin.getOrElse(u, 0L) + 1L
-        fin(v) = fin.getOrElse(v, 0L) + 1L
-      }
+      java.util.Arrays.fill(deg, 0L)
+      var i1 = 0
+      while (i1 < m) { deg(eu(i1)) += 1; deg(ev(i1)) += 1; i1 += 1 }
       val lng = org.apache.spark.sql.types.LongType
+      val outRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var i2 = 0
+      while (i2 < n0) {
+        if (deg(i2) > 0)
+          outRows += org.apache.spark.sql.Row(ids(i2), deg(i2))
+        i2 += 1
+      }
       return sess.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          fin.toSeq.map { case (n, d) =>
-            org.apache.spark.sql.Row(n, d) }).asJava,
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows.toSeq).asJava,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node", lng, nullable = false),
           org.apache.spark.sql.types.StructField("degree", lng, nullable = false))))
