@@ -1179,6 +1179,92 @@ object Graph {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     // the (dir, node)-keyed label table is ≤ 2 × node-sized
     val bLabels = resolveBroadcast(bcastLabels, dedges, factor = 2)
+    if (bLabels) {
+      // FULLY driver-resident FW-BW kernel (the pathCounts discipline):
+      // the gate says the directed edge list fits driver memory — one
+      // collect, two directed CSRs, both depth-capped BFS reaches as
+      // primitive walks from the minimum id. Levels are identical to
+      // the fused (dir, node) loop (directions never mix there either);
+      // the distributed loop below stays the spec-pinned twin.
+      val sess = dedges.sparkSession
+      val raw = dedges.select(col(srcCol).cast("long"),
+        col(dstCol).cast("long")).collect2
+      val lng = org.apache.spark.sql.types.LongType
+      val it = org.apache.spark.sql.types.IntegerType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", lng,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("lvl_fwd", it,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("lvl_bwd", it,
+          nullable = false)))
+      if (raw.isEmpty)
+        return sess.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          outSchema)
+      val allIds = raw.flatMap(p => Array(p._1, p._2))
+      java.util.Arrays.sort(allIds)
+      var n = 0
+      var ri = 0
+      while (ri < allIds.length) {
+        if (n == 0 || allIds(ri) != allIds(n - 1)) {
+          allIds(n) = allIds(ri); n += 1 }
+        ri += 1
+      }
+      val ids = java.util.Arrays.copyOf(allIds, n)
+      def lk(x: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, x)
+      // two directed CSRs: forward s→t, backward t→s
+      def csrOf(swap: Boolean): (Array[Int], Array[Int]) = {
+        val off = new Array[Int](n + 1)
+        raw.foreach { p =>
+          off(lk(if (swap) p._2 else p._1) + 1) += 1 }
+        var a = 0
+        while (a < n) { off(a + 1) += off(a); a += 1 }
+        val fill = java.util.Arrays.copyOf(off, n)
+        val nbr = new Array[Int](raw.length)
+        raw.foreach { p =>
+          val (s, t) = if (swap) (p._2, p._1) else (p._1, p._2)
+          val si = lk(s); nbr(fill(si)) = lk(t); fill(si) += 1 }
+        (off, nbr)
+      }
+      def reach(off: Array[Int], nbr: Array[Int]): Array[Int] = {
+        val lvl = new Array[Int](n)
+        java.util.Arrays.fill(lvl, -1)
+        lvl(0) = 0 // pivot = minimum id = index 0
+        var frontier = Array(0)
+        var d = 1
+        while (d <= maxDepth && frontier.nonEmpty) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+          frontier.foreach { s =>
+            var j = off(s)
+            val end = off(s + 1)
+            while (j < end) {
+              val t = nbr(j)
+              if (lvl(t) < 0) { lvl(t) = d; next += t }
+              j += 1
+            }
+          }
+          frontier = next.toArray
+          d += 1
+        }
+        lvl
+      }
+      val (fOff, fNbr) = csrOf(swap = false)
+      val (bOff, bNbr) = csrOf(swap = true)
+      val lvlF = reach(fOff, fNbr)
+      val lvlB = reach(bOff, bNbr)
+      val outRows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var i = 0
+      while (i < n) {
+        if (lvlF(i) >= 0 && lvlB(i) >= 0)
+          outRows += org.apache.spark.sql.Row(ids(i), lvlF(i), lvlB(i))
+        i += 1
+      }
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows.toSeq).asJava,
+        outSchema)
+    }
     val par = dedges.sparkSession.sparkContext.defaultParallelism
     // ONE materialization of the (often expensive) upstream edge build:
     // the direction-tagged doubled orientation is written directly —
@@ -1202,66 +1288,6 @@ object Graph {
     }
     val pivot = row.getLong(0)
     val sess = e.sparkSession
-    if (bLabels) {
-      // DRIVER-RESIDENT labels (r18, closing the r16 ≤3 s target): the
-      // fused direction-tagged loop's residual was ~28 serial jobs —
-      // each round a lazy-checkpoint count over the merged label table —
-      // on state that is at most 2 × node-sized and just passed
-      // [[resolveBroadcast]]. The BFS level set lives in a driver
-      // HashMap; each round is ONE cluster job: the frontier re-enters
-      // as a LocalRelation broadcast into the (dir, s)-partitioned edge
-      // blocks, candidates dedup cluster-side ((dir, t) distinct — the
-      // fold result is frontier-neighborhood-sized, never edge-sized),
-      // and the min-level merge is a driver map lookup (first discovery
-      // wins ≡ min(__lvl), BFS order). The `bcastLabels = false` twin
-      // below keeps the all-distributed loop for graphs whose node
-      // frame outgrows a broadcast (spec-pinned equal in GraphSpec).
-      val labels = scala.collection.mutable.HashMap[(Int, Long), Int](
-        (0, pivot) -> 0, (1, pivot) -> 0)
-      var frontier: Seq[(Int, Long)] = Seq((0, pivot), (1, pivot))
-      val fSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__dir",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__s",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      try {
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
-        var done = 0
-        while (done < maxDepth && frontier.nonEmpty) {
-          val fDf = sess.createDataFrame(
-            scala.jdk.CollectionConverters.SeqHasAsJava(
-              frontier.map { case (d, n) =>
-                org.apache.spark.sql.Row(d, n) }).asJava, fSchema)
-          val cand = e.join(broadcast(fDf), Seq("__dir", "__s"))
-            .select(col("__dir"), col("__t")).distinct().collect()
-          done += 1
-          frontier = cand.toSeq.flatMap { r =>
-            val key = (r.getInt(0), r.getLong(1))
-            if (labels.contains(key)) None
-            else { labels(key) = done; Some(key) }
-          }
-        }
-      } finally {
-        sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        Dedup.freeCheckpoints(e)
-      }
-      val outRows = labels.keys.map(_._2).toSeq.distinct.flatMap { n =>
-        (labels.get((0, n)), labels.get((1, n))) match {
-          case (Some(f), Some(b)) => Some(org.apache.spark.sql.Row(n, f, b))
-          case _ => None
-        }
-      }
-      return sess.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("lvl_fwd",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("lvl_bwd",
-            org.apache.spark.sql.types.IntegerType, nullable = false))))
-    }
     var labels = sess.range(1)
       .select(explode(array(lit(0), lit(1))).as("__dir"),
         lit(pivot).as("__n"), lit(0).as("__lvl"))
