@@ -635,6 +635,65 @@ object Graph {
     // the single consumer re-exchanges the checkpointed blocks in-plan
     // instead of paying a second materialization barrier.
     val ep = raw.repartition(col("__p")).distinct().ckpt()
+    if (resolveBroadcast(broadcastScores, ep)) {
+      // FULLY driver-resident recurrence (the kcorePeel discipline): the
+      // same materialized-bytes gate that would have broadcast the score
+      // frames says the DISTINCT pair list itself fits driver memory —
+      // collect the checkpointed blocks once and run the exact integer
+      // half-steps as primitive folds (jobs 8 → 3). The halved broadcast
+      // chain below stays the spec-pinned twin past broadcast range.
+      val sess = edges.sparkSession
+      val rawP =
+        try ep.select(col("__c"), col("__p")).collect2
+        finally Dedup.freeCheckpoints(ep)
+      val lng = org.apache.spark.sql.types.LongType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("part", lng),
+        org.apache.spark.sql.types.StructField("authority", lng,
+          nullable = false)))
+      if (rawP.isEmpty)
+        return sess.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          outSchema)
+      // index both sides independently (the modes never mix); rows are
+      // already DISTINCT (ep), so no pair dedupe is needed
+      def dedupSorted(a: Array[Long]): Array[Long] = {
+        java.util.Arrays.sort(a)
+        var n0 = 0; var i = 0
+        while (i < a.length) {
+          if (n0 == 0 || a(i) != a(n0 - 1)) { a(n0) = a(i); n0 += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(a, n0)
+      }
+      val cs = dedupSorted(rawP.map(_._1))
+      val ps = dedupSorted(rawP.map(_._2))
+      require(cs.length.toLong < (1L << 31) &&
+        ps.length.toLong < (1L << 31), "driver HITS tier size")
+      val pairs = rawP.map { case (c, p) =>
+        (java.util.Arrays.binarySearch(cs, c).toLong << 32) |
+          java.util.Arrays.binarySearch(ps, p).toLong
+      }
+      // iteration 1 with h0 ≡ 1 is the indegree count
+      var a = new Array[Long](ps.length)
+      pairs.foreach(pk => a((pk & 0xffffffffL).toInt) += 1L)
+      var it0 = 2
+      while (it0 <= iters) {
+        val h = new Array[Long](cs.length)
+        pairs.foreach { pk =>
+          h((pk >>> 32).toInt) += a((pk & 0xffffffffL).toInt) }
+        a = new Array[Long](ps.length)
+        pairs.foreach { pk =>
+          a((pk & 0xffffffffL).toInt) += h((pk >>> 32).toInt) }
+        it0 += 1
+      }
+      val top = ps.indices.map(i => (ps(i), a(i)))
+        .sortBy(t => (-t._2, t._1)).take(topK)
+      return sess.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          top.map { case (p, s) =>
+            org.apache.spark.sql.Row(p, s) }).asJava, outSchema)
+    }
     val ecPlan = ep.repartition(col("__c"))
     // the __c-keyed copy serves one half-step per round from round 2 on
     // (iters − 1 uses in either path: the broadcast path's h-groupBy, or
