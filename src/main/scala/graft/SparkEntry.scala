@@ -4001,6 +4001,11 @@ object SparkEntry {
       val sorted = operators.Dedup.jaccardOrderedPrefix(reps, 4, 5)
       operators.Dedup.jaccardVerifiedPairs(reps, sorted, 4, 5)
     }),
+    "ext_dedup_jaccard_join / ext_containment_join [dense-vocab bitmap " +
+      "pair stage: popcount gate on the join condition, zero pair-stream " +
+      "exchanges]" -> ((s, dir) =>
+        operators.Dedup.bitmapPairsPlan(t(s, dir, "documents"),
+          "doc_id", "text", 4, 5)),
     "ext_graph_components / ext_label_prop [one pre-checkpoint min-label round]" ->
       ((s, dir) =>
         operators.Graph.minLabelRoundPlan(copurchasePairs(s, dir), "u", "v")),

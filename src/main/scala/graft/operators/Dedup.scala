@@ -516,13 +516,22 @@ object Dedup {
     * (both collapse identical token sets to the min member id). */
   def lshRecallSweep(docs: DataFrame, idCol: String, textCol: String,
                      seeds: Int = 16, configs: Seq[Int] = Seq(2, 4, 8, 16),
-                     thetaNum: Int = 4, thetaDen: Int = 5): DataFrame = {
+                     thetaNum: Int = 4, thetaDen: Int = 5,
+                     bitmap: Option[Boolean] = None): DataFrame = {
     require(configs.nonEmpty && configs.forall(r => r >= 1 && seeds % r == 0),
       s"every rows-per-band must divide seeds=$seeds, got $configs")
     val jreps = jaccardReps(docs, idCol, textCol).localCheckpoint()
-    val sorted = jaccardOrderedPrefix(jreps, thetaNum, thetaDen).localCheckpoint()
-    val truth = jaccardVerifiedPairs(jreps, sorted, thetaNum, thetaDen)
-      .select(col("__ra").as("doc_a"), col("__rb").as("doc_b"))
+    var toFree = Seq(jreps)
+    // ground truth only needs the PAIR IDS — dense-vocab corpora take the
+    // popcount join (bitmapMasks doc) and skip the prefix machinery
+    val truth = (bitmapMasks(jreps, bitmap) match {
+      case Some(m) => bitmapPairs(m, thetaNum, thetaDen, containment = false)
+      case None =>
+        val sorted = jaccardOrderedPrefix(jreps, thetaNum, thetaDen)
+          .localCheckpoint()
+        toFree :+= sorted
+        jaccardVerifiedPairs(jreps, sorted, thetaNum, thetaDen)
+    }).select(col("__ra").as("doc_a"), col("__rb").as("doc_b"))
     // signatures come straight off the CHECKPOINTED rep table — its __ts
     // arrays are the sorted distinct tokens, so hashing them in-row is
     // the same __harr [[tokenSets]] builds, without a second corpus
@@ -568,7 +577,7 @@ object Dedup {
           .otherwise(round(col("n_caught").cast("double") /
             col("n_true").cast("double"), 6)))
     val result = rows.localCheckpoint()
-    freeCheckpoints(jreps, sorted, t2)
+    freeCheckpoints(toFree :+ t2: _*)
     result
   }
 
@@ -1533,6 +1542,125 @@ object Dedup {
       .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
   }
 
+  /** DENSE-VOCAB BITMAP fast path for the exact jaccard/containment
+    * families (optimization r18; guide §2.3 "shuffle fewer bytes" and
+    * §2.4 "remove shuffles outright"): when the corpus' GLOBAL
+    * distinct-token count fits one BIGINT (≤ 64 bits), every rep's token
+    * set packs into a single mask, `bit_count(mask_a & mask_b)` IS the
+    * exact intersection size, and the whole prefix-filter candidate
+    * pipeline — token posexplode, ×8 salt replication, the
+    * (token, salt) exchange, the per-pair suffix fold and the
+    * sorted-array merge verify — collapses to ONE broadcast nested-loop
+    * join over the rep table with a codegen'd popcount gate: ZERO
+    * exchanges on the pair stream and no array churn. The dense-vocab
+    * regime is real at scale (categorical attribute sets, tag/SKU
+    * baskets — and this fixture's 31-token vocabulary); a large-vocab
+    * corpus fails the 65-token probe on a dictionary-sized job and takes
+    * the prefix-filter path unchanged.
+    *
+    * Gate (auto when `flag` is None): distinct tokens ≤ 64 AND rep count
+    * ≤ `graft.dedup.bitmapMaxReps` (default 32768 ≈ 0.5 G popcount
+    * evals — bounds the quadratic gate work; past it the prefix filter's
+    * candidate bound wins). Some(false) forces the prefix twin (the
+    * spec pin), Some(true) REQUIRES the bitmap path and throws past the
+    * gate (test-only). Returns (__rep [, carry…], __m, __sz) or None.
+    *
+    * Bit assignment is the sorted token order — any assignment yields
+    * the same popcounts, sorting just keeps plans/specs deterministic. */
+  private[graft] def bitmapMasks(reps: DataFrame, flag: Option[Boolean],
+                                 carryCols: Seq[String] = Nil): Option[DataFrame] = {
+    if (flag.contains(false)) return None
+    val toks = reps.select(explode(col("__ts")).as("__t"))
+      .distinct().orderBy(col("__t")).limit(65)
+      .collect().map(_.getString(0))
+    val maxReps = reps.sparkSession.conf
+      .get("graft.dedup.bitmapMaxReps", "32768").toLong
+    val pass = toks.length <= 64 && reps.count() <= maxReps
+    if (!pass) {
+      require(!flag.contains(true), s"bitmap path forced but the gate " +
+        s"failed (vocab ${toks.length} tokens / maxReps $maxReps)")
+      return None
+    }
+    // token → bit as a MAP literal: the in-row fold is a pure projection
+    // over the checkpointed rep table — no dictionary join, no exchange
+    val dict = if (toks.isEmpty) map()
+      else map(toks.sorted.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t), lit(i)) }: _*)
+    Some(reps.select(col("__rep") +: carryCols.map(col) :+
+      aggregate(col("__ts"), lit(0L), (acc, x) =>
+        acc.bitwiseOR(call_function("shiftleft", lit(1L),
+          element_at(dict, x)))).as("__m") :+
+      size(col("__ts")).cast("long").as("__sz"): _*))
+  }
+
+  /** All-pairs popcount join over the bitmap rep table: the exact
+    * verified pair set (__ra, __rb, __i, __la, __lb) of
+    * [[jaccardVerifiedPairs]] (containment = false: unordered,
+    * __ra < __rb, (num+den)·i ≥ num·(sa+sb)) or of
+    * [[containmentJoinExact]]'s candidate+verify stages (containment =
+    * true: ORDERED pairs, __ra ≠ __rb, den·i ≥ num·sa). The θ gate rides
+    * the join CONDITION, so only qualifying pairs ever materialize; the
+    * build side is rep-count-bounded by the [[bitmapMasks]] gate. */
+  private def bitmapPairs(masks: DataFrame, thetaNum: Int, thetaDen: Int,
+                          containment: Boolean): DataFrame = {
+    // tiny-input/pair-emitting join: the probe side is rep-count rows but
+    // the output is the (potentially dense) pair stream, and the nested-
+    // loop join inherits the probe's AQE-coalesced partitioning (often 1)
+    // — pin explicit-count parallelism (REPARTITION_BY_NUM is never AQE-
+    // coalesced) so the popcount gate AND everything downstream of the
+    // pair stream fan across cores (the r13 levenshtein-verify lesson)
+    val par = masks.sparkSession.sparkContext.defaultParallelism
+    val a = masks.select(col("__rep").as("__ra"), col("__m").as("__bma"),
+      col("__sz").as("__la")).repartition(par)
+    val b = broadcast(masks.select(col("__rep").as("__rb"),
+      col("__m").as("__bmb"), col("__sz").as("__lb")))
+    val i = call_function("bit_count",
+      col("__bma").bitwiseAND(col("__bmb"))).cast("long")
+    val order = if (containment) col("__ra") =!= col("__rb")
+      else col("__ra") < col("__rb")
+    val gate = if (containment) lit(thetaDen.toLong) * i >= lit(thetaNum.toLong) * col("__la")
+      else lit((thetaNum + thetaDen).toLong) * i >=
+        lit(thetaNum.toLong) * (col("__la") + col("__lb"))
+    a.join(b, order && gate)
+      .select(col("__ra"), col("__rb"), i.as("__i"), col("__la"), col("__lb"))
+  }
+
+  /** [[bitmapPairs]] for the R-S (cross-corpus) joins: probe = __corp 0
+    * (incoming), build = __corp 1 (reference), no canonicalization (the
+    * corpus split is the orientation) — the bitmap twin of
+    * [[jaccardCandidatesCross]]+verify and of [[containmentDropAgainst]]'s
+    * candidate+verify stages. */
+  private def bitmapPairsCross(masks: DataFrame, thetaNum: Int, thetaDen: Int,
+                               containment: Boolean): DataFrame = {
+    // same probe-side explicit-count pin as [[bitmapPairs]]
+    val par = masks.sparkSession.sparkContext.defaultParallelism
+    val a = masks.filter(col("__corp") === 0)
+      .select(col("__rep").as("__ra"), col("__m").as("__bma"),
+        col("__sz").as("__la")).repartition(par)
+    val b = broadcast(masks.filter(col("__corp") === 1)
+      .select(col("__rep").as("__rb"), col("__m").as("__bmb"),
+        col("__sz").as("__lb")))
+    val i = call_function("bit_count",
+      col("__bma").bitwiseAND(col("__bmb"))).cast("long")
+    val gate = if (containment) lit(thetaDen.toLong) * i >= lit(thetaNum.toLong) * col("__la")
+      else lit((thetaNum + thetaDen).toLong) * i >=
+        lit(thetaNum.toLong) * (col("__la") + col("__lb"))
+    a.join(b, gate)
+      .select(col("__ra"), col("__rb"), i.as("__i"), col("__la"), col("__lb"))
+  }
+
+  /** UN-checkpointed single-stage body of the dense-vocab bitmap pair
+    * stage, for the plan audit trail only ([[graft.SparkEntry.loopBodyPlans]]
+    * / PLANS.md — the production entry points checkpoint their result, so
+    * their final plans collapse to `Scan ExistingRDD`). Forces the bitmap
+    * gate: callers pass a dense-vocab corpus. Never run by Verify/Bench. */
+  def bitmapPairsPlan(docs: DataFrame, idCol: String, textCol: String,
+                      thetaNum: Int, thetaDen: Int): DataFrame = {
+    val reps = jaccardReps(docs, idCol, textCol)
+    bitmapPairs(bitmapMasks(reps, Some(true)).get, thetaNum, thetaDen,
+      containment = false)
+  }
+
   /** Multi-threshold dedup PLANNING from one pipeline run at the LOOSEST
     * threshold: exact qualifying-pair COUNTS at each θ ∈ `thetasPct`
     * (percent, e.g. 70/80/90) — how a curation run picks its threshold
@@ -1546,13 +1674,20 @@ object Dedup {
     * expand-then-count formulation). The θ gate replays the exact integer
     * form 100·i ≥ θ·(|A|+|B|−i) over the min-θ verified pairs. */
   def jaccardThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
-                            thetasPct: Seq[Int]): DataFrame = {
+                            thetasPct: Seq[Int],
+                            bitmap: Option[Boolean] = None): DataFrame = {
     require(thetasPct.nonEmpty && thetasPct.forall(t => t > 0 && t <= 100),
       s"thetasPct must be percentages in (0, 100], got $thetasPct")
     val tmin = thetasPct.min
     val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
-    val sorted = jaccardOrderedPrefix(reps, tmin, 100).localCheckpoint()
-    val rp = jaccardVerifiedPairs(reps, sorted, tmin, 100)
+    var toFree = Seq(reps)
+    val rp = bitmapMasks(reps, bitmap) match {
+      case Some(m) => bitmapPairs(m, tmin, 100, containment = false)
+      case None =>
+        val sorted = jaccardOrderedPrefix(reps, tmin, 100).localCheckpoint()
+        toFree :+= sorted
+        jaccardVerifiedPairs(reps, sorted, tmin, 100)
+    }
     val cnt = reps.select(col("__rep"),
       size(col("__members")).cast("long").as("__c"))
     val thetaArr = array(thetasPct.map(lit(_)): _*)
@@ -1572,7 +1707,7 @@ object Dedup {
       .groupBy(col("theta_pct"))
       .agg(sum(col("__n")).as("n_pairs"))
       .localCheckpoint()
-    freeCheckpoints(reps, sorted)
+    freeCheckpoints(toFree: _*)
     result
   }
 
@@ -1619,29 +1754,39 @@ object Dedup {
     * id space). Returns (id_in, id_ref, inter_size, size_in, size_ref,
     * jaccard). */
   def jaccardJoinAgainst(inc: DataFrame, ref: DataFrame, idCol: String,
-                         textCol: String, thetaNum: Int,
-                         thetaDen: Int): DataFrame = {
+                         textCol: String, thetaNum: Int, thetaDen: Int,
+                         bitmap: Option[Boolean] = None): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
     val reps = jaccardReps(inc, idCol, textCol).withColumn("__corp", lit(0))
       .unionByName(
         jaccardReps(ref, idCol, textCol).withColumn("__corp", lit(1)))
       .localCheckpoint()
-    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
-      .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
-      .localCheckpoint()
-    val candIds = jaccardCandidatesCross(sorted, thetaNum, thetaDen)
-    val arrA = reps.filter(col("__corp") === 0)
-      .select(col("__rep").as("__ra"), col("__ts").as("__ta"),
-        size(col("__ts")).cast("long").as("__la"))
-    val arrB = reps.filter(col("__corp") === 1)
-      .select(col("__rep").as("__rb"), col("__ts").as("__tb"),
-        size(col("__ts")).cast("long").as("__lb"))
-    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
-      .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
-        col("__ta"), col("__tb"), thetaNum, thetaDen))
-      .filter(col("__i") >= 0L)
-      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    var toFree = Seq(reps)
+    // dense-vocab corpora take the cross-corpus popcount join
+    // (bitmapMasks doc) — the vocab probe spans BOTH sides' reps
+    val repPairs = bitmapMasks(reps, bitmap, carryCols = Seq("__corp")) match {
+      case Some(m) =>
+        bitmapPairsCross(m, thetaNum, thetaDen, containment = false)
+      case None =>
+        val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
+          .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
+          .localCheckpoint()
+        toFree :+= sorted
+        val candIds = jaccardCandidatesCross(sorted, thetaNum, thetaDen)
+        val arrA = reps.filter(col("__corp") === 0)
+          .select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+            size(col("__ts")).cast("long").as("__la"))
+        val arrB = reps.filter(col("__corp") === 1)
+          .select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+            size(col("__ts")).cast("long").as("__lb"))
+        candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+          .withColumn("__i", org.apache.spark.sql.graft.SortedOverlapGate.of(
+            col("__ta"), col("__tb"), thetaNum, thetaDen))
+          .filter(col("__i") >= 0L)
+          .select(col("__ra"), col("__rb"), col("__i"), col("__la"),
+            col("__lb"))
+    }
     val memA = reps.filter(col("__corp") === 0)
       .select(col("__rep").as("__ra"), col("__members").as("__mas"))
     val memB = reps.filter(col("__corp") === 1)
@@ -1656,12 +1801,13 @@ object Dedup {
       .withColumn("jaccard", col("inter_size").cast("double") /
         (col("size_in") + col("size_ref") - col("inter_size")))
       .localCheckpoint()
-    freeCheckpoints(reps, sorted)
+    freeCheckpoints(toFree: _*)
     result
   }
 
   def jaccardJoinExact(docs: DataFrame, idCol: String, textCol: String,
-                       thetaNum: Int, thetaDen: Int): DataFrame = {
+                       thetaNum: Int, thetaDen: Int,
+                       bitmap: Option[Boolean] = None): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
     // materialize the shared stages ONCE: reps feeds the token-df join,
@@ -1672,9 +1818,16 @@ object Dedup {
     // lesson applied to a DAG instead of a loop. Blocks are freed
     // explicitly below once the result is materialized (the r5 leak
     // lesson: localCheckpoint blocks are invisible to clearCache).
+    // Dense-vocab corpora skip `sorted` entirely (bitmapMasks doc).
     val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
-    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
-    val repPairs = jaccardVerifiedPairs(reps, sorted, thetaNum, thetaDen)
+    var toFree = Seq(reps)
+    val repPairs = bitmapMasks(reps, bitmap) match {
+      case Some(m) => bitmapPairs(m, thetaNum, thetaDen, containment = false)
+      case None =>
+        val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
+        toFree :+= sorted
+        jaccardVerifiedPairs(reps, sorted, thetaNum, thetaDen)
+    }
     // 4. expand members in-row (rep-id joins against the small rep table;
     // sizes swap with the id canonicalization), plus the in-group pairs
     val repsA = reps.select(col("__rep").as("__ra"), col("__members").as("__mas"))
@@ -1704,7 +1857,7 @@ object Dedup {
       .withColumn("jaccard", col("inter_size").cast("double") /
         (col("size_a") + col("size_b") - col("inter_size")))
       .localCheckpoint()
-    freeCheckpoints(reps, sorted)
+    freeCheckpoints(toFree: _*)
     result
   }
 
@@ -1734,40 +1887,50 @@ object Dedup {
     * rep-level and prefix-bounded — nothing all-pairs, the 100 TB story
     * of the jaccard join unchanged. */
   def containmentJoinExact(docs: DataFrame, idCol: String, textCol: String,
-                           thetaNum: Int, thetaDen: Int): DataFrame = {
+                           thetaNum: Int, thetaDen: Int,
+                           bitmap: Option[Boolean] = None): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val reps = jaccardReps(docs, idCol, textCol).localCheckpoint()
-    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen).localCheckpoint()
-    val salts = 8
-    // probe = contained side: PREFIX tokens only, one salt per row
-    val pa = sorted.select(col("__rep").as("__ra"), col("__sz").as("__sa"),
-        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
-      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
-      .repartition(par, col("__ptok"), col("__salt"))
-    // build = container side: ALL ordered tokens, replicated to all salts
-    val pb = sorted.select(col("__rep").as("__rb"), col("__sz").as("__sb"),
-        posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-      .repartition(par, col("__ptok"), col("__salt"))
-    val candIds = suffixFoldedPairs(
-      pa.join(pb, Seq("__ptok", "__salt"))
-        .filter(col("__ra") =!= col("__rb"))
-        .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
-        .filter(lit(thetaDen) *
-          least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
-          lit(thetaNum) * col("__sa")),
-      par)(containUbGate(thetaNum, thetaDen))
-    val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
-      size(col("__ts")).cast("long").as("__la"))
-    val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
-      size(col("__ts")).cast("long").as("__lb"))
-    val repPairs = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
-      .withColumn("__i", org.apache.spark.sql.graft.SortedContainGate.of(
-        col("__ta"), col("__tb"), thetaNum, thetaDen))
-      .filter(col("__i") >= 0L)
-      .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    var toFree = Seq(reps)
+    // dense-vocab corpora take the popcount join (bitmapMasks doc) —
+    // same ordered-pair gate den·i ≥ num·|A|, zero pair-stream exchanges
+    val repPairs = bitmapMasks(reps, bitmap) match {
+      case Some(m) => bitmapPairs(m, thetaNum, thetaDen, containment = true)
+      case None =>
+        val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
+          .localCheckpoint()
+        toFree :+= sorted
+        val salts = 8
+        // probe = contained side: PREFIX tokens only, one salt per row
+        val pa = sorted.select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+            posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+          .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+          .repartition(par, col("__ptok"), col("__salt"))
+        // build = container side: ALL ordered tokens, replicated to all salts
+        val pb = sorted.select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+            posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
+          .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+          .repartition(par, col("__ptok"), col("__salt"))
+        val candIds = suffixFoldedPairs(
+          pa.join(pb, Seq("__ptok", "__salt"))
+            .filter(col("__ra") =!= col("__rb"))
+            .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+            .filter(lit(thetaDen) *
+              least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+              lit(thetaNum) * col("__sa")),
+          par)(containUbGate(thetaNum, thetaDen))
+        val arrA = reps.select(col("__rep").as("__ra"), col("__ts").as("__ta"),
+          size(col("__ts")).cast("long").as("__la"))
+        val arrB = reps.select(col("__rep").as("__rb"), col("__ts").as("__tb"),
+          size(col("__ts")).cast("long").as("__lb"))
+        candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+          .withColumn("__i", org.apache.spark.sql.graft.SortedContainGate.of(
+            col("__ta"), col("__tb"), thetaNum, thetaDen))
+          .filter(col("__i") >= 0L)
+          .select(col("__ra"), col("__rb"), col("__i"), col("__la"), col("__lb"))
+    }
     // ordered member expansion — contained ids from ra, container ids
     // from rb, NO least/greatest swap
     val repsA = reps.select(col("__rep").as("__ra"), col("__members").as("__mas"))
@@ -1795,7 +1958,7 @@ object Dedup {
       .withColumn("containment",
         col("inter_size").cast("double") / col("size_a"))
       .localCheckpoint()
-    freeCheckpoints(reps, sorted)
+    freeCheckpoints(toFree: _*)
     result
   }
 
@@ -1820,7 +1983,8 @@ object Dedup {
     * match always meets). */
   def containmentDropAgainst(reference: DataFrame, incoming: DataFrame,
                              idCol: String, textCol: String,
-                             thetaNum: Int, thetaDen: Int): DataFrame = {
+                             thetaNum: Int, thetaDen: Int,
+                             bitmap: Option[Boolean] = None): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta must be a rational in (0,1], got $thetaNum/$thetaDen")
     val par = incoming.sparkSession.sparkContext.defaultParallelism
@@ -1828,41 +1992,50 @@ object Dedup {
       .unionByName(
         jaccardReps(reference, idCol, textCol).withColumn("__corp", lit(1)))
       .localCheckpoint()
-    val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
-      .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
-      .localCheckpoint()
-    val salts = 8
-    val pa = sorted.filter(col("__corp") === 0)
-      .select(col("__rep").as("__ra"), col("__sz").as("__sa"),
-        posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
-      .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
-      .repartition(par, col("__ptok"), col("__salt"))
-    val pb = sorted.filter(col("__corp") === 1)
-      .select(col("__rep").as("__rb"), col("__sz").as("__sb"),
-        posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-      .repartition(par, col("__ptok"), col("__salt"))
-    val candIds = suffixFoldedPairs(
-      pa.join(pb, Seq("__ptok", "__salt"))
-        .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
-        .filter(lit(thetaDen) *
-          least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
-          lit(thetaNum) * col("__sa")),
-      par)(containUbGate(thetaNum, thetaDen))
-    val arrA = reps.filter(col("__corp") === 0)
-      .select(col("__rep").as("__ra"), col("__ts").as("__ta"))
-    val arrB = reps.filter(col("__corp") === 1)
-      .select(col("__rep").as("__rb"), col("__ts").as("__tb"))
-    val droppedReps = candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
-      .filter(org.apache.spark.sql.graft.SortedContainGate.of(
-        col("__ta"), col("__tb"), thetaNum, thetaDen) >= 0L)
-      .select(col("__ra")).distinct()
+    var toFree = Seq(reps)
+    // dense-vocab corpora take the cross-corpus popcount join
+    // (bitmapMasks doc); the drop stays decided at REP level
+    val droppedReps = (bitmapMasks(reps, bitmap,
+        carryCols = Seq("__corp")) match {
+      case Some(m) =>
+        bitmapPairsCross(m, thetaNum, thetaDen, containment = true)
+      case None =>
+        val sorted = jaccardOrderedPrefix(reps, thetaNum, thetaDen)
+          .join(reps.select(col("__rep"), col("__corp")), Seq("__rep"))
+          .localCheckpoint()
+        toFree :+= sorted
+        val salts = 8
+        val pa = sorted.filter(col("__corp") === 0)
+          .select(col("__rep").as("__ra"), col("__sz").as("__sa"),
+            posexplode(col("__pref")).as(Seq("__pa", "__ptok")))
+          .withColumn("__salt", pmod(hash(col("__ra")), lit(salts)))
+          .repartition(par, col("__ptok"), col("__salt"))
+        val pb = sorted.filter(col("__corp") === 1)
+          .select(col("__rep").as("__rb"), col("__sz").as("__sb"),
+            posexplode(col("__ots")).as(Seq("__pb", "__ptok")))
+          .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+          .repartition(par, col("__ptok"), col("__salt"))
+        val candIds = suffixFoldedPairs(
+          pa.join(pb, Seq("__ptok", "__salt"))
+            .filter(lit(thetaNum) * col("__sa") <= lit(thetaDen) * col("__sb"))
+            .filter(lit(thetaDen) *
+              least(col("__sa") - col("__pa"), col("__sb") - col("__pb")) >=
+              lit(thetaNum) * col("__sa")),
+          par)(containUbGate(thetaNum, thetaDen))
+        val arrA = reps.filter(col("__corp") === 0)
+          .select(col("__rep").as("__ra"), col("__ts").as("__ta"))
+        val arrB = reps.filter(col("__corp") === 1)
+          .select(col("__rep").as("__rb"), col("__ts").as("__tb"))
+        candIds.join(arrA, Seq("__ra")).join(arrB, Seq("__rb"))
+          .filter(org.apache.spark.sql.graft.SortedContainGate.of(
+            col("__ta"), col("__tb"), thetaNum, thetaDen) >= 0L)
+    }).select(col("__ra")).distinct()
     val result = reps.filter(col("__corp") === 0)
       .join(droppedReps.withColumnRenamed("__ra", "__rep"),
         Seq("__rep"), "left_anti")
       .select(explode(col("__members")).as("doc_id"))
       .localCheckpoint()
-    freeCheckpoints(reps, sorted)
+    freeCheckpoints(toFree: _*)
     result
   }
 }

@@ -501,7 +501,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         (id, text)
       }
       val df = resolved.toDF("doc_id", "text")
-      val got = Dedup.jaccardJoinExact(df, "doc_id", "text", 7, 10)
+      val got = Dedup.jaccardJoinExact(df, "doc_id", "text", 7, 10,
+          bitmap = Some(false)) // pin the prefix-filter twin (at-scale path)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val sets = resolved.map { case (id, t) =>
         id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSet
@@ -554,7 +555,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
           vocab(rnd.nextInt(vocab.size))).mkString(" "))
       }
       val df = resolved.toDF("doc_id", "text")
-      val got = Dedup.containmentJoinExact(df, "doc_id", "text", 4, 5)
+      val got = Dedup.containmentJoinExact(df, "doc_id", "text", 4, 5,
+          bitmap = Some(false)) // pin the prefix-filter twin
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val sets = resolved.map { case (id, t) =>
         id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSet
@@ -582,7 +584,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       val inc = mk(40); val ref = mk(25).map { case (i, t) => (i + 1000L, t) }
       val got = Dedup.containmentDropAgainst(
           ref.toDF("doc_id", "text"), inc.toDF("doc_id", "text"),
-          "doc_id", "text", 4, 5)
+          "doc_id", "text", 4, 5, bitmap = Some(false)) // prefix twin
         .as[Long].collect().toSet
       val tok = (t: String) => t.split(" ").filter(_.nonEmpty).toSet
       val refSets = ref.map(r => tok(r._2))
@@ -611,7 +613,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       val df = resolved.toDF("doc_id", "text")
       val inc = df.filter($"doc_id" % 3 =!= 0)
       val ref = df.filter($"doc_id" % 3 === 0)
-      val got = Dedup.jaccardJoinAgainst(inc, ref, "doc_id", "text", 7, 10)
+      val got = Dedup.jaccardJoinAgainst(inc, ref, "doc_id", "text", 7, 10,
+          bitmap = Some(false)) // pin the prefix-filter twin
         .select("id_in", "id_ref").as[(Long, Long)].collect().toSet
       val sets = resolved.map { case (id, t) =>
         id -> t.split(" ").filter(_.nonEmpty).toSet
@@ -675,6 +678,61 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         s"seed $seed: θ=0.9 emitted ${p90.diff(p80).size} pairs absent at θ=0.8")
       assert(p70.size >= p80.size && p80.size >= p90.size)
     }
+  }
+
+  test("dense-vocab BITMAP fast path ≡ prefix-filter twin on all six " +
+      "entry points; the 65-token vocab gate refuses the bitmap path " +
+      "and the auto gate falls back to the prefix twin there") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val corpus = (1L to 70L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(7))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // clone groups: every 5th doc copies doc (id - 4)
+    val resolved = corpus.map { case (id, t) =>
+      if (id % 5 == 0) (id, corpus((id - 5).toInt)._2) else (id, t)
+    }
+    val df = resolved.toDF("doc_id", "text")
+    val inc = df.filter($"doc_id" % 3 =!= 0)
+    val ref = df.filter($"doc_id" % 3 === 0)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.toString).toSet
+    def twin(name: String)(
+        f: Option[Boolean] => org.apache.spark.sql.DataFrame): Unit = {
+      val bm = rows(f(Some(true))); val pf = rows(f(Some(false)))
+      assert(bm == pf, s"$name: bitmap twin diverged — " +
+        s"${bm.diff(pf).size} extra, ${pf.diff(bm).size} missing of ${pf.size}")
+      assert(bm.nonEmpty, s"$name: degenerate fixture (no rows)")
+    }
+    twin("jaccardJoinExact")(b =>
+      Dedup.jaccardJoinExact(df, "doc_id", "text", 7, 10, bitmap = b))
+    twin("containmentJoinExact")(b =>
+      Dedup.containmentJoinExact(df, "doc_id", "text", 9, 10, bitmap = b))
+    twin("jaccardThresholdSweep")(b =>
+      Dedup.jaccardThresholdSweep(df, "doc_id", "text", Seq(70, 80, 90),
+        bitmap = b))
+    twin("lshRecallSweep")(b =>
+      Dedup.lshRecallSweep(df, "doc_id", "text", seeds = 8,
+        configs = Seq(2, 4), thetaNum = 4, thetaDen = 5, bitmap = b))
+    twin("jaccardJoinAgainst")(b =>
+      Dedup.jaccardJoinAgainst(inc, ref, "doc_id", "text", 7, 10, bitmap = b))
+    twin("containmentDropAgainst")(b =>
+      Dedup.containmentDropAgainst(ref, inc, "doc_id", "text", 4, 5,
+        bitmap = b))
+    // the gate: a 65+-token vocabulary must refuse the forced bitmap path…
+    val wide = (1L to 30L).map(id =>
+      (id, (0 to 70).map(i => s"w$i").drop((id % 5).toInt).mkString(" ")))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoinExact(wide, "doc_id", "text", 4, 5,
+        bitmap = Some(true)).collect()
+    }
+    // …and the AUTO gate must silently take the prefix twin there
+    assert(rows(Dedup.jaccardJoinExact(wide, "doc_id", "text", 4, 5)) ==
+      rows(Dedup.jaccardJoinExact(wide, "doc_id", "text", 4, 5,
+        bitmap = Some(false))))
   }
 
   test("prefix + positional filters PRUNE on a Zipfian vocabulary " +
