@@ -619,7 +619,8 @@ object SparkEntry {
     // (sqlTrianglesTail). TriangleSpec pins engine ≡ brute-force ≡ the
     // shuffle-join variant.
     "ext_graph_triangles" -> ((s, dir) =>
-      operators.Graph.triangleCount(copurchaseEdgesRaw(s, dir), "u", "v")),
+      operators.Graph.triangleCountFromBaskets(lineitemBaskets(s, dir),
+        "l_orderkey", "l_partkey", copurchaseEdgesRaw(s, dir))),
     // single-consumer: one LINEAR job off the RAW pair stream
     // (Graph.degreeHistogram) — in-row both-orientation explode, ONE
     // node-keyed exchange, then the (s,t) distinct / degree count /
@@ -655,8 +656,8 @@ object SparkEntry {
     // corner counts fold node-sized before anything exchanges); oracle
     // replays sqlClusteringTail
     "ext_clustering_coeff" -> ((s, dir) =>
-      operators.Graph.clusteringCoefficients(
-        copurchaseEdgesRaw(s, dir), "u", "v")),
+      operators.Graph.clusteringFromBaskets(lineitemBaskets(s, dir),
+        "l_orderkey", "l_partkey", copurchaseEdgesRaw(s, dir))),
     // neighbor-degree (assortativity) profile, integer-exact — the
     // single-consumer fast path (Graph.neighborDegreeFromPairs): fold
     // the distinct adjacency once off the RAW pair stream (dedup inside
@@ -849,21 +850,9 @@ object SparkEntry {
     // exchange, never the quadratic self-join), then cosine =
     // co / √(n_u·n_v) over exact integer counts (one IEEE sqrt+division,
     // rounded once — cross-engine stable), deterministic top-20
-    "ext_bipartite_projection" -> ((s, dir) => {
-      val cp = custPartPairs(s, dir)
-      val co = operators.Graph.itemPairs(cp, "c", "p")
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
-      val n = cp.select(col("c"), col("p")).distinct()
-        .groupBy(col("p")).agg(count(lit(1)).as("__n"))
-      co
-        .join(broadcast(n.select(col("p").as("u"), col("__n").as("n_u"))), "u")
-        .join(broadcast(n.select(col("p").as("v"), col("__n").as("n_v"))), "v")
-        .select(col("u"), col("v"), col("co"), col("n_u"), col("n_v"),
-          round(col("co").cast("double") /
-            sqrt((col("n_u") * col("n_v")).cast("double")), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("u"), col("v"))
-        .limit(20)
-    }),
+    "ext_bipartite_projection" -> ((s, dir) =>
+      operators.Graph.bipartiteProjectionTopK(custPartPairs(s, dir),
+        "c", "p", topK = 20)),
     // weighted-degree (STRENGTH) histogram over the support-weighted
     // graph: strength = Σ incident support counts, bucketed by
     // power-of-2 (⌊log2⌋+1 = length(bin(n)) — exact cross-engine)
@@ -1031,19 +1020,20 @@ object SparkEntry {
     // support via the triangle-corner stream; the oracle replays the
     // rounds with the portable wedge-pair-count formulation)
     "ext_ktruss" -> ((s, dir) =>
-      operators.Graph.trussPeel(copurchaseEdgesRaw(s, dir), "u", "v",
-        k = 4, rounds = 1)),
+      operators.Graph.trussPeelFromBaskets(lineitemBaskets(s, dir),
+        "l_orderkey", "l_partkey", k = 4, rounds = 1,
+        copurchaseEdgesRaw(s, dir))),
     // top-20 edges by neighborhood Jaccard (common-neighbors link
     // strength): |N∩| from the triangle-corner stream, one IEEE division
     // over exact integers, (u, v) tie-break — deterministic top-k cut
     "ext_edge_jaccard_topk" -> ((s, dir) =>
-      operators.Graph.edgeJaccardTopK(copurchaseEdgesRaw(s, dir), "u", "v",
-        k = 20)),
+      operators.Graph.edgeJaccardTopKFromBaskets(lineitemBaskets(s, dir),
+        "l_orderkey", "l_partkey", k = 20, copurchaseEdgesRaw(s, dir))),
     // global clustering summary: wedges (Σ d(d−1)/2, integer), triangles
     // (edge-iterator), transitivity = 3·△/wedges — one row, one division
     "ext_transitivity" -> ((s, dir) =>
-      operators.Graph.transitivitySummary(copurchaseEdgesRaw(s, dir),
-        "u", "v")),
+      operators.Graph.transitivityFromBaskets(lineitemBaskets(s, dir),
+        "l_orderkey", "l_partkey", copurchaseEdgesRaw(s, dir))),
     // PERSONALIZED PageRank (random walk with restart to the 4 smallest
     // node ids — the recommendation primitive): integer fixed-point,
     // seed-only teleport mass, nodes unreachable from seeds hold 0;
@@ -7140,6 +7130,12 @@ object SparkEntry {
     * repeated ACROSS orders (0.3% dup at sf0.1) — the cheapest form, for
     * consumers whose semantics are multiplicity-invariant (BFS min-fold)
     * or that dedup in-pipeline anyway (pagerank's adjacency build). */
+  /** Raw (l_orderkey, l_partkey) basket stream — the FromBaskets driver
+    * tiers' input (map-only scan; dedup / pair expansion happen past the
+    * gate on the driver, or in the distEdges distributed twin). */
+  private def lineitemBaskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     operators.Graph.itemPairs(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /**
  * Iterative graph computation on plain DataFrames — the PageRank loop every
@@ -3358,6 +3358,213 @@ object Graph {
     }
   }
 
+  /** Spark's `round(x, 6)` on DOUBLE, replicated for the driver-resident
+    * tiers: NaN/±Inf pass through, otherwise
+    * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — RoundBase's exact
+    * arithmetic. Spec-pinned bit-equal to the SQL `round()` over random
+    * and tie-adversarial inputs (GraphDriverTierSpec). */
+  private[graft] def sparkRound6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Sort-dedup a long array IN PLACE; returns the distinct count n —
+    * entries [0, n) hold the sorted distinct values afterwards. */
+  private def sortDedup(a: Array[Long]): Int = {
+    java.util.Arrays.parallelSort(a)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (n == 0 || a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    n
+  }
+
+  private def localDf(sess: SparkSession, schema: StructType,
+                      rows: Seq[Row]): DataFrame =
+    sess.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+
+  /** DRIVER-COLLECTED BASKET INDEX — the shared substrate of the r19
+    * basket/co-occurrence driver tiers (guide §2.4 "remove shuffles
+    * outright", §5 bounded driver state): one MAP-ONLY bounded collect of
+    * the raw (group, item) stream replaces the distributed basket fold
+    * (group-keyed exchange + set aggregate + pair explode) and everything
+    * derived from it — distinct co-occurrence edges, pair supports, item
+    * supports — with primitive packed-long sorts (the r18 boxed-collection
+    * lesson applied from the start). Dedup of (group, item), grouping and
+    * the pair expansion are each ONE `Arrays.parallelSort`.
+    *
+    * `entries` = sorted distinct (groupIdx << 32 | itemIdx); a group's
+    * items form one contiguous run with ASCENDING item indices, and the
+    * item dictionary is sorted, so index order ≡ id order everywhere. */
+  private[graft] final class BasketIndex(
+      val itemIds: Array[Long], val nItems: Int,
+      val entries: Array[Long], val nEntries: Int, val nGroups: Int) {
+    /** In how many groups does each item appear (entries are distinct). */
+    def itemSupports: Array[Long] = {
+      val np = new Array[Long](nItems)
+      var i = 0
+      while (i < nEntries) { np((entries(i) & 0xffffffffL).toInt) += 1; i += 1 }
+      np
+    }
+    /** Σ b·(b−1)/2 over the group runs — the exact pair-expansion size
+      * (driver arithmetic, no job — the quadratic-work gate input). */
+    def pairExpansionCount: Long = {
+      var total = 0L
+      var i = 0
+      while (i < nEntries) {
+        var j = i + 1
+        while (j < nEntries && (entries(j) >>> 32) == (entries(i) >>> 32)) j += 1
+        val b = (j - i).toLong
+        total += b * (b - 1) / 2
+        i = j
+      }
+      total
+    }
+    /** The per-group unordered item-pair stream in index space, globally
+      * SORTED — one packed (loIdx << 32 | hiIdx) long per pair, repeated
+      * across groups; run lengths after the sort ARE the co-occurrence
+      * supports. Within a run item indices ascend, so lo < hi — the
+      * [[itemPairs]] (u < v) convention carried into index space. */
+    def expandPairs(): Array[Long] = {
+      val total = pairExpansionCount
+      require(total <= Int.MaxValue.toLong - 8,
+        s"basket pair expansion $total exceeds one array")
+      val keys = new Array[Long](total.toInt)
+      var w = 0
+      var i = 0
+      while (i < nEntries) {
+        var j = i + 1
+        while (j < nEntries && (entries(j) >>> 32) == (entries(i) >>> 32)) j += 1
+        var p = i
+        while (p < j) {
+          val hi = (entries(p) & 0xffffffffL) << 32
+          var q = p + 1
+          while (q < j) { keys(w) = hi | (entries(q) & 0xffffffffL); w += 1; q += 1 }
+          p += 1
+        }
+        i = j
+      }
+      java.util.Arrays.parallelSort(keys)
+      keys
+    }
+  }
+
+  /** Build a [[BasketIndex]] from the raw (group, item) stream, or None
+    * when the tier is declined. The COLLECT IS THE GATE: `limit(cap + 1)`
+    * with cap = `graft.graph.broadcastLimitBytes` / 16 (two BIGINTs per
+    * row), so an over-budget corpus terminates the scan early
+    * (executeTake runs partitions in waves) and falls back to the
+    * caller's distributed twin having moved at most the broadcast-class
+    * byte budget once. `pairBound` additionally declines when the
+    * quadratic pair expansion would exceed `graft.graph.pairStreamLimit`
+    * (callers that expand pairs). `flag`: Some(false) forces the
+    * distributed twin, Some(true) forces the tier and THROWS past either
+    * gate (spec/audit only), None auto-gates. Non-BIGINT id columns take
+    * the distributed twin (the packed-index arithmetic is 64-bit). */
+  private[graft] def collectBaskets(items: DataFrame, gCol: String,
+                                    iCol: String, flag: Option[Boolean],
+                                    pairBound: Boolean = false)
+      : Option[BasketIndex] = {
+    if (flag.contains(false)) return None
+    if (items.schema(gCol).dataType != LongType ||
+        items.schema(iCol).dataType != LongType) {
+      require(!flag.contains(true),
+        s"basket driver tier forced but ($gCol, $iCol) are not BIGINT")
+      return None
+    }
+    val sess = items.sparkSession
+    val capRows = sess.conf
+      .get("graft.graph.broadcastLimitBytes", (256L << 20).toString).toLong / 16
+    val cap = math.min(capRows, (Int.MaxValue - 8).toLong).toInt
+    val rows = items.select(col(gCol), col(iCol)).limit(cap + 1).collect2
+    if (rows.length > cap) {
+      require(!flag.contains(true),
+        s"basket driver tier forced but the stream exceeds $cap rows")
+      return None
+    }
+    if (rows.isEmpty)
+      return Some(new BasketIndex(new Array[Long](0), 0,
+        new Array[Long](0), 0, 0))
+    val gIds = rows.map(_._1)
+    val nG = sortDedup(gIds)
+    val itemIds = rows.map(_._2)
+    val nI = sortDedup(itemIds)
+    require(nG.toLong < (1L << 31) && nI.toLong < (1L << 31),
+      s"basket driver tier size: $nG groups / $nI items")
+    val entries = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val g = java.util.Arrays.binarySearch(gIds, 0, nG, rows(i)._1).toLong
+      val it = java.util.Arrays.binarySearch(itemIds, 0, nI, rows(i)._2).toLong
+      entries(i) = (g << 32) | it
+      i += 1
+    }
+    val nE = sortDedup(entries)
+    val bi = new BasketIndex(itemIds, nI, entries, nE, nG)
+    if (pairBound) {
+      val limit = sess.conf
+        .get("graft.graph.pairStreamLimit", (1L << 25).toString).toLong
+      val exp = bi.pairExpansionCount
+      if (exp > limit) {
+        require(!flag.contains(true),
+          s"basket driver tier forced but the pair expansion $exp " +
+            s"exceeds $limit")
+        return None
+      }
+    }
+    Some(bi)
+  }
+
+  /** Distinct co-occurrence edges + supports off the SORTED pair stream:
+    * (eu, ev, sup) in item-index space — one run-length pass. */
+  private def pairRuns(keys: Array[Long])
+      : (Array[Int], Array[Int], Array[Long]) = {
+    var runs = 0
+    var i = 0
+    while (i < keys.length) {
+      var j = i + 1
+      while (j < keys.length && keys(j) == keys(i)) j += 1
+      runs += 1
+      i = j
+    }
+    val eu = new Array[Int](runs)
+    val ev = new Array[Int](runs)
+    val sup = new Array[Long](runs)
+    var w = 0
+    i = 0
+    while (i < keys.length) {
+      var j = i + 1
+      while (j < keys.length && keys(j) == keys(i)) j += 1
+      eu(w) = (keys(i) >>> 32).toInt
+      ev(w) = (keys(i) & 0xffffffffL).toInt
+      sup(w) = (j - i).toLong
+      w += 1
+      i = j
+    }
+    (eu, ev, sup)
+  }
+
+  /** Bounded top-k selection threshold for the rounded-score rankings:
+    * the k-th largest UNROUNDED score minus a margin covering the whole
+    * round(·, 6) bucket — every row of the true top-k by
+    * (round(x, 6) DESC, id tiebreaks) satisfies x ≥ kth − 1e−6 (rounding
+    * is monotone: r(x) ≥ r(kth) ⟹ x ≥ r(x) − 5e−7 ≥ r(kth) − 5e−7 ≥
+    * kth − 1e−6), so collecting candidates at kth − 2e−6 and applying the
+    * exact BigDecimal rounding ONLY to them is exact while skipping the
+    * per-row BigDecimal cost that made the r18 full-driver ranking
+    * net-negative. Returns −∞ when fewer than k scores exist. */
+  private final class TopKThreshold(k: Int) {
+    private val heap = new java.util.PriorityQueue[java.lang.Double](k)
+    def offer(x: Double): Unit =
+      if (heap.size < k) heap.offer(x)
+      else if (x > heap.peek()) { heap.poll(); heap.offer(x) }
+    def cutoff: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.peek() - 2e-6
+  }
+
   private def driverEdgeSupport(eu: Array[Int], ev: Array[Int],
                                 n: Int): Array[Long] = {
     val m = eu.length
@@ -3453,6 +3660,258 @@ object Graph {
       ti += 1
     }
     sup
+  }
+
+  /** ---- FromBaskets driver tiers (optimization r19) -------------------
+    * Every co-occurrence-graph consumer used to DERIVE its edge frame
+    * distributed (basket fold: group-keyed exchange + set aggregate +
+    * pair explode + distinct/support aggregate + checkpoint) and — when
+    * its own driver tier fired — then collect that frame anyway. These
+    * entry points take the RAW (group, item) stream instead: past the
+    * [[collectBaskets]] gate the edge/support derivation runs as packed
+    * primitive sorts on the driver (zero exchanges, zero checkpoint
+    * barriers, ONE bounded map-only collect); past the gate the
+    * `distEdges` thunk builds the UNCHANGED distributed derivation and
+    * the operator's existing distributed/driver paths take over — the
+    * at-scale plan is untouched (spec-pinned twin equality on random
+    * basket streams + forced-path flags). ------------------------------ */
+
+  /** [[triangleCount]] off the raw basket stream. */
+  def triangleCountFromBaskets(items: DataFrame, gCol: String, iCol: String,
+                               distEdges: => DataFrame,
+                               flag: Option[Boolean] = None): DataFrame =
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        val (eu, ev, _) = pairRuns(bi.expandPairs())
+        val nTri =
+          if (eu.isEmpty) 0L else driverEdgeSupport(eu, ev, bi.nItems).sum / 3
+        localDf(items.sparkSession,
+          StructType(Seq(StructField("n_triangles", LongType, nullable = false))),
+          Seq(Row(nTri)))
+      case None => triangleCount(distEdges, "u", "v")
+    }
+
+  /** [[clusteringCoefficients]] off the raw basket stream. Node triangle
+    * counts fold from the per-edge supports: every triangle through n has
+    * exactly two n-incident edges, so tri(n) = Σ_{e∋n} sup(e) / 2. */
+  def clusteringFromBaskets(items: DataFrame, gCol: String, iCol: String,
+                            distEdges: => DataFrame,
+                            flag: Option[Boolean] = None): DataFrame =
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        val (eu, ev, _) = pairRuns(bi.expandPairs())
+        val sup =
+          if (eu.isEmpty) new Array[Long](0)
+          else driverEdgeSupport(eu, ev, bi.nItems)
+        val deg = new Array[Long](bi.nItems)
+        val tri2 = new Array[Long](bi.nItems)
+        var i = 0
+        while (i < eu.length) {
+          deg(eu(i)) += 1; deg(ev(i)) += 1
+          tri2(eu(i)) += sup(i); tri2(ev(i)) += sup(i)
+          i += 1
+        }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var n0 = 0
+        while (n0 < bi.nItems) {
+          val d = deg(n0)
+          if (d >= 2) {
+            val t = tri2(n0) / 2
+            // the SQL tail's expression verbatim:
+            // 2.0 * t / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0))
+            val cc = sparkRound6((2.0 * t) / (d.toDouble * (d.toDouble - 1.0)))
+            rows += Row(bi.itemIds(n0), t, d, cc)
+          }
+          n0 += 1
+        }
+        localDf(items.sparkSession, StructType(Seq(
+          StructField("node", LongType, nullable = false),
+          StructField("n_tri", LongType, nullable = false),
+          StructField("degree", LongType, nullable = false),
+          StructField("clustering", DoubleType, nullable = false))),
+          rows.toSeq)
+      case None => clusteringCoefficients(distEdges, "u", "v")
+    }
+
+  /** [[transitivitySummary]] off the raw basket stream. */
+  def transitivityFromBaskets(items: DataFrame, gCol: String, iCol: String,
+                              distEdges: => DataFrame,
+                              flag: Option[Boolean] = None): DataFrame =
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        val (eu, ev, _) = pairRuns(bi.expandPairs())
+        val sup =
+          if (eu.isEmpty) new Array[Long](0)
+          else driverEdgeSupport(eu, ev, bi.nItems)
+        val deg = new Array[Long](bi.nItems)
+        var i = 0
+        while (i < eu.length) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        var wedges = 0L
+        var n0 = 0
+        while (n0 < bi.nItems) { wedges += deg(n0) * (deg(n0) - 1) / 2; n0 += 1 }
+        var tri = 0L
+        i = 0
+        while (i < sup.length) { tri += sup(i); i += 1 }
+        tri /= 3
+        val trans: Any =
+          if (wedges == 0) null
+          else sparkRound6((3.0 * tri.toDouble) / wedges.toDouble)
+        localDf(items.sparkSession, StructType(Seq(
+          StructField("n_wedges", LongType, nullable = false),
+          StructField("n_triangles", LongType, nullable = false),
+          StructField("transitivity", DoubleType, nullable = true))),
+          Seq(Row(wedges, tri, trans)))
+      case None => transitivitySummary(distEdges, "u", "v")
+    }
+
+  /** [[edgeJaccardTopK]] off the raw basket stream: per-edge support from
+    * the striped [[driverEdgeSupport]] kernel, ranking via the
+    * [[TopKThreshold]] bounded cut (exact BigDecimal rounding only on the
+    * candidate set — the fix for the r18 net-negative full-driver
+    * ranking). */
+  def edgeJaccardTopKFromBaskets(items: DataFrame, gCol: String, iCol: String,
+                                 k: Int, distEdges: => DataFrame,
+                                 flag: Option[Boolean] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        val (eu, ev, _) = pairRuns(bi.expandPairs())
+        val schema = StructType(Seq(
+          StructField("u", LongType, nullable = false),
+          StructField("v", LongType, nullable = false),
+          StructField("common", LongType, nullable = false),
+          StructField("jaccard", DoubleType, nullable = false)))
+        if (eu.isEmpty) return localDf(items.sparkSession, schema, Nil)
+        val sup = driverEdgeSupport(eu, ev, bi.nItems)
+        val deg = new Array[Long](bi.nItems)
+        var i = 0
+        while (i < eu.length) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+        // the distributed twin's expression verbatim: support /
+        // (CAST(du AS DOUBLE) + CAST(dv AS DOUBLE) - CAST(support AS DOUBLE))
+        def x(i: Int): Double = sup(i).toDouble /
+          (deg(eu(i)).toDouble + deg(ev(i)).toDouble - sup(i).toDouble)
+        val thr = new TopKThreshold(k)
+        i = 0
+        while (i < eu.length) { thr.offer(x(i)); i += 1 }
+        val cut = thr.cutoff
+        val cand = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Double)]
+        i = 0
+        while (i < eu.length) {
+          val xi = x(i)
+          if (xi >= cut)
+            cand += ((bi.itemIds(eu(i)), bi.itemIds(ev(i)), sup(i),
+              sparkRound6(xi)))
+          i += 1
+        }
+        val top = cand.sortBy(t => (-t._4, t._1, t._2)).take(k)
+        localDf(items.sparkSession, schema,
+          top.map { case (u, v, c, j) => Row(u, v, c, j) }.toSeq)
+      case None => edgeJaccardTopK(distEdges, "u", "v", k)
+    }
+  }
+
+  /** BIPARTITE PROJECTION with cosine link strength, top-K — the
+    * r18 SparkEntry pipeline moved here and given the basket driver tier
+    * (r18 verdict #1: the pair-aggregation exchange was the top honest
+    * key). co = groups containing both items, n_i = groups containing i,
+    * cosine = round(co / √(n_u·n_v), 6), ordered (cosine DESC, u, v),
+    * top K. Driver tier: item supports + pair-run lengths off the packed
+    * sorts, the [[TopKThreshold]] bounded cut, exact BigDecimal rounding
+    * on candidates only. Distributed twin unchanged from r18 (in-row
+    * [[itemPairs]] expansion, pair aggregate, two broadcast support
+    * lookups, TakeOrderedAndProject). */
+  def bipartiteProjectionTopK(items: DataFrame, gCol: String, iCol: String,
+                              topK: Int,
+                              flag: Option[Boolean] = None): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        val np = bi.itemSupports
+        val keys = bi.expandPairs()
+        // cosine = co / sqrt(CAST(n_u * n_v AS DOUBLE)) — the twin's
+        // expression verbatim (long product, one IEEE sqrt + division)
+        def cosineOf(co: Long, ui: Int, vi: Int): Double =
+          co.toDouble / math.sqrt((np(ui) * np(vi)).toDouble)
+        val thr = new TopKThreshold(topK)
+        var i = 0
+        while (i < keys.length) {
+          var j = i + 1
+          while (j < keys.length && keys(j) == keys(i)) j += 1
+          thr.offer(cosineOf((j - i).toLong,
+            (keys(i) >>> 32).toInt, (keys(i) & 0xffffffffL).toInt))
+          i = j
+        }
+        val cut = thr.cutoff
+        val cand = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Double)]
+        i = 0
+        while (i < keys.length) {
+          var j = i + 1
+          while (j < keys.length && keys(j) == keys(i)) j += 1
+          val ui = (keys(i) >>> 32).toInt
+          val vi = (keys(i) & 0xffffffffL).toInt
+          val co = (j - i).toLong
+          val x = cosineOf(co, ui, vi)
+          if (x >= cut)
+            cand += ((bi.itemIds(ui), bi.itemIds(vi), co, np(ui), np(vi),
+              sparkRound6(x)))
+          i = j
+        }
+        val top = cand.sortBy(t => (-t._6, t._1, t._2)).take(topK)
+        localDf(items.sparkSession, StructType(Seq(
+          StructField("u", LongType, nullable = false),
+          StructField("v", LongType, nullable = false),
+          StructField("co", LongType, nullable = false),
+          StructField("n_u", LongType, nullable = false),
+          StructField("n_v", LongType, nullable = false),
+          StructField("cosine", DoubleType, nullable = false))),
+          top.map { case (u, v, co, nu, nv, c) =>
+            Row(u, v, co, nu, nv, c) }.toSeq)
+      case None =>
+        val cp = items.select(col(gCol).as("c"), col(iCol).as("p"))
+        val co = itemPairs(cp, "c", "p")
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+        val n = cp.select(col("c"), col("p")).distinct()
+          .groupBy(col("p")).agg(count(lit(1)).as("__n"))
+        co
+          .join(broadcast(n.select(col("p").as("u"), col("__n").as("n_u"))), "u")
+          .join(broadcast(n.select(col("p").as("v"), col("__n").as("n_v"))), "v")
+          .select(col("u"), col("v"), col("co"), col("n_u"), col("n_v"),
+            round(col("co").cast("double") /
+              sqrt((col("n_u") * col("n_v")).cast("double")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("u"), col("v"))
+          .limit(topK)
+    }
+  }
+
+  /** [[trussPeel]] off the raw basket stream: all rounds+1 support
+    * passes run on the striped kernel over the driver-derived edge list. */
+  def trussPeelFromBaskets(items: DataFrame, gCol: String, iCol: String,
+                           k: Int, rounds: Int, distEdges: => DataFrame,
+                           flag: Option[Boolean] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    collectBaskets(items, gCol, iCol, flag, pairBound = true) match {
+      case Some(bi) =>
+        var (eu, ev, _) = pairRuns(bi.expandPairs())
+        var r0 = 0
+        while (r0 < rounds) {
+          val sup = driverEdgeSupport(eu, ev, bi.nItems)
+          val keep = sup.indices.filter(i => sup(i) >= k - 2).toArray
+          eu = keep.map(eu)
+          ev = keep.map(ev)
+          r0 += 1
+        }
+        val hist = scala.collection.mutable.HashMap.empty[Long, Long]
+        driverEdgeSupport(eu, ev, bi.nItems).foreach { s =>
+          hist(s) = hist.getOrElse(s, 0L) + 1L }
+        localDf(items.sparkSession, StructType(Seq(
+          StructField("support", LongType, nullable = false),
+          StructField("n_edges", LongType, nullable = false))),
+          hist.toSeq.map { case (s, c) => Row(s, c) })
+      case None => trussPeel(distEdges, "u", "v", k, rounds)
+    }
   }
 
   def trussPeel(edges: DataFrame, uCol: String, vCol: String,
